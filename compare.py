@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB oracle compare.
+
+Reads /tmp/verify_out/<name>/ parquet (Spark result) and runs
+oracle_sql.json in DuckDB against the sf dir's parquet tables, then
+compares: row count, column names (sorted), and cell values (rows
+sorted, columns sorted by name). Prints PASS/FAIL per query.
+"""
+import sys, json, glob, math
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "nan"
+        return repr(v)
+    return repr(v)
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    if only and name not in only: continue
+    spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not spark_files:
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        duck = con.sql(sql)
+        dcols = sorted(duck.columns)
+        drows = con.sql(f"SELECT {','.join(dcols)} FROM ({sql})").fetchall()
+        scols_all = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet' LIMIT 0").columns
+        scols = sorted(scols_all)
+        srows = con.sql(f"SELECT {','.join(scols)} FROM '{outdir}/{name}/*.parquet'").fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1; continue
+    if dcols != scols:
+        print(f"FAIL {name}: cols duck={dcols} spark={scols}"); fails += 1; continue
+    dn = sorted(tuple(norm(v) for v in r) for r in drows)
+    sn = sorted(tuple(norm(v) for v in r) for r in srows)
+    if len(dn) != len(sn):
+        print(f"FAIL {name}: rows duck={len(dn)} spark={len(sn)}"); fails += 1; continue
+    if dn != sn:
+        diff = [(a, b) for a, b in zip(dn, sn) if a != b][:3]
+        print(f"FAIL {name}: value mismatch, first diffs: {diff}"); fails += 1; continue
+    print(f"PASS {name} ({len(dn)} rows)")
+print(f"\n{fails} failures / {len([n for n in oracle if not only or n in only])} checked")
+sys.exit(1 if fails else 0)

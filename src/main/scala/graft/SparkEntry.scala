@@ -1,13 +1,134 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
+    "q2_filter_proj" -> ((s, d) => Relational.q2FilterProj(s, d)),
+    "q3_topn_join" -> ((s, d) => Relational.q3TopnJoin(s, d)),
+    "q5_multijoin" -> ((s, d) => Relational.q5Multijoin(s, d)),
+    "q_semijoin" -> ((s, d) => Relational.qSemijoin(s, d)),
+    "q_antijoin" -> ((s, d) => Relational.qAntijoin(s, d)),
+    "q_window_rank" -> ((s, d) => Relational.qWindowRank(s, d)),
+    "q_window_running" -> ((s, d) => Relational.qWindowRunning(s, d)),
+    "q_distinct" -> ((s, d) => Relational.qDistinct(s, d)),
+    "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
+    "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
+    "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
+    "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
+  )
+
+  /** DuckDB-runnable SQL oracle per query (same aliases, same
+    * determinism rules — SURVEY §6). Omitted keys get the driver's
+    * weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_proj" ->
+      """SELECT l_orderkey, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_quantity > 45.0 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin,
+    "q3_topn_join" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey AND r_name <> ''
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_distinct" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_rollup" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p_event_id, user_id, last_view_id FROM (
+        |  SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+        |    v.event_id AS last_view_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rk
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |    ON p.user_id = v.user_id AND v.ts <= p.ts) t
+        |WHERE rk = 1
+        |ORDER BY p_event_id""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH gapped AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |FROM gapped
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+  )
 }

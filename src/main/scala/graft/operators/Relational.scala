@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational query surface (SURVEY §2 rows 9–21).
+  *
+  * All queries are declarative DataFrame plans: Catalyst handles
+  * predicate/projection pushdown, join reordering and (with AQE)
+  * runtime re-planning. Small dimension tables are `broadcast()` so
+  * the fact tables never shuffle for those joins. Money aggregates
+  * are rounded to 2 decimals for bit-stable oracle comparison.
+  */
+object Relational {
+
+  /** TPC-H Q1 family: scan → filter → groupBy → multi-agg.
+    * Single shuffle (the groupBy); map-side partial aggregation is
+    * automatic for sum/count/avg.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Predicate + projection pushdown: both the filter and the 3-column
+    * read schema must reach the parquet scan. */
+  def q2FilterProj(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > lit(45.0) && col("l_discount") >= lit(0.05))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+  }
+
+  /** customer ⋈ orders ⋈ lineitem, grouped revenue, deterministic
+    * top-10. customer is small relative to the facts → broadcast. */
+  def q3TopnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === lit("BUILDING"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** 6-table star join: region ⋈ nation ⋈ customer ⋈ orders ⋈
+    * lineitem ⋈ supplier; revenue per nation. All dims broadcast —
+    * only orders⋈lineitem shuffles. */
+  def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") =!= lit(""))
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      // TPC-H Q5 requires customer and supplier in the same nation
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** EXISTS via left_semi: customers having at least one order above
+    * the price threshold. The semi-join shuffles only the keys. */
+  def qSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > lit(450000.0))
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** NOT EXISTS via left_anti: customers with no high-value orders. */
+  def qAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > lit(450000.0))
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window rank: top-3 orders per customer by totalprice,
+    * deterministic tiebreak on orderkey. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Running sum of quantity per supplier in deterministic ship
+    * order. One shuffle (the window partitioning). */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_shipdate"))
+      .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+      .drop("l_shipdate")
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** count(DISTINCT) per group — expands to a two-phase aggregate. */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** HLL approximate distinct — sketch-based, constant memory per
+    * group at any scale (rows-only check; spec compares vs exact). */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ROLLUP over (segment, orderstatus): 3 grouping levels in one
+    * pass. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
+  /** As-of join: for each 'purchase' event, the user's latest 'view'
+    * event at or before the purchase. Composed as equi-join on the
+    * key + range filter + row_number — a hash join Catalyst executes
+    * distributed (never a nested-loop join), which is the scalable
+    * as-of pattern. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_event_id"))
+    val views = ev.filter(col("event_type") === lit("view"))
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("v_event_id"))
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") && col("v_ts") <= col("p_ts"))
+    val w = Window.partitionBy(col("p_event_id"))
+      .orderBy(col("v_ts").desc, col("v_event_id").desc)
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("p_event_id"), col("p_user").as("user_id"), col("v_event_id").as("last_view_id"))
+      .orderBy(col("p_event_id"))
+  }
+
+  /** Sessionization: 30-minute-gap sessions per user via lag window,
+    * then sessions-per-user counts. */
+  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapped = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+    gapped
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+}
