@@ -1,17 +1,42 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators._
+import graft.graph.{GraphBuilder, GraphOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: Louvain community detection on the supplier
+    * co-occurrence graph at sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    GraphOps.louvain(spark,
+      GraphBuilder.supplierCoEdges(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_edges" -> ((s, d) =>
+      GraphBuilder.supplierCoEdges(s, d).orderBy(col("src"), col("dst"))),
+    "g_degree" -> ((s, d) =>
+      GraphOps.degrees(GraphBuilder.supplierCoEdges(s, d)).orderBy(col("vertex"))),
+    "g_triangles" -> ((s, d) =>
+      GraphOps.triangleCount(GraphBuilder.supplierCoEdges(s, d))),
+    "g_cc" -> ((s, d) =>
+      GraphOps.connectedComponents(s, GraphBuilder.supplierCoEdges(s, d))
+        .orderBy(col("vertex"))),
+    "g_louvain" -> ((s, d) =>
+      GraphOps.louvain(s, GraphBuilder.supplierCoEdges(s, d))
+        .orderBy(col("vertex"))),
+    "g_modularity" -> ((s, d) =>
+      GraphOps.louvainLevels(s, GraphBuilder.supplierCoEdges(s, d))
+        .orderBy(col("level"))),
+    "g_pagerank" -> ((s, d) =>
+      GraphOps.pageRank(s, GraphBuilder.supplierCoEdges(s, d))
+        .orderBy(col("vertex"))),
+    "g_lpa" -> ((s, d) =>
+      GraphOps.labelPropagation(s, GraphBuilder.supplierCoEdges(s, d))
+        .orderBy(col("vertex"))),
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_filter_proj" -> ((s, d) => Relational.q2FilterProj(s, d)),
     "q3_topn_join" -> ((s, d) => Relational.q3TopnJoin(s, d)),
@@ -31,6 +56,34 @@ object SparkEntry {
     * determinism rules — SURVEY §6). Omitted keys get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "g_edges" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |  CAST(count(*) AS DOUBLE) AS weight
+        |FROM os a JOIN os b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY src, dst""".stripMargin,
+    "g_degree" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |    CAST(count(*) AS DOUBLE) AS weight
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |ends AS (SELECT src AS vertex, weight FROM e
+        |  UNION ALL SELECT dst AS vertex, weight FROM e)
+        |SELECT vertex, count(*) AS degree, round(sum(weight), 2) AS wdegree
+        |FROM ends GROUP BY vertex ORDER BY vertex""".stripMargin,
+    "g_triangles" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,66 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph construction: relational tables → canonical undirected
+  * weighted edge lists → GraphX graphs.
+  *
+  * The canonical form mirrors how a Louvain engine ingests edge
+  * lists: undirected (src < dst), parallel edges summed, self-loops
+  * carried separately as vertex-internal weight.
+  *
+  * All DataFrame steps are shuffle-minimal: the co-occurrence build
+  * is distinct → self-equi-join on the shared key → groupBy(pair),
+  * and Catalyst/AQE handle partition coalescing and skew. At cluster
+  * scale the self-join and the groupBy can share one hash
+  * partitioning on the join key.
+  */
+object GraphBuilder {
+
+  /** Canonicalize an arbitrary (src, dst, weight) edge DataFrame:
+    * undirected src<dst ordering, parallel edges summed, self-loops
+    * dropped (callers that need them keep their weight as vertex
+    * internal weight).
+    */
+  def canonicalEdges(edges: DataFrame, src: String, dst: String, weight: String): DataFrame =
+    edges
+      .filter(col(src) =!= col(dst))
+      .select(
+        least(col(src), col(dst)).as("src"),
+        greatest(col(src), col(dst)).as("dst"),
+        col(weight).cast("double").as("weight"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight"))
+
+  /** Supplier co-occurrence graph: an undirected edge (s1, s2) with
+    * weight = number of orders in which both suppliers appear.
+    * This is the engine's standard derived test graph (SURVEY §3).
+    */
+  def supplierCoEdges(spark: SparkSession, dir: String): DataFrame = {
+    val os = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .distinct()
+    val a = os.select(col("l_orderkey"), col("l_suppkey").as("src"))
+    val b = os.select(col("l_orderkey"), col("l_suppkey").as("dst"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+  }
+
+  /** Edge DataFrame (src, dst, weight) → GraphX undirected weighted
+    * graph. EdgePartition2D bounds vertex replication to 2√P at
+    * cluster scale.
+    */
+  def toGraphX(edges: DataFrame): Graph[Double, Double] = {
+    val edgeRdd = edges
+      .select(col("src").cast("long"), col("dst").cast("long"), col("weight").cast("double"))
+      .rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Graph.fromEdges(edgeRdd, defaultValue = 0.0)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.graph
+
+import org.apache.spark.graphx.lib.LabelPropagation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph query operators (SURVEY §2 rows 1–8).
+  *
+  * Degree and triangle counting stay pure-DataFrame: they're
+  * expressible as joins/aggregations, which Catalyst optimizes and
+  * Tungsten codegens — at 100 TB that beats materializing a GraphX
+  * graph for a one-shot aggregate. The iterative algorithms
+  * (CC / PageRank / LPA / Louvain) use GraphX, whose Pregel
+  * `aggregateMessages` model fits fixpoint iteration.
+  */
+object GraphOps {
+
+  /** Degree + weighted degree per vertex from a canonical undirected
+    * edge list. Union of both endpoints → one groupBy (single
+    * shuffle, map-side combined). */
+  def degrees(edges: DataFrame): DataFrame = {
+    val ends = edges.select(col("src").as("vertex"), col("weight"))
+      .unionAll(edges.select(col("dst").as("vertex"), col("weight")))
+    ends.groupBy(col("vertex"))
+      .agg(count(lit(1)).as("degree"), round(sum(col("weight")), 2).as("wdegree"))
+  }
+
+  /** Global triangle count over a canonical (src<dst) edge list via
+    * a 3-way self-join: for edges (a,b),(b,c) probe (a,c). Each
+    * triangle a<b<c is counted exactly once. Distributed hash joins —
+    * no per-vertex adjacency sets, no GraphX — so it scales with AQE
+    * skew handling at 100 TB. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = e.select(col("src").as("b2"), col("dst").as("c"))
+    val e3 = e.select(col("src").as("a3"), col("dst").as("c3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Connected components (GraphX fixpoint). */
+  def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val g = GraphBuilder.toGraphX(edges)
+    val cc = g.connectedComponents().vertices
+    spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
+      .toDF("vertex", "component")
+  }
+
+  /** PageRank, fixed iteration count (deterministic). GraphX PageRank
+    * follows edge direction, so the canonical undirected edge list is
+    * symmetrized first. */
+  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 10): DataFrame = {
+    val sym = edges.unionAll(edges.select(
+      col("dst").as("src"), col("src").as("dst"), col("weight")))
+    val g = GraphBuilder.toGraphX(sym)
+    val pr = g.staticPageRank(iters).vertices
+    spark.createDataFrame(pr.map { case (id, rank) => (id, math.round(rank * 1e6)) })
+      .toDF("vertex", "rank_e6")
+  }
+
+  /** Label propagation communities (GraphX). */
+  def labelPropagation(spark: SparkSession, edges: DataFrame, iters: Int = 10): DataFrame = {
+    val g = GraphBuilder.toGraphX(edges)
+    val lpa = LabelPropagation.run(g, iters).vertices
+    spark.createDataFrame(lpa.map { case (id, label) => (id, label) })
+      .toDF("vertex", "label")
+  }
+
+  /** Louvain communities at the final level. */
+  def louvain(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val g = GraphBuilder.toGraphX(edges)
+    val (assignment, _) = Louvain.run(g)
+    spark.createDataFrame(assignment.map { case (id, comm) => (id, comm) })
+      .toDF("vertex", "community")
+  }
+
+  /** Per-level Louvain stats: modularity Q (scaled to e6 BIGINT for
+    * stable comparison) and community count. */
+  def louvainLevels(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val g = GraphBuilder.toGraphX(edges)
+    val (_, levels) = Louvain.run(g)
+    spark.createDataFrame(levels.map(l =>
+      (l.level, math.round(l.modularity * 1e6), l.nCommunities, l.nVertices)))
+      .toDF("level", "modularity_e6", "n_communities", "n_vertices")
+  }
+}
