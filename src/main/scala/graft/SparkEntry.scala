@@ -50,6 +50,20 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
+    "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "d_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "d_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
+    "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
+    "t_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "t_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
+    "t_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
+    "m_frame_sample" -> ((s, d) => Multimodal.frameSampleDf(s, d)),
+    "s_stream_agg" -> ((s, d) => graft.streaming.StreamingOps.streamHourlyAgg(s, d)),
   )
 
   /** DuckDB-runnable SQL oracle per query (same aliases, same
@@ -183,5 +197,50 @@ object SparkEntry {
         |FROM gapped
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "d_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin,
+    "e_cosine_topk" ->
+      """SELECT query_id, neighbor_id, rank,
+        |  CAST(round(sim * 10000) AS BIGINT) AS sim_e4
+        |FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding, e.embedding) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+        |        e.vec_id ASC) AS rank
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+        |  JOIN embeddings e ON e.vec_id <> q.vec_id) t
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "t_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |  CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |    AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  octet_length(CAST(text AS BLOB)) % 640 + 1 AS width,
+        |  (octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s_stream_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
   )
 }

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compact custom Catalyst expressions for the two fingerprints that
+  * builtins can't express cleanly (64-bit bit-vote and rolling
+  * polynomial hashes). Both are deterministic, null-intolerant and
+  * driver-free; CodegenFallback keeps them correct inside codegen'd
+  * plans (they sit at the tail of projections, not in join/agg hot
+  * paths).
+  */
+object Fnv {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def hash(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+}
+
+/** 64-bit SimHash over an array<string> of tokens: each token's
+  * FNV-1a hash votes ±1 per bit; the sign of each bit-sum forms the
+  * fingerprint. Near-duplicate documents land within small Hamming
+  * distance. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = Fnv.hash(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** Rabin–Karp rolling polynomial fingerprint of a string:
+  * h = Σ byte·B^i mod 2^61−1 — an order-sensitive 64-bit document
+  * fingerprint (unlike bag-of-words hashes). */
+case class RollingHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  private final val Mod = (1L << 61) - 1
+  private final val Base = 257L
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      // (h*Base + b) mod 2^61-1 without overflow: operands < 2^61,
+      // use Math.multiplyHigh-free split multiplication.
+      h = mulMod(h, Base)
+      h += (bytes(i) & 0xffL)
+      if (h >= Mod) h -= Mod
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+  private def mulMod(a: Long, b: Long): Long = {
+    // a < 2^61, b small (257): a*b can overflow, split a into hi/lo.
+    val lo = a & 0xffffffffL
+    val hi = a >>> 32
+    // a*b = hi*b*2^32 + lo*b ; reduce 2^32 mod 2^61-1 stepwise
+    var r = ((hi * b) % Mod)
+    var s = 32
+    while (s > 0) { r = (r << 1) % Mod; s -= 1 }
+    (r + lo * b) % Mod
+  }
+  override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(c)
+}
+
+object CatalystText {
+  import org.apache.spark.sql.graft.shim
+  def simhash64(c: Column): Column = shim.column(SimHash64(shim.expression(c)))
+  def rolling_hash64(c: Column): Column = shim.column(RollingHash64(shim.expression(c)))
+}

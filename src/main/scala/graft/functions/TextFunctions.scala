@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks composed from codegen'd builtins —
+  * no UDFs in any hot path (SURVEY §4). Shingling, MinHash and
+  * band-hashing are pure `Column` expressions so they stay inside
+  * WholeStageCodegen; the only interpreted expressions are the two
+  * compact fingerprint `Expression`s in [[CatalystText]].
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles: ["a","b","c","d"], n=3 →
+    * ["a b c", "b c d"]. Documents shorter than n yield one shingle
+    * of the whole text. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(t) - lit(n), lit(0))),
+      i => concat_ws(" ", slice(t, i + lit(1), lit(n))))
+  }
+
+  /** MinHash signature: k minimums of per-shingle xxhash64 salted by
+    * k seeds. O(k·|shingles|) codegen'd ops per document; constant
+    * memory — this is what keeps near-dup linear at 100 TB. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), lit(k)),
+      seed => aggregate(
+        shingles,
+        lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(seed, s))))
+
+  /** LSH band keys: split a k-length signature into `bands` bands of
+    * k/bands rows and hash each band (salted by band index). Two
+    * documents sharing any band key become a candidate pair. */
+  def bandKeys(signature: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(b, slice(signature, b * lit(rows) + lit(1), lit(rows))).as("key")))
+  }
+
+  /** Signature agreement fraction scaled to e4 — the MinHash Jaccard
+    * estimate. */
+  def signatureSimilarityE4(sigA: Column, sigB: Column, k: Int): Column =
+    round(aggregate(
+      zip_with(sigA, sigB, (a, b) => when(a === b, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, x) => acc + x) / lit(k.toDouble) * 1e4).cast("long")
+
+  /** Exact Jaccard over two shingle arrays, scaled to e4. */
+  def jaccardE4(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    round(when(union === 0.0, 0.0).otherwise(inter / union) * 1e4).cast("long")
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "un", "une", "pour", "que"),
+    "es" -> Seq("el", "los", "y", "es", "en", "un", "una", "por", "con", "para"))
+
+  /** Heuristic language id: CJK-script detection, then stopword-hit
+    * scoring with a fixed priority tiebreak. Deterministic. */
+  def langId(text: Column): Column = {
+    val t = tokens(lower(text))
+    def score(lang: String): Column =
+      size(array_intersect(t, array(stopwords(lang).map(lit): _*)))
+    val en = score("en"); val de = score("de"); val fr = score("fr"); val es = score("es")
+    val best = greatest(en, de, fr, es)
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(es === best, lit("es"))
+      .when(de === best, lit("de"))
+      .otherwise(lit("fr"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fnv
+
+/** Multimodal column handling (SURVEY §2 rows 33–34): image/audio/
+  * video payloads are opaque `binary` columns with typed metadata.
+  * The container has no media codecs, so the decode step is a
+  * clearly-marked deterministic STUB — the Spark-side plumbing
+  * (schema, batch iteration, partition-local decode) is real.
+  *
+  * The test corpus has no binary column; `text` is encoded to UTF-8
+  * bytes to stand in for a payload.
+  */
+object Multimodal {
+
+  /** Typed record produced by the stub decoder. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** Metadata extraction over opaque bytes: size, content hash, and
+    * stub-decoded "dimensions". Pure projection — no shuffle. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val bytes = encode(col("text"), "UTF-8")
+    val nBytes = length(bytes).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nBytes.as("n_bytes"),
+        sha2(bytes, 256).as("sha"),
+        // STUB decode: real decoders would parse the container header;
+        // here dimensions derive deterministically from payload size.
+        (pmod(nBytes, lit(640L)) + lit(1L)).as("width"),
+        (pmod(nBytes * 7L, lit(480L)) + lit(1L)).as("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-stride frame sampling: every 256-byte chunk of the payload
+    * becomes a "frame" with a content hash — the batch shape a real
+    * video-frame extractor would have (partition-local iteration over
+    * byte buffers, many output rows per input row). Decode itself is
+    * a STUB (FNV hash of the chunk instead of pixel decoding). */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 256): Dataset[Frame] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (docId, payload) =>
+          payload.grouped(stride).zipWithIndex.map { case (chunk, idx) =>
+            Frame(docId, idx, Fnv.hash(chunk))
+          }
+        }
+      }
+  }
+
+  def frameSampleDf(spark: SparkSession, dir: String): DataFrame =
+    frameSample(spark, dir).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+}

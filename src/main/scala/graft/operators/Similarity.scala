@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the embeddings table (SURVEY §2 rows
+  * 26–28). Brute-force top-k broadcasts the (small) query set so the
+  * corpus never shuffles; the ANN variant restricts comparisons to
+  * sign-LSH buckets so the pair count stays near-linear at scale.
+  */
+object Similarity {
+
+  val EmbeddingDim = 64
+  val QueryLimit = 20
+  val TopK = 10
+
+  /** Exact cosine top-k for query vectors (vec_id < 20). The query
+    * side is broadcast: one scan of the corpus, no corpus shuffle,
+    * which is the right plan shape at any corpus size. Similarity is
+    * emitted e4-scaled for bit-stable oracle comparison. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb
+      .filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim") * 1e4).cast("long").as("sim_e4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val LshBands = 8
+  val LshRows = 2
+
+  /** vec_id, embedding, exploded (band, key) sign-LSH rows. */
+  private def banded(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(signLshBands(col("embedding"), EmbeddingDim, LshBands, LshRows)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** ANN top-k: candidates are corpus vectors sharing ANY sign-LSH
+    * band key with the query (OR-of-ANDs). Recall vs brute force is
+    * checked in the spec; at 100 TB this is a band-key equi-join
+    * instead of a full cross product. */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = banded(spark, dir)
+    val queries = corpus
+      .filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("band"), col("key"))
+    val candidates = corpus.join(broadcast(queries), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"),
+        col("embedding"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim") * 1e4).cast("long").as("sim_e4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: banded sign-LSH candidates,
+    * exact cosine re-check, threshold 0.4. Band-key self-join —
+    * near-linear at scale. */
+  def embedDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = banded(spark, dir)
+    val a = e.select(col("band"), col("key"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("band"), col("key"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")) * 1e4).cast("long").as("cos_e4"))
+      .filter(col("cos_e4") >= 4000)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

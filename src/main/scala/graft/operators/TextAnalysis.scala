@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{CatalystText, TextFunctions => TF}
+
+/** Text analysis operators (SURVEY §2 rows 29–32): all narrow,
+  * shuffle-free per-document projections — they pipeline with
+  * whatever downstream operator consumes them.
+  */
+object TextAnalysis {
+
+  /** Token + char counts per document. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TF.tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Quality counters (integer outputs for bit-stable comparison):
+    * alpha/digit/space char counts, token stats. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("long")
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    val nDigit = length(regexp_replace(t, "[^0-9]", "")).cast("long")
+    val nSpace = length(regexp_replace(t, "[^ ]", "")).cast("long")
+    val toks = TF.tokens(t)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nChars.as("n_chars"), nAlpha.as("n_alpha"),
+        nDigit.as("n_digit"), nSpace.as("n_space"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language identification (deterministic; see
+    * TextFunctions.langId). */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TF.langId(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  /** Order-sensitive 64-bit rolling-hash fingerprint (custom Catalyst
+    * expression). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        CatalystText.rolling_hash64(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+}

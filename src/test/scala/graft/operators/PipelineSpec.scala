@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.SparkTestSession
+import graft.functions.{CatalystText, TextFunctions => TF, VectorFunctions => VF}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash estimates jaccard within tolerance on planted near-dups") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 54).map(i => s"tok$i").mkString(" ") + " x1 x2 x3 x4 x5 x6"
+    val distinctDoc = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, distinctDoc)).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"),
+      TF.minhashSignature(array_distinct(TF.wordShingles(col("text"), 3)), 64).as("sig"))
+    val s = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long): Double =
+      s(a).zip(s(b)).count { case (x, y) => x == y } / 64.0
+    // exact shingle jaccard of (1,2): ~52/72 ≈ 0.72; (1,3) = 0
+    assert(est(1, 2) > 0.4, s"near-dup est too low: ${est(1, 2)}")
+    assert(est(1, 3) < 0.15, s"distinct est too high: ${est(1, 3)}")
+  }
+
+  test("identical docs share all LSH band keys; distinct docs share none") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "z y x w v u t s")).toDF("doc_id", "text")
+    val banded = df.select(col("doc_id"),
+      TF.bandKeys(
+        TF.minhashSignature(array_distinct(TF.wordShingles(col("text"), 3)), 64),
+        64, 16).as("bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))).toMap
+    assert(banded(1L) == banded(2L))
+    assert(banded(1L).intersect(banded(3L)).isEmpty)
+  }
+
+  test("simhash: near-dup docs within small hamming distance, distinct far") {
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 95).map(i => s"tok$i").mkString(" ") + " a b c d e"
+    val distinctDoc = (500 to 600).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, distinctDoc)).toDF("doc_id", "text")
+    val hs = df.select(col("doc_id"), CatalystText.simhash64(TF.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(hs(a) ^ hs(b))
+    assert(ham(1, 2) < 16, s"near-dup hamming ${ham(1, 2)}")
+    assert(ham(1, 3) > 16, s"distinct hamming ${ham(1, 3)}")
+  }
+
+  test("rolling hash is order-sensitive, token hashes are not") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), CatalystText.rolling_hash64(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) != fp(2L))
+    // determinism
+    val fp2 = df.select(col("doc_id"), CatalystText.rolling_hash64(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp == fp2)
+  }
+
+  test("langId detects clear-cut languages") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "el gato es un animal y es bueno para la casa"),
+      (3L, "der Hund ist nicht mit der Katze und das ist gut"),
+      (4L, "le chat est dans la maison et les enfants"),
+      (5L, "你好 世界")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TF.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"), got.toString)
+  }
+
+  test("ann-lsh achieves reasonable recall of brute-force top-10") {
+    val exact = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLshTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall (${(exact & ann).size}/${exact.size})")
+  }
+
+  test("embedDup finds most exact cosine>=0.4 pairs via LSH") {
+    val emb = graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val exact = a.crossJoin(b).filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(VF.cosine(col("ea"), col("eb")) * 1e4).cast("long").as("c"))
+      .filter(col("c") >= 4000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.embedDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "LSH produced a pair below threshold")
+    val recall = if (exact.isEmpty) 1.0 else (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"embedDup recall $recall (${(exact & got).size}/${exact.size})")
+  }
+
+  test("frame sampling yields ceil(n_bytes/256) frames per doc") {
+    val frames = Multimodal.frameSample(spark, sf, 256).collect()
+      .groupBy(_.doc_id).view.mapValues(_.length).toMap
+    val expected = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("n"))
+      .collect().map(r => r.getLong(0) -> math.ceil(r.getInt(1) / 256.0).toInt).toMap
+    assert(frames == expected)
+  }
+
+  test("approx distinct is within 5% of exact") {
+    val rows = Relational.qApproxDistinct(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+}
