@@ -24,16 +24,14 @@ object TextFunctions {
       i => concat_ws(" ", slice(t, i + lit(1), lit(n))))
   }
 
-  /** MinHash signature: k minimums of per-shingle xxhash64 salted by
-    * k seeds. O(k·|shingles|) codegen'd ops per document; constant
-    * memory — this is what keeps near-dup linear at 100 TB. */
+  /** MinHash signature: k minimums of seeded per-shingle hashes,
+    * computed by the native [[MinHashSig]] Catalyst expression (one
+    * tight loop per row — the equivalent `transform`+`aggregate`
+    * builtin composition pays interpreted-lambda cost per shingle per
+    * seed, ~100× slower). Constant memory per doc — this is what
+    * keeps near-dup linear at 100 TB. */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), lit(k)),
-      seed => aggregate(
-        shingles,
-        lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(seed, s))))
+    CatalystText.minhash_sig(shingles, k)
 
   /** LSH band keys: split a k-length signature into `bands` bands of
     * k/bands rows and hash each band (salted by band index). Two

@@ -18,8 +18,11 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in double precision — native [[CosineSim]]
+    * Catalyst expression (single loop per pair; the builtin
+    * `zip_with`+`aggregate` composition pays interpreted-lambda cost
+    * per element, which dominates bucket-join hot paths). */
+  def cosine(a: Column, b: Column): Column = CatalystText.cosine_sim(a, b)
 
   /** Banded sign-LSH keys (OR-of-ANDs): `bands` independent buckets,
     * each keyed by `rowsPerBand` random-hyperplane sign bits. Two

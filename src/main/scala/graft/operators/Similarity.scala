@@ -61,14 +61,14 @@ object Similarity {
       .filter(col("vec_id") < QueryLimit)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("band"), col("key"))
-    val candidates = corpus.join(broadcast(queries), Seq("band", "key"))
+    // Score before deduping: the duplicate band collisions recompute
+    // a cheap native cosine, but the dedup shuffle then carries only
+    // (ids, sim) — never the embedding vectors.
+    val scored = corpus.join(broadcast(queries), Seq("band", "key"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"),
-        col("embedding"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates
-      .select(col("query_id"), col("neighbor_id"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q_emb"), col("embedding")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -87,13 +87,17 @@ object Similarity {
       col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = e.select(col("band"), col("key"),
       col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    // Score inside the band join and filter by threshold BEFORE the
+    // distinct: duplicate band collisions recompute a cheap native
+    // cosine, but only qualifying (id, id, score) rows — a tiny
+    // fraction — reach the dedup shuffle. Embedding vectors never
+    // leave the join stage.
     a.join(b, Seq("band", "key"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"))
-      .dropDuplicates("vec_a", "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("emb_a"), col("emb_b")) * 1e4).cast("long").as("cos_e4"))
       .filter(col("cos_e4") >= 4000)
+      .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }
 }

@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.{GraphOps, SparkTestSession}
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("edge list round-trip: tsv → canonical edges → louvain-ready graph") {
+    val dir = Files.createTempDirectory("graft_edges").toFile
+    val f = new java.io.File(dir, "edges.tsv")
+    val w = new java.io.PrintWriter(f)
+    w.println("# comment line")
+    w.println("1\t2\t2.0")
+    w.println("2\t1\t1.0") // reverse direction, merges with the above
+    w.println("2\t3")      // missing weight → 1.0
+    w.println("3\t3\t9.0") // self loop → dropped by canonicalization
+    w.close()
+
+    val edges = EdgeListSource.readCanonical(spark, f.getAbsolutePath)
+    val got = edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq((1L, 2L, 3.0), (2L, 3L, 1.0)))
+
+    // the canonical form feeds the graph ops directly
+    val deg = GraphOps.degrees(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(deg == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("edge list write/read round-trip preserves edges") {
+    val dir = Files.createTempDirectory("graft_edges_rt").toFile.getAbsolutePath
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1.5), (2L, 3L, 2.5)).toDF("src", "dst", "weight")
+    EdgeListSource.write(edges, s"$dir/out")
+    val back = EdgeListSource.read(spark, s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(back.toSeq == Seq((1L, 2L, 1.5), (2L, 3L, 2.5)))
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toFile.getAbsolutePath
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "k", "v")
+      .write.mode("overwrite").partitionBy("k").parquet(s"$dir/t")
+    val pruned = spark.read.parquet(s"$dir/t").filter($"k" === "a")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // partition filter must appear in the scan, not a post-filter
+    assert(plan.contains("PartitionFilters") || !plan.contains("Filter ("), plan)
+  }
+}
