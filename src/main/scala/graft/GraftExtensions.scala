@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSim, MinHashSig, RollingHash64, SimHash64}
+
+/** Registers graft's custom Catalyst expressions as SQL functions, so
+  * `spark.sql("SELECT simhash64(...) ...")` works next to the Column
+  * API. Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        GraftExtensions.info(name, usage), builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("simhash64", "simhash64(array<string>) - 64-bit SimHash fingerprint",
+      args => SimHash64(args.head)),
+    ("rolling_hash64", "rolling_hash64(string) - Rabin-Karp rolling fingerprint",
+      args => RollingHash64(args.head)),
+    ("minhash_sig", "minhash_sig(array<string>, k) - k-element MinHash signature",
+      args => MinHashSig(args.head, args(1).eval().asInstanceOf[Int])),
+    ("cosine_sim", "cosine_sim(array<float|double>, array<float|double>) - cosine similarity",
+      args => CosineSim(args.head, args(1))))
+
+  /** Register on an already-built session (temp functions). The
+    * `withExtensions`/`spark.sql.extensions` path above is preferred
+    * at session build time; this covers REPL/late binding. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

@@ -25,6 +25,9 @@ object SparkEntry {
     "g_cc" -> ((s, d) =>
       GraphOps.connectedComponents(s, GraphBuilder.supplierCoEdges(s, d))
         .orderBy(col("vertex"))),
+    "g_cc_df" -> ((s, d) =>
+      graph.ConnectedComponentsDF.run(s, GraphBuilder.supplierCoEdges(s, d))
+        .orderBy(col("vertex"))),
     "g_louvain" -> ((s, d) =>
       GraphOps.louvain(s, GraphBuilder.supplierCoEdges(s, d))
         .orderBy(col("vertex"))),
@@ -64,6 +67,7 @@ object SparkEntry {
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSampleDf(s, d)),
     "s_stream_agg" -> ((s, d) => graft.streaming.StreamingOps.streamHourlyAgg(s, d)),
+    "s_stream_sessionize" -> ((s, d) => graft.streaming.StreamingOps.streamSessionize(s, d)),
   )
 
   /** DuckDB-runnable SQL oracle per query (same aliases, same
@@ -242,5 +246,20 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+    // The stateful streaming sessionizer must agree with the batch
+    // sessionization oracle exactly.
+    "s_stream_sessionize" ->
+      """WITH gapped AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |FROM gapped
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -14,6 +14,69 @@ import org.apache.spark.sql.functions._
   */
 object StreamingOps {
 
+  case class SessionState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
+  case class SessionRow(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful streaming sessionization: per-user
+    * `flatMapGroupsWithState` tracking (last event time, session
+    * count) with a 30-minute gap rule — same semantics as the batch
+    * `q_events_sessionize`, proven by sharing its SQL oracle. The
+    * state is O(1) per user; with a live source the same code runs
+    * with a `GroupStateTimeout` to emit sessions continuously. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+
+    def fn(user: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[SessionState]): Iterator[SessionRow] = {
+      // events within a micro-batch arrive unordered; sort by (ts, id)
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+      sorted.foreach { case (_, tsUs, _) =>
+        val gap = tsUs / 1000000L - st.lastTsMicros / 1000000L
+        val newSession = st.lastTsMicros == Long.MinValue || gap > 1800L
+        st = SessionState(tsUs,
+          st.nSessions + (if (newSession) 1L else 0L),
+          st.nEvents + 1L)
+      }
+      state.update(st)
+      Iterator.single(SessionRow(user, st.nSessions, st.nEvents))
+    }
+
+    val name = "graft_stream_sessions"
+    val q = events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // update mode appends one row per group per batch: keep the last
+    // emission per user (single batch here, but stay correct if the
+    // file source splits batches).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Tumbling 1-hour window count/sum per event_type, executed as a
     * streaming query. Returns the materialized (batch-equal) result. */
   def streamHourlyAgg(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Uses the shared test session with runtime registration — the
+  * suite-ordering-safe path (`withExtensions` only applies when the
+  * session is first built; `getOrCreate` would silently reuse an
+  * existing one). */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = graft.graph.SparkTestSession.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("custom expressions are callable from SQL") {
+    val row = spark.sql(
+      """SELECT simhash64(array('a','b','c')) AS sh,
+        |  rolling_hash64('hello world') AS rh,
+        |  minhash_sig(array('x','y'), 8) AS mh,
+        |  cosine_sim(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS cs""".stripMargin)
+      .collect()(0)
+    assert(row.getLong(0) != 0L)
+    assert(row.getLong(1) != 0L)
+    assert(row.getSeq[Long](2).length == 8)
+    assert(math.abs(row.getDouble(3) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("SQL and Column APIs produce identical fingerprints") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.{CatalystText, TextFunctions}
+    val df = Seq("one two three", "four five six").toDF("text")
+    val viaColumn = df.select(CatalystText.rolling_hash64(col("text"))).collect().map(_.getLong(0))
+    df.createOrReplaceTempView("t")
+    val viaSql = spark.sql("SELECT rolling_hash64(text) FROM t").collect().map(_.getLong(0))
+    assert(viaColumn.toSeq == viaSql.toSeq)
+    val simC = df.select(CatalystText.simhash64(TextFunctions.tokens(col("text")))).collect().map(_.getLong(0))
+    val simS = spark.sql("SELECT simhash64(split(trim(text), '\\\\s+')) FROM t").collect().map(_.getLong(0))
+    assert(simC.toSeq == simS.toSeq)
+  }
+}
