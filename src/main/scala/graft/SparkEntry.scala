@@ -60,6 +60,7 @@ object SparkEntry {
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
+    "e_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "t_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "t_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "t_langid" -> ((s, d) => TextAnalysis.langId(s, d)),

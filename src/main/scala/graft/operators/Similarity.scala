@@ -78,6 +78,55 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  /** ANN top-k, IVF flavor: a k-means coarse quantizer (16 cells,
+    * fixed seed) partitions the corpus; each query probes its 4
+    * nearest cells and scores only those candidates. The quantizer
+    * trains once (on a sample at scale), cell assignment is one
+    * model pass, and search is a cell-key equi-join — the other
+    * standard 100 TB ANN layout next to sign-LSH. Recall vs brute
+    * force is spec-checked. */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      .cache()
+    val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(10).fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+
+    // Per-query probed cells: distances to all centroids as literal
+    // arrays (plan constants — no shuffle), take the nearest 4.
+    val centroids = model.clusterCenters.map(_.toArray)
+    val distStructs = centroids.zipWithIndex.map { case (c, i) =>
+      val cCol = org.apache.spark.sql.functions.array(c.toSeq.map(lit): _*)
+      struct(cosine(col("embedding"), cCol).as("sim"), lit(i).as("cell"))
+    }
+    val probed = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        slice(reverse(array_sort(org.apache.spark.sql.functions.array(distStructs: _*))),
+          1, IvfProbes).as("cells"))
+      .select(col("query_id"), col("q_emb"), explode(col("cells.cell")).as("cell"))
+
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim") * 1e4).cast("long").as("sim_e4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: banded sign-LSH candidates,
     * exact cosine re-check, threshold 0.4. Band-key self-join —
     * near-linear at scale. */
