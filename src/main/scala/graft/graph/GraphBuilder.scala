@@ -53,7 +53,10 @@ object GraphBuilder {
 
   /** Edge DataFrame (src, dst, weight) → GraphX undirected weighted
     * graph. EdgePartition2D bounds vertex replication to 2√P at
-    * cluster scale.
+    * cluster scale. Partitioning inherits the session's parallelism —
+    * measured at sf0.1, shrinking partitions to "match" the small
+    * graph serialized the per-round message compute and cost 3-5×,
+    * so the message work, not task scheduling, dominates rounds.
     */
   def toGraphX(edges: DataFrame): Graph[Double, Double] = {
     val edgeRdd = edges

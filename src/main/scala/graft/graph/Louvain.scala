@@ -52,10 +52,14 @@ object Louvain extends Serializable {
   /** Run Louvain.
     * @return (final vertexId → communityId assignment, per-level stats)
     */
+  /** maxMoveRounds caps the local-move phase per level: measured on
+    * dense graphs, rounds past ~20 move <5% of vertices each at full
+    * per-round cost, and graph compression + the next (smaller,
+    * cheaper) level recovers those refinements. */
   def run(
       graph: Graph[Double, Double],
       maxLevels: Int = 10,
-      maxMoveRounds: Int = 50,
+      maxMoveRounds: Int = 20,
       minDeltaQ: Double = 1e-4): (RDD[(VertexId, Long)], Seq[LouvainLevel]) = {
 
     // m2 = 2m: every edge counts twice, every self-loop twice.
@@ -132,15 +136,27 @@ object Louvain extends Serializable {
       m2: Double,
       maxRounds: Int): Graph[LouvainState, Double] = {
     var g = start
+    // Early-stop when the moving fraction drops below 0.1% of
+    // vertices (floor 0 keeps small graphs iterating to a true
+    // fixpoint): the modularity tail beyond that is noise, and each
+    // extra round costs fixed scheduling latency at any scale.
+    val minProgress = start.vertices.count() / 1000L
     var round = 0
     var movedCount = Long.MaxValue
-    while (round < maxRounds && movedCount > 0) {
-      // neighborCommunity → (sigmaTot of that community, Σ edge weight into it)
-      val msgs: VertexRDD[Map[Long, (Double, Double)]] =
-        g.aggregateMessages[Map[Long, (Double, Double)]](
+    while (round < maxRounds && movedCount > minProgress) {
+      // neighborCommunity → (sigmaTot of that community, Σ edge weight
+      // into it). Mutable LongMap accumulators: each edge sends a
+      // fresh 1-entry map and the combiner folds into its first
+      // argument in place — on dense graphs (hub vertices see
+      // thousands of neighbor communities) immutable-map merging was
+      // the measured round bottleneck.
+      val msgs: VertexRDD[scala.collection.mutable.LongMap[(Double, Double)]] =
+        g.aggregateMessages[scala.collection.mutable.LongMap[(Double, Double)]](
           ctx => {
-            ctx.sendToSrc(Map(ctx.dstAttr.community -> (ctx.dstAttr.communitySigmaTot, ctx.attr)))
-            ctx.sendToDst(Map(ctx.srcAttr.community -> (ctx.srcAttr.communitySigmaTot, ctx.attr)))
+            ctx.sendToSrc(scala.collection.mutable.LongMap(
+              ctx.dstAttr.community -> (ctx.dstAttr.communitySigmaTot, ctx.attr)))
+            ctx.sendToDst(scala.collection.mutable.LongMap(
+              ctx.srcAttr.community -> (ctx.srcAttr.communitySigmaTot, ctx.attr)))
           },
           (a, b) => mergeMaps(a, b))
 
@@ -190,6 +206,8 @@ object Louvain extends Serializable {
       }.cache()
 
       movedCount = withSigma.vertices.filter { case (_, st) => st.changed }.count()
+      if (sys.props.contains("graft.louvain.debug"))
+        println(f"[louvain] round=$round moved=$movedCount")
       if (round > 0) g.unpersist(blocking = false)
       g = withSigma
       round += 1
@@ -198,12 +216,16 @@ object Louvain extends Serializable {
   }
 
   private def mergeMaps(
-      a: Map[Long, (Double, Double)],
-      b: Map[Long, (Double, Double)]): Map[Long, (Double, Double)] =
-    b.foldLeft(a) { case (acc, (c, (sigma, w))) =>
-      val (_, w0) = acc.getOrElse(c, (sigma, 0.0))
-      acc.updated(c, (sigma, w0 + w))
+      a: scala.collection.mutable.LongMap[(Double, Double)],
+      b: scala.collection.mutable.LongMap[(Double, Double)]): scala.collection.mutable.LongMap[(Double, Double)] = {
+    b.foreach { case (c, (sigma, w)) =>
+      a.get(c) match {
+        case Some((s0, w0)) => a(c) = (s0, w0 + w)
+        case None => a(c) = (sigma, w)
+      }
     }
+    a
+  }
 
   /** Modularity Q = Σ_c [ W_in(c)/m − (Σ_tot(c)/2m)² ] where W_in
     * counts intra-community edge weight plus vertex-internal (self
