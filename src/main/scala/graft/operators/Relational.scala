@@ -119,8 +119,12 @@ object Relational {
   /** Running sum of quantity per supplier in deterministic ship
     * order. One shuffle (the window partitioning). */
   def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    // quantity breaks ties: the synthetic data can repeat
+    // (orderkey, linenumber) pairs, and a non-unique sort key makes
+    // running sums engine-order-dependent.
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
