@@ -67,6 +67,8 @@ object SparkEntry {
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSampleDf(s, d)),
+    "m_resize" -> ((s, d) => Multimodal.resizeDf(s, d)),
+    "m_features" -> ((s, d) => Multimodal.extractFeaturesDf(s, d)),
     "s_stream_agg" -> ((s, d) => graft.streaming.StreamingOps.streamHourlyAgg(s, d)),
     "s_stream_sessionize" -> ((s, d) => graft.streaming.StreamingOps.streamSessionize(s, d)),
   )

@@ -57,4 +57,63 @@ object Multimodal {
   def frameSampleDf(spark: SparkSession, dir: String): DataFrame =
     frameSample(spark, dir).toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Typed record produced by the stub resize. */
+  case class Resized(doc_id: Long, orig_bytes: Int, thumb_bytes: Int, thumb_hash: Long)
+
+  /** "Resize" an opaque payload: stride-sample every k-th byte into a
+    * thumbnail payload — the batch shape of an image downscale
+    * (partition-local, bytes-in/bytes-out, size metadata alongside).
+    * Decode/encode is a STUB (byte sampling instead of pixel
+    * resampling). */
+  def resize(spark: SparkSession, dir: String, factor: Int = 8): Dataset[Resized] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, payload) =>
+          val thumb = payload.indices.collect {
+            case i if i % factor == 0 => payload(i)
+          }.toArray
+          Resized(docId, payload.length, thumb.length, Fnv.hash(thumb))
+        }
+      }
+  }
+
+  def resizeDf(spark: SparkSession, dir: String): DataFrame =
+    resize(spark, dir).toDF().orderBy(col("doc_id"))
+
+  /** Typed record produced by the stub feature extractor. */
+  case class Features(doc_id: Long, n_bytes: Int, mean_byte: Double,
+      distinct_bytes: Int, entropy_e4: Long)
+
+  /** Feature extraction over opaque bytes: byte-level statistics
+    * (mean, cardinality, Shannon entropy) — the batch shape of an
+    * embedding/feature extractor (one feature row per payload,
+    * partition-local compute). A real model call would replace the
+    * statistics; everything around it is the production plumbing. */
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[Features] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, payload) =>
+          val counts = new Array[Long](256)
+          payload.foreach(b => counts(b & 0xff) += 1)
+          val n = payload.length.toDouble
+          val mean = if (n == 0) 0.0 else payload.map(b => (b & 0xff).toLong).sum / n
+          val entropy = counts.filter(_ > 0).map { c =>
+            val p = c / n
+            -p * math.log(p) / math.log(2.0)
+          }.sum
+          Features(docId, payload.length, mean,
+            counts.count(_ > 0), math.round(entropy * 1e4))
+        }
+      }
+  }
+
+  def extractFeaturesDf(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir).toDF().orderBy(col("doc_id"))
 }
