@@ -53,6 +53,11 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
+    "q_setops" -> ((s, d) => Relational.qSetOps(s, d)),
+    "q_pivot" -> ((s, d) => Relational.qPivot(s, d)),
+    "q_grouping_sets" -> ((s, d) => Relational.qGroupingSets(s, d)),
+    "q_correlated" -> ((s, d) => Relational.qCorrelated(s, d)),
+    "q_sql_q1" -> ((s, d) => Relational.qSqlQ1(s, d)),
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d_simhash" -> ((s, d) => Dedup.simhash(s, d)),
@@ -204,6 +209,46 @@ object SparkEntry {
         |FROM gapped
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "q_setops" ->
+      """SELECT c_custkey FROM (
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000.0
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT c_mktsegment,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_correlated" ->
+      """SELECT o_custkey, min(o_orderkey) AS o_orderkey,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |  WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q_sql_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(text)

@@ -188,6 +188,83 @@ object Relational {
       .orderBy(col("p_event_id"))
   }
 
+  /** Set operations: high-value customers UNION distinct with
+    * BUILDING-segment customers, then EXCEPT the machinery segment. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val highValue = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > lit(400000.0))
+      .select(col("o_custkey").as("c_custkey"))
+    val building = cust.filter(col("c_mktsegment") === lit("BUILDING"))
+      .select(col("c_custkey"))
+    val machinery = cust.filter(col("c_mktsegment") === lit("MACHINERY"))
+      .select(col("c_custkey"))
+    highValue.union(building).distinct()
+      .except(machinery)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Pivot via conditional aggregation: order counts per customer
+    * segment × order status as columns. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderstatus"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** GROUPING SETS: ((returnflag, linestatus), (returnflag), ()) in
+    * one pass. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .createOrReplaceTempView("graft_lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM graft_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Correlated-subquery pattern: each customer's most expensive
+    * order — decorrelated as a max-aggregate joined back (the shape
+    * Catalyst rewrites correlated subqueries into). */
+  def qCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val maxPrice = ord.groupBy(col("o_custkey").as("mk"))
+      .agg(max(col("o_totalprice")).as("max_price"))
+    ord.join(maxPrice,
+        col("o_custkey") === col("mk") && col("o_totalprice") === col("max_price"))
+      // price ties within a customer: keep the smallest orderkey
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderkey")).as("o_orderkey"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Raw SQL entry point: TPC-H Q1 family through spark.sql over a
+    * registered view — same answer as the DataFrame plan (Catalyst
+    * compiles both to the same physical query). */
+  def qSqlQ1(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem_sql")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM graft_lineitem_sql
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** Sessionization: 30-minute-gap sessions per user via lag window,
     * then sessions-per-user counts. */
   def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
