@@ -40,6 +40,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.toSeq == Seq((1L, 2L, 1.5), (2L, 3L, 2.5)))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val conf = spark.conf
+    val oldThreshold = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      (1L to 1000L).map(i => (i, s"a$i")).toDF("id", "a")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "id").sortBy("id").saveAsTable("graft_bkt_a")
+      (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "b")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "id").sortBy("id").saveAsTable("graft_bkt_b")
+      val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucketed join: no shuffle exchange on either side
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() == 1000L)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toFile.getAbsolutePath
     import spark.implicits._
