@@ -53,6 +53,7 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
+    "q_range_window" -> ((s, d) => Relational.qRangeWindow(s, d)),
     "q_setops" -> ((s, d) => Relational.qSetOps(s, d)),
     "q_pivot" -> ((s, d) => Relational.qPivot(s, d)),
     "q_grouping_sets" -> ((s, d) => Relational.qGroupingSets(s, d)),
@@ -209,6 +210,15 @@ object SparkEntry {
         |FROM gapped
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "q_range_window" ->
+      """SELECT user_id, event_id, n_last_hour FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    count(*) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |  FROM events) t
+        |ORDER BY user_id, ts_sec, event_id""".stripMargin,
     "q_setops" ->
       """SELECT c_custkey FROM (
         |  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000.0

@@ -188,6 +188,22 @@ object Relational {
       .orderBy(col("p_event_id"))
   }
 
+  /** Trailing-1-hour rolling event count per user: a RANGE window
+    * over epoch seconds (time-series shape; rows with equal frame
+    * bounds share results, so no uniqueness tiebreak is needed
+    * beyond the output sort). */
+  def qRangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+      .select(col("user_id"), col("event_id"), col("n_last_hour"))
+  }
+
   /** Set operations: high-value customers UNION distinct with
     * BUILDING-segment customers, then EXCEPT the machinery segment. */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
