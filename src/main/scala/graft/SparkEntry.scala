@@ -77,6 +77,7 @@ object SparkEntry {
     "m_features" -> ((s, d) => Multimodal.extractFeaturesDf(s, d)),
     "s_stream_agg" -> ((s, d) => graft.streaming.StreamingOps.streamHourlyAgg(s, d)),
     "s_stream_sessionize" -> ((s, d) => graft.streaming.StreamingOps.streamSessionize(s, d)),
+    "s_stream_dedup" -> ((s, d) => graft.streaming.StreamingOps.streamDedup(s, d)),
   )
 
   /** DuckDB-runnable SQL oracle per query (same aliases, same
@@ -304,6 +305,8 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+    "s_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h""".stripMargin,
     // The stateful streaming sessionizer must agree with the batch
     // sessionization oracle exactly.
     "s_stream_sessionize" ->

@@ -77,6 +77,30 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming exact dedup: content-hash `dropDuplicates` over a
+    * document stream — the streaming face of the dedup family. State
+    * is one 16-byte hash per distinct document (at an unbounded
+    * stream you'd scope it with `withWatermark` on an event-time
+    * column; a corpus dedup keeps full state by design). The emitted
+    * hash set is deterministic, so it shares an exact SQL oracle. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val hashes = docs.select(md5(col("text")).as("h")).dropDuplicates("h")
+    val name = "graft_stream_dedup"
+    val q = hashes.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("h"))
+  }
+
   /** Tumbling 1-hour window count/sum per event_type, executed as a
     * streaming query. Returns the materialized (batch-equal) result. */
   def streamHourlyAgg(spark: SparkSession, dir: String): DataFrame = {
