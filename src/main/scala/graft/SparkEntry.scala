@@ -71,6 +71,8 @@ object SparkEntry {
     "t_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "t_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "t_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
+    "t_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSampleDf(s, d)),
     "m_resize" -> ((s, d) => Multimodal.resizeDf(s, d)),
@@ -282,6 +284,24 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_top_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents) t
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC
+        |LIMIT 25""".stripMargin,
+    "t_top_bigrams" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |idx AS (
+        |  SELECT t, unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS i FROM toks)
+        |SELECT bigram, count(*) AS n FROM (
+        |  SELECT CASE WHEN i + 1 <= len(t) THEN t[i] || ' ' || t[i + 1]
+        |    ELSE t[i] END AS bigram FROM idx) b
+        |GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC
+        |LIMIT 25""".stripMargin,
     "t_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,

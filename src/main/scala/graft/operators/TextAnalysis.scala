@@ -43,6 +43,28 @@ object TextAnalysis {
       .select(col("doc_id"), TF.langId(col("text")).as("pred_lang"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-level heavy hitters: top-25 most frequent tokens.
+    * explode → groupBy is the exact form; at 100 TB the same query
+    * drops in a count-min/partial-TopK pre-aggregation, but exact
+    * heavy hitters over token counts is itself map-side combined —
+    * the shuffle carries one row per distinct token per partition. */
+  def topTokens(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Corpus bigram frequencies (word 2-gram shingles), top-25. */
+  def topBigrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TF.wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+
   /** Order-sensitive 64-bit rolling-hash fingerprint (custom Catalyst
     * expression). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
