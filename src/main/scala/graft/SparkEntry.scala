@@ -53,6 +53,8 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
+    "q_percentiles" -> ((s, d) => Relational.qPercentiles(s, d)),
+    "q_histogram" -> ((s, d) => Relational.qHistogram(s, d)),
     "q_range_window" -> ((s, d) => Relational.qRangeWindow(s, d)),
     "q_setops" -> ((s, d) => Relational.qSetOps(s, d)),
     "q_pivot" -> ((s, d) => Relational.qPivot(s, d)),
@@ -213,6 +215,19 @@ object SparkEntry {
         |FROM gapped
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
     "q_range_window" ->
       """SELECT user_id, event_id, n_last_hour FROM (
         |  SELECT user_id, event_id,

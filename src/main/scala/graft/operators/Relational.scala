@@ -188,6 +188,29 @@ object Relational {
       .orderBy(col("p_event_id"))
   }
 
+  /** Exact median per group. Restricted to p=0.5 over integer-valued
+    * quantities on purpose: both engines' interpolation formulas
+    * (`lo + f·(hi−lo)` vs `(1−f)·lo + f·hi`) are bit-exact there,
+    * while fractional percentiles over decimal data differ in the
+    * last ulp and fail hash comparison — measured, not theoretical. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Histogram binning: order counts per 50k price bucket. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   /** Trailing-1-hour rolling event count per user: a RANGE window
     * over epoch seconds (time-series shape; rows with equal frame
     * bounds share results, so no uniqueness tiebreak is needed
