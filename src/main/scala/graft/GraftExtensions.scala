@@ -30,9 +30,27 @@ object GraftExtensions {
     ("rolling_hash64", "rolling_hash64(string) - Rabin-Karp rolling fingerprint",
       args => RollingHash64(args.head)),
     ("minhash_sig", "minhash_sig(array<string>, k) - k-element MinHash signature",
-      args => MinHashSig(args.head, args(1).eval().asInstanceOf[Int])),
+      args => MinHashSig(args.head, extractK(args))),
     ("cosine_sim", "cosine_sim(array<float|double>, array<float|double>) - cosine similarity",
       args => CosineSim(args.head, args(1))))
+
+  /** k must be a foldable integral literal — anything else (a column
+    * reference, a string) fails here with a clear message instead of
+    * a ClassCastException deep in expression building. */
+  private def extractK(args: Seq[Expression]): Int = {
+    if (args.length != 2)
+      throw new IllegalArgumentException("minhash_sig expects (array<string>, k)")
+    val kExpr = args(1)
+    if (!kExpr.foldable)
+      throw new IllegalArgumentException("minhash_sig: k must be a literal integer")
+    kExpr.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long if l >= 1 && l <= Int.MaxValue => l.intValue()
+      case s: java.lang.Short => s.intValue()
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig: k must be a literal integer, got $other")
+    }
+  }
 
   /** Register on an already-built session (temp functions). The
     * `withExtensions`/`spark.sql.extensions` path above is preferred

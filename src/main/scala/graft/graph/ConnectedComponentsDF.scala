@@ -69,6 +69,12 @@ object ConnectedComponentsDF {
       cur = next
       iter += 1
     }
+    // A non-fixpoint edge set yields labels that are not component
+    // minima — failing loudly beats silently splitting components.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds; " +
+          "raise maxIter for adversarially deep graphs")
 
     // At the fixpoint every edge is (member, componentMin).
     val verts = edges.select(col("src").cast("long").as("vertex"))

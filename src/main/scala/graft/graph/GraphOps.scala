@@ -38,8 +38,10 @@ object GraphOps {
     * degrades to sort-merge joins with AQE skew handling, the right
     * shape when the edge list itself is huge. */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) instead of persist: one materialized,
+    // lineage-free copy feeds all three join branches, and there is
+    // no never-released cache-manager entry left behind.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val nEdges = e.count()
     val fitsBroadcast = nEdges < 5000000L
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
@@ -92,6 +94,15 @@ object GraphOps {
   private def louvainFor(spark: SparkSession, edges: DataFrame) = {
     val key = (System.identityHashCode(spark).toString,
       edges.queryExecution.analyzed.semanticHash())
+    // Bounded: evict (and release) everything when the cache grows
+    // past a handful of graphs — the memo exists so the assignment
+    // and level-stats queries share one run, not as a general cache.
+    // Note the key hashes the PLAN, not file contents: regenerating
+    // the same path within one session would serve stale results.
+    if (louvainCache.size > 4) {
+      louvainCache.values.foreach(_._1.unpersist(blocking = false))
+      louvainCache.clear()
+    }
     louvainCache.getOrElseUpdate(key, {
       val (assignment, levels) = Louvain.run(GraphBuilder.toGraphX(edges))
       assignment.cache()

@@ -102,6 +102,15 @@ object Louvain extends Serializable {
       level += 1
       if (improved && level < maxLevels && nComm < nVert) {
         val compressed = compress(moved)
+        // Materialize BEFORE unpersisting the parents: compress() is
+        // lazy, and letting the next level trigger it after the
+        // unpersist would replay the whole local-move phase from
+        // lineage — and a replay can tie-break differently (shuffle
+        // order changes float summation), diverging from the
+        // assignment recorded above and silently dropping vertices
+        // at the next fold's inner join.
+        compressed.vertices.count()
+        compressed.edges.count()
         working.unpersist(blocking = false)
         moved.unpersist(blocking = false)
         working = compressed

@@ -92,16 +92,28 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
+    // Cluster UNIT-NORMALIZED vectors: KMeans assigns by Euclidean
+    // distance, and on the unit sphere Euclidean order equals cosine
+    // order — without normalization, cell assignment (Euclid) and
+    // probe ranking (cosine) disagree and true neighbors land in
+    // never-probed cells.
+    val normArr = {
+      val e = col("embedding").cast("array<double>")
+      val n = sqrt(aggregate(e, lit(0.0), (acc, x) => acc + x * x))
+      transform(e, x => x / n)
+    }
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
-        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+        array_to_vector(normArr).as("features"))
       .cache()
     val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(10).fit(emb)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 
-    // Per-query probed cells: distances to all centroids as literal
-    // arrays (plan constants — no shuffle), take the nearest 4.
+    // Per-query probed cells: rank centroids by cosine against the
+    // (normalized-space) centroid literals — consistent with the
+    // Euclidean assignment above because both sides live on the unit
+    // sphere. Centroid arrays are plan constants: no shuffle.
     val centroids = model.clusterCenters.map(_.toArray)
     val distStructs = centroids.zipWithIndex.map { case (c, i) =>
       val cCol = org.apache.spark.sql.functions.array(c.toSeq.map(lit): _*)

@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** Retry-deterministic salt: a hash of the full row contents.
+    * `monotonically_increasing_id`/`rand` depend on partition layout
+    * and row order within a task attempt — under shuffle-fetch
+    * failure + map re-run, rows would re-salt differently and
+    * partials double-count or drop (the SPARK-23207 bug class). A
+    * content hash assigns every row the same salt on every attempt. */
+  private def rowSalt(df: DataFrame, saltBuckets: Int) =
+    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong))
+
   /** Two-phase salted aggregation for algebraic aggregates over
     * skewed keys: phase 1 aggregates on (key, salt) — spreading one
     * hot key over `saltBuckets` reducers — phase 2 merges the
@@ -17,7 +26,7 @@ object SkewOps {
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
       saltBuckets: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
-    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(saltBuckets)))
+    df.withColumn("_salt", rowSalt(df, saltBuckets))
       .groupBy(keyCols :+ col("_salt"): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(keyCols: _*)
@@ -31,10 +40,9 @@ object SkewOps {
     * Exact same rows as a plain inner equi-join. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltBuckets: Int = 16): DataFrame = {
-    val saltedLeft = left.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(saltBuckets)))
+    val saltedLeft = left.withColumn("_salt", rowSalt(left, saltBuckets))
     val replicatedRight = right.withColumn("_salt",
-      explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<long>")))
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
   }
 
