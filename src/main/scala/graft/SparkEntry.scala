@@ -64,6 +64,7 @@ object SparkEntry {
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "d_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),

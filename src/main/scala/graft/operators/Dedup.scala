@@ -69,6 +69,37 @@ object Dedup {
         CatalystText.simhash64(TF.tokens(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 
+  /** SimHash near-dup pairs: split each 64-bit fingerprint into 8
+    * byte-bands; pairs sharing any band are candidates (pigeonhole:
+    * any pair within Hamming distance 7 shares at least one exact
+    * band), then filter by exact Hamming distance ≤ `maxHamming`.
+    * Same OR-of-ANDs shape as MinHash banding — band-key equi-join,
+    * never O(n²). */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        CatalystText.simhash64(TF.tokens(col("text"))).as("fp"))
+    val bands = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), b * 8).bitwiseAND(lit(0xffL)).as("key"))
+    }
+    val banded = fps.select(col("doc_id"), col("fp"),
+        explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("fp"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Exact n-gram Jaccard (e4-scaled) computed only on LSH candidate
     * pairs — the verify stage after MinHash candidate generation. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
