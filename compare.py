@@ -36,15 +36,30 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: no spark output"); fails += 1; continue
     try:
         duck = con.sql(sql)
+        dtypes = dict(zip(duck.columns, (str(t) for t in duck.types)))
         dcols = sorted(duck.columns)
         drows = con.sql(f"SELECT {','.join(dcols)} FROM ({sql})").fetchall()
-        scols_all = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet' LIMIT 0").columns
-        scols = sorted(scols_all)
+        spark = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet' LIMIT 0")
+        stypes = dict(zip(spark.columns, (str(t) for t in spark.types)))
+        scols = sorted(spark.columns)
         srows = con.sql(f"SELECT {','.join(scols)} FROM '{outdir}/{name}/*.parquet'").fetchall()
     except Exception as e:
         print(f"FAIL {name}: {e}"); fails += 1; continue
     if dcols != scols:
         print(f"FAIL {name}: cols duck={dcols} spark={scols}"); fails += 1; continue
+    # The driver hash-compares TYPED values — repr() below erases type
+    # skew (e.g. DuckDB sum(int)=HUGEINT vs Spark BIGINT), which is how
+    # a mismatch shipped in round 1. Compare declared types too.
+    # Integer widths <= 64 bits are equivalent under the driver's
+    # normalization (round-1 rows with INTEGER-vs-BIGINT row_number
+    # hash-matched); HUGEINT (int128) is NOT and must be flagged.
+    INT64 = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+    def tnorm(t):
+        return "INT64" if t in INT64 else t
+    tdiff = [(c, dtypes[c], stypes[c]) for c in dcols
+             if tnorm(dtypes[c]) != tnorm(stypes[c])]
+    if tdiff:
+        print(f"FAIL {name}: type skew (col, duck, spark): {tdiff}"); fails += 1; continue
     dn = sorted(tuple(norm(v) for v in r) for r in drows)
     sn = sorted(tuple(norm(v) for v in r) for r in srows)
     if len(dn) != len(sn):

@@ -212,7 +212,8 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
         |FROM gapped
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
@@ -248,9 +249,9 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q_pivot" ->
       """SELECT c_mktsegment,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
@@ -354,7 +355,8 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
         |FROM gapped
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
