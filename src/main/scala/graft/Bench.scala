@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.graph.GraphOps
+
+/** Driver benchmark: runs every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
+  * Queries run in sorted-name order (deterministic across JVMs). A
+  * failing query is reported on stderr and fails the whole run —
+  * a swallowed failure would *improve* the total and mask breakage. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,14 +17,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => failures += ((name, String.valueOf(e))) }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Release per-query scratch state (localCheckpoint blocks, stray
+      // caches): leftovers tax later queries with heap pressure. The
+      // Louvain memo is the only state meant to outlive a query.
+      val keep = GraphOps.retainedRddIds
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keep(id)) rdd.unpersist(blocking = false)
+      }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
+    if (failures.nonEmpty) {
+      failures.foreach { case (n, e) => System.err.println(s"[bench] $n FAILED: $e") }
+      spark.stop()
+      sys.exit(1)
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

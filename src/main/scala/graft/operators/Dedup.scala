@@ -48,8 +48,8 @@ object Dedup {
   }
 
   /** MinHash near-dup pairs with estimated Jaccard (e4-scaled),
-    * threshold 0.5. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    * threshold 0.5 — unsorted (composable) form. */
+  private def minhashPairsRaw(spark: SparkSession, dir: String): DataFrame = {
     val sigs = signatures(spark, dir)
     val pairs = candidatePairs(sigs)
     pairs
@@ -58,8 +58,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         TF.signatureSimilarityE4(col("sig_a"), col("sig_b"), MinhashK).as("est_jaccard_e4"))
       .filter(col("est_jaccard_e4") >= 5000)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** MinHash near-dup pairs with estimated Jaccard (e4-scaled),
+    * threshold 0.5. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsRaw(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** 64-bit SimHash fingerprint per document (custom Catalyst
     * expression — bit-vote over token hashes). */
@@ -75,7 +79,15 @@ object Dedup {
     * band), then filter by exact Hamming distance ≤ `maxHamming`.
     * Same OR-of-ANDs shape as MinHash banding — band-key equi-join,
     * never O(n²). */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame =
+    simhashPairsRaw(spark, dir, maxHamming).orderBy(col("doc_a"), col("doc_b"))
+
+  private def simhashPairsRaw(spark: SparkSession, dir: String, maxHamming: Int): DataFrame = {
+    // 8 bands of 8 bits give the pigeonhole recall guarantee only up
+    // to Hamming distance 7 (one band must then be untouched); past
+    // that, qualifying pairs would be silently missed.
+    require(maxHamming <= 7,
+      s"simhashPairs: 8x8-bit banding guarantees recall only for maxHamming <= 7, got $maxHamming")
     val fps = Tables.documents(spark, dir)
       .select(col("doc_id"),
         CatalystText.simhash64(TF.tokens(col("text"))).as("fp"))
@@ -97,7 +109,41 @@ object Dedup {
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The dedup VERDICT a training pipeline actually consumes: exact
+    * duplicate pairs ∪ MinHash near-dup pairs ∪ SimHash near-dup
+    * pairs → connected components over the pair graph → one cluster
+    * per document with a deterministic survivor.
+    *
+    * @return (doc_id, cluster_id, is_survivor) — cluster_id = min
+    *         member doc_id; survivor = that min member. Documents in
+    *         no pair form singleton clusters (their own survivor).
+    *
+    * Scale shape: every pair source is banded LSH (near-linear), the
+    * pair graph is far smaller than the corpus, and the star
+    * contraction runs on (id, id) rows only — no text or signatures
+    * move after pair generation. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val byHash = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val mins = byHash.groupBy(col("h")).agg(min(col("doc_id")).as("src"))
+    val exactPairs = byHash.join(mins, Seq("h"))
+      .filter(col("doc_id") =!= col("src"))
+      .select(col("src"), col("doc_id").as("dst"))
+    val pairs = exactPairs
+      .unionAll(minhashPairsRaw(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .unionAll(simhashPairsRaw(spark, dir, maxHamming = 7)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val comp = graft.graph.ConnectedComponentsDF.run(spark, pairs)
+      .select(col("vertex").as("doc_id"), col("component"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** Exact n-gram Jaccard (e4-scaled) computed only on LSH candidate

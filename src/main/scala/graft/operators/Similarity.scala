@@ -105,8 +105,21 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         array_to_vector(normArr).as("features"))
-      .cache()
-    val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(10).fit(emb)
+    // Train the quantizer on a bounded sample: 16 centroids need a few
+    // thousand points, not the corpus — at 100 TB a full-corpus fit is
+    // a multi-pass ML job over everything. count() on parquet is a
+    // metadata-only scan; the seed keeps the sample (and centroids)
+    // deterministic. Only the sample is cached for KMeans' iterations,
+    // and it's released as soon as the fit returns — cell assignment
+    // below is a single model pass over the unpersisted corpus.
+    val n = math.max(Tables.embeddings(spark, dir).count(), 1L)
+    val trainTarget = 100000L
+    val train = (if (n <= trainTarget) emb
+                 else emb.sample(withReplacement = false,
+                   trainTarget.toDouble / n, seed = 42L))
+      .select(col("features")).cache()
+    val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(10).fit(train)
+    train.unpersist(blocking = false)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 

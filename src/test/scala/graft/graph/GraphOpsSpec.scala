@@ -49,10 +49,59 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(pr(1L) == pr(2L) && pr(2L) == pr(3L) && pr(3L) == pr(4L))
   }
 
-  test("label propagation groups a clique together") {
-    val e = edgesDf((0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 2L, 1.0))
+  test("label propagation groups cliques, splits across a weak bridge") {
+    val e = edgesDf(
+      (0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 2L, 1.0),
+      (10L, 11L, 1.0), (10L, 12L, 1.0), (11L, 12L, 1.0),
+      (2L, 10L, 0.1))
     val lpa = GraphOps.labelPropagation(spark, e).collect()
-    assert(lpa.length == 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lpa.size == 6)
+    assert(lpa(0L) == lpa(1L) && lpa(1L) == lpa(2L))
+    assert(lpa(10L) == lpa(11L) && lpa(11L) == lpa(12L))
+    assert(lpa(0L) != lpa(10L))
+  }
+
+  test("label propagation weights dominate counts") {
+    // Vertex 1 sits in a unit-weight triangle {0,1,2} but has one
+    // heavy (w=10) edge to pendant 9. Weighted LPA keeps (1, 9)
+    // together against the triangle's two unit votes; unweighted
+    // (count) LPA would pull 1 back into the triangle's label.
+    val e = edgesDf((0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 2L, 1.0),
+      (1L, 9L, 10.0))
+    val lpa = GraphOps.labelPropagation(spark, e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lpa(1L) == lpa(9L))
+    assert(lpa(0L) == lpa(2L))
+    assert(lpa(0L) != lpa(1L))
+  }
+
+  test("louvain memo refreshes when a file is regenerated at the same path") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_louvain_memo")
+    val stable = dir.resolve("edges.parquet")
+    def writeAs(df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = dir.resolve("stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, stable, StandardCopyOption.REPLACE_EXISTING)
+    }
+    def clique(ids: Seq[Long]) = for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b, 1.0)
+    // Two 4-cliques → 2 communities.
+    writeAs(clique(0L to 3L).toDF("src", "dst", "weight"))
+    val n1 = GraphOps.louvain(spark, spark.read.parquet(stable.toString))
+      .select("community").distinct().count()
+    assert(n1 == 1L)
+    // Regenerate the SAME file path with a different graph: the memo
+    // must miss (mtime/length key), not serve the stale assignment.
+    Thread.sleep(20)
+    writeAs((clique(0L to 3L) ++ clique(10L to 13L)).toDF("src", "dst", "weight"))
+    val n2 = GraphOps.louvain(spark, spark.read.parquet(stable.toString))
+      .select("community").distinct().count()
+    assert(n2 == 2L)
   }
 
   test("canonicalEdges dedupes direction and sums weights") {

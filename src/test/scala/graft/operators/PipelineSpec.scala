@@ -99,6 +99,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"embedDup recall $recall (${(exact & got).size}/${exact.size})")
   }
 
+  test("dupClusters recovers planted clusters with min-id survivors") {
+    // Planted corpus: {1,2,3} byte-identical; {4,5,6} a near-dup CHAIN
+    // (4~5 and 5~6 strongly similar, 4~6 weaker) that only transitive
+    // clustering (connected components) groups fully; {7} unique.
+    val baseA = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val baseB = (101 to 160).map(i => s"tok$i").mkString(" ")
+    val nd1 = (101 to 158).map(i => s"tok$i").mkString(" ") + " x1 x2"
+    val nd2 = (101 to 156).map(i => s"tok$i").mkString(" ") + " x1 x2 y1 y2"
+    val uniq = (500 to 560).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, baseA), (2L, baseA), (3L, baseA),
+      (4L, baseB), (5L, nd1), (6L, nd2), (7L, uniq)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == (1L to 7L).toSet)
+    assert((1L to 3L).forall(got(_)._1 == 1L), s"cluster A expected: $got")
+    assert((4L to 6L).forall(got(_)._1 == 4L), s"cluster B expected: $got")
+    assert(got(7L) == (7L, true))
+    assert((1L to 7L).filter(got(_)._2) == Seq(1L, 4L, 7L), s"survivors: $got")
+  }
+
   test("frame sampling yields ceil(n_bytes/256) frames per doc") {
     val frames = Multimodal.frameSample(spark, sf, 256).collect()
       .groupBy(_.doc_id).view.mapValues(_.length).toMap

@@ -38,6 +38,13 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(top(0).getString(0) == "hot" && top(0).getLong(1) == 100L)
   }
 
+  test("IVF leaves no persistent RDDs behind (training cache released)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.annIvfTopK(spark, sf).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
   test("IVF ANN achieves reasonable recall of brute-force top-10") {
     val exact = Similarity.cosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
