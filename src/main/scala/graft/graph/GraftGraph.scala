@@ -1,10 +1,19 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Fluent facade over the graph operator set: wrap any (src, dst
   * [, weight]) DataFrame once, then call the analytics directly —
   * the API surface a user of the reference engine lands on.
+  *
+  * Vertex ids may be any type: integral ids pass through zero-cost;
+  * anything else (strings, UUIDs) is dictionary-encoded to dense
+  * longs (one sort + zipWithIndex over the distinct vertex set — the
+  * standard scalable dictionary build) and every per-vertex result is
+  * decoded back to the original labels, including community/component
+  * columns (a community is labeled by its representative member).
   *
   * {{{
   * val g = GraftGraph(spark, edgesDf)          // canonicalizes
@@ -18,42 +27,99 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class GraftGraph private (
     val spark: SparkSession,
-    /** canonical undirected (src, dst, weight) edges */
-    val edges: DataFrame) {
+    /** canonical undirected (src, dst, weight) edges, long vertex ids */
+    val edges: DataFrame,
+    /** (vid: original label, vertex_id: long) — present only when the
+      * input ids were non-integral */
+    private val dict: Option[DataFrame]) {
 
-  def degrees(): DataFrame = GraphOps.degrees(edges)
+  /** Replace encoded long ids in `cols` with the original labels,
+    * preserving column order. */
+  private def decode(df: DataFrame, cols: Seq[String]): DataFrame =
+    dict match {
+      case None => df
+      case Some(d) =>
+        val order = df.columns.toSeq
+        cols.foldLeft(df) { (acc, c) =>
+          acc.join(d.select(col("vertex_id").as(c), col("vid").as(s"${c}__orig")), Seq(c))
+            .drop(c)
+            .withColumnRenamed(s"${c}__orig", c)
+        }.select(order.map(col): _*)
+    }
+
+  def degrees(): DataFrame = decode(GraphOps.degrees(edges), Seq("vertex"))
   def triangleCount(): DataFrame = GraphOps.triangleCount(edges)
-  def connectedComponents(): DataFrame = GraphOps.connectedComponents(spark, edges)
+  def connectedComponents(): DataFrame =
+    decode(GraphOps.connectedComponents(spark, edges), Seq("vertex", "component"))
   /** DataFrame-native CC for graphs past GraphX's comfortable size. */
-  def connectedComponentsDF(): DataFrame = ConnectedComponentsDF.run(spark, edges)
-  def pageRank(iters: Int = 10): DataFrame = GraphOps.pageRank(spark, edges, iters)
+  def connectedComponentsDF(): DataFrame =
+    decode(ConnectedComponentsDF.run(spark, edges), Seq("vertex", "component"))
+  def pageRank(iters: Int = 10): DataFrame =
+    decode(GraphOps.pageRank(spark, edges, iters), Seq("vertex"))
   def labelPropagation(iters: Int = 10): DataFrame =
-    GraphOps.labelPropagation(spark, edges, iters)
-  def louvain(): DataFrame = GraphOps.louvain(spark, edges)
-  def louvainLevels(): DataFrame = GraphOps.louvainLevels(spark, edges)
+    decode(GraphOps.labelPropagation(spark, edges, iters), Seq("vertex", "label"))
+  /** `resolution` is generalized modularity's γ: 1.0 = classic
+    * Louvain, larger → more and smaller communities, smaller →
+    * coarser merging. */
+  def louvain(resolution: Double = 1.0): DataFrame =
+    decode(GraphOps.louvain(spark, edges, resolution), Seq("vertex", "community"))
+  def louvainLevels(resolution: Double = 1.0): DataFrame =
+    GraphOps.louvainLevels(spark, edges, resolution)
 }
 
 object GraftGraph {
 
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+
   /** Wrap an edge DataFrame; `weightCol = None` assigns unit weights.
     * Edges are canonicalized (undirected src<dst, parallel edges
-    * summed, self-loops dropped). */
+    * summed, self-loops dropped). Non-integral vertex ids are
+    * dictionary-encoded; results decode back to the original labels. */
   def apply(spark: SparkSession, edges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst",
       weightCol: Option[String] = Some("weight")): GraftGraph = {
-    import org.apache.spark.sql.functions.lit
     val weighted = weightCol match {
-      case Some(w) => edges
+      case Some(_) => edges
       case None => edges.withColumn("weight", lit(1.0))
     }
-    new GraftGraph(spark,
-      GraphBuilder.canonicalEdges(weighted, srcCol, dstCol,
-        weightCol.getOrElse("weight")))
+    // least/greatest canonicalization is type-generic (lexicographic
+    // for strings) — canonicalize first, encode after.
+    val canon = GraphBuilder.canonicalEdges(weighted, srcCol, dstCol,
+      weightCol.getOrElse("weight"))
+    if (isIntegral(canon.schema("src").dataType))
+      new GraftGraph(spark,
+        canon.select(col("src").cast("long"), col("dst").cast("long"), col("weight")),
+        None)
+    else {
+      import spark.implicits._
+      // Dense deterministic ids: global sort fixes a total order, then
+      // zipWithIndex assigns 0..n-1 without a driver round-trip. The
+      // dict is vertex-sized; localCheckpoint materializes it once so
+      // the sort doesn't rerun per downstream action.
+      val verts = canon.select(col("src").cast("string").as("vid"))
+        .unionAll(canon.select(col("dst").cast("string").as("vid")))
+        .distinct()
+      val dict = verts.orderBy(col("vid")).rdd.map(_.getString(0))
+        .zipWithIndex()
+        .toDF("vid", "vertex_id")
+        .localCheckpoint(true)
+      val enc = canon
+        .join(dict.select(col("vid").as("src"), col("vertex_id").as("src_enc")), Seq("src"))
+        .join(dict.select(col("vid").as("dst"), col("vertex_id").as("dst_enc")), Seq("dst"))
+        .select(col("src_enc").as("src"), col("dst_enc").as("dst"), col("weight"))
+      new GraftGraph(spark, enc, Some(dict))
+    }
   }
 
-  /** Read + wrap a delimited edge list file. */
+  /** Read + wrap a delimited edge list. `stringIds = true` reads
+    * src/dst as strings and dictionary-encodes them — real edge lists
+    * routinely carry non-numeric ids. */
   def fromEdgeList(spark: SparkSession, path: String,
-      delimiter: String = "\t"): GraftGraph =
-    new GraftGraph(spark,
-      graft.sources.EdgeListSource.readCanonical(spark, path, delimiter))
+      delimiter: String = "\t", stringIds: Boolean = false): GraftGraph =
+    if (stringIds)
+      apply(spark, graft.sources.EdgeListSource.readString(spark, path, delimiter))
+    else
+      new GraftGraph(spark,
+        graft.sources.EdgeListSource.readCanonical(spark, path, delimiter), None)
 }

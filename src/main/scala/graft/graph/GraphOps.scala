@@ -42,7 +42,15 @@ object GraphOps {
     // never-released cache-manager entry left behind.
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val nEdges = e.count()
-    if (nEdges < 5000000L) {
+    // Byte-based broadcast guard, not an edge-count one: the two
+    // adjacency broadcasts cost ~2 × 16 B/edge (8 B id + array/offset
+    // overhead) of executor memory each. Budget defaults to 160 MB
+    // (≈ the 5M-edge point measured fastest at sf0.1) and is tunable
+    // via graft.triangles.broadcastBytes.
+    val budget = edges.sparkSession.conf
+      .getOption("graft.triangles.broadcastBytes").map(_.toLong)
+      .getOrElse(160L << 20)
+    if (2L * 16L * nEdges < budget) {
       // Adjacency-intersect: per edge (a,b), triangles through it =
       // |N⁺(a) ∩ N⁺(b)| over higher-neighbor lists. The broadcast
       // adjacency table is one row per vertex, so the Σdeg² wedge
@@ -156,7 +164,7 @@ object GraphOps {
   // the memo instead of serving stale assignments.
   private val louvainCache =
     scala.collection.concurrent.TrieMap.empty[
-      (String, Int, String),
+      (String, Int, String, Double),
       (org.apache.spark.rdd.RDD[(org.apache.spark.graphx.VertexId, Long)], Seq[LouvainLevel])]
 
   /** RDD ids the Bench/Verify per-query sweep must not unpersist:
@@ -180,10 +188,12 @@ object GraphOps {
     }
   }
 
-  private def louvainFor(spark: SparkSession, edges: DataFrame) = {
+  private def louvainFor(spark: SparkSession, edges: DataFrame,
+      resolution: Double) = {
     val key = (System.identityHashCode(spark).toString,
       edges.queryExecution.analyzed.semanticHash(),
-      dataKey(edges))
+      dataKey(edges),
+      resolution)
     // Bounded: evict (and release) everything when the cache grows
     // past a handful of graphs — the memo exists so the assignment
     // and level-stats queries share one run, not as a general cache.
@@ -192,23 +202,27 @@ object GraphOps {
       louvainCache.clear()
     }
     louvainCache.getOrElseUpdate(key, {
-      val (assignment, levels) = Louvain.run(GraphBuilder.toGraphX(edges))
+      val (assignment, levels) =
+        Louvain.run(GraphBuilder.toGraphX(edges), resolution = resolution)
       assignment.cache()
       (assignment, levels)
     })
   }
 
-  /** Louvain communities at the final level. */
-  def louvain(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val (assignment, _) = louvainFor(spark, edges)
+  /** Louvain communities at the final level. `resolution` is the γ of
+    * generalized modularity (1.0 = classic). */
+  def louvain(spark: SparkSession, edges: DataFrame,
+      resolution: Double = 1.0): DataFrame = {
+    val (assignment, _) = louvainFor(spark, edges, resolution)
     spark.createDataFrame(assignment.map { case (id, comm) => (id, comm) })
       .toDF("vertex", "community")
   }
 
   /** Per-level Louvain stats: modularity Q (scaled to e6 BIGINT for
     * stable comparison) and community count. */
-  def louvainLevels(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val (_, levels) = louvainFor(spark, edges)
+  def louvainLevels(spark: SparkSession, edges: DataFrame,
+      resolution: Double = 1.0): DataFrame = {
+    val (_, levels) = louvainFor(spark, edges, resolution)
     spark.createDataFrame(levels.map(l =>
       (l.level, math.round(l.modularity * 1e6), l.nCommunities, l.nVertices)))
       .toDF("level", "modularity_e6", "n_communities", "n_vertices")

@@ -56,11 +56,16 @@ object Louvain extends Serializable {
     * dense graphs, rounds past ~20 move <5% of vertices each at full
     * per-round cost, and graph compression + the next (smaller,
     * cheaper) level recovers those refinements. */
+  /** resolution is the γ of generalized (Reichardt–Bornholdt)
+    * modularity: gain ∝ k_i,in − γ·Σ_tot·k_i / 2m. γ = 1 is classic
+    * Louvain; larger γ favors more, smaller communities; smaller γ
+    * merges more aggressively. */
   def run(
       graph: Graph[Double, Double],
       maxLevels: Int = 10,
       maxMoveRounds: Int = 20,
-      minDeltaQ: Double = 1e-4): (RDD[(VertexId, Long)], Seq[LouvainLevel]) = {
+      minDeltaQ: Double = 1e-4,
+      resolution: Double = 1.0): (RDD[(VertexId, Long)], Seq[LouvainLevel]) = {
 
     // m2 = 2m: every edge counts twice, every self-loop twice.
     var working = initialize(graph)
@@ -79,8 +84,8 @@ object Louvain extends Serializable {
     var continue = maxLevels > 0 && m2 > 0.0
 
     while (continue) {
-      val moved = localMove(working, m2, maxMoveRounds)
-      val q = modularity(moved, m2)
+      val moved = localMove(working, m2, maxMoveRounds, resolution)
+      val q = modularity(moved, m2, resolution)
       val nComm = moved.vertices.map { case (_, st) => st.community }.distinct().count()
       val nVert = moved.vertices.count()
       levels += LouvainLevel(level, q, nComm, nVert)
@@ -143,7 +148,8 @@ object Louvain extends Serializable {
   private def localMove(
       start: Graph[LouvainState, Double],
       m2: Double,
-      maxRounds: Int): Graph[LouvainState, Double] = {
+      maxRounds: Int,
+      resolution: Double = 1.0): Graph[LouvainState, Double] = {
     var g = start
     // Early-stop when the moving fraction drops below 0.1% of
     // vertices (floor 0 keeps small graphs iterating to a true
@@ -183,7 +189,7 @@ object Louvain extends Serializable {
               val sigmaAdj =
                 if (c == st.community) st.communitySigmaTot - kI
                 else byComm(c)._1
-              kIn - sigmaAdj * kI / m2
+              kIn - resolution * sigmaAdj * kI / m2
             }
             val stayGain = gain(st.community)
             // Best candidate: highest gain, ties to the smallest id.
@@ -236,10 +242,12 @@ object Louvain extends Serializable {
     a
   }
 
-  /** Modularity Q = Σ_c [ W_in(c)/m − (Σ_tot(c)/2m)² ] where W_in
-    * counts intra-community edge weight plus vertex-internal (self
-    * loop) weight, and Σ_tot sums member degrees. */
-  def modularity(g: Graph[LouvainState, Double], m2: Double): Double = {
+  /** Generalized modularity Q = Σ_c [ W_in(c)/m − γ·(Σ_tot(c)/2m)² ]
+    * where W_in counts intra-community edge weight plus
+    * vertex-internal (self loop) weight, and Σ_tot sums member
+    * degrees. γ = 1 is the classic Newman–Girvan Q. */
+  def modularity(g: Graph[LouvainState, Double], m2: Double,
+      resolution: Double = 1.0): Double = {
     val intraEdge = g.triplets
       .filter(t => t.srcAttr.community == t.dstAttr.community)
       .map(_.attr)
@@ -251,7 +259,7 @@ object Louvain extends Serializable {
       .reduceByKey(_ + _)
       .map { case (_, s) => (s / m2) * (s / m2) }
       .sum()
-    2.0 * wIn / m2 - sigmaSq
+    2.0 * wIn / m2 - resolution * sigmaSq
   }
 
   /** Collapse communities to super-vertices: intra-community edge

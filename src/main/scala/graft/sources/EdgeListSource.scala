@@ -29,6 +29,24 @@ object EdgeListSource {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .withColumn("weight", coalesce(col("weight"), lit(1.0)))
 
+  val stringSchema: StructType = StructType(Seq(
+    StructField("src", StringType, nullable = false),
+    StructField("dst", StringType, nullable = false),
+    StructField("weight", DoubleType, nullable = true)))
+
+  /** Read an edge list whose vertex ids are arbitrary strings (the
+    * common shape of real-world edge files). Pair with
+    * `GraftGraph(spark, df)`, which dictionary-encodes them. */
+  def readString(spark: SparkSession, path: String, delimiter: String = "\t"): DataFrame =
+    spark.read
+      .schema(stringSchema)
+      .option("sep", delimiter)
+      .option("comment", "#")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .withColumn("weight", coalesce(col("weight"), lit(1.0)))
+
   /** Read + canonicalize (undirected src<dst, parallel edges summed,
     * self-loops dropped). */
   def readCanonical(spark: SparkSession, path: String, delimiter: String = "\t"): DataFrame =

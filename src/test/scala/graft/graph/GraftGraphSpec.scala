@@ -20,6 +20,41 @@ class GraftGraphSpec extends AnyFunSuite {
     assert(g.pageRank().count() == 5)
   }
 
+  test("string vertex ids round-trip through louvain and cc with original labels") {
+    // Two name-keyed triangles joined by nothing: the facade must
+    // dictionary-encode, run the long-id algorithms, and hand back
+    // the original string labels in BOTH the vertex and the
+    // community/component columns.
+    val names = Seq(
+      ("alice", "bob", 1.0), ("bob", "carol", 1.0), ("alice", "carol", 1.0),
+      ("xavier", "yolanda", 1.0), ("yolanda", "zed", 1.0), ("xavier", "zed", 1.0))
+      .toDF("src", "dst", "weight")
+    val g = GraftGraph(spark, names)
+    val cc = g.connectedComponentsDF().collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cc.keySet == Set("alice", "bob", "carol", "xavier", "yolanda", "zed"))
+    assert(cc("alice") == cc("bob") && cc("bob") == cc("carol"))
+    assert(cc("xavier") == cc("yolanda") && cc("yolanda") == cc("zed"))
+    assert(cc("alice") != cc("zed"))
+    assert(cc.values.toSet.subsetOf(cc.keySet), "component labels must be original ids")
+    val comm = g.louvain().collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(comm("alice") == comm("bob") && comm("bob") == comm("carol"))
+    assert(comm("xavier") == comm("yolanda") && comm("yolanda") == comm("zed"))
+    assert(comm("alice") != comm("xavier"))
+  }
+
+  test("string-id edge list file reads and analyzes end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_strids")
+    val f = dir.resolve("edges.tsv")
+    java.nio.file.Files.writeString(f,
+      "# named graph\nalice\tbob\nbob\tcarol\t2.0\nalice\tcarol\n")
+    val g = GraftGraph.fromEdgeList(spark, f.toString, stringIds = true)
+    val deg = g.degrees().collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(deg("bob") == ((2L, 3.0)), s"got $deg")
+    assert(deg.keySet == Set("alice", "bob", "carol"))
+  }
+
   test("louvain recovers 50 planted cliques in a 250-vertex ring") {
     // 50 cliques of 5, ring-linked by single weak edges — planted
     // community structure at a size where multi-level compression
@@ -47,5 +82,19 @@ class GraftGraphSpec extends AnyFunSuite {
     val finalQ = levels.map(_.getLong(1)).max / 1e6
     // ideal partition Q for ring-of-cliques ≈ 1 - 1/k - m_inter/m; loose floor:
     assert(finalQ > 0.8, s"modularity $finalQ too low: $levels")
+
+    // Resolution sweep on the same graph. At γ = 1 the classic
+    // resolution limit (Fortunato & Barthélemy 2007) merges adjacent
+    // ring cliques pairwise (10 intra-edges < √(2m)) — that is the
+    // optimum, not a bug. Raising γ strengthens the Σtot² penalty and
+    // recovers the planted cliques; lowering γ coarsens further.
+    val nAtGamma1 = g.louvain().select("community").distinct().count()
+    val nFine = g.louvain(resolution = 4.0)
+      .select("community").distinct().count()
+    val nCoarse = g.louvain(resolution = 0.02)
+      .select("community").distinct().count()
+    assert(nCoarse < nAtGamma1 && nAtGamma1 < nFine,
+      s"γ sweep not monotone: γ=0.02 → $nCoarse, γ=1 → $nAtGamma1, γ=4 → $nFine")
+    assert(nFine == 50L, s"γ=4 should recover the 50 planted cliques, got $nFine")
   }
 }
