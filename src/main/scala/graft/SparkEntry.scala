@@ -82,6 +82,7 @@ object SparkEntry {
     "m_resize" -> ((s, d) => Multimodal.resizeDf(s, d)),
     "m_features" -> ((s, d) => Multimodal.extractFeaturesDf(s, d)),
     "s_stream_agg" -> ((s, d) => graft.streaming.StreamingOps.streamHourlyAgg(s, d)),
+    "s_stream_watermark" -> ((s, d) => graft.streaming.StreamingOps.streamWatermarkedAgg(s, d)),
     "s_stream_sessionize" -> ((s, d) => graft.streaming.StreamingOps.streamSessionize(s, d)),
     "s_stream_dedup" -> ((s, d) => graft.streaming.StreamingOps.streamDedup(s, d)),
   )
@@ -345,6 +346,19 @@ object SparkEntry {
         |ORDER BY hour, event_type""".stripMargin,
     "s_stream_dedup" ->
       """SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h""".stripMargin,
+    // Append-mode watermarked agg emits exactly the windows whose end
+    // (ms) <= watermark = max event time (µs floored to ms) - 1h —
+    // replicate Spark's millisecond watermark arithmetic.
+    "s_stream_watermark" ->
+      """WITH wm AS (
+        |  SELECT epoch_ns(max(ts)) // 1000000 - 3600000 AS wm_ms FROM events),
+        |agg AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour, event_type, n, sum_value FROM agg, wm
+        |WHERE epoch_ms(hour) + 3600000 <= wm_ms
+        |ORDER BY hour, event_type""".stripMargin,
     // The stateful streaming sessionizer must agree with the batch
     // sessionization oracle exactly.
     "s_stream_sessionize" ->

@@ -101,6 +101,45 @@ object StreamingOps {
     spark.table(name).orderBy(col("h"))
   }
 
+  /** Watermarked APPEND-mode hourly aggregation — the production
+    * streaming shape: `withWatermark` bounds how late data may
+    * arrive, only finalized windows (window.end <= watermark) are
+    * emitted, and state for emitted windows is evicted instead of
+    * growing forever (eviction + late-drop proven in
+    * StreamingSpec with a multi-batch MemoryStream).
+    *
+    * Determinism note: Spark tracks the watermark in milliseconds
+    * (max event time, µs floored to ms, minus the delay), so the
+    * emitted set is exactly the windows with
+    * end_ms <= max_ms - 3_600_000 — the oracle SQL replicates that
+    * arithmetic. The trailing (unfinalized) hour is withheld by
+    * design. */
+  def streamWatermarkedAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = raw
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+    val name = "graft_stream_wm_agg"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** Tumbling 1-hour window count/sum per event_type, executed as a
     * streaming query. Returns the materialized (batch-equal) result. */
   def streamHourlyAgg(spark: SparkSession, dir: String): DataFrame = {

@@ -21,6 +21,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("watermarked append agg drops late rows and evicts closed-window state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Double)]
+    val agg = input.toDF().toDF("sec", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+    val name = "graft_wm_eviction"
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      val H = 3600L
+      // Batch 1: two rows in hour 10 — nothing finalized yet.
+      input.addData((10 * H, "a", 1.0), (10 * H + 300, "a", 2.0))
+      q.processAllAvailable()
+      // Batch 2: hour 13 advances the watermark to 12:00 — the hour-10
+      // window finalizes (emitted once) and its state is evicted.
+      input.addData((13 * H, "a", 5.0))
+      q.processAllAvailable()
+      val afterFinalize = spark.table(name).collect()
+      assert(afterFinalize.length == 1, afterFinalize.mkString(";"))
+      assert(afterFinalize(0).getLong(2) == 2L)
+      assert(afterFinalize(0).getDouble(3) == 3.0)
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 1L, s"closed-window state not evicted: $stateRows rows")
+      // Batch 3: a row in hour 10 is now LATE (beyond the watermark)
+      // and must be dropped, not re-opened.
+      input.addData((10 * H + 600, "a", 100.0))
+      q.processAllAvailable()
+      val afterLate = spark.table(name).collect()
+      assert(afterLate.toSeq == afterFinalize.toSeq,
+        "late row beyond the watermark changed emitted results")
+    } finally q.stop()
+  }
+
+  test("watermarked append agg equals batch agg restricted to finalized windows") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingOps.streamWatermarkedAgg(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+    val maxMs = ev.agg((max(unix_micros(col("ts"))) / lit(1000L)).cast("long"))
+      .head().getLong(0)
+    val wmMs = maxMs - 3600000L
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .filter(unix_millis(col("window.end")) <= wmMs)
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+      .collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("stateful streaming sessionization equals batch sessionization") {
     val streamed = StreamingOps.streamSessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
