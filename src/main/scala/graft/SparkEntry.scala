@@ -40,6 +40,8 @@ object SparkEntry {
     "g_lpa" -> ((s, d) =>
       GraphOps.labelPropagation(s, GraphBuilder.supplierCoEdges(s, d))
         .orderBy(col("vertex"))),
+    "g_pagerank_w" -> ((s, d) =>
+      GraphOps.pageRankWeighted(s, GraphBuilder.supplierCoEdges(s, d))),
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_filter_proj" -> ((s, d) => Relational.q2FilterProj(s, d)),
     "q3_topn_join" -> ((s, d) => Relational.q3TopnJoin(s, d)),
@@ -59,6 +61,7 @@ object SparkEntry {
     "q_setops" -> ((s, d) => Relational.qSetOps(s, d)),
     "q_pivot" -> ((s, d) => Relational.qPivot(s, d)),
     "q_grouping_sets" -> ((s, d) => Relational.qGroupingSets(s, d)),
+    "q_cube" -> ((s, d) => Relational.qCube(s, d)),
     "q_correlated" -> ((s, d) => Relational.qCorrelated(s, d)),
     "q_sql_q1" -> ((s, d) => Relational.qSqlQ1(s, d)),
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -75,6 +78,7 @@ object SparkEntry {
     "t_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "t_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "t_regex_tokens" -> ((s, d) => TextAnalysis.regexTokens(s, d)),
     "t_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "t_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
@@ -83,6 +87,7 @@ object SparkEntry {
     "m_features" -> ((s, d) => Multimodal.extractFeaturesDf(s, d)),
     "s_stream_agg" -> ((s, d) => graft.streaming.StreamingOps.streamHourlyAgg(s, d)),
     "s_stream_watermark" -> ((s, d) => graft.streaming.StreamingOps.streamWatermarkedAgg(s, d)),
+    "s_stream_join" -> ((s, d) => graft.streaming.StreamingOps.streamStreamJoin(s, d)),
     "s_stream_sessionize" -> ((s, d) => graft.streaming.StreamingOps.streamSessionize(s, d)),
     "s_stream_dedup" -> ((s, d) => graft.streaming.StreamingOps.streamDedup(s, d)),
   )
@@ -263,6 +268,12 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderstatus)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
     "q_correlated" ->
       """SELECT o_custkey, min(o_orderkey) AS o_orderkey,
         |  round(max(o_totalprice), 2) AS max_price
@@ -321,6 +332,19 @@ object SparkEntry {
         |GROUP BY bigram
         |ORDER BY n DESC, bigram ASC
         |LIMIT 25""".stripMargin,
+    // Same BPE-ish pattern as TextAnalysis.BpeTokenPattern — kept to
+    // constructs Java regex and RE2 read identically. The leading
+    // quote is SQL-doubled.
+    "t_regex_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+        |    AS n_bpe_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT)
+        |    AS n_distinct_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
@@ -346,6 +370,16 @@ object SparkEntry {
         |ORDER BY hour, event_type""".stripMargin,
     "s_stream_dedup" ->
       """SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h""".stripMargin,
+    // Inner interval joins emit every match exactly once → equals the
+    // batch join. µs arithmetic mirrors Spark's timestamp precision.
+    "s_stream_join" ->
+      """SELECT p.event_id AS p_id, v.event_id AS view_id, p.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        |  AND epoch_ns(v.ts) // 1000 <= epoch_ns(p.ts) // 1000
+        |  AND epoch_ns(v.ts) // 1000 >= epoch_ns(p.ts) // 1000 - 1800000000
+        |ORDER BY p_id, view_id""".stripMargin,
     // Append-mode watermarked agg emits exactly the windows whose end
     // (ms) <= watermark = max event time (µs floored to ms) - 1h —
     // replicate Spark's millisecond watermark arithmetic.

@@ -270,6 +270,19 @@ object Relational {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** CUBE: all 2^2 grouping combinations of (segment, status) in one
+    * pass — same partial-aggregate expansion as ROLLUP/GROUPING SETS,
+    * Catalyst plans a single shuffle. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
   /** Correlated-subquery pattern: each customer's most expensive
     * order — decorrelated as a max-aggregate joined back (the shape
     * Catalyst rewrites correlated subqueries into). */

@@ -36,6 +36,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-style pre-tokenizer pattern (the GPT-2 shape): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation
+    * runs, residual whitespace. Restricted to constructs Java regex
+    * and RE2 (DuckDB) interpret identically so the oracle can share
+    * it. */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Token counting the way an LLM-data pipeline estimates cost:
+    * whitespace tokens next to BPE-ish regex pre-tokens (total +
+    * distinct). regexp_extract_all is a native codegen'd expression —
+    * one pass, no UDF. */
+  def regexTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TF.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(toks).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heuristic language identification (deterministic; see
     * TextFunctions.langId). */
   def langId(spark: SparkSession, dir: String): DataFrame =

@@ -101,6 +101,47 @@ object StreamingOps {
     spark.table(name).orderBy(col("h"))
   }
 
+  /** Stream-stream interval join: each purchase joins the same
+    * user's views from the preceding 30 minutes. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can evict matched state instead of buffering both streams
+    * forever — the production shape for stream enrichment. Inner
+    * interval joins emit each match exactly once as it forms, so the
+    * result equals the batch interval join and shares a SQL oracle
+    * (µs arithmetic replicated there). */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    def stream() = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = stream()
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = stream()
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_id"), col("view_id"), col("user_id"))
+    val name = "graft_stream_join"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("p_id"), col("view_id"))
+  }
+
   /** Watermarked APPEND-mode hourly aggregation — the production
     * streaming shape: `withWatermark` bounds how late data may
     * arrive, only finalized windows (window.end <= watermark) are

@@ -49,6 +49,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(pr(1L) == pr(2L) && pr(2L) == pr(3L) && pr(3L) == pr(4L))
   }
 
+  test("weighted pagerank matches GraphX on unit weights, follows weight otherwise") {
+    // Unit weights: the weighted DF iteration must agree with GraphX's
+    // uniform spread (same convention, same iteration count).
+    val star = edgesDf((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 1.0), (0L, 4L, 1.0))
+    val gx = GraphOps.pageRank(spark, star).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val df = GraphOps.pageRankWeighted(spark, star).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gx.keySet == df.keySet)
+    gx.foreach { case (v, r) =>
+      assert(math.abs(r - df(v)) <= 10L, s"vertex $v: graphx=$r df=${df(v)}")
+    }
+    // Weighted: b's heavy edge to c must push more rank to c than a.
+    val path = edgesDf((1L, 2L, 1.0), (2L, 3L, 3.0))
+    val w = GraphOps.pageRankWeighted(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(w(3L) > w(1L), s"weight ignored: $w")
+  }
+
   test("label propagation groups cliques, splits across a weak bridge") {
     val e = edgesDf(
       (0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 2L, 1.0),

@@ -80,6 +80,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingOps.streamStreamJoin(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("pts"))
+    val batch = p.join(v,
+        col("user_id") === col("vu") &&
+          col("vts") <= col("pts") &&
+          col("vts") >= col("pts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_id"), col("view_id"), col("user_id"))
+      .orderBy(col("p_id"), col("view_id"))
+      .collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("stateful streaming sessionization equals batch sessionization") {
     val streamed = StreamingOps.streamSessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
