@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, MinHashSig, RollingHash64, SimHash64}
+import graft.functions.{CosineSim, L2Normalize, MinHashSig, RollingHash64, SimHash64}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...) ...")` works next to the Column
@@ -32,7 +32,9 @@ object GraftExtensions {
     ("minhash_sig", "minhash_sig(array<string>, k) - k-element MinHash signature",
       args => MinHashSig(args.head, extractK(args))),
     ("cosine_sim", "cosine_sim(array<float|double>, array<float|double>) - cosine similarity",
-      args => CosineSim(args.head, args(1))))
+      args => CosineSim(args.head, args(1))),
+    ("l2_normalize", "l2_normalize(array<float|double>) - unit-normalized array<double>",
+      args => L2Normalize(args.head)))
 
   /** k must be a foldable integral literal — anything else (a column
     * reference, a string) fails here with a clear message instead of

@@ -79,6 +79,7 @@ object SparkEntry {
     "t_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "t_regex_tokens" -> ((s, d) => TextAnalysis.regexTokens(s, d)),
+    "t_stopwords" -> ((s, d) => TextAnalysis.stopwordStats(s, d)),
     "t_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "t_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
@@ -332,6 +333,22 @@ object SparkEntry {
         |GROUP BY bigram
         |ORDER BY n DESC, bigram ASC
         |LIMIT 25""".stripMargin,
+    "t_stopwords" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','an','and','or','but','of','to','in','on','at',
+        |       'for','with','by','from','as','is','are','was','were','be',
+        |       'it','this','that','not'], x))) AS BIGINT) AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_stopwords,
+        |  CAST(round(n_stopwords * 10000.0 / n_tokens) AS BIGINT) AS stop_ratio_e4
+        |FROM c ORDER BY doc_id""".stripMargin,
     // Same BPE-ish pattern as TextAnalysis.BpeTokenPattern — kept to
     // constructs Java regex and RE2 read identically. The leading
     // quote is SQL-doubled.

@@ -168,6 +168,42 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Unit-normalize a numeric array (L2) in one native loop — the
+  * `transform(x, e -> e / sqrt(aggregate(...)))` builtin composition
+  * evaluates an interpreted closure per element, which dominates when
+  * normalization feeds a multi-pass consumer like k-means. Division
+  * by a zero norm follows IEEE semantics (NaN), matching the builtin
+  * composition it replaces. */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"L2Normalize needs array<float|double>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val af = elemIsFloat
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = x
+      ss += x * x
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    i = 0
+    while (i < n) { out(i) /= norm; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): L2Normalize = copy(c)
+}
+
 object CatalystText {
   import org.apache.spark.sql.graft.shim
   def simhash64(c: Column): Column = shim.column(SimHash64(shim.expression(c)))
@@ -175,4 +211,5 @@ object CatalystText {
   def minhash_sig(c: Column, k: Int): Column = shim.column(MinHashSig(shim.expression(c), k))
   def cosine_sim(a: Column, b: Column): Column =
     shim.column(CosineSim(shim.expression(a), shim.expression(b)))
+  def l2_normalize(c: Column): Column = shim.column(L2Normalize(shim.expression(c)))
 }

@@ -96,12 +96,10 @@ object Similarity {
     // distance, and on the unit sphere Euclidean order equals cosine
     // order — without normalization, cell assignment (Euclid) and
     // probe ranking (cosine) disagree and true neighbors land in
-    // never-probed cells.
-    val normArr = {
-      val e = col("embedding").cast("array<double>")
-      val n = sqrt(aggregate(e, lit(0.0), (acc, x) => acc + x * x))
-      transform(e, x => x / n)
-    }
+    // never-probed cells. Native one-loop normalization: KMeans makes
+    // multiple passes over features, so interpreted per-element HOF
+    // lambdas here would multiply.
+    val normArr = graft.functions.CatalystText.l2_normalize(col("embedding"))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         array_to_vector(normArr).as("features"))

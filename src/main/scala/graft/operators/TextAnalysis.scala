@@ -87,6 +87,35 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
 
+  /** Stopword list for quality scoring (lower-cased comparison). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "at",
+    "for", "with", "by", "from", "as", "is", "are", "was", "were", "be",
+    "it", "this", "that", "not")
+
+  /** Stopword counters per doc: total stopword occurrences and the
+    * e4-scaled stopword ratio — the quality signal next to
+    * length/punct counters. Counting stays codegen'd: per stopword w,
+    * occurrences = size(toks) − size(array_remove(toks, w)) — native
+    * array scans, no interpreted per-element lambda (the HOF trap in
+    * CLAUDE.md). */
+  def stopwordStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TF.tokens(lower(col("text"))).as("toks"),
+        size(TF.tokens(col("text"))).cast("long").as("n_tokens"))
+    val nStop = EnglishStopwords
+      .map(w => size(col("toks")) - size(array_remove(col("toks"), w)))
+      .reduce(_ + _)
+      .cast("long")
+    base
+      .select(col("doc_id"), col("n_tokens"), nStop.as("n_stopwords"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stopwords"),
+        round(col("n_stopwords") * 10000.0 / col("n_tokens")).cast("long")
+          .as("stop_ratio_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Order-sensitive 64-bit rolling-hash fingerprint (custom Catalyst
     * expression). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =

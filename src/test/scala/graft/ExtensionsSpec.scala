@@ -27,6 +27,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) - math.sqrt(0.5)) < 1e-12)
   }
 
+  test("l2_normalize yields unit vectors and matches the HOF composition") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CatalystText
+    val row = spark.sql(
+      "SELECT l2_normalize(array(3.0D, 4.0D)) AS v").collect()(0)
+    assert(row.getSeq[Double](0) == Seq(0.6, 0.8))
+    // parity with the interpreted builtin composition it replaces
+    val df = spark.range(1).select(
+      array(lit(1.0f), lit(2.0f), lit(2.0f)).as("e"))
+    val viaNative = df.select(CatalystText.l2_normalize(col("e"))).collect()(0).getSeq[Double](0)
+    val viaHof = df.select({
+      val e = col("e").cast("array<double>")
+      transform(e, x => x / sqrt(aggregate(e, lit(0.0), (a, x2) => a + x2 * x2)))
+    }).collect()(0).getSeq[Double](0)
+    assert(viaNative == viaHof)
+  }
+
   test("SQL and Column APIs produce identical fingerprints") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

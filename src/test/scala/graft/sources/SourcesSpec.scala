@@ -40,6 +40,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.toSeq == Seq((1L, 2L, 1.5), (2L, 3L, 2.5)))
   }
 
+  test("json documents round-trip with explicit schema and prune columns") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft_json").toString
+    val docs = Seq((1L, "alpha beta", "en"), (2L, "gamma", "de"))
+      .toDF("doc_id", "text", "lang")
+    docs.write.mode("overwrite").json(s"$dir/docs")
+    // Explicit schema: no inference pass over the data (an extra full
+    // scan at 100 TB) and stable types.
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val back = spark.read.schema(schema).json(s"$dir/docs")
+    assert(back.select(col("doc_id"), col("text"), col("lang")).collect().toSet
+      == docs.collect().toSet)
+    // column pruning reaches the JSON scan
+    val pruned = back.select(col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema: struct<doc_id:bigint>"), pruned)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val conf = spark.conf
