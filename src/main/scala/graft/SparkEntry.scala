@@ -42,6 +42,13 @@ object SparkEntry {
         .orderBy(col("vertex"))),
     "g_pagerank_w" -> ((s, d) =>
       GraphOps.pageRankWeighted(s, GraphBuilder.supplierCoEdges(s, d))),
+    "g_clustering" -> ((s, d) =>
+      GraphOps.clusteringCoefficients(GraphBuilder.supplierCoEdges(s, d))),
+    "g_sssp" -> ((s, d) =>
+      GraphOps.shortestPaths(s, GraphBuilder.supplierCoEdges(s, d))
+        .orderBy(col("vertex"), col("landmark"))),
+    "g_kcore" -> ((s, d) =>
+      GraphOps.kCore(s, GraphBuilder.supplierCoEdges(s, d), k = 10)),
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_filter_proj" -> ((s, d) => Relational.q2FilterProj(s, d)),
     "q3_topn_join" -> ((s, d) => Relational.q3TopnJoin(s, d)),
@@ -125,6 +132,28 @@ object SparkEntry {
         |SELECT count(*) AS n_triangles
         |FROM e e1 JOIN e e2 ON e1.dst = e2.src
         |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
+    "g_clustering" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |tv AS (SELECT v, count(*) AS t FROM (
+        |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |  GROUP BY v),
+        |deg AS (SELECT v, count(*) AS degree FROM (
+        |  SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e) GROUP BY v)
+        |SELECT deg.v AS vertex, degree,
+        |  CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN degree >= 2
+        |    THEN CAST(round(coalesce(t, 0) * 20000.0 / (degree * (degree - 1))) AS BIGINT)
+        |    ELSE 0 END AS lcc_e4
+        |FROM deg LEFT JOIN tv ON deg.v = tv.v
+        |ORDER BY vertex""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -78,6 +78,90 @@ object GraphOps {
     }
   }
 
+  /** Per-vertex triangle count + local clustering coefficient
+    * (e4-scaled): for each canonical edge (a,b), common full
+    * neighborhoods give the triangles through that edge; each
+    * endpoint accumulates them and every triangle is credited twice
+    * per member, hence the /2. Same adjacency-intersect shape as the
+    * global count — per-row memory is two neighbor lists (hub² only
+    * pairwise), and for hub-heavy graphs the wedge-join fallback
+    * pattern of [[triangleCount]] applies. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = sym.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    val common = e
+      .join(adj.select(col("src").as("a"), col("nbrs").as("na")), col("src") === col("a"))
+      .join(adj.select(col("src").as("b"), col("nbrs").as("nb")), col("dst") === col("b"))
+      .select(col("src"), col("dst"),
+        size(array_intersect(col("na"), col("nb"))).cast("long").as("c"))
+    val perVertex = common.select(col("src").as("vertex"), col("c"))
+      .unionAll(common.select(col("dst").as("vertex"), col("c")))
+      .groupBy(col("vertex"))
+      .agg((sum(col("c")) / 2).cast("long").as("n_triangles"))
+    val deg = sym.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("degree"))
+    deg.join(perVertex, Seq("vertex"), "left")
+      .select(col("vertex"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc_e4",
+        when(col("degree") >= 2,
+          round(col("n_triangles") * 20000.0 / (col("degree") * (col("degree") - 1)))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .orderBy(col("vertex"))
+  }
+
+  /** Unweighted shortest hop distances from every vertex to a set of
+    * landmark vertices (GraphX Pregel `ShortestPaths`). Landmarks
+    * default to the three smallest vertex ids — deterministic without
+    * caller input. Output: one row per (vertex, landmark) reachable
+    * pair. */
+  def shortestPaths(spark: SparkSession, edges: DataFrame,
+      landmarks: Seq[Long] = Seq.empty): DataFrame = {
+    import org.apache.spark.graphx.lib.ShortestPaths
+    val g = GraphBuilder.toGraphX(
+      edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight"))))
+    val marks =
+      if (landmarks.nonEmpty) landmarks
+      else g.vertices.keys.takeOrdered(3).toSeq
+    val res = ShortestPaths.run(g, marks).vertices
+      .flatMap { case (id, spmap) =>
+        spmap.toSeq.map { case (lm, d) => (id, lm, d.toLong) }
+      }
+    spark.createDataFrame(res).toDF("vertex", "landmark", "hops")
+  }
+
+  /** k-core: the maximal subgraph where every vertex has degree ≥ k,
+    * by iterative peeling — drop under-degree vertices, recompute,
+    * repeat to fixpoint. Each round is one aggregation + one semi-join
+    * over a localCheckpointed shrinking edge list; rounds are bounded
+    * by the graph's degeneracy (small in practice). */
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int,
+      maxIter: Int = 50): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val deg = e.select(col("src").as("vertex"))
+        .unionAll(e.select(col("dst").as("vertex")))
+        .groupBy(col("vertex")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("vertex"))
+      val pruned = e
+        .join(keep.select(col("vertex").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("vertex").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      changed = pruned.count() != e.count()
+      e = pruned
+      iter += 1
+    }
+    e.select(col("src").as("vertex"))
+      .unionAll(e.select(col("dst").as("vertex")))
+      .distinct()
+      .orderBy(col("vertex"))
+  }
+
   /** Connected components (GraphX fixpoint). */
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     val g = GraphBuilder.toGraphX(edges)

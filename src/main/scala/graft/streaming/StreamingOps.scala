@@ -155,20 +155,25 @@ object StreamingOps {
     * end_ms <= max_ms - 3_600_000 — the oracle SQL replicates that
     * arithmetic. The trailing (unfinalized) hour is withheld by
     * design. */
-  def streamWatermarkedAgg(spark: SparkSession, dir: String): DataFrame = {
+  /** The watermarked append-mode plan, shared by the memory-sink
+    * query entry and the durable parquet-sink spec. */
+  private[streaming] def watermarkedAggPlan(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream
+    spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val agg = raw
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
+  }
+
+  def streamWatermarkedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = watermarkedAggPlan(spark, dir)
     val name = "graft_stream_wm_agg"
     val q = agg.writeStream
       .outputMode("append")

@@ -49,6 +49,43 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(pr(1L) == pr(2L) && pr(2L) == pr(3L) && pr(3L) == pr(4L))
   }
 
+  test("clustering coefficients: K4 is all 1.0, path ends are 0") {
+    val k4 = edgesDf((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 1.0),
+      (1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0))
+    val lcc = GraphOps.clusteringCoefficients(k4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // every K4 vertex: degree 3, 3 incident triangles, coefficient 1
+    (0L to 3L).foreach { v => assert(lcc(v) == ((3L, 3L, 10000L)), s"$v → ${lcc(v)}") }
+
+    val path = edgesDf((1L, 2L, 1.0), (2L, 3L, 1.0))
+    val p = GraphOps.clusteringCoefficients(path).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(p == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("shortest paths: hop distances to min-id landmarks on a path graph") {
+    val path = edgesDf((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))
+    val sp = GraphOps.shortestPaths(spark, path, landmarks = Seq(1L)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(sp == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // default landmarks = three smallest ids
+    val d = GraphOps.shortestPaths(spark, path).select("landmark").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(d == Set(1L, 2L, 3L))
+  }
+
+  test("k-core peels the tail, keeps the clique") {
+    // 4-clique plus a pendant chain: 3-core = exactly the clique.
+    val g = edgesDf((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 1.0),
+      (1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0),
+      (3L, 10L, 1.0), (10L, 11L, 1.0))
+    val core = GraphOps.kCore(spark, g, k = 3).collect().map(_.getLong(0)).toSet
+    assert(core == Set(0L, 1L, 2L, 3L))
+    // k=1 keeps everything
+    val all = GraphOps.kCore(spark, g, k = 1).collect().map(_.getLong(0)).toSet
+    assert(all == Set(0L, 1L, 2L, 3L, 10L, 11L))
+  }
+
   test("weighted pagerank matches GraphX on unit weights, follows weight otherwise") {
     // Unit weights: the weighted DF iteration must agree with GraphX's
     // uniform spread (same convention, same iteration count).

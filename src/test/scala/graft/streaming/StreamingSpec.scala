@@ -80,6 +80,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("durable parquet sink + checkpoint persists the watermarked agg") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_sink_out").toString
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    val q = StreamingOps.watermarkedAggPlan(spark, sf)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val persisted = spark.read.parquet(out)
+      .orderBy(col("hour"), col("event_type")).collect()
+    val viaMemory = StreamingOps.streamWatermarkedAgg(spark, sf).collect()
+    assert(persisted.nonEmpty && persisted.toSeq == viaMemory.toSeq)
+    // the checkpoint recorded committed batches — restart-safe state
+    assert(new java.io.File(s"$ckpt/commits").listFiles().nonEmpty)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingOps.streamStreamJoin(spark, sf).collect()
