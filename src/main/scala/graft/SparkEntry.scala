@@ -77,6 +77,8 @@ object SparkEntry {
     "d_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "p_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
+    "p_stratified" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),

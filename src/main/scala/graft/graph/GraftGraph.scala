@@ -49,6 +49,13 @@ final class GraftGraph private (
 
   def degrees(): DataFrame = decode(GraphOps.degrees(edges), Seq("vertex"))
   def triangleCount(): DataFrame = GraphOps.triangleCount(edges)
+  def clusteringCoefficients(): DataFrame =
+    decode(GraphOps.clusteringCoefficients(edges), Seq("vertex"))
+  def shortestPaths(landmarks: Seq[Long] = Seq.empty): DataFrame =
+    decode(GraphOps.shortestPaths(spark, edges, landmarks), Seq("vertex", "landmark"))
+  def kCore(k: Int): DataFrame = decode(GraphOps.kCore(spark, edges, k), Seq("vertex"))
+  def pageRankWeighted(iters: Int = 10): DataFrame =
+    decode(GraphOps.pageRankWeighted(spark, edges, iters), Seq("vertex"))
   def connectedComponents(): DataFrame =
     decode(GraphOps.connectedComponents(spark, edges), Seq("vertex", "component"))
   /** DataFrame-native CC for graphs past GraphX's comfortable size. */

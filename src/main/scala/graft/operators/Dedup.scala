@@ -124,18 +124,24 @@ object Dedup {
     * pair graph is far smaller than the corpus, and the star
     * contraction runs on (id, id) rows only — no text or signatures
     * move after pair generation. */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dupClusters(spark: SparkSession, dir: String,
+      includeMinhash: Boolean = true): DataFrame = {
     val byHash = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("h"))
     val mins = byHash.groupBy(col("h")).agg(min(col("doc_id")).as("src"))
     val exactPairs = byHash.join(mins, Seq("h"))
       .filter(col("doc_id") =!= col("src"))
       .select(col("src"), col("doc_id").as("dst"))
-    val pairs = exactPairs
-      .unionAll(minhashPairsRaw(spark, dir)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val basePairs = exactPairs
       .unionAll(simhashPairsRaw(spark, dir, maxHamming = 7)
         .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    // MinHash is the most expensive pair source; callers composing
+    // dedup into a larger pipeline can run on exact+SimHash alone.
+    val pairs =
+      if (includeMinhash)
+        basePairs.unionAll(minhashPairsRaw(spark, dir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      else basePairs
     val comp = graft.graph.ConnectedComponentsDF.run(spark, pairs)
       .select(col("vertex").as("doc_id"), col("component"))
     Tables.documents(spark, dir).select(col("doc_id"))

@@ -121,6 +121,44 @@ class PipelineSpec extends AnyFunSuite {
     assert((1L to 7L).filter(got(_)._2) == Seq(1L, 4L, 7L), s"survivors: $got")
   }
 
+  test("cleanCorpus keeps quality English survivors only") {
+    // Planted corpus: 1 = good English; 2 = byte-dup of 1 (loses to
+    // min-id survivor); 3 = German (language gate); 4 = too short
+    // (token gate); 5 = digit soup (alpha-ratio gate); 6 = good
+    // English, unique.
+    val goodEn = ("the cat and the dog are in the house and " * 4).trim
+    val goodEn2 = ("it is a good day for all of us here and there " * 4).trim
+    val docs = Seq(
+      (1L, goodEn), (2L, goodEn),
+      (3L, ("der Hund ist nicht mit der Katze und das ist gut " * 4).trim),
+      (4L, "the cat"),
+      (5L, ("12345 67890 " * 20).trim),
+      (6L, goodEn2)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_clean").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = Pipeline.cleanCorpus(spark, dir).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L, 6L), s"kept: ${kept.mkString(",")}")
+  }
+
+  test("stratifiedSample is deterministic, a subset, and respects 0/1 fractions") {
+    val docs = (1L to 200L).map(i =>
+      (i, s"doc $i", if (i % 3 == 0) "de" else if (i % 3 == 1) "en" else "fr"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_strat").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fr = Map("en" -> 0.5, "de" -> 1.0) // fr absent => fraction 0
+    val run1 = Pipeline.stratifiedSample(spark, dir, fr).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val run2 = Pipeline.stratifiedSample(spark, dir, fr).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(run1.sameElements(run2), "seeded sample not deterministic")
+    val byLang = run1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang.getOrElse("de", 0) == 66, s"de stratum: $byLang") // fraction 1.0 = all
+    assert(!byLang.contains("fr"), s"fr stratum leaked: $byLang")   // absent key = none
+    val en = byLang.getOrElse("en", 0)
+    assert(en > 10 && en < 57, s"en stratum implausible for p=0.5: $en")
+  }
+
   test("frame sampling yields ceil(n_bytes/256) frames per doc") {
     val frames = Multimodal.frameSample(spark, sf, 256).collect()
       .groupBy(_.doc_id).view.mapValues(_.length).toMap
