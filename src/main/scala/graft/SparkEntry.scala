@@ -71,6 +71,7 @@ object SparkEntry {
     "q_cube" -> ((s, d) => Relational.qCube(s, d)),
     "q_correlated" -> ((s, d) => Relational.qCorrelated(s, d)),
     "q_sql_q1" -> ((s, d) => Relational.qSqlQ1(s, d)),
+    "q_bucket_join" -> ((s, d) => Relational.qBucketJoin(s, d)),
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d_simhash" -> ((s, d) => Dedup.simhash(s, d)),
@@ -79,6 +80,8 @@ object SparkEntry {
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "p_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "p_stratified" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
+    "p_chunks" -> ((s, d) => Pipeline.chunkDocs(s, d)),
+    "p_pack" -> ((s, d) => Pipeline.packSequences(s, d)),
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -89,6 +92,7 @@ object SparkEntry {
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "t_regex_tokens" -> ((s, d) => TextAnalysis.regexTokens(s, d)),
     "t_stopwords" -> ((s, d) => TextAnalysis.stopwordStats(s, d)),
+    "t_pii" -> ((s, d) => TextAnalysis.piiScan(s, d)),
     "t_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "t_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
@@ -324,6 +328,48 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_bucket_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "p_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(greatest(ceil(length(text)/200.0), 1) AS BIGINT))) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(length(substr(text, CAST(i*200+1 AS INT), 200)) AS BIGINT) AS n_chunk_chars,
+        |  md5(substr(text, CAST(i*200+1 AS INT), 200)) AS chunk_md5
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "p_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    doc_id % 32 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(shard * 1000000 + CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS BIGINT) AS seq_id
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    "t_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(text)

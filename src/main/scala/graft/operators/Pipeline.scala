@@ -46,6 +46,54 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-width character chunking — the training-sequence prep
+    * step. Each document explodes into ⌈len/width⌉ chunks (an empty
+    * or short doc yields exactly one). Narrow per-row explode: no
+    * shuffle, pipelines with the scan, and chunk rows carry only
+    * (id, idx, len, md5) — the chunk text itself never moves unless a
+    * downstream stage asks for it. */
+  def chunkDocs(spark: SparkSession, dir: String, width: Int = 200): DataFrame = {
+    val w = lit(width.toLong)
+    val nChunks = greatest(ceil(length(col("text")) / lit(width.toDouble)), lit(1L))
+    val chunk = col("text").substr((col("chunk_idx") * w + lit(1L)).cast("int"), w.cast("int"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), nChunks - lit(1L))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(chunk).cast("long").as("n_chunk_chars"),
+        md5(chunk).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Token-budget sequence packing: assign documents to training
+    * sequences of ~`budget` whitespace tokens. Sharded running-sum
+    * design — a single global running sum over the corpus is a
+    * one-partition window (the classic 100 TB bottleneck), so docs
+    * are hashed into `shards` independent streams and each shard
+    * packs with its own running token count; `seq_id` encodes
+    * (shard, position). All windows run in parallel, one shuffle on
+    * the shard key. Documents may straddle a budget boundary — the
+    * consumer truncates or spills to the next sequence, which is the
+    * standard trade against a bin-packing pass that cannot be
+    * expressed as a parallel scan. */
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Int = 2048, shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TF.tokens(col("text"))).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("shard") * lit(1000000L) +
+          floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).cast("long"))
+          .as("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic stratified sample over a keyed column — the
     * training-mix control knob (e.g. rebalance languages). Bernoulli
     * per-stratum sampling with a fixed seed: reproducible for a fixed

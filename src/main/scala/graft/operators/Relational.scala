@@ -317,6 +317,59 @@ object Relational {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** (Re)write orders + customer as bucketed-and-sorted tables on
+    * the join key. Separate from [[qBucketJoin]] so the spec can
+    * inspect the join plan without paying the write. */
+  def writeBucketedTables(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
+    // A fresh session's in-memory catalog doesn't know tables a prior
+    // JVM wrote, but their warehouse directories survive — clear both
+    // or the managed-table CREATE fails with LOCATION_ALREADY_EXISTS.
+    Seq("graft_orders_b", "graft_customer_b").foreach { name =>
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, name)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_b")
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_b")
+  }
+
+  /** The bucketed join itself: both scans expose the same hash
+    * partitioning on custkey, so the sort-merge join runs with ZERO
+    * shuffle exchanges on either side (spec-asserted). The merge hint
+    * pins SMJ — at test scale AQE would broadcast the small side,
+    * which hides whether bucketing actually removed the shuffle; at
+    * 100 TB neither side broadcasts and SMJ-over-buckets is the plan
+    * you want. */
+  def bucketedJoin(spark: SparkSession): DataFrame =
+    spark.table("graft_orders_b").hint("merge")
+      .join(spark.table("graft_customer_b"),
+        col("o_custkey") === col("c_custkey"))
+
+  /** Bucket-co-located join — the 100 TB repeated-join shape: pay one
+    * bucketed write, then every subsequent join on the key is
+    * shuffle-free because the table layout IS the shuffle output.
+    * Returns per-segment order counts + revenue; the oracle is the
+    * plain (shuffled) join, so the result also proves bucketing does
+    * not change semantics. */
+  def qBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    writeBucketedTables(spark, dir)
+    bucketedJoin(spark)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Sessionization: 30-minute-gap sessions per user via lag window,
     * then sessions-per-user counts. */
   def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {

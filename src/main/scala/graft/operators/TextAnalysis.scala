@@ -116,6 +116,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** PII-ish patterns, restricted to constructs Java regex and RE2
+    * read identically (no lookaround — RE2 has none). */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern: String = "https?://[^ \\t\\n]+"
+  val PhonePattern: String = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** PII scan + redaction — the compliance pass of a training-data
+    * pipeline. Per doc: match counts for email/URL/phone-like
+    * patterns and the md5 of the fully redacted text (so the oracle
+    * verifies the replacement itself, not just the counts). One
+    * narrow projection, codegen'd regex, no shuffle. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+      PhonePattern, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
+        regexp_count(t, lit(UrlPattern)).cast("long").as("n_urls"),
+        regexp_count(t, lit(PhonePattern)).cast("long").as("n_phones"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Order-sensitive 64-bit rolling-hash fingerprint (custom Catalyst
     * expression). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =

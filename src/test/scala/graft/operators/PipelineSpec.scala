@@ -159,6 +159,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(en > 10 && en < 57, s"en stratum implausible for p=0.5: $en")
   }
 
+  test("chunkDocs splits by width with exact remainders and reconstructible chunks") {
+    val docs = Seq((1L, "abcdefghijkl"), (2L, "x"), (3L, "abcde"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.chunkDocs(spark, dir, width = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: 12 chars -> chunks of 5,5,2; doc 2: 1 chunk; doc 3: exactly one width
+    assert(got.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((1L, 0L, 5L), (1L, 1L, 5L), (1L, 2L, 2L), (2L, 0L, 1L), (3L, 0L, 5L)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got.head._4 == md5hex("abcde"))
+    assert(got(2)._4 == md5hex("kl"))
+  }
+
+  test("packSequences respects the token budget per sequence start") {
+    val docs = (1L to 40L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.packSequences(spark, dir, budget = 10, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 40, "every doc assigned exactly one sequence")
+    // within a shard, seq ids are nondecreasing in doc order, and every
+    // doc's START offset lies inside its sequence's budget window: the
+    // sequence total minus its last doc never exceeds the budget.
+    got.groupBy(t => t._1 % 4).foreach { case (_, shardDocs) =>
+      val inOrder = shardDocs.sortBy(_._1)
+      assert(inOrder.map(_._3).sameElements(inOrder.map(_._3).sorted), "seq ids decreased")
+      inOrder.groupBy(_._3).foreach { case (seq, ds) =>
+        val overshoot = ds.map(_._2).sum - ds.last._2
+        assert(overshoot <= 10, s"seq $seq pre-last total $overshoot > budget")
+      }
+    }
+  }
+
+  test("piiScan counts and redacts planted emails, urls, phone numbers") {
+    val text = "mail a@b.co and c.d@e-f.org or visit https://x.y/z?q=1 " +
+      "call +1 (555) 123-4567 now"
+    val docs = Seq((1L, text), (2L, "no pii here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.piiScan(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got(0) == ((1L, 2L, 1L, 1L, {
+      val red = text
+        .replaceAll(TextAnalysis.EmailPattern, "<EMAIL>")
+        .replaceAll(TextAnalysis.UrlPattern, "<URL>")
+        .replaceAll(TextAnalysis.PhonePattern, "<PHONE>")
+      java.security.MessageDigest.getInstance("MD5").digest(red.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    })), s"got: ${got(0)}")
+    assert(got(1) == ((2L, 0L, 0L, 0L,
+      java.security.MessageDigest.getInstance("MD5").digest("no pii here".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+  }
+
   test("frame sampling yields ceil(n_bytes/256) frames per doc") {
     val frames = Multimodal.frameSample(spark, sf, 256).collect()
       .groupBy(_.doc_id).view.mapValues(_.length).toMap
