@@ -49,6 +49,18 @@ object SparkEntry {
         .orderBy(col("vertex"), col("landmark"))),
     "g_kcore" -> ((s, d) =>
       GraphOps.kCore(s, GraphBuilder.supplierCoEdges(s, d), k = 10)),
+    // End-to-end file ingest: the reference's native input is a
+    // delimited edge list — write the co-occurrence edges as TSV once
+    // per SF dir, read back through EdgeListSource.readCanonical, and
+    // compute degrees so the whole ingest path sits under the
+    // g_degree oracle.
+    "g_from_file" -> ((s, d) => {
+      val out = "/tmp/graft_edgelist_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(out + "/_SUCCESS").exists())
+        graft.sources.EdgeListSource.write(GraphBuilder.supplierCoEdges(s, d), out)
+      GraphOps.degrees(graft.sources.EdgeListSource.readCanonical(s, out))
+        .orderBy(col("vertex"))
+    }),
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_filter_proj" -> ((s, d) => Relational.q2FilterProj(s, d)),
     "q3_topn_join" -> ((s, d) => Relational.q3TopnJoin(s, d)),
@@ -72,6 +84,30 @@ object SparkEntry {
     "q_correlated" -> ((s, d) => Relational.qCorrelated(s, d)),
     "q_sql_q1" -> ((s, d) => Relational.qSqlQ1(s, d)),
     "q_bucket_join" -> ((s, d) => Relational.qBucketJoin(s, d)),
+    // Salted two-phase aggregation under an EXACT oracle: the skew
+    // toolkit must produce byte-identical results to the plain
+    // group-by it replaces.
+    "q_skew_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+      SkewOps.saltedSumCount(li, Seq("l_returnflag"), "l_quantity")
+        .select(col("l_returnflag"),
+          org.apache.spark.sql.functions.round(col("sum_l_quantity"), 2).as("sum_qty"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // Salted replicate-join ≡ plain inner equi-join, same oracle as
+    // the bucketed variant.
+    "q_skew_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count => fcount, lit => flit, round => fround, sum => fsum}
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      SkewOps.saltedJoin(o, c, "o_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(fcount(flit(1)).as("n_orders"),
+          fround(fsum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d_simhash" -> ((s, d) => Dedup.simhash(s, d)),
@@ -95,6 +131,21 @@ object SparkEntry {
     "t_pii" -> ((s, d) => TextAnalysis.piiScan(s, d)),
     "t_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "t_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
+    "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    // JSON source under the oracle: documents round-trip through
+    // newline-delimited JSON (write once per SF dir), then the same
+    // token counts as t_tokens — proving the JSON read path
+    // value-identical to parquet.
+    "src_json_tokens" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val out = "/tmp/graft_docs_json_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(out + "/_SUCCESS").exists())
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .write.mode("overwrite").json(out)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      TextAnalysis.tokenCountsOf(s.read.schema(schema).json(out))
+    }),
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSampleDf(s, d)),
     "m_resize" -> ((s, d) => Multimodal.resizeDf(s, d)),
@@ -119,6 +170,20 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY src, dst""".stripMargin,
     "g_degree" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |    CAST(count(*) AS DOUBLE) AS weight
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |ends AS (SELECT src AS vertex, weight FROM e
+        |  UNION ALL SELECT dst AS vertex, weight FROM e)
+        |SELECT vertex, count(*) AS degree, round(sum(weight), 2) AS wdegree
+        |FROM ends GROUP BY vertex ORDER BY vertex""".stripMargin,
+    // Same oracle as g_degree: the TSV write → EdgeListSource read →
+    // canonicalize round-trip must be value-identical to computing
+    // degrees on the in-memory edge build.
+    "g_from_file" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
         |    CAST(count(*) AS DOUBLE) AS weight
@@ -334,6 +399,43 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    // The salted plans must be value-identical to their unsalted
+    // equivalents — that IS the oracle.
+    "q_skew_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "t_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |    CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 10000) AS BIGINT) AS tfidf_e4
+        |  FROM tf JOIN dfreq USING (token), n),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf_e4 DESC, token ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, token, tf, df, tfidf_e4, rank FROM ranked
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "src_json_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "p_chunks" ->
       """WITH c AS (
         |  SELECT doc_id, text,
@@ -356,7 +458,7 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         |  FROM t)
         |SELECT doc_id, n_tokens,
-        |  CAST(shard * 1000000 + CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS BIGINT) AS seq_id
+        |  CAST(CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) * 32 + shard AS BIGINT) AS seq_id
         |FROM c
         |ORDER BY doc_id""".stripMargin,
     "t_pii" ->

@@ -142,12 +142,21 @@ case class MinHashSig(child: Expression, k: Int)
   * lambda evaluation would dominate. */
 case class CosineSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  // Analysis-time type check: a bad column type fails when the plan
+  // resolves, not per-row at execution.
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires array<float|double> inputs, got ${l.catalogString} / ${r.catalogString}")
+  }
+  override def nullable: Boolean = true
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(s"CosineSim needs array<float|double>, got $other")
+    case _ => false
   }
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -157,6 +166,9 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // A null element poisons the sum in the zip_with/aggregate
+      // composition this replaces → whole result null, same here.
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -176,12 +188,20 @@ case class CosineSim(left: Expression, right: Expression)
   * composition it replaces. */
 case class L2Normalize(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // Analysis-time type check: a bad column type fails when the plan
+  // resolves, not per-row at execution.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"l2_normalize requires array<float|double> input, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
   private def elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(s"L2Normalize needs array<float|double>, got $other")
+    case _ => false
   }
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -191,6 +211,11 @@ case class L2Normalize(child: Expression)
     var ss = 0.0
     var i = 0
     while (i < n) {
+      // A null element nulls the aggregate norm in the transform/
+      // aggregate composition this replaces, nulling every output
+      // element — collapse that to a null result rather than reading
+      // undefined values out of the null slot.
+      if (a.isNullAt(i)) return null
       val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
       out(i) = x
       ss += x * x

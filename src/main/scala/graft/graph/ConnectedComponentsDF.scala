@@ -18,9 +18,14 @@ object ConnectedComponentsDF {
 
   /** large-star: connect every neighbor v > u to u's minimum
     * neighborhood label m(u) = min(Γ(u) ∪ {u}). Operates on the
-    * symmetrized view. */
+    * symmetrized view.
+    *
+    * INVARIANT: input edges are distinct with u > v (the initial
+    * canonicalization and smallStar both guarantee it), so the
+    * symmetrized union is duplicate-free by construction — no
+    * per-round distinct shuffle on the 2× edge set. */
   private def largeStar(e: DataFrame): DataFrame = {
-    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
     val minN = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
     sym.join(minN, Seq("u"))
       .filter(col("v") > col("u"))
@@ -54,19 +59,41 @@ object ConnectedComponentsDF {
     // localCheckpoint materializes the round and starts a fresh plan;
     // on a cluster with an HDFS checkpoint dir, `checkpoint()` is the
     // fault-tolerant equivalent.
+    // Canonicalize to u > v at entry: largeStar's symmetrize relies
+    // on a one-sided orientation to skip its per-round distinct.
     var cur = edges
-      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
 
-    var converged = cur.limit(1).count() == 0
+    // Convergence: a cheap monotone signature (count, Σu, Σv) per
+    // round — one single-stage aggregate over the checkpointed
+    // blocks. Only when the signature is stable do we pay ONE
+    // exceptAll (full set compare) to confirm the fixpoint; a
+    // signature collision that isn't a fixpoint just loops again,
+    // so the heuristic can't produce a wrong answer. This replaces
+    // the former count+exceptAll sort/compare of both edge sets
+    // EVERY round. (Σ may wrap on astronomic id sums — harmless:
+    // wrapping is deterministic and exceptAll still gates.)
+    def signature(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("u")), sum(col("v"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var curSig = signature(cur)
+    var converged = curSig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      val sameSize = next.count() == cur.count()
-      converged = sameSize && next.exceptAll(cur).limit(1).count() == 0
+      val nextSig = signature(next)
+      converged = nextSig == curSig &&
+        next.exceptAll(cur).limit(1).count() == 0
       cur = next
+      curSig = nextSig
       iter += 1
     }
     // A non-fixpoint edge set yields labels that are not component

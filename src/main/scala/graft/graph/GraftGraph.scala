@@ -51,8 +51,37 @@ final class GraftGraph private (
   def triangleCount(): DataFrame = GraphOps.triangleCount(edges)
   def clusteringCoefficients(): DataFrame =
     decode(GraphOps.clusteringCoefficients(edges), Seq("vertex"))
-  def shortestPaths(landmarks: Seq[Long] = Seq.empty): DataFrame =
-    decode(GraphOps.shortestPaths(spark, edges, landmarks), Seq("vertex", "landmark"))
+  /** Landmarks are given as ORIGINAL vertex labels: on a
+    * dictionary-encoded graph they are translated through the dict
+    * (a label-keyed lookup over the vertex-sized dict table — the
+    * landmark set is small by construction), so callers never see or
+    * guess the internal dense ids. Unknown labels fail loudly rather
+    * than silently selecting arbitrary vertices. */
+  def shortestPaths(landmarks: Seq[Any] = Seq.empty): DataFrame = {
+    val encoded: Seq[Long] = dict match {
+      case None => landmarks.map {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+        case other => throw new IllegalArgumentException(
+          s"shortestPaths: graph has integral vertex ids but landmark '$other' " +
+            s"(${other.getClass.getSimpleName}) is not integral")
+      }
+      case Some(d) if landmarks.nonEmpty =>
+        val labels = landmarks.map(String.valueOf)
+        val found = d.filter(col("vid").isin(labels: _*))
+          .select(col("vid"), col("vertex_id"))
+          .collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val missing = labels.filterNot(found.contains)
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"shortestPaths: unknown landmark labels: ${missing.mkString(", ")}")
+        labels.map(found)
+      case Some(_) => Seq.empty
+    }
+    decode(GraphOps.shortestPaths(spark, edges, encoded), Seq("vertex", "landmark"))
+  }
   def kCore(k: Int): DataFrame = decode(GraphOps.kCore(spark, edges, k), Seq("vertex"))
   def pageRankWeighted(iters: Int = 10): DataFrame =
     decode(GraphOps.pageRankWeighted(spark, edges, iters), Seq("vertex"))

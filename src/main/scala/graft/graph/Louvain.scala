@@ -208,7 +208,13 @@ object Louvain extends Serializable {
       }
 
       // Refresh Σtot per community after the moves (one small shuffle
-      // keyed by community id).
+      // keyed by community id). NOTE an earlier attempt deferred this
+      // refresh lazily to skip it on each level's final round: GraphX's
+      // incremental replicated-view maintenance then left the returned
+      // graph's edge view unmaterialized while parents were freed, and
+      // every level-end action replayed the whole level's shuffle
+      // lineage — orders of magnitude slower than the refresh it saved.
+      // The count below is the round's single materializing action.
       val sigmaTots: RDD[(Long, Double)] = movedGraph.vertices
         .map { case (_, st) => (st.community, degree(st)) }
         .reduceByKey(_ + _)

@@ -48,9 +48,18 @@ object Dedup {
   }
 
   /** MinHash near-dup pairs with estimated Jaccard (e4-scaled),
-    * threshold 0.5 — unsorted (composable) form. */
+    * threshold 0.5 — unsorted (composable) form.
+    *
+    * `sigs` feeds three plan branches (banded explode + both
+    * signature-fetch joins); without the checkpoint the full
+    * documents-scan → shingle → MinHashSig pipeline would rerun per
+    * branch. localCheckpoint materializes the (doc_id, sig) table —
+    * 64 longs/row, tiny next to the corpus — so the corpus is
+    * scanned and hashed exactly once per query. On a cluster,
+    * `persist(DISK_ONLY)` or `checkpoint()` is the durable
+    * equivalent. */
   private def minhashPairsRaw(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir)
+    val sigs = signatures(spark, dir).localCheckpoint(true)
     val pairs = candidatePairs(sigs)
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
@@ -88,9 +97,13 @@ object Dedup {
     // that, qualifying pairs would be silently missed.
     require(maxHamming <= 7,
       s"simhashPairs: 8x8-bit banding guarantees recall only for maxHamming <= 7, got $maxHamming")
+    // fps feeds both sides of the band self-join; checkpoint the
+    // (doc_id, fp) table — 16 bytes/row — so the documents scan +
+    // tokenize + SimHash runs once, not once per join side.
     val fps = Tables.documents(spark, dir)
       .select(col("doc_id"),
         CatalystText.simhash64(TF.tokens(col("text"))).as("fp"))
+      .localCheckpoint(true)
     val bands = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("fp"), b * 8).bitwiseAND(lit(0xffL)).as("key"))
@@ -125,9 +138,21 @@ object Dedup {
     * contraction runs on (id, id) rows only — no text or signatures
     * move after pair generation. */
   def dupClusters(spark: SparkSession, dir: String,
+      includeMinhash: Boolean = true): DataFrame =
+    dupClusters(spark, dir, dupPairs(spark, dir, includeMinhash))
+
+  /** The union duplicate-pair table (src, dst) feeding the verdict —
+    * exposed so a pipeline can compute it ONCE, persist it, and fan
+    * it out to every downstream consumer via the pairs overload of
+    * [[dupClusters]]: at 100 TB the pair table is the thing you run
+    * once and reuse, not recompute per read. */
+  def dupPairs(spark: SparkSession, dir: String,
       includeMinhash: Boolean = true): DataFrame = {
+    // byHash feeds both the group-mins and the pair join — checkpoint
+    // the (doc_id, md5) table so the text is scanned/hashed once.
     val byHash = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("h"))
+      .localCheckpoint(true)
     val mins = byHash.groupBy(col("h")).agg(min(col("doc_id")).as("src"))
     val exactPairs = byHash.join(mins, Seq("h"))
       .filter(col("doc_id") =!= col("src"))
@@ -137,11 +162,17 @@ object Dedup {
         .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     // MinHash is the most expensive pair source; callers composing
     // dedup into a larger pipeline can run on exact+SimHash alone.
-    val pairs =
-      if (includeMinhash)
-        basePairs.unionAll(minhashPairsRaw(spark, dir)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      else basePairs
+    if (includeMinhash)
+      basePairs.unionAll(minhashPairsRaw(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    else basePairs
+  }
+
+  /** Verdict over a PRECOMPUTED (src, dst) duplicate-pair table —
+    * the reuse entry point for pipelines that persist the pair table
+    * (see [[dupPairs]]) and consume the verdict several times. */
+  def dupClusters(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val comp = graft.graph.ConnectedComponentsDF.run(spark, pairs)
       .select(col("vertex").as("doc_id"), col("component"))
     Tables.documents(spark, dir).select(col("doc_id"))
@@ -155,11 +186,19 @@ object Dedup {
   /** Exact n-gram Jaccard (e4-scaled) computed only on LSH candidate
     * pairs — the verify stage after MinHash candidate generation. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir)
-    val pairs = candidatePairs(sigs)
+    // Shingle ONCE: the checkpointed (doc_id, shingles) table serves
+    // both the signature/banding branch and the two exact-Jaccard
+    // fetch joins — without it the documents scan + shingling reruns
+    // up to 4× (banding sides + both joins). Signatures derive from
+    // the checkpointed arrays, so MinHashSig never re-shingles.
     val shingled = Tables.documents(spark, dir)
       .select(col("doc_id"),
         array_distinct(TF.wordShingles(col("text"), 3)).as("sh"))
+      .localCheckpoint(true)
+    val sigs = shingled
+      .select(col("doc_id"), TF.minhashSignature(col("sh"), MinhashK).as("sig"))
+      .localCheckpoint(true)
+    val pairs = candidatePairs(sigs)
     pairs
       .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

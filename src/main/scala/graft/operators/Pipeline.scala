@@ -18,14 +18,23 @@ object Pipeline {
     * survivor per duplicate cluster.
     *
     * Gates (tunable): ≥ `minTokens` whitespace tokens, ≥ 50% alpha
-    * characters, predicted language "en". Dedup verdict from
+    * characters, predicted language "en". Duplicate clusters from
     * [[Dedup.dupClusters]] on exact + SimHash pairs (the cheap pair
-    * sources — MinHash adds recall but triples pair-source cost; at
-    * 100 TB you run it once and persist, not per downstream read).
+    * sources — MinHash adds recall but triples pair-source cost);
+    * pass `precomputedPairs` to reuse a persisted [[Dedup.dupPairs]]
+    * table — at 100 TB you build the pair table once and fan it out,
+    * not recompute it per downstream read.
+    *
+    * Gate FIRST, then pick one survivor per duplicate cluster AMONG
+    * the gate-passing members (min doc_id): choosing the survivor
+    * before gating would drop a whole cluster whenever its min-id
+    * member happens to fail a gate, silently losing content that has
+    * a perfectly good gate-passing duplicate.
     *
     * Output: (doc_id, n_tokens, n_chars) of kept documents. */
   def cleanCorpus(spark: SparkSession, dir: String,
-      minTokens: Int = 10): DataFrame = {
+      minTokens: Int = 10,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
     val t = col("text")
     val metrics = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -37,11 +46,18 @@ object Pipeline {
       .filter(col("pred_lang") === "en")
       .filter(col("n_tokens") >= minTokens)
       .filter(col("n_alpha") * 2 >= col("n_chars"))
-    val survivors = Dedup.dupClusters(spark, dir, includeMinhash = false)
-      .filter(col("is_survivor"))
-      .select(col("doc_id"))
+    val pairs = precomputedPairs.getOrElse(
+      Dedup.dupPairs(spark, dir, includeMinhash = false))
+    val clusters = Dedup.dupClusters(spark, dir, pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    // Survivor = min doc_id among the cluster's GATED members; the
+    // shuffle carries only (id, id, counters) — no text.
+    import org.apache.spark.sql.expressions.Window
     gated
-      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(clusters, Seq("doc_id"))
+      .withColumn("survivor",
+        min(col("doc_id")).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("doc_id") === col("survivor"))
       .select(col("doc_id"), col("n_tokens"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -71,8 +87,12 @@ object Pipeline {
     * one-partition window (the classic 100 TB bottleneck), so docs
     * are hashed into `shards` independent streams and each shard
     * packs with its own running token count; `seq_id` encodes
-    * (shard, position). All windows run in parallel, one shuffle on
-    * the shard key. Documents may straddle a budget boundary — the
+    * (shard, position) collision-free as `seq_index * shards + shard`
+    * — an interleaved encoding with no per-shard capacity, so a
+    * hot shard can exceed any fixed sequence count without aliasing
+    * into a neighbor's id space. All windows run in parallel, one
+    * shuffle on the shard key. Documents may straddle a budget
+    * boundary — the
     * consumer truncates or spills to the next sequence, which is the
     * standard trade against a bin-packing pass that cannot be
     * expressed as a parallel scan. */
@@ -88,8 +108,8 @@ object Pipeline {
     docs
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("n_tokens"),
-        (col("shard") * lit(1000000L) +
-          floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).cast("long"))
+        (floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).cast("long")
+          * lit(shards.toLong) + col("shard"))
           .as("seq_id"))
       .orderBy(col("doc_id"))
   }

@@ -40,6 +40,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Append per-query recall@k vs the exact top-k, computed in-query
+    * over the same bounded query set — retrieval quality rides the
+    * driver's row/hash check instead of living only in ScalaTest. At
+    * scale this is the standard sampled-query recall probe: the exact
+    * side is one corpus scan against `QueryLimit` broadcast queries,
+    * the same cost shape as the ANN query itself. */
+  private def withRecall(spark: SparkSession, dir: String, ann: DataFrame): DataFrame = {
+    val exact = cosineTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val w = Window.partitionBy(col("query_id"))
+    ann.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .withColumn("recall_e2", (sum(col("hit")).over(w) * 100L / TopK).cast("long"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim_e4"),
+        col("recall_e2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val LshBands = 8
   val LshRows = 2
 
@@ -71,11 +89,11 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("sim") * 1e4).cast("long").as("sim_e4"))
-      .orderBy(col("query_id"), col("rank"))
+    withRecall(spark, dir,
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim") * 1e4).cast("long").as("sim_e4")))
   }
 
   val IvfCells = 16
@@ -143,11 +161,11 @@ object Similarity {
         cosine(col("q_emb"), col("embedding")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("sim") * 1e4).cast("long").as("sim_e4"))
-      .orderBy(col("query_id"), col("rank"))
+    withRecall(spark, dir,
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim") * 1e4).cast("long").as("sim_e4")))
   }
 
   /** Embedding near-duplicate pairs: banded sign-LSH candidates,

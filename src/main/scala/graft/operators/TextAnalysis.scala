@@ -13,7 +13,12 @@ object TextAnalysis {
 
   /** Token + char counts per document. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    tokenCountsOf(Tables.documents(spark, dir))
+
+  /** Token + char counts over any (doc_id, text) DataFrame — the
+    * source-agnostic form (parquet, JSON, streaming all feed it). */
+  def tokenCountsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         size(TF.tokens(col("text"))).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"))
@@ -77,6 +82,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
+
+  /** Per-document TF-IDF top terms: tf · ln(N/df), top `topN` per doc.
+    * Two aggregations (doc-term tf, term df) + one token-keyed join —
+    * every shuffle key is a token or (doc, token), never text bodies.
+    * Ranking happens on the e4-ROUNDED score so the window order is
+    * integer-deterministic across engines (raw doubles could tie-flip
+    * on the last ulp between libm implementations); N comes from a
+    * parquet metadata-only count. */
+  def tfidf(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = Tables.documents(spark, dir).count()
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .withColumn("tfidf_e4",
+        round(col("tf") * log(lit(n.toDouble) / col("df")) * 1e4).cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_e4").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf_e4"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 
   /** Corpus bigram frequencies (word 2-gram shingles), top-25. */
   def topBigrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame =

@@ -43,6 +43,22 @@ class GraftGraphSpec extends AnyFunSuite {
     assert(comm("alice") != comm("xavier"))
   }
 
+  test("explicit landmarks on a string-id graph are given as labels") {
+    val names = Seq(
+      ("alice", "bob", 1.0), ("bob", "carol", 1.0), ("carol", "dave", 1.0))
+      .toDF("src", "dst", "weight")
+    val g = GraftGraph(spark, names)
+    val sp = g.shortestPaths(Seq("alice")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // landmark column decodes back to the label; distances are hops
+    // from "alice" regardless of what dense id it was encoded to.
+    val dist = sp.map { case (v, l, d) => assert(l == "alice"); v -> d }.toMap
+    assert(dist == Map("alice" -> 0L, "bob" -> 1L, "carol" -> 2L, "dave" -> 3L), sp.toString)
+    // unknown labels fail loudly instead of selecting arbitrary vertices
+    val err = intercept[IllegalArgumentException](g.shortestPaths(Seq("nobody")))
+    assert(err.getMessage.contains("nobody"))
+  }
+
   test("string-id edge list file reads and analyzes end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_strids")
     val f = dir.resolve("edges.tsv")

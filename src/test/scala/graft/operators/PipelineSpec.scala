@@ -83,6 +83,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall (${(exact & ann).size}/${exact.size})")
   }
 
+  test("ann queries emit recall@10 matching brute-force ground truth") {
+    // The recall_e2 column the DRIVER sees must equal the recall a
+    // spec computes against the exact top-k — retrieval quality is
+    // part of the query output, not just a test-side number.
+    val exactByQ = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (ann <- Seq(Similarity.annLshTopK(spark, sf).collect(),
+                    Similarity.annIvfTopK(spark, sf).collect())) {
+      ann.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+        val hits = rows.count(r => exactByQ(q).contains(r.getLong(1)))
+        val expected = hits * 100L / Similarity.TopK
+        rows.foreach { r =>
+          assert(r.getLong(4) == expected,
+            s"query $q: recall_e2 ${r.getLong(4)} != computed $expected")
+        }
+      }
+    }
+  }
+
   test("embedDup finds most exact cosine>=0.4 pairs via LSH") {
     val emb = graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
@@ -119,6 +139,52 @@ class PipelineSpec extends AnyFunSuite {
     assert((4L to 6L).forall(got(_)._1 == 4L), s"cluster B expected: $got")
     assert(got(7L) == (7L, true))
     assert((1L to 7L).filter(got(_)._2) == Seq(1L, 4L, 7L), s"survivors: $got")
+  }
+
+  test("dupClusters pairs-overload equals the self-computing path") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, base + " x1 x2"),
+      (4L, (500 to 560).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupov").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val self = Dedup.dupClusters(spark, dir).collect().map(_.toSeq)
+    // The 100 TB contract: compute the pair table once, persist it,
+    // and feed the verdict from the precomputed table.
+    val pairs = Dedup.dupPairs(spark, dir).localCheckpoint(true)
+    val reused = Dedup.dupClusters(spark, dir, pairs).collect().map(_.toSeq)
+    assert(self.toSeq == reused.toSeq)
+  }
+
+  test("cleanCorpus picks the survivor among gate-PASSING cluster members") {
+    // Cluster {1, 2}: min-id member 1 is German (fails the language
+    // gate); 2 is good English. Pre-fix, survivor = 1 was chosen
+    // before gating, so the whole cluster's content vanished; now 2
+    // must survive. The pair comes in via the precomputed-pairs
+    // overload so the cluster link is deterministic.
+    val docs = Seq(
+      (1L, ("der Hund ist nicht mit der Katze und das ist gut " * 4).trim),
+      (2L, ("the cat and the dog are in the house and " * 4).trim))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Seq((1L, 2L)).toDF("src", "dst")
+    val kept = Pipeline.cleanCorpus(spark, dir, precomputedPairs = Some(pairs))
+      .collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(2L), s"kept: ${kept.mkString(",")}")
+  }
+
+  test("cleanCorpus precomputed-pairs path equals the self-computing path") {
+    val goodEn = ("the cat and the dog are in the house and " * 4).trim
+    val docs = Seq((1L, goodEn), (2L, goodEn),
+      (3L, ("it is a good day for all of us here and there " * 4).trim))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cleanov").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val self = Pipeline.cleanCorpus(spark, dir).collect().map(_.toSeq)
+    val pairs = Dedup.dupPairs(spark, dir, includeMinhash = false)
+    val reused = Pipeline.cleanCorpus(spark, dir, precomputedPairs = Some(pairs))
+      .collect().map(_.toSeq)
+    assert(self.toSeq == reused.toSeq)
   }
 
   test("cleanCorpus keeps quality English survivors only") {
