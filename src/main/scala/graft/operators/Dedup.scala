@@ -58,8 +58,13 @@ object Dedup {
     * scanned and hashed exactly once per query. On a cluster,
     * `persist(DISK_ONLY)` or `checkpoint()` is the durable
     * equivalent. */
-  private def minhashPairsRaw(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir).localCheckpoint(true)
+  private def minhashPairsRaw(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsFrom(signatures(spark, dir).localCheckpoint(true))
+
+  /** MinHash banded pairs over a prepared (doc_id, sig) table —
+    * `sigs` must already be materialized (checkpointed/persisted):
+    * it feeds the banded explode plus both signature-fetch joins. */
+  private def minhashPairsFrom(sigs: DataFrame): DataFrame = {
     val pairs = candidatePairs(sigs)
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
@@ -92,11 +97,6 @@ object Dedup {
     simhashPairsRaw(spark, dir, maxHamming).orderBy(col("doc_a"), col("doc_b"))
 
   private def simhashPairsRaw(spark: SparkSession, dir: String, maxHamming: Int): DataFrame = {
-    // 8 bands of 8 bits give the pigeonhole recall guarantee only up
-    // to Hamming distance 7 (one band must then be untouched); past
-    // that, qualifying pairs would be silently missed.
-    require(maxHamming <= 7,
-      s"simhashPairs: 8x8-bit banding guarantees recall only for maxHamming <= 7, got $maxHamming")
     // fps feeds both sides of the band self-join; checkpoint the
     // (doc_id, fp) table — 16 bytes/row — so the documents scan +
     // tokenize + SimHash runs once, not once per join side.
@@ -104,6 +104,18 @@ object Dedup {
       .select(col("doc_id"),
         CatalystText.simhash64(TF.tokens(col("text"))).as("fp"))
       .localCheckpoint(true)
+    simhashPairsFrom(fps, maxHamming)
+  }
+
+  /** SimHash banded pairs over a prepared (doc_id, fp) table —
+    * `fps` must already be materialized (checkpointed/persisted):
+    * it feeds both sides of the band self-join. */
+  private def simhashPairsFrom(fps: DataFrame, maxHamming: Int): DataFrame = {
+    // 8 bands of 8 bits give the pigeonhole recall guarantee only up
+    // to Hamming distance 7 (one band must then be untouched); past
+    // that, qualifying pairs would be silently missed.
+    require(maxHamming <= 7,
+      s"simhashPairs: 8x8-bit banding guarantees recall only for maxHamming <= 7, got $maxHamming")
     val bands = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("fp"), b * 8).bitwiseAND(lit(0xffL)).as("key"))
@@ -148,23 +160,37 @@ object Dedup {
     * once and reuse, not recompute per read. */
   def dupPairs(spark: SparkSession, dir: String,
       includeMinhash: Boolean = true): DataFrame = {
-    // byHash feeds both the group-mins and the pair join — checkpoint
-    // the (doc_id, md5) table so the text is scanned/hashed once.
-    val byHash = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("h"))
+    // ONE corpus scan computes every per-document signature the pair
+    // sources need — md5, SimHash fingerprint and (optionally) the
+    // MinHash signature — checkpointed together, so the text is read,
+    // tokenized and shingled exactly once however many pair sources
+    // consume it. At 100 TB this is the difference between one pass
+    // over the corpus and three.
+    val sigCols = Seq(
+      col("doc_id"),
+      md5(col("text")).as("h"),
+      CatalystText.simhash64(TF.tokens(col("text"))).as("fp")) ++
+      (if (includeMinhash)
+        Seq(TF.minhashSignature(
+          array_distinct(TF.wordShingles(col("text"), 3)), MinhashK).as("sig"))
+      else Nil)
+    val base = Tables.documents(spark, dir)
+      .select(sigCols: _*)
       .localCheckpoint(true)
+    val byHash = base.select(col("doc_id"), col("h"))
     val mins = byHash.groupBy(col("h")).agg(min(col("doc_id")).as("src"))
     val exactPairs = byHash.join(mins, Seq("h"))
       .filter(col("doc_id") =!= col("src"))
       .select(col("src"), col("doc_id").as("dst"))
     val basePairs = exactPairs
-      .unionAll(simhashPairsRaw(spark, dir, maxHamming = 7)
+      .unionAll(simhashPairsFrom(base.select(col("doc_id"), col("fp")), maxHamming = 7)
         .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     // MinHash is the most expensive pair source; callers composing
     // dedup into a larger pipeline can run on exact+SimHash alone.
     if (includeMinhash)
-      basePairs.unionAll(minhashPairsRaw(spark, dir)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      basePairs.unionAll(
+        minhashPairsFrom(base.select(col("doc_id"), col("sig")))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     else basePairs
   }
 

@@ -93,10 +93,15 @@ object TextAnalysis {
   def tfidf(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = Tables.documents(spark, dir).count()
+    // The doc-term table feeds BOTH the df aggregation and the score
+    // join; checkpoint it so the corpus is scanned/exploded once (the
+    // alternative is two full scans — Catalyst can't reuse the
+    // subtree because the two branches aggregate differently).
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("token"))
       .withColumn("tfidf_e4",
