@@ -61,6 +61,8 @@ object SparkEntry {
       GraphOps.degrees(graft.sources.EdgeListSource.readCanonical(s, out))
         .orderBy(col("vertex"))
     }),
+    "g_degree_hist" -> ((s, d) =>
+      GraphOps.degreeHistogram(GraphBuilder.supplierCoEdges(s, d))),
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_filter_proj" -> ((s, d) => Relational.q2FilterProj(s, d)),
     "q3_topn_join" -> ((s, d) => Relational.q3TopnJoin(s, d)),
@@ -74,6 +76,8 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
+    "q_lag_delta" -> ((s, d) => Relational.qLagDelta(s, d)),
+    "q_collect_set" -> ((s, d) => Relational.qCollectSet(s, d)),
     "q_percentiles" -> ((s, d) => Relational.qPercentiles(s, d)),
     "q_histogram" -> ((s, d) => Relational.qHistogram(s, d)),
     "q_range_window" -> ((s, d) => Relational.qRangeWindow(s, d)),
@@ -118,6 +122,8 @@ object SparkEntry {
     "p_stratified" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "p_chunks" -> ((s, d) => Pipeline.chunkDocs(s, d)),
     "p_pack" -> ((s, d) => Pipeline.packSequences(s, d)),
+    "p_source_mix" -> ((s, d) => Pipeline.sourceMix(s, d)),
+    "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -132,6 +138,7 @@ object SparkEntry {
     "t_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "t_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     // JSON source under the oracle: documents round-trip through
     // newline-delimited JSON (write once per SF dir), then the same
     // token counts as t_tokens — proving the JSON read path
@@ -194,6 +201,16 @@ object SparkEntry {
         |  UNION ALL SELECT dst AS vertex, weight FROM e)
         |SELECT vertex, count(*) AS degree, round(sum(weight), 2) AS wdegree
         |FROM ends GROUP BY vertex ORDER BY vertex""".stripMargin,
+    "g_degree_hist" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |ends AS (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e),
+        |deg AS (SELECT vertex, count(*) AS degree FROM ends GROUP BY vertex)
+        |SELECT degree, count(*) AS n_vertices
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
     "g_triangles" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
@@ -325,6 +342,19 @@ object SparkEntry {
         |FROM gapped
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "q_lag_delta" ->
+      """SELECT user_id, event_id,
+        |  CAST(coalesce(CAST(floor(epoch(ts)) AS BIGINT)
+        |    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT), 0) AS BIGINT) AS gap_s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_collect_set" ->
+      """WITH d AS (SELECT DISTINCT c_mktsegment, o_orderstatus
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM d GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -460,6 +490,40 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |  CAST(CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) * 32 + shard AS BIGINT) AS seq_id
         |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    "t_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks),
+        |occ AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram,
+        |    t[i] AS w1 FROM idx),
+        |bi AS (SELECT bigram, count(*) AS b FROM occ GROUP BY 1),
+        |uni AS (SELECT w1, count(*) AS u FROM occ GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(round(ln(CAST(b AS DOUBLE) / u) * 10000) AS BIGINT)) AS BIGINT)
+        |    AS logprob_e4
+        |FROM occ JOIN bi USING (bigram) JOIN uni USING (w1)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "p_source_mix" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents
+        |GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+    "p_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |    unnest(range(0, greatest(len(t) - 8, 0) + 1)) AS i FROM toks),
+        |sh AS (SELECT doc_id,
+        |    array_to_string(t[i + 1:least(i + 8, len(t))], ' ') AS ng FROM idx),
+        |bench AS (SELECT DISTINCT md5(ng) AS h FROM sh WHERE doc_id % 20 = 0),
+        |corp AS (SELECT DISTINCT doc_id, md5(ng) AS h FROM sh WHERE doc_id % 20 <> 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM corp JOIN bench USING (h)
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "t_pii" ->
       """SELECT doc_id,

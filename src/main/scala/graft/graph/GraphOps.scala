@@ -24,6 +24,15 @@ object GraphOps {
       .agg(count(lit(1)).as("degree"), round(sum(col("weight")), 2).as("wdegree"))
   }
 
+  /** Degree distribution: vertex counts per degree — the standard
+    * first look at a graph's shape (power-law tails = skew planning).
+    * Two map-side-combined aggregations, output is histogram-sized. */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    degrees(edges)
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_vertices"))
+      .orderBy(col("degree"))
+
   /** Global triangle count over a canonical (src<dst) edge list via
     * a 3-way self-join: for edges (a,b),(b,c) probe (a,c). Each
     * triangle a<b<c is counted exactly once. Distributed joins — no

@@ -114,6 +114,43 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Training-mix dashboard: document/token/char totals per
+    * (source, lang) stratum — the numbers a curation run reports
+    * before and after gating. One map-side-combined aggregation;
+    * token counting stays in the scan projection. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TF.tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .orderBy(col("source"), col("lang"))
+
+  /** Benchmark decontamination: count, per corpus document, the
+    * distinct word `n`-grams it shares with a benchmark set (here the
+    * deterministic stand-in doc_id % 20 == 0 — in production the
+    * eval suites). The join key is md5(ngram), so the shuffle carries
+    * fixed-width hashes instead of raw n-gram text; the benchmark
+    * side is distinct-ed and small (eval suites are KBs against a
+    * 100 TB corpus), so Catalyst broadcasts it and the corpus never
+    * shuffles. Documents with zero overlap drop out (the common case
+    * — the output is the contamination report, not the corpus). */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(20L)) === 0)
+      .select(explode(TF.wordShingles(col("text"), n)).as("ng"))
+      .select(md5(col("ng")).as("h"))
+      .distinct()
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
+      .select(col("doc_id"),
+        explode(array_distinct(TF.wordShingles(col("text"), n))).as("ng"))
+      .select(col("doc_id"), md5(col("ng")).as("h"))
+    corpus.join(bench, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic stratified sample over a keyed column — the
     * training-mix control knob (e.g. rebalance languages). Bernoulli
     * per-stratum sampling with a fixed seed: reproducible for a fixed

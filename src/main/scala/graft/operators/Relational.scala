@@ -370,6 +370,32 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Lag window: whole seconds since the user's previous event (0
+    * for the first). One window shuffle on user_id; epoch-floored
+    * arithmetic keeps the delta integer-stable across engines. */
+  def qLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        coalesce(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")), lit(0L))
+          .as("gap_s"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Set aggregation: the sorted distinct order statuses per market
+    * segment, joined to one string — `collect_set` + `sort_array`
+    * makes the inherently unordered set deterministic for compare. */
+  def qCollectSet(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+        .as("statuses"))
+      .orderBy(col("c_mktsegment"))
+
   /** Sessionization: 30-minute-gap sessions per user via lag window,
     * then sessions-per-user counts. */
   def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {

@@ -115,6 +115,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Corpus bigram language-model score per document: for every
+    * bigram occurrence, ln P(w2|w1) = ln(B(w1 w2) / Σ_w B(w1 w))
+    * with counts from the corpus itself — a fluency/quality signal
+    * (gibberish scores far below prose). Per-occurrence scores are
+    * e4-rounded BEFORE the per-document sum so the result is an
+    * integer sum, immune to float accumulation order across engines.
+    * The occurrence table is checkpointed: it feeds the bigram
+    * counts, the prefix counts and the score join — one corpus scan.
+    * Single-token documents have no bigrams and drop out (inner
+    * semantics, mirrored by the oracle). */
+  def bigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.wordShingles(col("text"), 2)).as("bigram"))
+      .filter(col("bigram").contains(" "))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .localCheckpoint(true)
+    val bi = occ.groupBy(col("bigram")).agg(count(lit(1)).as("b"))
+    val uni = occ.groupBy(col("w1")).agg(count(lit(1)).as("u"))
+    occ.join(bi, Seq("bigram"))
+      .join(uni, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(log(col("b").cast("double") / col("u")) * 1e4).cast("long"))
+          .as("logprob_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus bigram frequencies (word 2-gram shingles), top-25. */
   def topBigrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
     Tables.documents(spark, dir)
