@@ -139,6 +139,23 @@ object SparkEntry {
     "t_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
+    // Partitioned parquet write + partition-pruned read under the
+    // oracle: events land partitioned by event_type (write once per
+    // SF dir), the query filters one partition — the scan must show
+    // PartitionFilters, not a full-table read (PLANS.md) — and
+    // aggregates per user.
+    "src_partition_prune" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count => fcount, lit => flit, round => fround, sum => fsum}
+      val out = "/tmp/graft_events_part_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(out + "/_SUCCESS").exists())
+        Tables.events(s, d).select(col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(fcount(flit(1)).as("n"), fround(fsum(col("value")), 2).as("sum_value"))
+        .orderBy(col("user_id"))
+    }),
     // JSON source under the oracle: documents round-trip through
     // newline-delimited JSON (write once per SF dir), then the same
     // token counts as t_tokens — proving the JSON read path
@@ -461,6 +478,12 @@ object SparkEntry {
         |SELECT doc_id, token, tf, df, tfidf_e4, rank FROM ranked
         |WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    "src_partition_prune" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "src_json_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

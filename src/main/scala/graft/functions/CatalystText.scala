@@ -139,10 +139,15 @@ case class MinHashSig(child: Expression, k: Int)
   * (double accumulation; float elements promote exactly, matching
   * the `zip_with`/`aggregate` composition and the DuckDB oracle
   * bit-for-bit). Used on the bucket-join hot path where interpreted
-  * lambda evaluation would dominate. */
+  * lambda evaluation would dominate — so unlike the per-document
+  * fingerprint expressions (which ride CodegenFallback at the tail
+  * of projections), this one implements doGenCode: the loop compiles
+  * into the enclosing WholeStageCodegen stage instead of paying an
+  * interpreted eval call + boxing per candidate pair. */
 case class CosineSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   // Analysis-time type check: a bad column type fails when the plan
@@ -176,6 +181,36 @@ case class CosineSim(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val anyNull = ctx.freshName("anyNull")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val getX = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |  final double $x = $getX;
+         |  final double $y = $getY;
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
 }
