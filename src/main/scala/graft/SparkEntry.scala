@@ -78,6 +78,8 @@ object SparkEntry {
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
     "q_lag_delta" -> ((s, d) => Relational.qLagDelta(s, d)),
     "q_collect_set" -> ((s, d) => Relational.qCollectSet(s, d)),
+    "q_ntile" -> ((s, d) => Relational.qNtile(s, d)),
+    "q_dateparts" -> ((s, d) => Relational.qDateparts(s, d)),
     "q_percentiles" -> ((s, d) => Relational.qPercentiles(s, d)),
     "q_histogram" -> ((s, d) => Relational.qHistogram(s, d)),
     "q_range_window" -> ((s, d) => Relational.qRangeWindow(s, d)),
@@ -179,6 +181,7 @@ object SparkEntry {
     "s_stream_join" -> ((s, d) => graft.streaming.StreamingOps.streamStreamJoin(s, d)),
     "s_stream_sessionize" -> ((s, d) => graft.streaming.StreamingOps.streamSessionize(s, d)),
     "s_stream_dedup" -> ((s, d) => graft.streaming.StreamingOps.streamDedup(s, d)),
+    "s_stream_clean" -> ((s, d) => graft.streaming.StreamingOps.streamClean(s, d)),
   )
 
   /** DuckDB-runnable SQL oracle per query (same aliases, same
@@ -372,6 +375,26 @@ object SparkEntry {
         |SELECT c_mktsegment,
         |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
         |FROM d GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_ntile" ->
+      """WITH t AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(ntile(4) OVER w AS INT) AS quartile,
+        |    CAST(round(percent_rank() OVER w * 10000) AS BIGINT) AS pr_e4
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice, o_orderkey))
+        |SELECT c_mktsegment, quartile, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(max(pr_e4) AS BIGINT) AS max_pr_e4
+        |FROM t GROUP BY c_mktsegment, quartile
+        |ORDER BY c_mktsegment, quartile""".stripMargin,
+    "q_dateparts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(month(o_orderdate) AS INT) AS o_month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_year, o_month""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -653,6 +676,14 @@ object SparkEntry {
         |ORDER BY hour, event_type""".stripMargin,
     "s_stream_dedup" ->
       """SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h""".stripMargin,
+    // Streaming gates + dedup ≡ batch distinct-over-gated: emitting
+    // hashes keeps the result arrival-order independent.
+    "s_stream_clean" ->
+      """SELECT DISTINCT md5(text) AS h FROM documents
+        |WHERE lang = 'en'
+        |  AND len(regexp_split_to_array(trim(text), '\s+')) >= 10
+        |  AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 2 >= length(text)
+        |ORDER BY h""".stripMargin,
     // Inner interval joins emit every match exactly once → equals the
     // batch join. µs arithmetic mirrors Spark's timestamp precision.
     "s_stream_join" ->

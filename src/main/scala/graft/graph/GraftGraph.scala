@@ -48,6 +48,7 @@ final class GraftGraph private (
     }
 
   def degrees(): DataFrame = decode(GraphOps.degrees(edges), Seq("vertex"))
+  def degreeHistogram(): DataFrame = GraphOps.degreeHistogram(edges)
   def triangleCount(): DataFrame = GraphOps.triangleCount(edges)
   def clusteringCoefficients(): DataFrame =
     decode(GraphOps.clusteringCoefficients(edges), Seq("vertex"))

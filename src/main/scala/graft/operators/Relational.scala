@@ -396,6 +396,35 @@ object Relational {
         .as("statuses"))
       .orderBy(col("c_mktsegment"))
 
+  /** ntile + percent_rank windows: orders bucketed into price
+    * quartiles per segment (unique (price, orderkey) sort key keeps
+    * tile edges deterministic), then per-quartile totals with the
+    * max e4-scaled percent_rank as a cross-engine float check. */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr_e4", round(percent_rank().over(w) * 1e4).cast("long"))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        max(col("pr_e4")).as("max_pr_e4"))
+      .orderBy(col("c_mktsegment"), col("quartile"))
+  }
+
+  /** Temporal extraction: order counts + revenue per (year, month)
+    * of the order date — calendar functions under the oracle. */
+  def qDateparts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("o_year"), col("o_month"))
+
   /** Sessionization: 30-minute-gap sessions per user via lag window,
     * then sessions-per-user counts. */
   def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {

@@ -101,6 +101,37 @@ object StreamingOps {
     spark.table(name).orderBy(col("h"))
   }
 
+  /** Streaming corpus cleaning: quality gates (stateless projections
+    * — they pipeline with the stream scan) feeding streaming exact
+    * dedup, the continuous-ingest form of the batch curation
+    * pipeline. State is one md5 per distinct clean document; emitting
+    * hashes (not first-seen doc ids) keeps the output independent of
+    * micro-batch arrival order, which is what lets a batch SQL oracle
+    * check a streaming query exactly. */
+  def streamClean(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val gated = docs
+      .withColumn("n_tokens", size(graft.functions.TextFunctions.tokens(col("text"))))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^A-Za-z]", "")))
+      .filter(col("lang") === "en" &&
+        col("n_tokens") >= 10 && col("n_alpha") * 2 >= length(col("text")))
+      .select(md5(col("text")).as("h"))
+      .dropDuplicates("h")
+    val name = "graft_stream_clean"
+    val q = gated.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("h"))
+  }
+
   /** Stream-stream interval join: each purchase joins the same
     * user's views from the preceding 30 minutes. Both sides carry
     * watermarks and the join condition bounds event-time distance, so
