@@ -80,6 +80,8 @@ object SparkEntry {
     "q_collect_set" -> ((s, d) => Relational.qCollectSet(s, d)),
     "q_ntile" -> ((s, d) => Relational.qNtile(s, d)),
     "q_dateparts" -> ((s, d) => Relational.qDateparts(s, d)),
+    "q_outer_join" -> ((s, d) => Relational.qOuterJoin(s, d)),
+    "q_intersect" -> ((s, d) => Relational.qIntersect(s, d)),
     "q_percentiles" -> ((s, d) => Relational.qPercentiles(s, d)),
     "q_histogram" -> ((s, d) => Relational.qHistogram(s, d)),
     "q_range_window" -> ((s, d) => Relational.qRangeWindow(s, d)),
@@ -375,6 +377,20 @@ object SparkEntry {
         |SELECT c_mktsegment,
         |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
         |FROM d GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_outer_join" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT c_custkey) AS n_cust,
+        |  count(o_orderkey) AS n_orders,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orderless
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000.0
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
     "q_ntile" ->
       """WITH t AS (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,

@@ -396,6 +396,31 @@ object Relational {
         .as("statuses"))
       .orderBy(col("c_mktsegment"))
 
+  /** Outer join with null accounting: every customer kept, orders
+    * optional — count(order) skips nulls, the conditional sum counts
+    * order-less customers. The unmatched-row semantics are exactly
+    * what the oracle pins. */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_custkey")).as("n_cust"),
+        count(col("o_orderkey")).as("n_orders"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_orderless"))
+      .orderBy(col("c_mktsegment"))
+
+  /** INTERSECT (distinct) — the remaining set operation next to
+    * q_setops' UNION + EXCEPT. */
+  def qIntersect(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("c_custkey"))
+      .intersect(Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey")))
+      .orderBy(col("c_custkey"))
+
   /** ntile + percent_rank windows: orders bucketed into price
     * quartiles per segment (unique (price, orderkey) sort key keeps
     * tile edges deterministic), then per-quartile totals with the

@@ -263,6 +263,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate flags planted benchmark 8-gram overlap only") {
+    // doc 20 is in the benchmark partition (doc_id % 20 == 0); doc 21
+    // embeds an exact 8-token window of it; doc 22 shares nothing.
+    val benchText = (1 to 30).map(i => s"bm$i").mkString(" ")
+    val leaked = "intro words " + (5 to 12).map(i => s"bm$i").mkString(" ") + " outro"
+    val clean = (100 to 130).map(i => s"c$i").mkString(" ")
+    val docs = Seq((20L, benchText), (21L, leaked), (22L, clean))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(21L), s"contaminated set: $got")
+    assert(got(21L) == 1L, s"doc 21 shares exactly one distinct 8-gram: $got")
+  }
+
   test("piiScan counts and redacts planted emails, urls, phone numbers") {
     val text = "mail a@b.co and c.d@e-f.org or visit https://x.y/z?q=1 " +
       "call +1 (555) 123-4567 now"
