@@ -117,6 +117,7 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "d_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "d_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "d_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -601,6 +602,12 @@ object SparkEntry {
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin,
+    "d_incremental" ->
+      """SELECT doc_id FROM documents d
+        |WHERE doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM documents e
+        |  WHERE md5(e.text) = md5(d.text) AND e.doc_id < d.doc_id)
         |ORDER BY doc_id""".stripMargin,
     "e_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank,

@@ -209,6 +209,29 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental exact dedup — the production shape where a NEW batch
+    * lands against an already-deduped corpus. A new document (doc_id
+    * >= `splitId`) survives iff its content hash matches neither the
+    * existing corpus (anti-join against the old side's hash set — at
+    * scale, the persisted hash artifact of the previous run, not a
+    * rescan) nor an earlier document of its own batch
+    * (first-occurrence per hash within the batch). Only 16-byte
+    * hashes shuffle. */
+  def incrementalDedup(spark: SparkSession, dir: String,
+      splitId: Long = 250L): DataFrame = {
+    val byHash = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .localCheckpoint(true)
+    val oldHashes = byHash.filter(col("doc_id") < splitId)
+      .select(col("h")).distinct()
+    val firstInBatch = byHash.filter(col("doc_id") >= splitId)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    firstInBatch
+      .join(oldHashes, Seq("h"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard (e4-scaled) computed only on LSH candidate
     * pairs — the verify stage after MinHash candidate generation. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {

@@ -263,6 +263,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalDedup drops cross-batch and within-batch exact dups") {
+    // Old corpus: 1, 2. New batch (>= 250): 250 dups old doc 1 (drop),
+    // 251 is fresh (keep), 252 dups 251 within the batch (drop),
+    // 253 is fresh (keep).
+    val docs = Seq(
+      (1L, "old doc one"), (2L, "old doc two"),
+      (250L, "old doc one"), (251L, "brand new text"),
+      (252L, "brand new text"), (253L, "another new text"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = Dedup.incrementalDedup(spark, dir).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(251L, 253L), s"kept: ${kept.mkString(",")}")
+  }
+
   test("decontaminate flags planted benchmark 8-gram overlap only") {
     // doc 20 is in the benchmark partition (doc_id % 20 == 0); doc 21
     // embeds an exact 8-token window of it; doc 22 shares nothing.
