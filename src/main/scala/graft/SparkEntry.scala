@@ -8,6 +8,22 @@ import graft.graph.{GraphBuilder, GraphOps}
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
+  /** Write-once side output for the source round-trip queries
+    * (edge-list TSV, JSON, partitioned parquet). The cache key folds
+    * in the source table's length+mtime, so regenerated testdata
+    * invalidates stale copies instead of silently serving old data.
+    * The _SUCCESS guard is driver-local java.io — correct for this
+    * local-FS bench; a cluster deployment would key a shared-FS path
+    * the same way. */
+  private def cachedSideOutput(dir: String, table: String, kind: String)
+      (write: String => Unit): String = {
+    val src = new java.io.File(s"$dir/$table.parquet")
+    val key = java.lang.Long.toHexString(src.length() ^ src.lastModified())
+    val out = s"/tmp/graft_${kind}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$key"
+    if (!new java.io.File(out + "/_SUCCESS").exists()) write(out)
+    out
+  }
+
   /** Flagship: Louvain community detection on the supplier
     * co-occurrence graph at sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -55,9 +71,8 @@ object SparkEntry {
     // compute degrees so the whole ingest path sits under the
     // g_degree oracle.
     "g_from_file" -> ((s, d) => {
-      val out = "/tmp/graft_edgelist_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      if (!new java.io.File(out + "/_SUCCESS").exists())
-        graft.sources.EdgeListSource.write(GraphBuilder.supplierCoEdges(s, d), out)
+      val out = cachedSideOutput(d, "lineitem", "edgelist")(p =>
+        graft.sources.EdgeListSource.write(GraphBuilder.supplierCoEdges(s, d), p))
       GraphOps.degrees(graft.sources.EdgeListSource.readCanonical(s, out))
         .orderBy(col("vertex"))
     }),
@@ -151,10 +166,9 @@ object SparkEntry {
     // aggregates per user.
     "src_partition_prune" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count => fcount, lit => flit, round => fround, sum => fsum}
-      val out = "/tmp/graft_events_part_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      if (!new java.io.File(out + "/_SUCCESS").exists())
+      val out = cachedSideOutput(d, "events", "eventspart")(p =>
         Tables.events(s, d).select(col("user_id"), col("event_type"), col("value"))
-          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+          .write.mode("overwrite").partitionBy("event_type").parquet(p))
       s.read.parquet(out)
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
@@ -167,10 +181,9 @@ object SparkEntry {
     // value-identical to parquet.
     "src_json_tokens" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val out = "/tmp/graft_docs_json_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      if (!new java.io.File(out + "/_SUCCESS").exists())
+      val out = cachedSideOutput(d, "documents", "docsjson")(p =>
         Tables.documents(s, d).select(col("doc_id"), col("text"))
-          .write.mode("overwrite").json(out)
+          .write.mode("overwrite").json(p))
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType)))
       TextAnalysis.tokenCountsOf(s.read.schema(schema).json(out))

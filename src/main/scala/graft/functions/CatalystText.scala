@@ -159,9 +159,14 @@ case class CosineSim(left: Expression, right: Expression)
       s"cosine_sim requires array<float|double> inputs, got ${l.catalogString} / ${r.catalogString}")
   }
   override def nullable: Boolean = true
+  // Strict: paths that bypass the analyzer (direct construction,
+  // optimizer rules) must fail loudly, not reinterpret int bytes as
+  // doubles via getDouble.
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
-    case _ => false
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim requires array<float|double>, got ${other.catalogString}")
   }
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -234,9 +239,12 @@ case class L2Normalize(child: Expression)
       s"l2_normalize requires array<float|double> input, got ${other.catalogString}")
   }
   override def nullable: Boolean = true
+  // Strict for analyzer-bypassing paths, like CosineSim.
   private def elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case _ => false
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"l2_normalize requires array<float|double>, got ${other.catalogString}")
   }
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]

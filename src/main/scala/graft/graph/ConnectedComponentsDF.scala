@@ -76,13 +76,18 @@ object ConnectedComponentsDF {
     // signature collision that isn't a fixpoint just loops again,
     // so the heuristic can't produce a wrong answer. This replaces
     // the former count+exceptAll sort/compare of both edge sets
-    // EVERY round. (Σ may wrap on astronomic id sums — harmless:
-    // wrapping is deterministic and exceptAll still gates.)
-    def signature(df: DataFrame): (Long, Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(col("u")), sum(col("v"))).head()
+    // EVERY round. Sums accumulate in DECIMAL(38,0): long sums of
+    // 64-bit ids over trillions of edges overflow, and Spark 4's
+    // default ANSI mode turns that into ARITHMETIC_OVERFLOW rather
+    // than a wrap — decimal headroom (1e38) covers any realistic
+    // id·edge-count product.
+    def signature(df: DataFrame): (Long, BigDecimal, BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("u").cast("decimal(38,0)")),
+        sum(col("v").cast("decimal(38,0)"))).head()
       (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
+        if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
     }
     var curSig = signature(cur)
     var converged = curSig._1 == 0L

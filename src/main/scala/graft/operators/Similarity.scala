@@ -45,7 +45,10 @@ object Similarity {
     * driver's row/hash check instead of living only in ScalaTest. At
     * scale this is the standard sampled-query recall probe: the exact
     * side is one corpus scan against `QueryLimit` broadcast queries,
-    * the same cost shape as the ANN query itself. */
+    * the same cost shape as the ANN query itself. NOTE this makes
+    * each e_ann_* bench number = ANN path + one brute-force pass —
+    * deliberate (recall is part of the query contract); compare ANN
+    * path cost in isolation against e_cosine_topk's time. */
   private def withRecall(spark: SparkSession, dir: String, ann: DataFrame): DataFrame = {
     val exact = cosineTopK(spark, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
