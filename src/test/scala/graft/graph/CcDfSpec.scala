@@ -26,6 +26,19 @@ class CcDfSpec extends AnyFunSuite {
     assert(comps.values.toSet == Set((0L until n).toSet))
   }
 
+  test("survives Long.MaxValue-scale vertex ids (ANSI sum overflow regression)") {
+    // Snowflake/hash-scale ids: a raw long Σid signature would
+    // overflow under Spark 4 ANSI mode; the decimal accumulator must
+    // keep the run alive and correct.
+    val big = Long.MaxValue
+    val comps = components(Seq(
+      (big, big - 1L), (big - 1L, big - 2L),
+      (big - 10L, big - 11L)))
+    assert(comps.values.toSet ==
+      Set(Set(big, big - 1L, big - 2L), Set(big - 10L, big - 11L)))
+    assert(comps.keySet == Set(big - 2L, big - 11L))
+  }
+
   test("agrees with GraphX connected components on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
