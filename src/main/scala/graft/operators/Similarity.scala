@@ -109,6 +109,56 @@ object Similarity {
     * model pass, and search is a cell-key equi-join — the other
     * standard 100 TB ANN layout next to sign-LSH. Recall vs brute
     * force is spec-checked. */
+  /** Fit the IVF coarse quantizer and return its centroids — the
+    * artifact a production deployment persists once and reuses across
+    * every search (16×dim doubles: driver-scalar sized). Trains on a
+    * bounded seeded sample of unit-normalized vectors, exactly as the
+    * self-fitting query path does. */
+  def fitIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val normArr = graft.functions.CatalystText.l2_normalize(col("embedding"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(array_to_vector(normArr).as("features"))
+    val n = math.max(Tables.embeddings(spark, dir).count(), 1L)
+    val trainTarget = 100000L
+    val train = (if (n <= trainTarget) emb
+                 else emb.sample(withReplacement = false,
+                   trainTarget.toDouble / n, seed = 42L)).cache()
+    val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(10).fit(train)
+    train.unpersist(blocking = false)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** ANN top-k over a PRECOMPUTED quantizer — the reuse entry point:
+    * fit once ([[fitIvfCentroids]]), persist the (tiny) centroid
+    * array, search many times. Cell assignment becomes a pure
+    * projection against centroid literals (argmin of Euclidean
+    * distance on the unit sphere), so the search path never touches
+    * ML fitting at all. */
+  def annIvfTopK(spark: SparkSession, dir: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val normArr = graft.functions.CatalystText.l2_normalize(col("embedding"))
+    // Rank by TRUE Euclidean distance to each centroid, matching the
+    // model's assignment: for unit x, argmin |x−c|² = argmax
+    // (2·x·c − |c|²). Centroids are means of unit vectors, so their
+    // norms differ — plain cosine argmax would assign differently.
+    // x·c = cosine(x̂, c)·|c| since x is unit-normalized; |c| and
+    // |c|² fold into plan literals.
+    val simStructs = centroids.zipWithIndex.map { case (c, i) =>
+      val cCol = org.apache.spark.sql.functions.array(c.toSeq.map(lit): _*)
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((cosine(normArr, cCol) * lit(2.0 * cn) - lit(cn * cn)).as("sim"),
+        lit(i).as("cell"))
+    }
+    val assigned = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        element_at(reverse(array_sort(
+          org.apache.spark.sql.functions.array(simStructs: _*))), 1)
+          .getField("cell").as("cell"))
+    annIvfSearch(spark, dir, assigned, centroids)
+  }
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -141,12 +191,17 @@ object Similarity {
     train.unpersist(blocking = false)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    annIvfSearch(spark, dir, assigned, model.clusterCenters.map(_.toArray))
+  }
 
-    // Per-query probed cells: rank centroids by cosine against the
-    // (normalized-space) centroid literals — consistent with the
-    // Euclidean assignment above because both sides live on the unit
-    // sphere. Centroid arrays are plan constants: no shuffle.
-    val centroids = model.clusterCenters.map(_.toArray)
+  /** Probe + score over a cell-assigned corpus: queries rank the
+    * centroid literals by cosine (consistent with the Euclidean
+    * assignment — both sides live on the unit sphere; centroid
+    * arrays are plan constants, no shuffle), probe their `IvfProbes`
+    * nearest cells via a broadcast cell-key equi-join, and take
+    * per-query top-k with recall appended. */
+  private def annIvfSearch(spark: SparkSession, dir: String,
+      assigned: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val distStructs = centroids.zipWithIndex.map { case (c, i) =>
       val cCol = org.apache.spark.sql.functions.array(c.toSeq.map(lit): _*)
       struct(cosine(col("embedding"), cCol).as("sim"), lit(i).as("cell"))

@@ -45,6 +45,16 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
   }
 
+  test("IVF centroid-reuse path equals the self-fitting path") {
+    // Fit once, persist the (tiny) centroid array, search many times
+    // — the production deployment shape. Same seed → same quantizer →
+    // identical results to the self-fitting query.
+    val centroids = Similarity.fitIvfCentroids(spark, sf)
+    val reused = Similarity.annIvfTopK(spark, sf, centroids).collect().map(_.toSeq)
+    val selfFit = Similarity.annIvfTopK(spark, sf).collect().map(_.toSeq)
+    assert(reused.toSeq == selfFit.toSeq)
+  }
+
   test("IVF ANN achieves reasonable recall of brute-force top-10") {
     val exact = Similarity.cosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
