@@ -97,6 +97,8 @@ object SparkEntry {
     "q_dateparts" -> ((s, d) => Relational.qDateparts(s, d)),
     "q_outer_join" -> ((s, d) => Relational.qOuterJoin(s, d)),
     "q_intersect" -> ((s, d) => Relational.qIntersect(s, d)),
+    "q_multi_distinct" -> ((s, d) => Relational.qMultiDistinct(s, d)),
+    "q_having" -> ((s, d) => Relational.qHaving(s, d)),
     "q_percentiles" -> ((s, d) => Relational.qPercentiles(s, d)),
     "q_histogram" -> ((s, d) => Relational.qHistogram(s, d)),
     "q_range_window" -> ((s, d) => Relational.qRangeWindow(s, d)),
@@ -391,6 +393,21 @@ object SparkEntry {
         |SELECT c_mktsegment,
         |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
         |FROM d GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_multi_distinct" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderstatus) AS n_status,
+        |  count(DISTINCT year(o_orderdate)) AS n_years,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 10
+        |ORDER BY o_custkey""".stripMargin,
     "q_outer_join" ->
       """SELECT c_mktsegment,
         |  count(DISTINCT c_custkey) AS n_cust,

@@ -396,6 +396,29 @@ object Relational {
         .as("statuses"))
       .orderBy(col("c_mktsegment"))
 
+  /** Multiple count(DISTINCT) over different columns in one
+    * aggregation — Catalyst compiles this to an Expand (one replica
+    * per distinct set) + two-phase aggregate, the plan shape that
+    * keeps multi-distinct single-pass instead of self-joining. */
+  def qMultiDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  /** GROUP BY + HAVING (post-aggregation filter). */
+  def qHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .filter(col("n") >= 10)
+      .orderBy(col("o_custkey"))
+
   /** Outer join with null accounting: every customer kept, orders
     * optional — count(order) skips nulls, the conditional sum counts
     * order-less customers. The unmatched-row semantics are exactly
