@@ -145,6 +145,7 @@ object SparkEntry {
     "p_chunks" -> ((s, d) => Pipeline.chunkDocs(s, d)),
     "p_pack" -> ((s, d) => Pipeline.packSequences(s, d)),
     "p_source_mix" -> ((s, d) => Pipeline.sourceMix(s, d)),
+    "p_funnel" -> ((s, d) => Pipeline.curationFunnel(s, d)),
     "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
@@ -598,6 +599,21 @@ object SparkEntry {
         |FROM occ JOIN bi USING (bigram) JOIN uni USING (w1)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "p_funnel" ->
+      """SELECT count(*) AS n_raw,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        |  CAST(sum(CASE WHEN lang = 'en'
+        |    AND len(regexp_split_to_array(trim(text), '\s+')) >= 10
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_gate,
+        |  CAST(sum(CASE WHEN lang = 'en'
+        |    AND len(regexp_split_to_array(trim(text), '\s+')) >= 10
+        |    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 2 >= length(text)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_gate,
+        |  count(DISTINCT CASE WHEN lang = 'en'
+        |    AND len(regexp_split_to_array(trim(text), '\s+')) >= 10
+        |    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 2 >= length(text)
+        |    THEN md5(text) END) AS n_distinct_clean
+        |FROM documents""".stripMargin,
     "p_source_mix" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,

@@ -114,6 +114,31 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Curation funnel in ONE scan: how many documents survive each
+    * successive gate (language metadata, token floor, alpha ratio,
+    * exact dedup) — computed as conditional aggregates over a single
+    * pass instead of one filtered scan per stage, which is the only
+    * affordable way to report a funnel over 100 TB. The dedup stage
+    * counts distinct hashes among full-gate survivors. */
+  def curationFunnel(spark: SparkSession, dir: String,
+      minTokens: Int = 10): DataFrame = {
+    val t = col("text")
+    val langOk = col("lang") === "en"
+    val tokOk = langOk && col("n_tokens") >= minTokens
+    val alphaOk = tokOk && col("n_alpha") * 2 >= col("n_chars")
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(TF.tokens(t)).cast("long").as("n_tokens"),
+        length(t).cast("long").as("n_chars"),
+        length(regexp_replace(t, "[^A-Za-z]", "")).cast("long").as("n_alpha"),
+        md5(t).as("h"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(langOk, 1L).otherwise(0L)).as("n_lang"),
+        sum(when(tokOk, 1L).otherwise(0L)).as("n_tokens_gate"),
+        sum(when(alphaOk, 1L).otherwise(0L)).as("n_alpha_gate"),
+        countDistinct(when(alphaOk, col("h"))).as("n_distinct_clean"))
+  }
+
   /** Training-mix dashboard: document/token/char totals per
     * (source, lang) stratum — the numbers a curation run reports
     * before and after gating. One map-side-combined aggregation;
