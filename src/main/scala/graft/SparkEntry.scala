@@ -146,6 +146,7 @@ object SparkEntry {
     "p_pack" -> ((s, d) => Pipeline.packSequences(s, d)),
     "p_source_mix" -> ((s, d) => Pipeline.sourceMix(s, d)),
     "p_funnel" -> ((s, d) => Pipeline.curationFunnel(s, d)),
+    "p_domain_cap" -> ((s, d) => Pipeline.domainCap(s, d)),
     "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
@@ -599,6 +600,14 @@ object SparkEntry {
         |FROM occ JOIN bi USING (bigram) JOIN uni USING (w1)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "p_domain_cap" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft'), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id FROM ranked WHERE rk <= 5
+        |ORDER BY source, doc_id""".stripMargin,
     "p_funnel" ->
       """SELECT count(*) AS n_raw,
         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,

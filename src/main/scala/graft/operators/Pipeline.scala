@@ -139,6 +139,24 @@ object Pipeline {
         countDistinct(when(alphaOk, col("h"))).as("n_distinct_clean"))
   }
 
+  /** Deterministic per-stratum cap: at most `n` documents per source,
+    * chosen by smallest md5(doc_id·salt) — an order-independent
+    * uniform sample. Runs on the native [[graft.functions.BottomKByKey]]
+    * aggregate, whose map-side combine sends at most `n` rows per
+    * group per partition to the shuffle; the equivalent row_number
+    * window would shuffle and sort EVERY row, the per-group-sampling
+    * bottleneck at 100 TB. */
+  def domainCap(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        md5(concat(col("doc_id").cast("string"), lit(":graft"))).as("sk"),
+        col("doc_id"))
+      .groupBy(col("source"))
+      .agg(graft.functions.BottomK.bottom_k_by_key(col("sk"), col("doc_id"), n)
+        .as("ids"))
+      .select(col("source"), explode(col("ids")).as("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+
   /** Training-mix dashboard: document/token/char totals per
     * (source, lang) stratum — the numbers a curation run reports
     * before and after gating. One map-side-combined aggregation;

@@ -45,6 +45,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("event_type"), "prune must key on the partition column")
   }
 
+  test("bottom_k_by_key equals the window formulation and partial-aggregates map-side") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"),
+        md5(concat(col("doc_id").cast("string"), lit(":graft"))).as("sk"),
+        col("doc_id"))
+    val w = Window.partitionBy(col("source")).orderBy(col("sk"), col("doc_id"))
+    val viaWindow = docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val viaAgg = Pipeline.domainCap(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+    // The scale property: a partial (map-side) aggregate must appear
+    // below the exchange, so each partition ships at most k rows per
+    // group instead of sorting the whole input like the window does.
+    val plan = executedPlan(Pipeline.domainCap(spark, sf))
+    assert(plan.contains("partial_bottomkbykey"),
+      s"no map-side partial for the custom aggregate:\n${plan.take(1500)}")
+  }
+
   test("salted aggregation partials run on (key, salt) before any exchange") {
     val plan = executedPlan(graft.SparkEntry.queries("q_skew_agg")(spark, sf))
     val firstAgg = plan.linesIterator.toSeq.reverse
