@@ -34,23 +34,32 @@ object GraftExtensions {
     ("cosine_sim", "cosine_sim(array<float|double>, array<float|double>) - cosine similarity",
       args => CosineSim(args.head, args(1))),
     ("l2_normalize", "l2_normalize(array<float|double>) - unit-normalized array<double>",
-      args => L2Normalize(args.head)))
+      args => L2Normalize(args.head)),
+    // Aggregate: the registry takes the bare AggregateFunction; the
+    // analyzer wraps it in an AggregateExpression.
+    ("bottom_k_by_key",
+      "bottom_k_by_key(key string, value bigint, k) - k values with the smallest keys per group",
+      args => graft.functions.BottomKByKey(args(0), args(1), extractIntLiteral(args, 3, 2, "bottom_k_by_key"))))
 
   /** k must be a foldable integral literal — anything else (a column
     * reference, a string) fails here with a clear message instead of
     * a ClassCastException deep in expression building. */
-  private def extractK(args: Seq[Expression]): Int = {
-    if (args.length != 2)
-      throw new IllegalArgumentException("minhash_sig expects (array<string>, k)")
-    val kExpr = args(1)
+  private def extractK(args: Seq[Expression]): Int =
+    extractIntLiteral(args, expectedArity = 2, kIndex = 1, fn = "minhash_sig")
+
+  private def extractIntLiteral(args: Seq[Expression], expectedArity: Int,
+      kIndex: Int, fn: String): Int = {
+    if (args.length != expectedArity)
+      throw new IllegalArgumentException(s"$fn expects $expectedArity arguments")
+    val kExpr = args(kIndex)
     if (!kExpr.foldable)
-      throw new IllegalArgumentException("minhash_sig: k must be a literal integer")
+      throw new IllegalArgumentException(s"$fn: k must be a literal integer")
     kExpr.eval() match {
       case i: java.lang.Integer => i.intValue()
       case l: java.lang.Long if l >= 1 && l <= Int.MaxValue => l.intValue()
       case s: java.lang.Short => s.intValue()
       case other => throw new IllegalArgumentException(
-        s"minhash_sig: k must be a literal integer, got $other")
+        s"$fn: k must be a literal integer, got $other")
     }
   }
 

@@ -44,6 +44,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaNative == viaHof)
   }
 
+  test("bottom_k_by_key aggregate is callable from SQL and matches the Column API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 100L).map(i => (s"g${i % 3}", f"k$i%03d", i))
+      .toDF("g", "k", "v")
+    df.createOrReplaceTempView("bk")
+    val viaSql = spark.sql(
+      "SELECT g, bottom_k_by_key(k, v, 2) AS ids FROM bk GROUP BY g ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+    val viaColumn = df.groupBy(col("g"))
+      .agg(graft.functions.BottomK.bottom_k_by_key(col("k"), col("v"), 2).as("ids"))
+      .orderBy(col("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+    assert(viaSql.toSeq == viaColumn.toSeq)
+    // zero-padded keys sort lexicographically = numerically: the two
+    // smallest v per group are the expected sample
+    assert(viaSql.toMap.apply("g1") == Seq(1L, 4L))
+  }
+
   test("SQL and Column APIs produce identical fingerprints") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
