@@ -88,6 +88,7 @@ object SparkEntry {
     "q_window_running" -> ((s, d) => Relational.qWindowRunning(s, d)),
     "q_distinct" -> ((s, d) => Relational.qDistinct(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
+    "q_approx_pct" -> ((s, d) => Relational.qApproxPercentile(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),

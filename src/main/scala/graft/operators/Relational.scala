@@ -155,6 +155,20 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Approximate percentile (GK sketch) next to the exact median —
+    * the mergeable single-pass form used when exact per-group sorts
+    * are too expensive; the spec bounds its error against the exact
+    * value (sketch merge order isn't bit-deterministic, so this is
+    * rows-only like approx_count_distinct). */
+  def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+        .as("approx_median"),
+        expr("percentile(l_quantity, 0.5)").as("exact_median"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** ROLLUP over (segment, orderstatus): 3 grouping levels in one
     * pass. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {

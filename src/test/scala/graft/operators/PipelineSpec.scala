@@ -324,6 +324,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames == expected)
   }
 
+  test("approx percentile is within 5% of exact median per group") {
+    val rows = Relational.qApproxPercentile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getDouble(1)
+      val exact = r.getDouble(2)
+      assert(math.abs(approx - exact) <= math.max(0.05 * math.abs(exact), 1e-9),
+        s"approx $approx vs exact $exact for ${r.getString(0)}")
+    }
+  }
+
   test("approx distinct is within 5% of exact") {
     val rows = Relational.qApproxDistinct(spark, sf).collect()
     rows.foreach { r =>
