@@ -78,6 +78,13 @@ object SparkEntry {
     }),
     "g_degree_hist" -> ((s, d) =>
       GraphOps.degreeHistogram(GraphBuilder.supplierCoEdges(s, d))),
+    // Strong-tie subgraph (weight ≥ 1.25× median) for the similarity
+    // statistics: the raw co-occurrence graph is near-complete, where
+    // Jaccard is uniformly ~1 and assortativity degenerate.
+    "g_jaccard" -> ((s, d) =>
+      GraphOps.edgeJaccard(GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
+    "g_assortativity" -> ((s, d) =>
+      GraphOps.assortativity(GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_filter_proj" -> ((s, d) => Relational.q2FilterProj(s, d)),
     "q3_topn_join" -> ((s, d) => Relational.q3TopnJoin(s, d)),
@@ -100,6 +107,8 @@ object SparkEntry {
     "q_intersect" -> ((s, d) => Relational.qIntersect(s, d)),
     "q_multi_distinct" -> ((s, d) => Relational.qMultiDistinct(s, d)),
     "q_having" -> ((s, d) => Relational.qHaving(s, d)),
+    "q_unpivot" -> ((s, d) => Relational.qUnpivot(s, d)),
+    "q_latest_snapshot" -> ((s, d) => Relational.qLatestSnapshot(s, d)),
     "q_percentiles" -> ((s, d) => Relational.qPercentiles(s, d)),
     "q_histogram" -> ((s, d) => Relational.qHistogram(s, d)),
     "q_range_window" -> ((s, d) => Relational.qRangeWindow(s, d)),
@@ -163,6 +172,7 @@ object SparkEntry {
     "t_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "t_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "t_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
@@ -551,6 +561,20 @@ object SparkEntry {
         |SELECT doc_id, token, tf, df, tfidf_e4, rank FROM ranked
         |WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    "t_entropy" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS c FROM terms GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    count(*) AS n_distinct FROM tf GROUP BY 1)
+        |SELECT doc_id, max(n) AS n_tokens,
+        |  CAST(max(n_distinct) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(sum(CAST(round(CAST(c AS DOUBLE) / n
+        |    * ln(CAST(n AS DOUBLE) / c) * 10000) AS BIGINT)) AS BIGINT) AS entropy_e4
+        |FROM tf JOIN tot USING (doc_id)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "src_partition_prune" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events

@@ -121,6 +121,91 @@ object GraphOps {
       .orderBy(col("vertex"))
   }
 
+  /** Strong-tie subgraph: keep edges whose weight is ≥ 1.25× the
+    * median edge weight. A scale-relative threshold (not an absolute
+    * one) so the same query yields a non-trivial topology at every
+    * SF — the dense co-occurrence graph is near-complete, and
+    * similarity/assortativity over the complete graph is degenerate.
+    * Only the scalar median crosses the driver; the edge list is
+    * checkpointed so threshold + filter share one materialization. */
+  def strongTies(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    val thr = e.agg(expr("percentile(weight, 0.5)")).first().getDouble(0) * 1.25
+    e.filter(col("weight") >= thr)
+  }
+
+  /** Per-edge neighborhood Jaccard similarity — the classic
+    * link-prediction / tie-strength primitive: for each canonical
+    * edge (a,b), |N(a)∩N(b)| / |N(a)∪N(b)| with
+    * |N(a)∪N(b)| = deg(a) + deg(b) − |N(a)∩N(b)|. Same
+    * adjacency-intersect shape as [[clusteringCoefficients]] (per-row
+    * memory is two neighbor lists; hub-heavy graphs would switch to
+    * the wedge-join fallback of [[triangleCount]]). Scores are
+    * e4-scaled BIGINTs so the oracle compare is bit-stable. */
+  def edgeJaccard(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = sym.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("deg"))
+    e.join(adj.select(col("src").as("a"), col("nbrs").as("na"), col("deg").as("da")),
+        col("src") === col("a"))
+      .join(adj.select(col("src").as("b"), col("nbrs").as("nb"), col("deg").as("db")),
+        col("dst") === col("b"))
+      .select(col("src"), col("dst"),
+        size(array_intersect(col("na"), col("nb"))).cast("long").as("common"),
+        col("da"), col("db"))
+      .withColumn("jaccard_e4",
+        round(col("common") * 10000.0 / (col("da") + col("db") - col("common")))
+          .cast("long"))
+      .select(col("src"), col("dst"), col("common"), col("jaccard_e4"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** Degree assortativity: Pearson correlation of endpoint degrees
+    * over the symmetrized edge ends — one scalar describing whether
+    * hubs attach to hubs (positive) or to leaves (negative), a
+    * standard global shape statistic next to [[degreeHistogram]].
+    * Computed from exact integer sufficient statistics (degrees are
+    * bounded by |V|, so the BIGINT sums are exact) with the final
+    * correlation evaluated in DOUBLE from those integers — identical
+    * inputs + identical IEEE expression on both engines, so the
+    * e4-rounding is deterministic, unlike calling two engines'
+    * `corr()` on float streams. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val pairs = sym
+      .join(deg.select(col("v").as("v1"), col("deg").as("dx")), col("src") === col("v1"))
+      .join(deg.select(col("v").as("v2"), col("deg").as("dy")), col("dst") === col("v2"))
+      .select(col("dx"), col("dy"))
+    // Degenerate guard: on a regular graph (every degree equal —
+    // e.g. the complete sf0.01 co-occurrence graph) the variance is
+    // zero and the correlation undefined; emit NULL instead of
+    // letting ANSI mode throw on a NaN→long cast. The min==max check
+    // is exact integer arithmetic, immune to float underflow.
+    pairs.agg(
+        count(lit(1)).as("n"),
+        min(col("dx")).as("mnx"), max(col("dx")).as("mxx"),
+        min(col("dy")).as("mny"), max(col("dy")).as("mxy"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n"),
+        when(col("mnx") === col("mxx") || col("mny") === col("mxy"),
+          lit(null).cast("long"))
+          .otherwise(
+            round((col("n").cast("double") * col("sxy").cast("double")
+                - col("sx").cast("double") * col("sy").cast("double"))
+              / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double"))
+                * sqrt(col("n").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double")))
+              * 1e4).cast("long"))
+          .as("assortativity_e4"))
+  }
+
   /** Unweighted shortest hop distances from every vertex to a set of
     * landmark vertices (GraphX Pregel `ShortestPaths`). Landmarks
     * default to the three smallest vertex ids — deterministic without

@@ -271,6 +271,41 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Unpivot (wide → long): melt the status × segment count matrix
+    * of [[qPivot]] back to (segment, status, n) rows via
+    * `Dataset.unpivot` — the relational MELT/UNPIVOT operator. The
+    * wide side is tiny (one row per segment), so the unpivot is a
+    * driver-free narrow Expand; zeros for absent combinations are
+    * preserved (unlike a plain group-by, which would drop them). */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = qPivot(spark, dir)
+    wide.unpivot(
+        Array(col("c_mktsegment")),
+        Array(col("n_f"), col("n_o"), col("n_p")),
+        "status_col", "n")
+      .select(col("c_mktsegment"),
+        upper(substring(col("status_col"), 3, 1)).as("o_orderstatus"),
+        col("n").cast("long").as("n"))
+      .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+  }
+
+  /** Latest-row-per-key snapshot (the QUALIFY / "current state of
+    * each entity" pattern): each customer's most recent order via
+    * row_number over a descending (date, orderkey) window —
+    * deterministic tiebreak, one shuffle on the partition key. */
+  def qLatestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("last_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** GROUPING SETS: ((returnflag, linestatus), (returnflag), ()) in
     * one pass. */
   def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {

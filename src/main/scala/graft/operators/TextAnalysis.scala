@@ -115,6 +115,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Per-document token entropy: H = Σ (c/n)·ln(n/c) over the
+    * document's token frequencies — the lexical-diversity /
+    * repetitiveness quality signal (boilerplate and keyword-stuffed
+    * spam score far below prose of the same length). Each term is
+    * e4-rounded BEFORE the per-document sum, so the result is an
+    * integer sum immune to float accumulation order across engines
+    * (same contract as [[bigramLogProb]]). One corpus scan: explode →
+    * per-(doc, token) counts → per-doc totals derived from the same
+    * count table. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val totals = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    tf.join(totals, Seq("doc_id"))
+      .withColumn("term_e4",
+        round(col("c").cast("double") / col("n")
+          * log(col("n").cast("double") / col("c")) * 1e4).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), max(col("n_distinct")).as("n_distinct_tokens"),
+        sum(col("term_e4")).as("entropy_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus bigram language-model score per document: for every
     * bigram occurrence, ln P(w2|w1) = ln(B(w1 w2) / Σ_w B(w1 w))
     * with counts from the corpus itself — a fluency/quality signal
