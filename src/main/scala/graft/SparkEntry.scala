@@ -252,6 +252,123 @@ object SparkEntry {
         |  UNION ALL SELECT dst AS vertex, weight FROM e)
         |SELECT vertex, count(*) AS degree, round(sum(weight), 2) AS wdegree
         |FROM ends GROUP BY vertex ORDER BY vertex""".stripMargin,
+    // Connected components against a DuckDB recursive reachability
+    // CTE: component = min reachable vertex id — exactly GraphX's
+    // fixpoint labeling. Pure integer computation, no float drift.
+    "g_cc" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM sym),
+        |reach(v, u) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT r.v, s.dst FROM reach r JOIN sym s ON s.src = r.u)
+        |SELECT v AS vertex, CAST(min(u) AS BIGINT) AS component
+        |FROM reach GROUP BY v ORDER BY vertex""".stripMargin,
+    // Same oracle for the DataFrame-native large-star/small-star CC:
+    // both must produce the min-id labeling.
+    "g_cc_df" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM sym),
+        |reach(v, u) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT r.v, s.dst FROM reach r JOIN sym s ON s.src = r.u)
+        |SELECT v AS vertex, CAST(min(u) AS BIGINT) AS component
+        |FROM reach GROUP BY v ORDER BY vertex""".stripMargin,
+    // Landmark BFS as a depth-bounded recursive CTE: hops = min depth
+    // at which the vertex appears in the landmark's frontier. The
+    // d < 30 bound only caps the recursion (diameters here are tiny);
+    // UNION-distinct dedups (lm, v, d) tuples so the row count stays
+    // |V|·|lms|·bound at worst.
+    "g_sssp" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM sym),
+        |lms AS (SELECT v FROM verts ORDER BY v LIMIT 3),
+        |bfs(lm, v, d) AS (
+        |  SELECT v, v, 0 FROM lms
+        |  UNION
+        |  SELECT b.lm, s.dst, b.d + 1 FROM bfs b
+        |  JOIN sym s ON s.src = b.v WHERE b.d < 30)
+        |SELECT v AS vertex, CAST(lm AS BIGINT) AS landmark,
+        |  CAST(min(d) AS BIGINT) AS hops
+        |FROM bfs GROUP BY 1, 2 ORDER BY vertex, landmark""".stripMargin,
+    // Neighborhood Jaccard on the strong-tie subgraph. The threshold
+    // replicates GraphOps.strongTies (1.25 × exact median edge weight
+    // — integer-valued, so quantile_cont is bit-exact across engines);
+    // zero-common edges are preserved via the LEFT JOIN.
+    "g_jaccard" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |    CAST(count(*) AS DOUBLE) AS weight
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |thr AS (SELECT quantile_cont(weight, 0.5) * 1.25 AS t FROM e),
+        |st AS (SELECT src, dst FROM e, thr WHERE weight >= t),
+        |sym AS (SELECT src, dst FROM st UNION ALL SELECT dst, src FROM st),
+        |deg AS (SELECT src AS v, count(*) AS deg FROM sym GROUP BY 1),
+        |com AS (
+        |  SELECT st.src, st.dst, count(*) AS common
+        |  FROM st JOIN sym s1 ON s1.src = st.src
+        |    JOIN sym s2 ON s2.src = st.dst AND s2.dst = s1.dst
+        |  GROUP BY 1, 2)
+        |SELECT st.src, st.dst,
+        |  CAST(coalesce(com.common, 0) AS BIGINT) AS common,
+        |  CAST(round(coalesce(com.common, 0) * 10000.0
+        |    / (d1.deg + d2.deg - coalesce(com.common, 0))) AS BIGINT) AS jaccard_e4
+        |FROM st
+        |LEFT JOIN com ON com.src = st.src AND com.dst = st.dst
+        |JOIN deg d1 ON d1.v = st.src
+        |JOIN deg d2 ON d2.v = st.dst
+        |ORDER BY st.src, st.dst""".stripMargin,
+    // Degree assortativity from exact integer sufficient statistics;
+    // the final Pearson expression is evaluated in DOUBLE with the
+    // same operand casts as the Spark plan, so the e4 rounding is
+    // deterministic. The min==max degenerate guard mirrors the query.
+    "g_assortativity" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |    CAST(count(*) AS DOUBLE) AS weight
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |thr AS (SELECT quantile_cont(weight, 0.5) * 1.25 AS t FROM e),
+        |st AS (SELECT src, dst FROM e, thr WHERE weight >= t),
+        |sym AS (SELECT src, dst FROM st UNION ALL SELECT dst, src FROM st),
+        |deg AS (SELECT src AS v, count(*) AS deg FROM sym GROUP BY 1),
+        |pairs AS (SELECT d1.deg AS dx, d2.deg AS dy
+        |  FROM sym JOIN deg d1 ON d1.v = sym.src
+        |  JOIN deg d2 ON d2.v = sym.dst),
+        |s AS (SELECT count(*) AS n,
+        |  min(dx) AS mnx, max(dx) AS mxx, min(dy) AS mny, max(dy) AS mxy,
+        |  CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |  CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        |  CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |  CAST(sum(dy * dy) AS BIGINT) AS syy FROM pairs)
+        |SELECT n, CASE WHEN mnx = mxx OR mny = mxy THEN NULL
+        |  ELSE CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 10000) AS BIGINT) END AS assortativity_e4
+        |FROM s""".stripMargin,
     "g_degree_hist" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
@@ -435,6 +552,29 @@ object SparkEntry {
         |INTERSECT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
+    // UNPIVOT replicated as UNION ALL over the pivot matrix — the
+    // melt must preserve zeros for absent (segment, status) combos.
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT c_mktsegment,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, o_orderstatus, n FROM (
+        |  SELECT c_mktsegment, 'F' AS o_orderstatus, n_f AS n FROM p
+        |  UNION ALL SELECT c_mktsegment, 'O', n_o FROM p
+        |  UNION ALL SELECT c_mktsegment, 'P', n_p FROM p) t
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+    "q_latest_snapshot" ->
+      """SELECT o_custkey, o_orderkey, last_price FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS last_price,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+        |  FROM orders) t
+        |WHERE rk = 1
+        |ORDER BY o_custkey""".stripMargin,
     "q_ntile" ->
       """WITH t AS (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
