@@ -58,6 +58,8 @@ object SparkEntry {
         .orderBy(col("vertex"))),
     "g_pagerank_w" -> ((s, d) =>
       GraphOps.pageRankWeighted(s, GraphBuilder.supplierCoEdges(s, d))),
+    "g_pagerank_det" -> ((s, d) =>
+      GraphOps.pageRankInteger(s, GraphBuilder.supplierCoEdges(s, d))),
     "g_clustering" -> ((s, d) =>
       GraphOps.clusteringCoefficients(GraphBuilder.supplierCoEdges(s, d))),
     "g_sssp" -> ((s, d) =>
@@ -85,6 +87,8 @@ object SparkEntry {
       GraphOps.edgeJaccard(GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
     "g_assortativity" -> ((s, d) =>
       GraphOps.assortativity(GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
+    "g_adamic_adar" -> ((s, d) =>
+      GraphOps.adamicAdar(GraphBuilder.supplierCoEdges(s, d))),
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_filter_proj" -> ((s, d) => Relational.q2FilterProj(s, d)),
     "q3_topn_join" -> ((s, d) => Relational.q3TopnJoin(s, d)),
@@ -109,6 +113,8 @@ object SparkEntry {
     "q_having" -> ((s, d) => Relational.qHaving(s, d)),
     "q_unpivot" -> ((s, d) => Relational.qUnpivot(s, d)),
     "q_latest_snapshot" -> ((s, d) => Relational.qLatestSnapshot(s, d)),
+    "q_interval_join" -> ((s, d) => Relational.qIntervalJoin(s, d)),
+    "q_date_spine" -> ((s, d) => Relational.qDateSpine(s, d)),
     "q_percentiles" -> ((s, d) => Relational.qPercentiles(s, d)),
     "q_histogram" -> ((s, d) => Relational.qHistogram(s, d)),
     "q_range_window" -> ((s, d) => Relational.qRangeWindow(s, d)),
@@ -173,6 +179,7 @@ object SparkEntry {
     "t_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "t_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
+    "t_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
@@ -215,10 +222,160 @@ object SparkEntry {
     "s_stream_clean" -> ((s, d) => graft.streaming.StreamingOps.streamClean(s, d)),
   )
 
+  /** Canonical supplier co-occurrence edge list as a DuckDB CTE —
+    * the shared base of every generated graph oracle. */
+  private val EdgeCte =
+    """os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |e AS MATERIALIZED (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+      |    CAST(count(*) AS BIGINT) AS w
+      |  FROM os a JOIN os b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2),
+      |sym AS MATERIALIZED (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e)""".stripMargin
+
+  /** Weighted LPA unrolled to `iters` rounds of SQL — valid because
+    * the Scala loop's early stop fires only at a both-parity
+    * fixpoint, where further unrolled rounds are provably no-ops.
+    * All label state is integer; edge-weight sums are integer-valued
+    * doubles in Spark and BIGINTs here — both exact. */
+  private def lpaOracleSql(iters: Int = 10): String = {
+    val rounds = (0 until iters).map { r =>
+      val cmp = if (r % 2 == 0) "<" else ">"
+      s""",
+         |agg$r AS MATERIALIZED (SELECT s.src AS vertex, l.label AS cand,
+         |    CAST(sum(s.w) AS BIGINT) AS w
+         |  FROM sym s JOIN l$r l ON l.vertex = s.dst GROUP BY 1, 2),
+         |best$r AS MATERIALIZED (SELECT vertex, cand FROM (
+         |  SELECT vertex, cand, row_number() OVER (PARTITION BY vertex
+         |    ORDER BY w DESC, cand ASC) AS rk FROM agg$r) t WHERE rk = 1),
+         |l${r + 1} AS MATERIALIZED (SELECT l.vertex,
+         |  CASE WHEN b.cand IS NOT NULL AND b.cand $cmp l.label
+         |    THEN b.cand ELSE l.label END AS label
+         |  FROM l$r l LEFT JOIN best$r b ON b.vertex = l.vertex)""".stripMargin
+    }.mkString
+    s"""WITH $EdgeCte,
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS vertex, src AS label FROM sym)""".stripMargin +
+      rounds +
+      s"\nSELECT vertex, CAST(label AS BIGINT) AS label FROM l$iters ORDER BY vertex"
+  }
+
+  /** k-core peeling unrolled to `rounds` SQL rounds: each round drops
+    * under-degree vertices and their edges; past the fixpoint the
+    * rounds are identity. 20 rounds covers the peel depth of these
+    * graphs with a wide margin (the Scala loop converges in < 5). */
+  private def kcoreOracleSql(k: Int = 10, rounds: Int = 20): String = {
+    val peels = (0 until rounds).map { r =>
+      s""",
+         |k$r AS MATERIALIZED (SELECT v FROM (SELECT src AS v FROM e$r
+         |    UNION ALL SELECT dst FROM e$r) t
+         |  GROUP BY v HAVING count(*) >= $k),
+         |e${r + 1} AS MATERIALIZED (SELECT ed.src, ed.dst FROM e$r ed
+         |  JOIN k$r a ON a.v = ed.src JOIN k$r b ON b.v = ed.dst)""".stripMargin
+    }.mkString
+    s"""WITH $EdgeCte,
+       |e0 AS MATERIALIZED (SELECT src, dst FROM e)""".stripMargin +
+      peels +
+      s"""
+         |SELECT DISTINCT v AS vertex FROM (SELECT src AS v FROM e$rounds
+         |  UNION ALL SELECT dst FROM e$rounds) t ORDER BY vertex""".stripMargin
+  }
+
+  /** Integer PageRank unrolled to `iters` SQL iterations — identical
+    * integer arithmetic to GraphOps.pageRankInteger, so the match is
+    * exact (no float tolerance games). */
+  private def pagerankDetOracleSql(iters: Int = 10): String = {
+    val steps = (0 until iters).map { i =>
+      s""",
+         |c$i AS MATERIALIZED (SELECT f.dst AS vertex,
+         |    CAST(sum((r.rank * f.w) // f.wdeg) AS BIGINT) AS csum
+         |  FROM fr f JOIN r$i r ON r.vertex = f.src GROUP BY 1),
+         |r${i + 1} AS MATERIALIZED (SELECT r.vertex,
+         |  CAST(150000 + (coalesce(c.csum, 0) * 17) // 20 AS BIGINT) AS rank
+         |  FROM r$i r LEFT JOIN c$i c ON c.vertex = r.vertex)""".stripMargin
+    }.mkString
+    s"""WITH $EdgeCte,
+       |wdeg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM sym GROUP BY 1),
+       |fr AS MATERIALIZED (SELECT s.src, s.dst, s.w, d.wdeg FROM sym s JOIN wdeg d ON d.src = s.src),
+       |r0 AS MATERIALIZED (SELECT DISTINCT src AS vertex, CAST(1000000 AS BIGINT) AS rank FROM sym)""".stripMargin +
+      steps +
+      s"\nSELECT vertex, rank AS rank_e6 FROM r$iters ORDER BY vertex"
+  }
+
   /** DuckDB-runnable SQL oracle per query (same aliases, same
     * determinism rules — SURVEY §6). Omitted keys get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "g_lpa" -> lpaOracleSql(),
+    "g_kcore" -> kcoreOracleSql(),
+    "g_pagerank_det" -> pagerankDetOracleSql(),
+    // Adamic–Adar over the strong-tie subgraph: wedge join + anti-join
+    // against existing edges; per-common-neighbor 1/ln(deg) terms are
+    // e4-rounded before the integer sum (SURVEY §6).
+    "g_adamic_adar" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |    CAST(count(*) AS DOUBLE) AS weight
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |thr AS (SELECT quantile_cont(weight, 0.5) * 1.25 AS t FROM e),
+        |st AS MATERIALIZED (SELECT src, dst FROM e, thr WHERE weight >= t),
+        |sym AS MATERIALIZED (SELECT src, dst FROM st UNION ALL SELECT dst, src FROM st),
+        |deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM sym GROUP BY 1),
+        |cand AS (SELECT s1.src AS a, s2.dst AS b, s1.dst AS w
+        |  FROM sym s1 JOIN sym s2 ON s2.src = s1.dst AND s1.src < s2.dst),
+        |ne AS (SELECT c.a, c.b, c.w FROM cand c
+        |  LEFT JOIN st ON st.src = c.a AND st.dst = c.b
+        |  WHERE st.src IS NULL),
+        |t AS (SELECT a, b, CAST(round(10000.0 / ln(d.deg)) AS BIGINT) AS term
+        |  FROM ne JOIN deg d ON d.v = ne.w)
+        |SELECT a, b, count(*) AS common, CAST(sum(term) AS BIGINT) AS aa_e4
+        |FROM t GROUP BY a, b
+        |ORDER BY aa_e4 DESC, a, b LIMIT 100""".stripMargin,
+    // Banded interval join ≡ the plain range join (the oracle is the
+    // semantics; the banding is the plan).
+    "q_interval_join" ->
+      """SELECT p.event_id AS p_id, v.event_id AS view_id, p.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        |  AND CAST(floor(epoch(v.ts)) AS BIGINT) <= CAST(floor(epoch(p.ts)) AS BIGINT)
+        |  AND CAST(floor(epoch(v.ts)) AS BIGINT)
+        |      >= CAST(floor(epoch(p.ts)) AS BIGINT) - 1800
+        |ORDER BY p_id, view_id""".stripMargin,
+    "q_date_spine" ->
+      """WITH b AS (SELECT date_trunc('month', min(o_orderdate)) AS mn,
+        |    date_trunc('month', max(o_orderdate)) AS mx FROM orders),
+        |m AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS mo FROM b),
+        |s AS (SELECT DISTINCT c_mktsegment FROM customer),
+        |c AS (SELECT c_mktsegment, date_trunc('month', o_orderdate) AS mo,
+        |    count(*) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2)
+        |SELECT s.c_mktsegment,
+        |  CAST(year(m.mo) AS INT) AS o_year, CAST(month(m.mo) AS INT) AS o_month,
+        |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS n
+        |FROM m CROSS JOIN s
+        |LEFT JOIN c ON c.c_mktsegment = s.c_mktsegment AND c.mo = m.mo
+        |ORDER BY c_mktsegment, o_year, o_month""".stripMargin,
+    // Same shingle construction as t_top_bigrams (short docs yield one
+    // whole-text shingle).
+    "t_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS i FROM toks),
+        |occ AS (SELECT doc_id, CASE WHEN i + 1 <= len(t) THEN t[i] || ' ' || t[i + 1]
+        |    ELSE t[i] END AS bigram FROM idx),
+        |c AS (SELECT doc_id, bigram, count(*) AS c FROM occ GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |    CAST(max(c) AS BIGINT) AS top_c
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_distinct_bigrams,
+        |  CAST(round((n_bigrams - n_distinct_bigrams) * 10000.0 / n_bigrams) AS BIGINT)
+        |    AS dup_bigram_ratio_e4,
+        |  CAST(round(top_c * 10000.0 / n_bigrams) AS BIGINT) AS top_bigram_frac_e4
+        |FROM d ORDER BY doc_id""".stripMargin,
     "g_edges" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
         |SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
@@ -904,6 +1061,90 @@ object SparkEntry {
         |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
         |    AS n_distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Sketch-quality oracles: the HLL/GK estimates aren't
+    // bit-reproducible across engines, so the queries emit the exact
+    // value + an in-query error-bound verdict the oracle pins true.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_approx_pct" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS exact_median,
+        |  count(*) AS n,
+        |  TRUE AS approx_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // Hash-threshold stratified sampling: thresholds are
+    // fractionThreshold(f) literals for the default fractions
+    // (en 0.5, de 1.0, fr 0.1) — keep in sync with
+    // Pipeline.stratifiedSample's defaults.
+    "p_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang || ':42'), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN 'g'
+        |    WHEN 'fr' THEN '19999999' ELSE '0' END
+        |ORDER BY doc_id""".stripMargin,
+    // Stub language-id replicated in SQL: CJK script check, stopword
+    // hit counts per language, fixed priority tiebreak — same lists
+    // and order as TextFunctions.langId.
+    "t_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is','that','it','for'])) AS en,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','zu','auf'])) AS de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','dans','un','une','pour','que'])) AS fr,
+        |    len(list_intersect(toks, ['el','los','y','es','en','un','una','por','con','para'])) AS es
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |    WHEN es = greatest(en, de, fr, es) THEN 'es'
+        |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |    ELSE 'fr' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // Multimodal stub oracles: md5 content hashes over byte slices;
+    // DuckDB's char slicing equals the byte slicing because the
+    // corpus is ASCII (checked — see Multimodal scaladoc).
+    "m_frame_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  md5(substr(text, CAST(i * 256 + 1 AS INT), 256)) AS frame_hash
+        |FROM c ORDER BY doc_id, frame_idx""".stripMargin,
+    "m_resize" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS orig_bytes,
+        |  CAST((length(text) + 7) // 8 AS INT) AS thumb_bytes,
+        |  md5(array_to_string(list_transform(range(0, (length(text) + 7) // 8),
+        |    i -> substr(text, CAST(i * 8 + 1 AS INT), 1)), '')) AS thumb_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_features" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |b AS (SELECT doc_id, n, ord(substr(text, CAST(i AS INT), 1)) AS bv FROM pos),
+        |c AS (SELECT doc_id, max(n) AS n2, bv, count(*) AS cnt
+        |  FROM b GROUP BY doc_id, bv)
+        |SELECT doc_id, CAST(max(n2) AS INT) AS n_bytes,
+        |  CAST(sum(bv * cnt) AS DOUBLE) / CAST(max(n2) AS DOUBLE) AS mean_byte,
+        |  CAST(count(*) AS INT) AS distinct_bytes,
+        |  CAST(sum(CAST(round(-(CAST(cnt AS DOUBLE) / n2)
+        |    * ln(CAST(cnt AS DOUBLE) / n2) / ln(2.0) * 10000) AS BIGINT)) AS BIGINT)
+        |    AS entropy_e4
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "m_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -161,6 +161,32 @@ object GraphOps {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Adamic–Adar link prediction over the strong-tie subgraph: for
+    * every non-adjacent pair (a, b), Σ over common neighbors w of
+    * 1/ln(deg w) — the classic "who should be connected" score.
+    * Wedge self-join on the shared neighbor (the same distributed
+    * shape as [[triangleCount]]'s fallback) + an anti-join against the
+    * existing edges; each 1/ln term is e4-rounded BEFORE the integer
+    * sum so distributed accumulation order can't flip the ranking.
+    * Top-`topN` with full (score, a, b) tiebreak. */
+  def adamicAdar(edges: DataFrame, topN: Int = 100): DataFrame = {
+    val st = strongTies(edges).select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = st.unionAll(st.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val cand = sym.select(col("dst").as("w"), col("src").as("a"))
+      .join(sym.select(col("src").as("w"), col("dst").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+    cand.join(st.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(deg.select(col("v").as("w"), col("deg")), Seq("w"))
+      .select(col("a"), col("b"),
+        round(lit(10000.0) / log(col("deg"))).cast("long").as("term_e4"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"), sum(col("term_e4")).as("aa_e4"))
+      .orderBy(col("aa_e4").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   /** Degree assortativity: Pearson correlation of endpoint degrees
     * over the symmetrized edge ends — one scalar describing whether
     * hubs attach to hubs (positive) or to leaves (negative), a
@@ -311,6 +337,43 @@ object GraphOps {
     }
     ranks.select(col("vertex"), round(col("rank") * 1e6).cast("long").as("rank_e6"))
       .orderBy(col("vertex"))
+  }
+
+  /** Bit-reproducible weighted PageRank — every operation is integer
+    * arithmetic (ranks scaled e6, per-edge contributions
+    * floor-divided, damping as ×17/20 integer division), so the
+    * result is IDENTICAL under any partitioning, reduction order or
+    * cluster layout. Float PageRank accumulates shuffle-order ulp
+    * drift that makes reruns differ at 100 TB; here integer sums are
+    * associative-commutative-exact, which makes the whole fixpoint
+    * reproducible — and therefore oracle-checkable cross-engine.
+    * Tracks [[pageRankWeighted]] within the accumulated floor error
+    * (≈ deg·1e-6 per round; spec-bounded). Same plan shape per round:
+    * one join + one aggregation over a checkpointed fraction table. */
+  def pageRankInteger(spark: SparkSession, edges: DataFrame,
+      iters: Int = 10): DataFrame = {
+    val both = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight").cast("long").as("w")))
+    val wdeg = both.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val fr = both.join(wdeg, Seq("src")).localCheckpoint(true)
+    var ranks = fr.select(col("src").as("vertex")).distinct()
+      .withColumn("rank", lit(1000000L))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = fr
+        .join(ranks.select(col("vertex").as("src"), col("rank")), Seq("src"))
+        .select(col("dst"), expr("(rank * w) div wdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      ranks = ranks.select(col("vertex"))
+        .join(contribs.select(col("dst").as("vertex"), col("csum")),
+          Seq("vertex"), "left")
+        .withColumn("csum0", coalesce(col("csum"), lit(0L)))
+        .select(col("vertex"),
+          (lit(150000L) + expr("(csum0 * 17) div 20")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("vertex"), col("rank").as("rank_e6")).orderBy(col("vertex"))
   }
 
   /** Weighted label propagation communities, DataFrame-native.

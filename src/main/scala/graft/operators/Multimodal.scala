@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Fnv
 
 /** Multimodal column handling (SURVEY §2 rows 33–34): image/audio/
   * video payloads are opaque `binary` columns with typed metadata.
@@ -12,12 +11,22 @@ import graft.functions.Fnv
   * (schema, batch iteration, partition-local decode) is real.
   *
   * The test corpus has no binary column; `text` is encoded to UTF-8
-  * bytes to stand in for a payload.
+  * bytes to stand in for a payload. Stub content hashes are md5 hex
+  * so the DuckDB oracle can recompute them; the oracle's
+  * char-slicing equals this byte-slicing because the corpus is
+  * ASCII (verified) — a non-ASCII corpus would only weaken the
+  * oracle, not the operator.
   */
 object Multimodal {
 
+  /** md5 hex of a byte slice — the deterministic stand-in for a
+    * decoded-content fingerprint. */
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
   /** Typed record produced by the stub decoder. */
-  case class Frame(doc_id: Long, frame_idx: Int, frame_hash: Long)
+  case class Frame(doc_id: Long, frame_idx: Int, frame_hash: String)
 
   /** Metadata extraction over opaque bytes: size, content hash, and
     * stub-decoded "dimensions". Pure projection — no shuffle. */
@@ -48,7 +57,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (docId, payload) =>
           payload.grouped(stride).zipWithIndex.map { case (chunk, idx) =>
-            Frame(docId, idx, Fnv.hash(chunk))
+            Frame(docId, idx, md5Hex(chunk))
           }
         }
       }
@@ -59,7 +68,7 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
 
   /** Typed record produced by the stub resize. */
-  case class Resized(doc_id: Long, orig_bytes: Int, thumb_bytes: Int, thumb_hash: Long)
+  case class Resized(doc_id: Long, orig_bytes: Int, thumb_bytes: Int, thumb_hash: String)
 
   /** "Resize" an opaque payload: stride-sample every k-th byte into a
     * thumbnail payload — the batch shape of an image downscale
@@ -76,7 +85,7 @@ object Multimodal {
           val thumb = payload.indices.collect {
             case i if i % factor == 0 => payload(i)
           }.toArray
-          Resized(docId, payload.length, thumb.length, Fnv.hash(thumb))
+          Resized(docId, payload.length, thumb.length, md5Hex(thumb))
         }
       }
   }
@@ -104,12 +113,14 @@ object Multimodal {
           payload.foreach(b => counts(b & 0xff) += 1)
           val n = payload.length.toDouble
           val mean = if (n == 0) 0.0 else payload.map(b => (b & 0xff).toLong).sum / n
-          val entropy = counts.filter(_ > 0).map { c =>
+          // Per-term e4 rounding BEFORE the integer sum (SURVEY §6):
+          // the oracle accumulates the same integers in any order.
+          val entropyE4 = counts.filter(_ > 0).map { c =>
             val p = c / n
-            -p * math.log(p) / math.log(2.0)
+            math.round(-p * math.log(p) / math.log(2.0) * 1e4)
           }.sum
           Features(docId, payload.length, mean,
-            counts.count(_ > 0), math.round(entropy * 1e4))
+            counts.count(_ > 0), entropyE4)
         }
       }
   }

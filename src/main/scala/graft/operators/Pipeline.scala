@@ -194,18 +194,35 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Keep-threshold for a sampling fraction as an 8-hex-digit string:
+    * a row survives iff the first 8 md5 hex chars of its key sort
+    * below it. "g" > every hex digit = keep all; "0" = keep none. */
+  private[operators] def fractionThreshold(f: Double): String =
+    if (f >= 1.0) "g"
+    else if (f <= 0.0) "0"
+    else f"${math.floor(f * 4294967296.0).toLong}%08x"
+
   /** Deterministic stratified sample over a keyed column — the
-    * training-mix control knob (e.g. rebalance languages). Bernoulli
-    * per-stratum sampling with a fixed seed: reproducible for a fixed
-    * input, one scan, no shuffle — the sample decision is evaluated
-    * at the scan, so at 100 TB this composes with pushdown instead of
-    * materializing the corpus. */
+    * training-mix control knob (e.g. rebalance languages). The keep
+    * decision is content-hash-based: row survives iff the first 8
+    * md5 hex chars of (doc_id:lang:seed) sort below the stratum's
+    * fraction threshold. Unlike `sampleBy` (whose rand(seed) streams
+    * are seeded PER PARTITION — the sample silently changes whenever
+    * the input repartitions, which at 100 TB it always does), a
+    * content hash gives the same sample on any cluster layout, makes
+    * the query oracle-checkable, and still evaluates at the scan:
+    * one pass, no shuffle, composes with pushdown. */
   def stratifiedSample(spark: SparkSession, dir: String,
       fractions: Map[String, Double] = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.1),
       seed: Long = 42L): DataFrame = {
+    // when-chain over the stratum map; absent strata → "0" (keep none)
+    val thr = fractions.foldLeft(lit("0")) { case (acc, (k, f)) =>
+      when(col("lang") === k, lit(fractionThreshold(f))).otherwise(acc)
+    }
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"))
-      .stat.sampleBy("lang", fractions, seed)
+      .filter(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("lang"), lit(s":$seed"))), 1, 8) < thr)
       .orderBy(col("doc_id"))
   }
 }

@@ -83,6 +83,30 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Gopher-style repetition statistics per document: duplicate-bigram
+    * fraction and the share of the most common bigram — the standard
+    * "is this document degenerate boilerplate/keyboard-mash" quality
+    * gates next to [[quality]]'s character counters. Bigrams are the
+    * same word shingles as [[topBigrams]] (short docs yield one
+    * whole-text shingle, so every doc reports). One explode + two
+    * map-side-combined aggregations; ratios are e4-scaled from exact
+    * integer counts, so the compare is bit-stable. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        round((col("n_bigrams") - col("n_distinct_bigrams"))
+          * 10000.0 / col("n_bigrams")).cast("long").as("dup_bigram_ratio_e4"),
+        round(col("top_c") * 10000.0 / col("n_bigrams")).cast("long")
+          .as("top_bigram_frac_e4"))
+      .orderBy(col("doc_id"))
+
   /** Per-document TF-IDF top terms: tf · ln(N/df), top `topN` per doc.
     * Two aggregations (doc-term tf, term df) + one token-keyed join —
     * every shuffle key is a token or (doc, token), never text bodies.

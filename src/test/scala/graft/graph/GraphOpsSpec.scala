@@ -105,6 +105,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(w(3L) > w(1L), s"weight ignored: $w")
   }
 
+  test("integer pagerank tracks the float iteration and is layout-stable") {
+    val star = edgesDf((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 1.0), (0L, 4L, 1.0))
+    val fl = GraphOps.pageRankWeighted(spark, star).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val it = GraphOps.pageRankInteger(spark, star).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fl.keySet == it.keySet)
+    // floor-division error bound: ≈ deg e6-units per round, tiny here
+    fl.foreach { case (v, r) =>
+      assert(math.abs(r - it(v)) <= 100L, s"vertex $v: float=$r int=${it(v)}")
+    }
+    // Layout independence: a different partitioning must produce the
+    // IDENTICAL integers — this is the reproducibility contract.
+    val repart = star.repartition(7)
+    val it2 = GraphOps.pageRankInteger(spark, repart).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(it == it2, "integer pagerank changed under repartitioning")
+  }
+
   test("label propagation groups cliques, splits across a weak bridge") {
     val e = edgesDf(
       (0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 2L, 1.0),

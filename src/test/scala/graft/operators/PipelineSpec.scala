@@ -324,24 +324,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames == expected)
   }
 
-  test("approx percentile is within 5% of exact median per group") {
+  test("approx percentile verdict is true and the raw sketch is within 5%") {
     val rows = Relational.qApproxPercentile(spark, sf).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val approx = r.getDouble(1)
-      val exact = r.getDouble(2)
-      assert(math.abs(approx - exact) <= math.max(0.05 * math.abs(exact), 1e-9),
-        s"approx $approx vs exact $exact for ${r.getString(0)}")
-    }
+    // The query's own error-bound verdict (what the oracle pins):
+    rows.foreach(r => assert(r.getBoolean(3), s"approx_ok false for ${r.getString(0)}"))
+    // Independent re-check of the raw sketch against the exact median:
+    import org.apache.spark.sql.functions.{expr, percentile_approx, lit => flit}
+    graft.Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"), flit(0.5), flit(10000)).as("a"),
+        expr("percentile(l_quantity, 0.5)").as("e"))
+      .collect().foreach { r =>
+        val (approx, exact) = (r.getDouble(1), r.getDouble(2))
+        assert(math.abs(approx - exact) <= math.max(0.05 * math.abs(exact), 1e-9),
+          s"approx $approx vs exact $exact for ${r.getString(0)}")
+      }
   }
 
-  test("approx distinct is within 5% of exact") {
+  test("approx distinct verdict is true and the raw sketch is within 5%") {
     val rows = Relational.qApproxDistinct(spark, sf).collect()
-    rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx $approx vs exact $exact")
-    }
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2), s"approx_ok false for ${r.getString(0)}"))
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+    graft.Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"),
+        countDistinct(col("l_partkey")).as("e"))
+      .collect().foreach { r =>
+        val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+        assert(math.abs(approx - exact) / exact < 0.05,
+          s"approx $approx vs exact $exact")
+      }
   }
 }
