@@ -115,6 +115,8 @@ object SparkEntry {
     "q_latest_snapshot" -> ((s, d) => Relational.qLatestSnapshot(s, d)),
     "q_interval_join" -> ((s, d) => Relational.qIntervalJoin(s, d)),
     "q_date_spine" -> ((s, d) => Relational.qDateSpine(s, d)),
+    "q_json_props" -> ((s, d) => Relational.qJsonProps(s, d)),
+    "q_rows_window" -> ((s, d) => Relational.qRowsWindow(s, d)),
     "q_percentiles" -> ((s, d) => Relational.qPercentiles(s, d)),
     "q_histogram" -> ((s, d) => Relational.qHistogram(s, d)),
     "q_range_window" -> ((s, d) => Relational.qRangeWindow(s, d)),
@@ -155,6 +157,7 @@ object SparkEntry {
     "d_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "d_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "d_crossdoc_ngram" -> ((s, d) => Dedup.crossdocNgrams(s, d)),
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "p_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "p_stratified" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
@@ -164,6 +167,7 @@ object SparkEntry {
     "p_funnel" -> ((s, d) => Pipeline.curationFunnel(s, d)),
     "p_domain_cap" -> ((s, d) => Pipeline.domainCap(s, d)),
     "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
+    "p_temperature" -> ((s, d) => Pipeline.temperatureSample(s, d)),
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -220,6 +224,17 @@ object SparkEntry {
     "s_stream_sessionize" -> ((s, d) => graft.streaming.StreamingOps.streamSessionize(s, d)),
     "s_stream_dedup" -> ((s, d) => graft.streaming.StreamingOps.streamDedup(s, d)),
     "s_stream_clean" -> ((s, d) => graft.streaming.StreamingOps.streamClean(s, d)),
+    "s_stream_foreachbatch" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamForeachBatchAgg(s, d)),
+    // ORC sink/source round-trip under the oracle: documents → ORC
+    // (write once per SF dir) → read back → the same token counts as
+    // the parquet-backed t_tokens, proving the ORC path value-exact.
+    "src_orc_tokens" -> ((s, d) => {
+      val out = cachedSideOutput(d, "documents", "docsorc")(p =>
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .write.mode("overwrite").orc(p))
+      TextAnalysis.tokenCountsOf(s.read.orc(out))
+    }),
   )
 
   /** Canonical supplier co-occurrence edge list as a DuckDB CTE —
@@ -351,12 +366,28 @@ object SparkEntry {
         |c AS (SELECT c_mktsegment, date_trunc('month', o_orderdate) AS mo,
         |    count(*) AS cnt
         |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2)
-        |SELECT s.c_mktsegment,
+        |SELECT s.c_mktsegment AS c_mktsegment,
         |  CAST(year(m.mo) AS INT) AS o_year, CAST(month(m.mo) AS INT) AS o_month,
         |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS n
         |FROM m CROSS JOIN s
         |LEFT JOIN c ON c.c_mktsegment = s.c_mktsegment AND c.mo = m.mo
-        |ORDER BY c_mktsegment, o_year, o_month""".stripMargin,
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rows_window" ->
+      """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS trail3_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_frame
+        |FROM c
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // Same shingle construction as t_top_bigrams (short docs yield one
     // whole-text shingle).
     "t_repetition" ->
@@ -1168,6 +1199,45 @@ object SparkEntry {
         |  AND len(regexp_split_to_array(trim(text), '\s+')) >= 10
         |  AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 2 >= length(text)
         |ORDER BY h""".stripMargin,
+    // The foreachBatch sink lands every row exactly once, so the
+    // re-read aggregate equals the same aggregate over the source.
+    "s_stream_foreachbatch" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "src_orc_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Word 8-gram shingles with whole-text fallback for short docs —
+    // identical construction to the Spark side's wordShingles(n=8).
+    "d_crossdoc_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[i:i+7], ' ')) AS h FROM idx),
+        |df AS (SELECT h, count(*) AS ndocs FROM sh GROUP BY h)
+        |SELECT sh.doc_id, count(*) AS n_ngrams,
+        |  CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(round(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) * 10000.0
+        |    / count(*)) AS BIGINT) AS shared_e4
+        |FROM sh JOIN df USING (h)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "p_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |    CAST(round(sqrt(n) * 1000000) AS BIGINT) AS w_e6 FROM c),
+        |t AS (SELECT CAST(sum(w_e6) AS BIGINT) AS tot_w,
+        |    CAST(sum(n) AS BIGINT) // 2 AS budget FROM w),
+        |q AS (SELECT source, least(n, (budget * w_e6) // tot_w) AS quota
+        |  FROM w CROSS JOIN t),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 16), doc_id)
+        |    AS rk FROM documents)
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+        |WHERE rk <= quota ORDER BY doc_id""".stripMargin,
     // Inner interval joins emit every match exactly once → equals the
     // batch join. µs arithmetic mirrors Spark's timestamp precision.
     "s_stream_join" ->

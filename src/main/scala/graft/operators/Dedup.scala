@@ -256,4 +256,30 @@ object Dedup {
       .filter(col("jaccard_e4") >= 3000)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Cross-document duplicated-n-gram fraction (RefinedWeb-style):
+    * for each document, the share of its distinct word n-grams that
+    * also appear in at least one OTHER document — the corpus-level
+    * boilerplate/template signal (distinct from t_repetition's
+    * within-doc duplication and p_decontaminate's vs-benchmark
+    * overlap). The n-gram df table and the join back both key on
+    * md5(ngram): fixed-width hashes shuffle, n-gram text never does.
+    * Ratio is e4 from exact integer counts (order-immune). */
+  def crossdocNgrams(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val shingles = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(TF.wordShingles(col("text"), n))).as("ng"))
+      .select(col("doc_id"), md5(col("ng")).as("h"))
+      .localCheckpoint(true) // serves the df aggregation AND the join back
+    val df = shingles.groupBy(col("h"))
+      .agg(count(lit(1)).as("ndocs")) // (doc_id, h) is distinct per doc
+    shingles.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_shared"),
+        round(col("n_shared") * lit(1e4) / col("n_ngrams")).cast("long")
+          .as("shared_e4"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -194,6 +194,47 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-flattened source mix (α = 0.5): the multinomial
+    * re-weighting used to even out source sizes when drawing a
+    * training mix — small sources keep more of their docs, huge ones
+    * are capped. Per-source weight w_s = √n_s; source s's quota of a
+    * budget of ⌊N/2⌋ docs is ⌊budget·w_s/Σw⌋, and each source keeps
+    * its quota lowest-content-hash-first, so the selected set is
+    * layout-stable and unique. Every cross-engine step is integer:
+    * √n is IEEE-exact, w is e6-rounded ONCE, and the quota is a
+    * DECIMAL(38,0) floor-division (long·long here can overflow ANSI
+    * math at snowflake-id scale). The per-source counts are a tiny
+    * aggregate (one row per source) that broadcasts back — the corpus
+    * itself is touched by exactly one scan + one row_number shuffle
+    * keyed by source. */
+  def temperatureSample(spark: SparkSession, dir: String,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        substring(md5(concat(col("doc_id").cast("string"), lit(s":$seed"))),
+          1, 16).as("hk"))
+    val weights = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w_e6", round(sqrt(col("n")) * 1e6).cast("long"))
+    val totals = weights.agg(
+      sum(col("w_e6")).as("tot_w"),
+      expr("sum(n) div 2").as("budget"))
+    val quotas = weights.crossJoin(broadcast(totals))
+      .withColumn("quota",
+        least(col("n"),
+          floor(col("w_e6").cast("decimal(38,0)") * col("budget")
+            / col("tot_w")).cast("long")))
+      .select(col("source"), col("quota"))
+    val ranked = docs.withColumn("rk",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("hk"), col("doc_id"))))
+    ranked.join(broadcast(quotas), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keep-threshold for a sampling fraction as an 8-hex-digit string:
     * a row survives iff the first 8 md5 hex chars of its key sort
     * below it. "g" > every hex digit = keep all; "0" = keep none. */

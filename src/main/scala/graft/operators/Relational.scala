@@ -599,6 +599,42 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("o_year"), col("o_month"))
   }
 
+  /** Semi-structured extraction: parse the `events.props` JSON column
+    * with an explicit schema — `from_json` with a fixed schema stays a
+    * scan-side codegen'd projection (no per-row schema inference), so
+    * the JSON never reaches a shuffle; only the extracted integer
+    * does. Aggregates the extracted field per event type. */
+  def qJsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Sliding ROWS window: trailing-3-order spend per customer, in
+    * exact cents (BIGINT) so the frame accumulation is order-immune
+    * across engines. Complements q_range_window (RANGE frame) and
+    * q_window_running (unbounded frame); the sort key
+    * (o_orderdate, o_orderkey) is unique per partition. */
+  def qRowsWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("trail3_cents", sum(col("cents")).over(w))
+      .withColumn("n_frame", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("trail3_cents"), col("n_frame"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Sessionization: 30-minute-gap sessions per user via lag window,
     * then sessions-per-user counts. */
   def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {

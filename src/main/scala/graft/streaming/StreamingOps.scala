@@ -247,4 +247,32 @@ object StreamingOps {
     spark.table(name)
       .orderBy(col("hour"), col("event_type"))
   }
+
+  /** `foreachBatch` parquet sink — the production pattern for landing
+    * a stream in a batch table with per-batch idempotence: each
+    * micro-batch overwrites its OWN `batch=<id>` partition, so a
+    * replayed batch (restart mid-write) replaces itself instead of
+    * double-appending. The check re-reads the sink directory and
+    * aggregates; equal to the same aggregation run in batch, which is
+    * the SQL oracle. */
+  def streamForeachBatchAgg(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val sink = java.nio.file.Files.createTempDirectory("graft_fb_").toString
+    val writeBatch: (DataFrame, Long) => Unit = (df, id) =>
+      df.write.mode("overwrite").parquet(s"$sink/batch=$id")
+    val q = docs.writeStream.foreachBatch(writeBatch).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(sink)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("lang"))
+  }
 }
