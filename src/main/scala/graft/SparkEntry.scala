@@ -1231,7 +1231,8 @@ object SparkEntry {
         |    CAST(round(sqrt(n) * 1000000) AS BIGINT) AS w_e6 FROM c),
         |t AS (SELECT CAST(sum(w_e6) AS BIGINT) AS tot_w,
         |    CAST(sum(n) AS BIGINT) // 2 AS budget FROM w),
-        |q AS (SELECT source, least(n, (budget * w_e6) // tot_w) AS quota
+        |q AS (SELECT source, least(n, CAST(
+        |    (CAST(budget AS HUGEINT) * w_e6) // tot_w AS BIGINT)) AS quota
         |  FROM w CROSS JOIN t),
         |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 16), doc_id)

@@ -164,25 +164,93 @@ object GraphOps {
   /** Adamic–Adar link prediction over the strong-tie subgraph: for
     * every non-adjacent pair (a, b), Σ over common neighbors w of
     * 1/ln(deg w) — the classic "who should be connected" score.
-    * Wedge self-join on the shared neighbor (the same distributed
-    * shape as [[triangleCount]]'s fallback) + an anti-join against the
-    * existing edges; each 1/ln term is e4-rounded BEFORE the integer
-    * sum so distributed accumulation order can't flip the ranking.
-    * Top-`topN` with full (score, a, b) tiebreak. */
+    * Each 1/ln term is e4-rounded BEFORE the integer sum so
+    * distributed accumulation order can't flip the ranking.
+    * Top-`topN` with full (score, a, b) tiebreak.
+    *
+    * Two value-identical physical paths, dispatched on measured graph
+    * shape (the [[triangleCount]] pattern):
+    *
+    * - DENSE / small-V (V ≤ `graft.adamicadar.denseMaxVertices`,
+    *   default 8192, AND the annotated adjacency fits the broadcast
+    *   budget): V²/2 candidate pairs are each scored by ONE native
+    *   two-pointer merge over broadcast sorted (neighbor, term)
+    *   arrays ([[graft.functions.SortedKvIntersectStats]]). On a
+    *   near-complete graph the Σdeg² wedge stream is ~Σdeg²/ (V²/2)
+    *   times larger than the pair set (368× at sf0.1) — enumerating
+    *   pairs directly skips it entirely. Measured 26.5 s → ~6 s at
+    *   sf0.1.
+    * - SPARSE / at-scale: wedge self-join on the shared neighbor.
+    *   The center's e4 term (a per-VERTEX table) is attached BEFORE
+    *   the self-join, the join output aggregates straight to (a, b)
+    *   partial sums (no raw wedge row ever re-shuffles), and the
+    *   existing-edge anti-join runs on the AGGREGATED pair table. A
+    *   round-5 draft anti-joined and degree-joined the raw wedges —
+    *   three full shuffles of the Σdeg² table, 31 s at sf0.1. Hub
+    *   centers skew the one remaining wedge shuffle; that is AQE
+    *   skew-split's job, and the row count itself is irreducible for
+    *   the EXACT score (any wedge dropped changes some pair's sum).
+    *
+    * At 100 TB the dispatch picks the wedge path automatically: V
+    * exceeds the dense cap, and V²/2 pair enumeration would dwarf
+    * Σdeg² on any sparse graph. */
   def adamicAdar(edges: DataFrame, topN: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
     val st = strongTies(edges).select(col("src"), col("dst")).localCheckpoint(true)
     val sym = st.unionAll(st.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-    val cand = sym.select(col("dst").as("w"), col("src").as("a"))
-      .join(sym.select(col("src").as("w"), col("dst").as("b")), Seq("w"))
-      .filter(col("a") < col("b"))
-    cand.join(st.select(col("src").as("a"), col("dst").as("b")),
-        Seq("a", "b"), "left_anti")
-      .join(deg.select(col("v").as("w"), col("deg")), Seq("w"))
-      .select(col("a"), col("b"),
-        round(lit(10000.0) / log(col("deg"))).cast("long").as("term_e4"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("common"), sum(col("term_e4")).as("aa_e4"))
+    val term = sym.groupBy(col("src").as("w"))
+      .agg(round(lit(10000.0) / log(count(lit(1)))).cast("long").as("term_e4"))
+      .localCheckpoint(true)
+    val nV = term.count()
+    val nE = st.count()
+    val denseMaxV = spark.conf.getOption("graft.adamicadar.denseMaxVertices")
+      .map(_.toLong).getOrElse(8192L)
+    val budget = spark.conf.getOption("graft.triangles.broadcastBytes")
+      .map(_.toLong).getOrElse(160L << 20)
+    val anti = st.select(col("src").as("a"), col("dst").as("b"))
+
+    // 2 endpoints × (8 B id + 8 B term + array overhead) per edge.
+    val pairs = if (nV <= denseMaxV && 2L * 24L * nE < budget) {
+      val ann = sym.join(term, col("dst") === col("w"))
+        .groupBy(col("src"))
+        .agg(sort_array(collect_list(struct(col("dst").as("k"),
+          col("term_e4").as("v")))).as("kv"))
+      val adjA = ann.select(col("src").as("a2"),
+        col("kv").getField("k").as("ks"), col("kv").getField("v").as("vs"))
+      val adjB = ann.select(col("src").as("b2"), col("kv").getField("k").as("kbs"))
+      val verts = term.select(col("w"))
+      verts.select(col("w").as("a"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(verts.select(col("w").as("b"))))
+        .filter(col("a") < col("b"))
+        .join(broadcast(adjA), col("a") === col("a2"))
+        .join(broadcast(adjB), col("b") === col("b2"))
+        .select(col("a"), col("b"),
+          graft.functions.CatalystGraph.sorted_kv_intersect_stats(
+            col("ks"), col("vs"), col("kbs")).as("stats"))
+        .select(col("a"), col("b"),
+          col("stats").getField("common").as("common"),
+          col("stats").getField("vsum").as("aa_e4"))
+        .filter(col("common") >= 1L)
+    } else {
+      // Pin the wedge stage's parallelism: the join INPUTS are small
+      // (E rows), so AQE would coalesce this stage to a couple of
+      // tasks — which then generate AND partially aggregate the whole
+      // Σdeg² wedge stream serially, spilling (measured 78 s vs 26 s
+      // at sf0.1). An explicit numbered repartition on the join key
+      // is exempt from AQE coalescing and costs only an E-row shuffle.
+      val wedgeParts = 4 * spark.sparkContext.defaultParallelism
+      sym.select(col("dst").as("w"), col("src").as("a"))
+        .join(term, Seq("w"))
+        .repartition(wedgeParts, col("w"))
+        .join(sym.select(col("src").as("w"), col("dst").as("b"))
+            .repartition(wedgeParts, col("w")),
+          Seq("w"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("common"), sum(col("term_e4")).as("aa_e4"))
+    }
+    pairs.join(anti, Seq("a", "b"), "left_anti")
       .orderBy(col("aa_e4").desc, col("a"), col("b"))
       .limit(topN)
   }

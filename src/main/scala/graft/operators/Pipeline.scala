@@ -201,12 +201,17 @@ object Pipeline {
     * budget of ⌊N/2⌋ docs is ⌊budget·w_s/Σw⌋, and each source keeps
     * its quota lowest-content-hash-first, so the selected set is
     * layout-stable and unique. Every cross-engine step is integer:
-    * √n is IEEE-exact, w is e6-rounded ONCE, and the quota is a
-    * DECIMAL(38,0) floor-division (long·long here can overflow ANSI
-    * math at snowflake-id scale). The per-source counts are a tiny
-    * aggregate (one row per source) that broadcasts back — the corpus
-    * itself is touched by exactly one scan + one row_number shuffle
-    * keyed by source. */
+    * √n is IEEE-exact, w is e6-rounded ONCE, and the quota is an
+    * exact integral `div` over a DECIMAL(38,0) product (long·long
+    * overflows ANSI math at snowflake-id scale; decimal TRUE division
+    * would round half-up at scale 6 before the floor — off by one on
+    * x.9999995 fractions — so the integral-divide operator, which
+    * truncates exactly, is the only cross-engine-safe form; the
+    * DuckDB oracle mirrors it with HUGEINT `//`). The per-source
+    * counts are a tiny aggregate (one row per source) that broadcasts
+    * back — the corpus parquet is read by two column-pruned scans
+    * (the weights pass reads only `source`) plus the one row_number
+    * shuffle keyed by source. */
   def temperatureSample(spark: SparkSession, dir: String,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -223,8 +228,7 @@ object Pipeline {
     val quotas = weights.crossJoin(broadcast(totals))
       .withColumn("quota",
         least(col("n"),
-          floor(col("w_e6").cast("decimal(38,0)") * col("budget")
-            / col("tot_w")).cast("long")))
+          expr("(CAST(w_e6 AS DECIMAL(38,0)) * budget) div tot_w")))
       .select(col("source"), col("quota"))
     val ranked = docs.withColumn("rk",
       row_number().over(Window.partitionBy(col("source"))

@@ -248,13 +248,23 @@ object StreamingOps {
       .orderBy(col("hour"), col("event_type"))
   }
 
-  /** `foreachBatch` parquet sink — the production pattern for landing
-    * a stream in a batch table with per-batch idempotence: each
-    * micro-batch overwrites its OWN `batch=<id>` partition, so a
+  /** The per-batch landing `foreachBatch` hands each micro-batch to:
+    * batch `id` overwrites its OWN `batch=<id>` partition, so a
     * replayed batch (restart mid-write) replaces itself instead of
-    * double-appending. The check re-reads the sink directory and
+    * double-appending. Exposed so the replay spec can re-deliver a
+    * batch id and assert the sink is unchanged. */
+  private[graft] def landBatch(sink: String)(df: DataFrame, id: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$sink/batch=$id")
+
+  /** `foreachBatch` parquet sink — the production pattern for landing
+    * a stream in a batch table with per-batch idempotence (see
+    * [[landBatch]]). The check re-reads the sink directory and
     * aggregates; equal to the same aggregation run in batch, which is
-    * the SQL oracle. */
+    * the SQL oracle. The sink is ONE stable location keyed by the
+    * source file's identity (length ^ mtime, as the other side-output
+    * round-trips key theirs) — reruns overwrite it batch-by-batch
+    * (the operator's own idempotence) instead of leaking a fresh
+    * /tmp directory per invocation. */
   def streamForeachBatchAgg(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
     val docs = spark.readStream
@@ -263,10 +273,10 @@ object StreamingOps {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val sink = java.nio.file.Files.createTempDirectory("graft_fb_").toString
-    val writeBatch: (DataFrame, Long) => Unit = (df, id) =>
-      df.write.mode("overwrite").parquet(s"$sink/batch=$id")
-    val q = docs.writeStream.foreachBatch(writeBatch).start()
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.lang.Long.toHexString(src.length() ^ src.lastModified())
+    val sink = s"/tmp/graft_fb_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$key"
+    val q = docs.writeStream.foreachBatch(landBatch(sink) _).start()
     try q.processAllAvailable()
     finally q.stop()
     spark.read.parquet(sink)

@@ -32,6 +32,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.triangleCount(g).collect()(0).getLong(0) == 8L)
   }
 
+  test("adamic-adar dense and wedge paths agree (and match hand score)") {
+    // Two K4 cliques sharing vertex 3 as a bridge hub (weight 5),
+    // plus enough weight-1 filler edges that the median weight is 1
+    // and the clique edges survive the ≥ 1.25×median strong-tie gate.
+    val g = edgesDf(
+      (Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+        (3L, 4L), (3L, 5L), (3L, 6L), (4L, 5L), (4L, 6L), (5L, 6L))
+        .map { case (a, b) => (a, b, 5.0) } ++
+        (100L to 125L).map(v => (v, v + 100L, 1.0))): _*)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val dense = rows(GraphOps.adamicAdar(g))
+    val forced = try {
+      spark.conf.set("graft.adamicadar.denseMaxVertices", "0")
+      rows(GraphOps.adamicAdar(g))
+    } finally spark.conf.unset("graft.adamicadar.denseMaxVertices")
+    assert(dense == forced)
+    // Cross-clique pair (0, 4): only common neighbor is the bridge 3
+    // with deg 6 → round(1e4 / ln 6) = 5581.
+    val zeroFour = dense.find(t => t._1 == 0L && t._2 == 4L).get
+    assert(zeroFour == ((0L, 4L, 1L, 5581L)))
+    // Adjacent pairs are excluded by the anti-join on both paths.
+    assert(!dense.exists(t => t._1 == 0L && t._2 == 1L))
+  }
+
   test("connected components finds two components") {
     val e = edgesDf((1L, 2L, 1.0), (2L, 3L, 1.0), (10L, 11L, 1.0))
     val cc = GraphOps.connectedComponents(spark, e).collect()
