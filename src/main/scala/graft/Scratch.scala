@@ -27,28 +27,33 @@ object Scratch {
       graph.GraphOps.strongTies(edges).select(col("src"), col("dst")).localCheckpoint(true)
     }
     val sym = st.unionAll(st.select(col("dst").as("src"), col("src").as("dst")))
-    val term = sym.groupBy(col("src").as("w"))
-      .agg(round(lit(10000.0) / log(count(lit(1)))).cast("long").as("term_e4"))
-    val wedgeParts = 4 * spark.sparkContext.defaultParallelism
-    val centers = sym.select(col("dst").as("w"), col("src").as("a"))
-      .join(term, Seq("w"))
-      .repartition(wedgeParts, col("w"))
-    val pairs = centers
-      .join(sym.select(col("src").as("w"), col("dst").as("b"))
-          .repartition(wedgeParts, col("w")),
-        Seq("w"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("common"), sum(col("term_e4")).as("aa_e4"))
-    val agg = time("wedge join + agg") { pairs.localCheckpoint(true) }
-    println(s"[scratch] pair rows: ${agg.count()}")
-    val res = time("anti-join + top100") {
-      agg.join(st.select(col("src").as("a"), col("dst").as("b")),
-          Seq("a", "b"), "left_anti")
-        .orderBy(col("aa_e4").desc, col("a"), col("b"))
-        .limit(100).collect()
+    val probe = time("maxDeg probe") {
+      sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .agg(max(col("deg"))).first().getLong(0)
     }
-    println(s"[scratch] top rows: ${res.length}")
+    println(s"[scratch] maxDeg = $probe")
+    val adj = sym.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("deg"))
+    time("adjacency jaccard") {
+      val n = st.join(adj.select(col("src").as("a"), col("nbrs").as("na"), col("deg").as("da")),
+          col("src") === col("a"))
+        .join(adj.select(col("src").as("b"), col("nbrs").as("nb"), col("deg").as("db")),
+          col("dst") === col("b"))
+        .select(col("src"), col("dst"),
+          size(array_intersect(col("na"), col("nb"))).cast("long").as("common"),
+          col("da"), col("db"))
+        .withColumn("jaccard_e4",
+          round(col("common") * 10000.0 / (col("da") + col("db") - col("common")))
+            .cast("long"))
+        .count()
+      println(s"[scratch] jaccard rows: $n")
+    }
+    time("full edgeJaccard (as shipped)") {
+      println("[scratch] rows: " + graph.GraphOps.edgeJaccard(st).count())
+    }
+    time("full clusteringCoefficients (as shipped)") {
+      println("[scratch] rows: " + graph.GraphOps.clusteringCoefficients(st).count())
+    }
     spark.stop()
   }
 }

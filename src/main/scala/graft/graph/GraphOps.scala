@@ -87,29 +87,86 @@ object GraphOps {
     }
   }
 
+  /** Max adjacency-list degree before per-edge neighborhood operators
+    * ([[clusteringCoefficients]], [[edgeJaccard]]) abandon
+    * collect_list adjacency arrays for the wedge-join shape: above
+    * it, one hub row's two neighbor lists dominate task memory (the
+    * CLAUDE.md "never carry array columns through joins" failure
+    * mode). 500k × 8 B ≈ 4 MB per list — well under task headroom,
+    * well above any graph the adjacency path should be serving.
+    * Tunable via `graft.graph.adjMaxDegree`. */
+  private def adjMaxDegree(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.graph.adjMaxDegree")
+      .map(_.toLong).getOrElse(500000L)
+
+  /** True when the adjacency-intersect shape is memory-safe. Degree
+    * is bounded by the (canonical) edge count, so a small graph
+    * skips the degree probe entirely — only genuinely large edge
+    * lists pay the one extra aggregation job to measure their hub. */
+  private def adjacencySafe(e: DataFrame, sym: DataFrame): Boolean = {
+    val cap = adjMaxDegree(e)
+    e.count() <= cap || {
+      val maxDeg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .agg(max(col("deg"))).first().getLong(0)
+      maxDeg <= cap
+    }
+  }
+
+  /** Common-neighbor counts per UNORDERED pair (a < b) with ≥ 1
+    * common neighbor, via the wedge self-join on the shared neighbor
+    * — the hub-safe shape: no row ever carries an adjacency array,
+    * and the Σdeg² wedge stream aggregates in place (map-side
+    * combine) without re-shuffling. The explicit numbered repartition
+    * pins the wedge stage's parallelism — its INPUTS are small, so
+    * AQE would coalesce the stage to a couple of tasks that then
+    * chew the whole wedge stream serially (measured on adamicAdar:
+    * 78 s vs 26 s at sf0.1). */
+  private def wedgeCommonCounts(sym: DataFrame): DataFrame = {
+    val parts = 4 * sym.sparkSession.sparkContext.defaultParallelism
+    sym.select(col("dst").as("w"), col("src").as("a"))
+      .repartition(parts, col("w"))
+      .join(sym.select(col("src").as("w"), col("dst").as("b"))
+          .repartition(parts, col("w")),
+        Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+  }
+
   /** Per-vertex triangle count + local clustering coefficient
-    * (e4-scaled): for each canonical edge (a,b), common full
-    * neighborhoods give the triangles through that edge; each
-    * endpoint accumulates them and every triangle is credited twice
-    * per member, hence the /2. Same adjacency-intersect shape as the
-    * global count — per-row memory is two neighbor lists (hub² only
-    * pairwise), and for hub-heavy graphs the wedge-join fallback
-    * pattern of [[triangleCount]] applies. */
+    * (e4-scaled): for each canonical edge (a,b), common neighborhoods
+    * give the triangles through that edge; each endpoint accumulates
+    * them and every triangle is credited twice per member, hence the
+    * /2.
+    *
+    * Dispatch on measured max degree: the adjacency-intersect shape
+    * (broadcastable per-vertex neighbor lists, one array_intersect
+    * per edge) wins while every list is small, but a hub vertex makes
+    * per-row memory two full neighbor lists — above
+    * [[adjMaxDegree]] the plan switches to [[wedgeCommonCounts]],
+    * which never materializes an adjacency array (spec-checked equal
+    * on a planted hub graph). */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-    val adj = sym.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
-    val common = e
-      .join(adj.select(col("src").as("a"), col("nbrs").as("na")), col("src") === col("a"))
-      .join(adj.select(col("src").as("b"), col("nbrs").as("nb")), col("dst") === col("b"))
-      .select(col("src"), col("dst"),
-        size(array_intersect(col("na"), col("nb"))).cast("long").as("c"))
+    val deg = sym.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("degree"))
+    val common =
+      if (adjacencySafe(e, sym)) {
+        val adj = sym.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+        e.join(adj.select(col("src").as("a"), col("nbrs").as("na")), col("src") === col("a"))
+          .join(adj.select(col("src").as("b"), col("nbrs").as("nb")), col("dst") === col("b"))
+          .select(col("src"), col("dst"),
+            size(array_intersect(col("na"), col("nb"))).cast("long").as("c"))
+      } else {
+        e.join(wedgeCommonCounts(sym)
+            .select(col("a").as("src"), col("b").as("dst"), col("c")),
+          Seq("src", "dst"), "inner")
+      }
     val perVertex = common.select(col("src").as("vertex"), col("c"))
       .unionAll(common.select(col("dst").as("vertex"), col("c")))
       .groupBy(col("vertex"))
       .agg((sum(col("c")) / 2).cast("long").as("n_triangles"))
-    val deg = sym.groupBy(col("src").as("vertex"))
-      .agg(count(lit(1)).as("degree"))
     deg.join(perVertex, Seq("vertex"), "left")
       .select(col("vertex"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
@@ -137,23 +194,37 @@ object GraphOps {
   /** Per-edge neighborhood Jaccard similarity — the classic
     * link-prediction / tie-strength primitive: for each canonical
     * edge (a,b), |N(a)∩N(b)| / |N(a)∪N(b)| with
-    * |N(a)∪N(b)| = deg(a) + deg(b) − |N(a)∩N(b)|. Same
-    * adjacency-intersect shape as [[clusteringCoefficients]] (per-row
-    * memory is two neighbor lists; hub-heavy graphs would switch to
-    * the wedge-join fallback of [[triangleCount]]). Scores are
-    * e4-scaled BIGINTs so the oracle compare is bit-stable. */
+    * |N(a)∪N(b)| = deg(a) + deg(b) − |N(a)∩N(b)|. Scores are
+    * e4-scaled BIGINTs so the oracle compare is bit-stable.
+    *
+    * Same max-degree dispatch as [[clusteringCoefficients]]: the
+    * adjacency-intersect shape until a hub would put two full
+    * neighbor lists in one row, [[wedgeCommonCounts]] (left-joined —
+    * zero-common edges keep their Jaccard-0 row) above it. */
   def edgeJaccard(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-    val adj = sym.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("deg"))
-    e.join(adj.select(col("src").as("a"), col("nbrs").as("na"), col("deg").as("da")),
-        col("src") === col("a"))
-      .join(adj.select(col("src").as("b"), col("nbrs").as("nb"), col("deg").as("db")),
-        col("dst") === col("b"))
-      .select(col("src"), col("dst"),
-        size(array_intersect(col("na"), col("nb"))).cast("long").as("common"),
-        col("da"), col("db"))
+    val withDegs =
+      if (adjacencySafe(e, sym)) {
+        val adj = sym.groupBy(col("src"))
+          .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("deg"))
+        e.join(adj.select(col("src").as("a"), col("nbrs").as("na"), col("deg").as("da")),
+            col("src") === col("a"))
+          .join(adj.select(col("src").as("b"), col("nbrs").as("nb"), col("deg").as("db")),
+            col("dst") === col("b"))
+          .select(col("src"), col("dst"),
+            size(array_intersect(col("na"), col("nb"))).cast("long").as("common"),
+            col("da"), col("db"))
+      } else {
+        val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+        e.join(wedgeCommonCounts(sym)
+            .select(col("a").as("src"), col("b").as("dst"), col("c")),
+          Seq("src", "dst"), "left")
+          .select(col("src"), col("dst"), coalesce(col("c"), lit(0L)).as("common"))
+          .join(deg.select(col("v").as("src"), col("deg").as("da")), Seq("src"))
+          .join(deg.select(col("v").as("dst"), col("deg").as("db")), Seq("dst"))
+      }
+    withDegs
       .withColumn("jaccard_e4",
         round(col("common") * 10000.0 / (col("da") + col("db") - col("common")))
           .cast("long"))

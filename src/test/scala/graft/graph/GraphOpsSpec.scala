@@ -57,6 +57,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(!dense.exists(t => t._1 == 0L && t._2 == 1L))
   }
 
+  test("clustering + jaccard: hub graph dispatches to wedge path, same values") {
+    // Hub 0 linked to 20 spokes, with triangles among the first few
+    // spokes and a spoke-spoke edge (2,3) that shares two common
+    // neighbors — plus leaf pairs with zero common neighbors, so the
+    // wedge path's left-join/zero-fill is exercised too.
+    val hub = edgesDf(
+      ((1L to 20L).map(v => (0L, v, 1.0)) ++
+        Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0), (4L, 5L, 1.0),
+          (21L, 22L, 1.0))): _*)
+    def lccRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val adjPath = lccRows(GraphOps.clusteringCoefficients(hub))
+    val adjJac = lccRows(GraphOps.edgeJaccard(hub))
+    val (wedgePath, wedgeJac) = try {
+      // Hub degree is 20: a threshold of 5 forces the wedge-join path.
+      spark.conf.set("graft.graph.adjMaxDegree", "5")
+      (lccRows(GraphOps.clusteringCoefficients(hub)),
+        lccRows(GraphOps.edgeJaccard(hub)))
+    } finally spark.conf.unset("graft.graph.adjMaxDegree")
+    assert(adjPath == wedgePath)
+    assert(adjJac == wedgeJac)
+    // Spot-check: vertex 2 (nbrs 0,1,3) closes triangles (0,1,2) and
+    // (1,2,3) and (0,2,3): deg 3, 3 triangles, lcc = 1.
+    assert(adjPath.find(_._1 == 2L).get == ((2L, 3L, 3L, 10000L)))
+    // Edge (4,5): only common neighbor is hub 0 → common 1; edge
+    // (21,22): no common neighbors → jaccard 0.
+    assert(adjJac.find(t => t._1 == 4L && t._2 == 5L).get._3 == 1L)
+    assert(adjJac.find(t => t._1 == 21L && t._2 == 22L).get == ((21L, 22L, 0L, 0L)))
+  }
+
   test("connected components finds two components") {
     val e = edgesDf((1L, 2L, 1.0), (2L, 3L, 1.0), (10L, 11L, 1.0))
     val cc = GraphOps.connectedComponents(spark, e).collect()
