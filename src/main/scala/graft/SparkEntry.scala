@@ -159,6 +159,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "d_crossdoc_ngram" -> ((s, d) => Dedup.crossdocNgrams(s, d)),
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "d_dup_clusters_exact" -> ((s, d) => Dedup.dupClustersExact(s, d)),
     "p_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "p_stratified" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "p_chunks" -> ((s, d) => Pipeline.chunkDocs(s, d)),
@@ -1010,6 +1011,16 @@ object SparkEntry {
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin,
+    // The chain-pair CC verdict must equal the closed form: cluster =
+    // min doc_id over each identical-text group (md5 equality is
+    // engine-independent, unlike the MinHash/SimHash pair sources).
+    "d_dup_clusters_exact" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |c AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS cluster_id
+        |      FROM h GROUP BY h)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_survivor
+        |FROM h JOIN c USING (h)
         |ORDER BY doc_id""".stripMargin,
     "d_incremental" ->
       """SELECT doc_id FROM documents d

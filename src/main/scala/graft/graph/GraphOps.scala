@@ -559,11 +559,17 @@ object GraphOps {
       val allowed =
         if (round % 2 == 0) col("cand") < col("label")
         else col("cand") > col("label")
+      // LAZY checkpoint + the moved-count as its materializing action:
+      // one job per round does both (an eager checkpoint would spend a
+      // separate job materializing, then count on top — the same
+      // round-tax Louvain's Σtot refresh paid before round 3). The
+      // count scans every partition, so the checkpoint is fully
+      // materialized before the next round builds on it.
       val next = labels.join(cand, Seq("vertex"), "left")
         .select(col("vertex"), col("label").as("prev"),
           when(col("cand").isNotNull && allowed, col("cand"))
             .otherwise(col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val moved = next.filter(col("label") =!= col("prev")).count()
       zeroStreak = if (moved == 0L) zeroStreak + 1 else 0
       labels = next.select(col("vertex"), col("label"))

@@ -209,6 +209,31 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic dedup verdict driven by EXACT pairs only — the
+    * oracle-checkable sibling of [[dupClusters]] (MinHash/SimHash
+    * pair sets depend on this engine's hash functions; md5 equality
+    * is engine-independent, so DuckDB can pin the whole verdict:
+    * cluster_id = min doc_id over each identical-text group).
+    *
+    * Pairs are emitted as CHAINS — each document links to its hash
+    * group's PREVIOUS id, not to the group minimum — so the
+    * connected-components contraction underneath must walk genuine
+    * multi-hop paths to reach the verdict the oracle computes in
+    * closed form. A star-shaped pair set would let a single join
+    * fake the traversal; chains make the oracle exercise the real
+    * CC semantics end-to-end. */
+  def dupClustersExact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val chainPairs = byHash
+      .withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("src"), col("doc_id").as("dst"))
+    dupClusters(spark, dir, chainPairs)
+  }
+
   /** Incremental exact dedup — the production shape where a NEW batch
     * lands against an already-deduped corpus. A new document (doc_id
     * >= `splitId`) survives iff its content hash matches neither the

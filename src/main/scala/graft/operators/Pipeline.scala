@@ -31,10 +31,19 @@ object Pipeline {
     * member happens to fail a gate, silently losing content that has
     * a perfectly good gate-passing duplicate.
     *
+    * `maxSharedE4` arms the corpus-level boilerplate gate: documents
+    * whose cross-document duplicated-8-gram fraction
+    * ([[Dedup.crossdocNgrams]], e4-scaled) EXCEEDS the threshold are
+    * dropped — the RefinedWeb-style template/boilerplate filter that
+    * per-document gates can't see (a template page is individually
+    * fluent English; only the corpus view exposes it). Off by
+    * default: it adds one corpus-wide n-gram df pass.
+    *
     * Output: (doc_id, n_tokens, n_chars) of kept documents. */
   def cleanCorpus(spark: SparkSession, dir: String,
       minTokens: Int = 10,
-      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+      precomputedPairs: Option[DataFrame] = None,
+      maxSharedE4: Option[Long] = None): DataFrame = {
     val t = col("text")
     val metrics = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -42,10 +51,21 @@ object Pipeline {
         length(t).cast("long").as("n_chars"),
         length(regexp_replace(t, "[^A-Za-z]", "")).cast("long").as("n_alpha"),
         TF.langId(t).as("pred_lang"))
-    val gated = metrics
+    val perDocGated = metrics
       .filter(col("pred_lang") === "en")
       .filter(col("n_tokens") >= minTokens)
       .filter(col("n_alpha") * 2 >= col("n_chars"))
+    val gated = maxSharedE4 match {
+      case Some(tau) =>
+        // Docs too short to produce an 8-gram are absent from the
+        // crossdoc table: no corpus-level evidence → keep (coalesce 0).
+        val shared = Dedup.crossdocNgrams(spark, dir)
+          .select(col("doc_id"), col("shared_e4"))
+        perDocGated.join(shared, Seq("doc_id"), "left")
+          .filter(coalesce(col("shared_e4"), lit(0L)) <= tau)
+          .drop("shared_e4")
+      case None => perDocGated
+    }
     val pairs = precomputedPairs.getOrElse(
       Dedup.dupPairs(spark, dir, includeMinhash = false))
     val clusters = Dedup.dupClusters(spark, dir, pairs)

@@ -206,6 +206,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 6L), s"kept: ${kept.mkString(",")}")
   }
 
+  test("cleanCorpus boilerplate gate drops template docs, keeps unique ones") {
+    // Docs 1 and 2 share the same long boilerplate preamble (high
+    // cross-doc 8-gram overlap) but differ enough that they are NOT
+    // exact/SimHash duplicates; doc 3 is unique fluent English. All
+    // three pass every per-document gate — only the corpus-level
+    // boilerplate signal separates them.
+    val template = "please read the following terms and conditions before " +
+      "you continue to use the site because the provider requires it " +
+      "and the provider may change the terms at any time without notice "
+    val docs = Seq(
+      (1L, template * 3 + "alpha beta gamma delta epsilon zeta eta theta " * 3),
+      (2L, template * 3 + "one two three four five six seven eight nine ten " * 3),
+      (3L, ("it is a good day for all of us here and there my friend " * 6).trim))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val without = Pipeline.cleanCorpus(spark, dir).collect().map(_.getLong(0))
+    assert(without.toSeq == Seq(1L, 2L, 3L), s"ungated: ${without.mkString(",")}")
+    // Docs 1/2 are >60% shared 8-grams; doc 3 shares none.
+    val gated = Pipeline.cleanCorpus(spark, dir, maxSharedE4 = Some(5000L))
+      .collect().map(_.getLong(0))
+    assert(gated.toSeq == Seq(3L), s"gated: ${gated.mkString(",")}")
+  }
+
   test("stratifiedSample is deterministic, a subset, and respects 0/1 fractions") {
     val docs = (1L to 200L).map(i =>
       (i, s"doc $i", if (i % 3 == 0) "de" else if (i % 3 == 1) "en" else "fr"))
