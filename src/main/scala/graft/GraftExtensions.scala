@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, L2Normalize, MinHashSig, RollingHash64, SimHash64}
+import graft.functions.{CosineSim, L2Normalize, MinHashSig, RollingHash64, SimHash64, SortedKvIntersectStats}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...) ...")` works next to the Column
@@ -35,6 +35,10 @@ object GraftExtensions {
       args => CosineSim(args.head, args(1))),
     ("l2_normalize", "l2_normalize(array<float|double>) - unit-normalized array<double>",
       args => L2Normalize(args.head)),
+    ("sorted_kv_intersect_stats",
+      "sorted_kv_intersect_stats(keys_a array<bigint> ASC, vals_a array<bigint>, keys_b array<bigint> ASC)" +
+        " - struct(common, vsum): intersection size and value sum over it",
+      args => SortedKvIntersectStats(args(0), args(1), args(2))),
     // Aggregate: the registry takes the bare AggregateFunction; the
     // analyzer wraps it in an AggregateExpression.
     ("bottom_k_by_key",

@@ -116,6 +116,7 @@ object SparkEntry {
     "q_interval_join" -> ((s, d) => Relational.qIntervalJoin(s, d)),
     "q_date_spine" -> ((s, d) => Relational.qDateSpine(s, d)),
     "q_json_props" -> ((s, d) => Relational.qJsonProps(s, d)),
+    "q_argmax" -> ((s, d) => Relational.qArgmax(s, d)),
     "q_rows_window" -> ((s, d) => Relational.qRowsWindow(s, d)),
     "q_percentiles" -> ((s, d) => Relational.qPercentiles(s, d)),
     "q_histogram" -> ((s, d) => Relational.qHistogram(s, d)),
@@ -160,6 +161,7 @@ object SparkEntry {
     "d_crossdoc_ngram" -> ((s, d) => Dedup.crossdocNgrams(s, d)),
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "d_dup_clusters_exact" -> ((s, d) => Dedup.dupClustersExact(s, d)),
+    "d_containment" -> ((s, d) => Dedup.containment(s, d)),
     "p_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "p_stratified" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "p_chunks" -> ((s, d) => Pipeline.chunkDocs(s, d)),
@@ -235,6 +237,28 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("text"))
           .write.mode("overwrite").orc(p))
       TextAnalysis.tokenCountsOf(s.read.orc(out))
+    }),
+    // Quoted-CSV round-trip under the oracle: free text forces the
+    // writer through RFC-4180 quoting (quoteAll + escaped quotes) and
+    // the reader through multiline parsing — the string-heavy CSV
+    // path EdgeListSource's numeric TSV never touches. Same token
+    // counts as t_tokens; a planted spec covers embedded commas,
+    // quotes and newlines explicitly.
+    "src_csv_tokens" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val out = cachedSideOutput(d, "documents", "docscsv")(p =>
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .write.mode("overwrite")
+          .option("header", "true").option("quoteAll", "true")
+          .option("escape", "\"")
+          .csv(p))
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      TextAnalysis.tokenCountsOf(
+        s.read.schema(schema)
+          .option("header", "true").option("multiLine", "true")
+          .option("escape", "\"")
+          .csv(out))
     }),
   )
 
@@ -1220,6 +1244,51 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "src_csv_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Composite (price, key) ordering makes the argmax row unique.
+    // DuckDB's max_by can't order by a struct, so the oracle states
+    // the same semantics as unique-ranked windows.
+    "q_argmax" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  CAST(max(CASE WHEN rmax = 1 THEN o_orderkey END) AS BIGINT) AS max_order,
+        |  CAST(max(CASE WHEN rmin = 1 THEN o_orderkey END) AS BIGINT) AS min_order,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(min(o_totalprice), 2) AS min_price
+        |FROM r GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // Same word-8-gram shingle construction as d_crossdoc_ngram; the
+    // query side is doc_id < 100, containment >= 0.25 of the QUERY's
+    // distinct shingles.
+    "d_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[i:i+7], ' ')) AS h FROM idx),
+        |qs AS (SELECT doc_id AS doc_a, count(*) AS n_q FROM sh
+        |       WHERE doc_id < 100 GROUP BY 1),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(count(*) AS BIGINT) AS n_common
+        |      FROM sh a JOIN sh b USING (h)
+        |      WHERE a.doc_id < 100 AND a.doc_id <> b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |  CAST(round(n_common * 10000.0 / n_q) AS BIGINT) AS containment_e4
+        |FROM j JOIN qs USING (doc_a)
+        |WHERE round(n_common * 10000.0 / n_q) >= 2500
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Word 8-gram shingles with whole-text fallback for short docs —
     // identical construction to the Spark side's wordShingles(n=8).
     "d_crossdoc_ngram" ->

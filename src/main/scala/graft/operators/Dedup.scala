@@ -282,6 +282,40 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Exact n-gram CONTAINMENT of a bounded query set in the corpus —
+    * the asymmetric near-dup signal (quotation, doc-in-doc, partial
+    * scrape): containment(q, d) = |S(q) ∩ S(d)| / |S(q)| over
+    * distinct word n-gram sets. Symmetric Jaccard misses a small
+    * document copied wholesale into a large one (the union term
+    * swamps it); containment is exactly that detector.
+    *
+    * Relational shape: one checkpointed corpus scan explodes to
+    * (doc_id, md5(ngram)) rows; query and corpus sides equi-join on
+    * the 16-byte hash, aggregate to (q, d) counts, then normalize by
+    * |S(q)| — n-gram text never shuffles, and the query side is
+    * bounded (broadcastable at scale). */
+  def containment(spark: SparkSession, dir: String, maxQueryId: Long = 100L,
+      n: Int = 8, minE4: Long = 2500L): DataFrame = {
+    val shing = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(TF.wordShingles(col("text"), n))).as("ng"))
+      .select(col("doc_id"), md5(col("ng")).as("h"))
+      .localCheckpoint(true) // serves query-side size agg AND the join
+    val q = shing.filter(col("doc_id") < maxQueryId)
+    val qsize = q.groupBy(col("doc_id").as("doc_a")).agg(count(lit(1)).as("n_q"))
+    q.select(col("doc_id").as("doc_a"), col("h"))
+      .join(shing.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(qsize, Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("n_common") * lit(1e4) / col("n_q")).cast("long")
+          .as("containment_e4"))
+      .filter(col("containment_e4") >= minE4)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Cross-document duplicated-n-gram fraction (RefinedWeb-style):
     * for each document, the share of its distinct word n-grams that
     * also appear in at least one OTHER document — the corpus-level

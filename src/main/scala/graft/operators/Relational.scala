@@ -652,4 +652,23 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
   }
+
+  /** Selective aggregation (max_by / min_by): per order status, the
+    * order id holding the extreme price — the "which row is the
+    * argmax" ask that otherwise costs a window + filter pass. Ties on
+    * price are broken by orderkey via a composite struct ordering, so
+    * the winner is deterministic cross-engine (a bare max_by(price)
+    * picks an arbitrary row among equal prices). One map-side-combined
+    * aggregation, no window, no second scan. */
+  def qArgmax(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("max_order"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("min_order"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"))
+      .orderBy(col("o_orderstatus"))
 }

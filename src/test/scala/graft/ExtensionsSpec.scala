@@ -27,6 +27,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) - math.sqrt(0.5)) < 1e-12)
   }
 
+  test("sorted_kv_intersect_stats from SQL matches the Column API and hand counts") {
+    import org.apache.spark.sql.functions._
+    val row = spark.sql(
+      """SELECT sorted_kv_intersect_stats(
+        |  array(1L, 3L, 5L, 9L), array(10L, 30L, 50L, 90L),
+        |  array(2L, 3L, 9L, 11L)) AS s""".stripMargin).collect()(0)
+    val s = row.getStruct(0)
+    // intersection {3, 9} → common 2, vsum 30 + 90
+    assert(s.getLong(0) == 2L && s.getLong(1) == 120L)
+    val viaCol = spark.range(1).select(
+      graft.functions.CatalystGraph.sorted_kv_intersect_stats(
+        array(lit(1L), lit(3L), lit(5L), lit(9L)),
+        array(lit(10L), lit(30L), lit(50L), lit(90L)),
+        array(lit(2L), lit(3L), lit(9L), lit(11L))).as("s"))
+      .collect()(0).getStruct(0)
+    assert(viaCol.getLong(0) == s.getLong(0) && viaCol.getLong(1) == s.getLong(1))
+    // disjoint and empty inputs
+    val z = spark.sql(
+      "SELECT sorted_kv_intersect_stats(array(1L), array(5L), array(2L)) AS s,"
+        + " sorted_kv_intersect_stats(CAST(array() AS ARRAY<BIGINT>),"
+        + "   CAST(array() AS ARRAY<BIGINT>), array(1L)) AS e")
+      .collect()(0)
+    assert(z.getStruct(0).getLong(0) == 0L && z.getStruct(1).getLong(0) == 0L)
+  }
+
   test("l2_normalize yields unit vectors and matches the HOF composition") {
     import org.apache.spark.sql.functions._
     import graft.functions.CatalystText

@@ -63,6 +63,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.contains("ReadSchema: struct<doc_id:bigint>"), pruned)
   }
 
+  test("quoted csv round-trips text with embedded commas, quotes and newlines") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft_csv").toString
+    // The adversarial corpus for RFC-4180: delimiter inside a field,
+    // escaped double quotes, a record spanning lines, and an empty
+    // string (must not collapse to null on read with quoteAll).
+    val docs = Seq(
+      (1L, "plain words"),
+      (2L, "comma, inside, field"),
+      (3L, "she said \"hello, world\" twice"),
+      (4L, "line one\nline two\nline three"),
+      (5L, "")).toDF("doc_id", "text")
+    docs.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"")
+      .csv(s"$dir/docs")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val back = spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(s"$dir/docs")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+      .sortBy(_._1)
+    assert(back.toSeq == docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val conf = spark.conf
