@@ -102,6 +102,19 @@ final class GraftGraph private (
     decode(GraphOps.louvain(spark, edges, resolution), Seq("vertex", "community"))
   def louvainLevels(resolution: Double = 1.0): DataFrame =
     GraphOps.louvainLevels(spark, edges, resolution)
+  /** Bit-reproducible integer PageRank — identical output under any
+    * partitioning (the run-to-run reproducibility contract). */
+  def pageRankDeterministic(iters: Int = 10): DataFrame =
+    decode(GraphOps.pageRankInteger(spark, edges, iters), Seq("vertex"))
+  /** Strong-tie subgraph (weight ≥ 1.25× median) as a new graph —
+    * the similarity statistics below are typically run on it. */
+  def strongTies(): GraftGraph =
+    new GraftGraph(spark, GraphOps.strongTies(edges), dict)
+  def edgeJaccard(): DataFrame =
+    decode(GraphOps.edgeJaccard(edges), Seq("src", "dst"))
+  def assortativity(): DataFrame = GraphOps.assortativity(edges)
+  def adamicAdar(topN: Int = 100): DataFrame =
+    decode(GraphOps.adamicAdar(edges, topN), Seq("a", "b"))
 }
 
 object GraftGraph {

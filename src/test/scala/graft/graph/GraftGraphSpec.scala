@@ -43,6 +43,33 @@ class GraftGraphSpec extends AnyFunSuite {
     assert(comm("alice") != comm("xavier"))
   }
 
+  test("similarity surface decodes string ids: jaccard, adamic-adar, strong ties") {
+    // Heavy 5-clique on names + weight-1 filler edges so strongTies
+    // keeps the clique; adamic-adar then predicts nothing inside the
+    // clique (all adjacent) and the facade returns original labels.
+    val people = Seq("ann", "ben", "cat", "dan", "eve")
+    val clique = for {
+      a <- people; b <- people if a < b
+    } yield (a, b, 5.0)
+    val filler = (1 to 30).map(i => (s"f$i", s"g$i", 1.0))
+    val g = GraftGraph(spark, (clique ++ filler).toDF("src", "dst", "weight"))
+    val st = g.strongTies()
+    assert(st.edges.count() == 10L) // just the clique
+    val jac = st.edgeJaccard().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    // every clique edge: common = 3 of 4+4-3 union → jaccard 0.6
+    assert(jac.keySet.flatMap(t => Set(t._1, t._2)) == people.toSet)
+    assert(jac.values.forall(_ == 6000L), jac.toString)
+    // 4-regular clique → zero degree variance → the degenerate guard
+    // must yield NULL, not a NaN cast error
+    assert(st.assortativity().collect()(0).isNullAt(1))
+    val aa = g.adamicAdar().collect()
+    // cross-pairs like (ann, f1) have no common neighbors; inside the
+    // clique everything is adjacent → no prediction among people
+    assert(!aa.exists(r => people.contains(r.getString(0))
+      && people.contains(r.getString(1))))
+  }
+
   test("explicit landmarks on a string-id graph are given as labels") {
     val names = Seq(
       ("alice", "bob", 1.0), ("bob", "carol", 1.0), ("carol", "dave", 1.0))
