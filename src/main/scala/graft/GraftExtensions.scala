@@ -35,6 +35,10 @@ object GraftExtensions {
       args => CosineSim(args.head, args(1))),
     ("l2_normalize", "l2_normalize(array<float|double>) - unit-normalized array<double>",
       args => L2Normalize(args.head)),
+    ("word_shingles",
+      "word_shingles(tokens array<string>, n) - word n-gram shingles, short docs yield one whole-array shingle",
+      args => graft.functions.WordShingles(args.head,
+        extractIntLiteral(args, 2, 1, "word_shingles"))),
     ("sorted_kv_intersect_stats",
       "sorted_kv_intersect_stats(keys_a array<bigint> ASC, vals_a array<bigint>, keys_b array<bigint> ASC)" +
         " - struct(common, vsum): intersection size and value sum over it",

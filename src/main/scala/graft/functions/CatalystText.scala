@@ -99,6 +99,44 @@ case class RollingHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(c)
 }
 
+/** Word n-gram shingles in one native pass over the token array:
+  * ["a","b","c","d"], n=3 → ["a b c", "b c d"]; fewer than n tokens
+  * yield ONE shingle of the whole array. Replaces the
+  * `transform(sequence(...), i -> concat_ws(" ", slice(t, i+1, n)))`
+  * builtin composition, whose interpreted lambda costs a closure
+  * call per shingle per document — on the corpus-wide n-gram
+  * queries (crossdoc df, containment, decontamination, MinHash
+  * shingling) that interpreted loop IS the scan cost. Null elements
+  * are skipped exactly as `concat_ws` skips them. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"word_shingles: n must be >= 1, got $n")
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val size = arr.numElements()
+    val count = math.max(size - n, 0) + 1
+    val out = new Array[AnyRef](count)
+    var i = 0
+    while (i < count) {
+      val upper = math.min(i + n, size)
+      var m = 0
+      var j = i
+      val parts = new Array[UTF8String](upper - i)
+      while (j < upper) {
+        if (!arr.isNullAt(j)) { parts(m) = arr.getUTF8String(j); m += 1 }
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(UTF8String.fromString(" "),
+        java.util.Arrays.copyOf(parts, m): _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
 /** MinHash signature in one native pass: k minimums over per-element
   * seeded avalanche hashes of an array<string>. Replaces the
   * `transform(sequence(1,k), seed -> aggregate(...))` builtin
@@ -277,6 +315,8 @@ object CatalystText {
   def simhash64(c: Column): Column = shim.column(SimHash64(shim.expression(c)))
   def rolling_hash64(c: Column): Column = shim.column(RollingHash64(shim.expression(c)))
   def minhash_sig(c: Column, k: Int): Column = shim.column(MinHashSig(shim.expression(c), k))
+  def word_shingles(tokens: Column, n: Int): Column =
+    shim.column(WordShingles(shim.expression(tokens), n))
   def cosine_sim(a: Column, b: Column): Column =
     shim.column(CosineSim(shim.expression(a), shim.expression(b)))
   def l2_normalize(c: Column): Column = shim.column(L2Normalize(shim.expression(c)))

@@ -16,8 +16,15 @@ object TextFunctions {
 
   /** Word n-gram shingles: ["a","b","c","d"], n=3 →
     * ["a b c", "b c d"]. Documents shorter than n yield one shingle
-    * of the whole text. */
-  def wordShingles(text: Column, n: Int): Column = {
+    * of the whole text. Native [[WordShingles]] expression — the
+    * equivalent `transform`+`slice`+`concat_ws` composition pays an
+    * interpreted closure per shingle (spec-checked equal). */
+  def wordShingles(text: Column, n: Int): Column =
+    CatalystText.word_shingles(tokens(text), n)
+
+  /** The interpreted HOF composition [[wordShingles]] replaced —
+    * kept as the parity reference for the equality spec. */
+  private[graft] def wordShinglesHof(text: Column, n: Int): Column = {
     val t = tokens(text)
     transform(
       sequence(lit(0), greatest(size(t) - lit(n), lit(0))),

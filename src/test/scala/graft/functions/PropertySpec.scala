@@ -40,6 +40,26 @@ class PropertySpec extends AnyFunSuite {
     Gen.choose(1, 20).flatMap(n =>
       Gen.listOfN(n, Gen.choose(0, 99).map(i => s"w$i")))
 
+  test("word_shingles: native expression equals the HOF composition it replaced") {
+    // Random word-soup strings plus the edge cases: empty text, one
+    // word, exactly n words, n-1 words, repeated whitespace.
+    val gen = Gen.listOfN(40,
+      Gen.chooseNum(0, 24).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("key", "agg", "row", "scan", "a", "x9"))
+          .map(_.mkString(" "))))
+    val texts = gen.pureApply(Gen.Parameters.default, Seed(7L)) ++
+      Seq("", "one", "a b c", "a b c d", "  two   spaces  here ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (n <- Seq(1, 3, 8)) {
+      val got = df.select(col("id"), TextFunctions.wordShingles(col("text"), n).as("s"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+      val want = df.select(col("id"), TextFunctions.wordShinglesHof(col("text"), n).as("s"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+      assert(got == want, s"n=$n mismatch")
+    }
+  }
+
   test("minhash: identical inputs → identical signatures of length k") {
     samples(tokensGen, 10).foreach { toks =>
       val df = Seq((1L, toks), (2L, toks)).toDF("id", "toks")
