@@ -142,6 +142,20 @@ object StreamingOps {
     * (µs arithmetic replicated there). */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Stream-STATE partitioning is sized to the keyspace, not to the
+    // batch core count: a stream-stream join keeps FOUR state stores
+    // per partition, and every micro-batch pays a store
+    // commit/snapshot per partition — with a small hot keyspace,
+    // fewer state partitions beat idle cores. The partition count is
+    // fixed at the first micro-batch by the checkpoint, so this is a
+    // per-query decision, restored after the stream starts.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try streamStreamJoinInner(spark, dir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def streamStreamJoinInner(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     def stream() = spark.readStream
       .schema(rawSchema)
