@@ -591,11 +591,13 @@ object GraphOps {
       (org.apache.spark.rdd.RDD[(org.apache.spark.graphx.VertexId, Long)], Seq[LouvainLevel])]
 
   /** RDD ids the Bench/Verify per-query sweep must not unpersist:
-    * memoized Louvain assignments + the memoized canonical edge
-    * builds ([[GraphBuilder.retainedRddIds]]) are the only
-    * cross-query state. */
+    * memoized Louvain assignments, the memoized canonical edge
+    * builds ([[GraphBuilder.retainedRddIds]]) and the memoized dedup
+    * signature tables are the only cross-query state. */
   def retainedRddIds: Set[Int] =
-    louvainCache.values.map(_._1.id).toSet ++ GraphBuilder.retainedRddIds
+    louvainCache.values.map(_._1.id).toSet ++
+      GraphBuilder.retainedRddIds ++
+      graft.operators.Dedup.retainedRddIds
 
   /** Identity of the data behind a DataFrame's file sources: sorted
     * (path, mtime, length) per input file. Plans over non-file data

@@ -199,15 +199,13 @@ object Pipeline {
     * shuffles. Documents with zero overlap drop out (the common case
     * — the output is the contamination report, not the corpus). */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val bench = docs.filter(pmod(col("doc_id"), lit(20L)) === 0)
-      .select(explode(TF.wordShingles(col("text"), n)).as("ng"))
-      .select(md5(col("ng")).as("h"))
-      .distinct()
-    val corpus = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
-      .select(col("doc_id"),
-        explode(array_distinct(TF.wordShingles(col("text"), n))).as("ng"))
-      .select(col("doc_id"), md5(col("ng")).as("h"))
+    // Both sides project from the memoized corpus-wide n-gram table
+    // (one scan shared with crossdocNgrams/containment); the bench
+    // set's per-doc-distinct rows collapse to a distinct hash set.
+    val grams = Dedup.ngramHashes(spark, dir, n)
+    val bench = grams.filter(pmod(col("doc_id"), lit(20L)) === 0)
+      .select(col("h")).distinct()
+    val corpus = grams.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
     corpus.join(bench, Seq("h"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
