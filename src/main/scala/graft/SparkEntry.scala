@@ -50,6 +50,12 @@ object SparkEntry {
     "g_modularity" -> ((s, d) =>
       GraphOps.louvainLevels(s, GraphBuilder.supplierCoEdges(s, d))
         .orderBy(col("level"))),
+    // Q of the 4-round LPA labels: both the labels AND the score sit
+    // under the DuckDB oracle (unrolled rounds + closed-form Q).
+    "g_modularity_of" -> ((s, d) => {
+      val edges = GraphBuilder.supplierCoEdges(s, d)
+      GraphOps.modularityOf(edges, GraphOps.labelPropagation(s, edges, iters = 4))
+    }),
     "g_pagerank" -> ((s, d) =>
       GraphOps.pageRank(s, GraphBuilder.supplierCoEdges(s, d))
         .orderBy(col("vertex"))),
@@ -299,6 +305,36 @@ object SparkEntry {
       s"\nSELECT vertex, CAST(label AS BIGINT) AS label FROM l$iters ORDER BY vertex"
   }
 
+  /** Modularity Q of the `iters`-round LPA labels, closed form over
+    * exact integer sufficient statistics:
+    * Q = (4m·Σw_in − Σd_c²) / (4m²). HUGEINT accumulation mirrors the
+    * Spark side's DECIMAL(38,0); the one final division runs in
+    * DOUBLE from identical exact integers on both engines. */
+  private def modularityOfOracleSql(iters: Int): String = {
+    val cte = lpaOracleSql(iters)
+    val idx = cte.lastIndexOf("\nSELECT")
+    cte.substring(0, idx) +
+      s""",
+         |lab AS (SELECT vertex, label FROM l$iters),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM e),
+         |dc AS (SELECT l.label, CAST(sum(s.w) AS BIGINT) AS d_c
+         |  FROM (SELECT src AS vertex, w FROM e UNION ALL SELECT dst, w FROM e) s
+         |  JOIN lab l USING (vertex) GROUP BY 1),
+         |ic AS (SELECT la.label, CAST(sum(e.w) AS BIGINT) AS w_in
+         |  FROM e JOIN lab la ON la.vertex = e.src
+         |         JOIN lab lb ON lb.vertex = e.dst
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |per AS (SELECT dc.label, d_c, coalesce(w_in, 0) AS w_in
+         |  FROM dc LEFT JOIN ic USING (label)),
+         |agg AS (SELECT count(*) AS n_communities,
+         |    CAST(sum(w_in) AS HUGEINT) AS a,
+         |    sum(CAST(d_c AS HUGEINT) * d_c) AS b FROM per)
+         |SELECT m, CAST(n_communities AS BIGINT) AS n_communities,
+         |  CAST(round(CAST(4 * a * m - b AS DOUBLE)
+         |    / (4.0 * m * m) * 1000000) AS BIGINT) AS q_e6
+         |FROM agg CROSS JOIN tot""".stripMargin
+  }
+
   /** k-core peeling unrolled to `rounds` SQL rounds: each round drops
     * under-degree vertices and their edges; past the fixpoint the
     * rounds are identity. 20 rounds covers the peel depth of these
@@ -346,6 +382,7 @@ object SparkEntry {
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "g_lpa" -> lpaOracleSql(),
+    "g_modularity_of" -> modularityOfOracleSql(4),
     "g_kcore" -> kcoreOracleSql(),
     "g_pagerank_det" -> pagerankDetOracleSql(),
     // Adamic–Adar over the strong-tie subgraph: wedge join + anti-join

@@ -578,6 +578,48 @@ object GraphOps {
     labels
   }
 
+  /** Modularity Q (γ = 1) of an ARBITRARY community assignment —
+    * the quality measure decoupled from any particular community
+    * algorithm, so a user can score LPA labels, Louvain output, or
+    * an external partition on equal footing.
+    *
+    * Exact integer sufficient statistics: with integral edge weights,
+    * Q = Σ_c [w_in(c)/m − (d_c/2m)²] = (4m·Σw_in − Σd_c²) / (4m²),
+    * where Σw_in and Σd_c² accumulate as exact DECIMAL(38,0) (the
+    * square overflows BIGINT at snowflake-degree scale). The single
+    * final division is evaluated in double from those exact integers
+    * — identical IEEE expression on both engines, so the e6 rounding
+    * is deterministic, unlike summing per-community float terms in
+    * shuffle order. One row out: (m, n_communities, q_e6).
+    *
+    * @param assignment (vertex, label) rows covering the graph's
+    *                   vertices (e.g. [[labelPropagation]] output). */
+  def modularityOf(edges: DataFrame, assignment: DataFrame): DataFrame = {
+    val wl = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+    val lab = assignment.select(col("vertex"), col("label"))
+    val sym = wl.select(col("src").as("vertex"), col("w"))
+      .unionAll(wl.select(col("dst").as("vertex"), col("w")))
+    val dC = sym.join(lab, Seq("vertex"))
+      .groupBy(col("label")).agg(sum(col("w")).as("d_c"))
+    val inC = wl
+      .join(lab.select(col("vertex").as("src"), col("label").as("ca")), Seq("src"))
+      .join(lab.select(col("vertex").as("dst"), col("label").as("cb")), Seq("dst"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("label")).agg(sum(col("w")).as("w_in"))
+    val per = dC.join(inC, Seq("label"), "left")
+      .select(col("d_c"), coalesce(col("w_in"), lit(0L)).as("w_in"))
+    val tot = wl.agg(sum(col("w")).as("m"))
+    per.agg(
+        count(lit(1)).as("n_communities"),
+        sum(col("w_in").cast("decimal(38,0)")).as("a"),
+        sum(col("d_c").cast("decimal(38,0)") * col("d_c")).as("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("m"), col("n_communities"),
+        round((col("a") * lit(4) * col("m") - col("b")).cast("double")
+            / (lit(4.0) * col("m") * col("m")) * 1e6)
+          .cast("long").as("q_e6"))
+  }
+
   // One Louvain run serves both the assignment and the level-stats
   // queries when they execute in the same session against the same
   // input (the assignment RDD is small: one (id, community) pair per

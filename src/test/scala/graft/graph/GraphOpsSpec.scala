@@ -87,6 +87,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(adjJac.find(t => t._1 == 21L && t._2 == 22L).get == ((21L, 22L, 0L, 0L)))
   }
 
+  test("modularityOf: two disjoint triangles score Q=0.5, one community Q=0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val g = edgesDf((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0),
+      (11L, 12L, 1.0), (12L, 13L, 1.0), (11L, 13L, 1.0))
+    val byComponent = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (11L, 2L), (12L, 2L), (13L, 2L)).toDF("vertex", "label")
+    // m=6, per community: w_in=3, d_c=6 → Q = 2·(3/6 − (6/12)²) = 0.5
+    val q = GraphOps.modularityOf(g, byComponent).collect()(0)
+    assert((q.getLong(0), q.getLong(1), q.getLong(2)) == ((6L, 2L, 500000L)))
+    // everything in one community: Q = m/m − (2m/2m)² = 0
+    val one = byComponent.select(col("vertex"), lit(1L).as("label"))
+    assert(GraphOps.modularityOf(g, one).collect()(0).getLong(2) == 0L)
+    // agreement with Louvain's own per-level Q on its own assignment:
+    // the final-level assignment scored by modularityOf must equal
+    // the e6 Q Louvain reported for that level (integer compare ±1
+    // for the e6 rounding of two exact computations of the same sum).
+    val louvainQ = GraphOps.louvainLevels(spark, g).orderBy(col("level").desc)
+      .collect()(0).getLong(1)
+    val rescored = GraphOps.modularityOf(g, GraphOps.louvain(spark, g)
+      .select(col("vertex"), col("community").as("label")))
+      .collect()(0).getLong(2)
+    assert(math.abs(louvainQ - rescored) <= 1L, s"$louvainQ vs $rescored")
+  }
+
   test("connected components finds two components") {
     val e = edgesDf((1L, 2L, 1.0), (2L, 3L, 1.0), (10L, 11L, 1.0))
     val cc = GraphOps.connectedComponents(spark, e).collect()
