@@ -168,6 +168,13 @@ object SparkEntry {
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "d_dup_clusters_exact" -> ((s, d) => Dedup.dupClustersExact(s, d)),
     "d_containment" -> ((s, d) => Dedup.containment(s, d)),
+    // The flagship curation composition under the FULL oracle: gates
+    // (langId, token floor, alpha ratio) + one-survivor-per-cluster,
+    // with clusters driven by engine-independent exact chain pairs so
+    // DuckDB can state the whole pipeline in closed form.
+    "p_clean_corpus_exact" -> ((s, d) =>
+      Pipeline.cleanCorpus(s, d,
+        precomputedPairs = Some(Dedup.exactChainPairs(s, d)))),
     "p_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "p_stratified" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "p_chunks" -> ((s, d) => Pipeline.chunkDocs(s, d)),
@@ -1073,6 +1080,35 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(text)
         |ORDER BY doc_id""".stripMargin,
+    // The full curation pipeline in closed form: per-doc gates, then
+    // survivor = min gated id per identical-text group (an exact
+    // cluster's members share one text, so gates agree cluster-wide).
+    "p_clean_corpus_exact" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is','that','it','for'])) AS en,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','zu','auf'])) AS de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','dans','un','une','pour','que'])) AS fr,
+        |    len(list_intersect(toks, ['el','los','y','es','en','un','una','por','con','para'])) AS es,
+        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS zh
+        |  FROM m),
+        |gated AS (
+        |  SELECT m.doc_id, m.text, m.n_tokens, m.n_chars
+        |  FROM m JOIN s USING (doc_id)
+        |  WHERE NOT s.zh AND greatest(en, de, fr, es) > 0
+        |    AND en = greatest(en, de, fr, es)
+        |    AND m.n_tokens >= 10 AND m.n_alpha * 2 >= m.n_chars),
+        |surv AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text))
+        |SELECT g.doc_id, g.n_tokens, g.n_chars
+        |FROM gated g JOIN surv USING (doc_id)
+        |ORDER BY g.doc_id""".stripMargin,
     // The chain-pair CC verdict must equal the closed form: cluster =
     // min doc_id over each identical-text group (md5 equality is
     // engine-independent, unlike the MinHash/SimHash pair sources).

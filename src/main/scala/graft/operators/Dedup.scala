@@ -294,16 +294,22 @@ object Dedup {
     * closed form. A star-shaped pair set would let a single join
     * fake the traversal; chains make the oracle exercise the real
     * CC semantics end-to-end. */
-  def dupClustersExact(spark: SparkSession, dir: String): DataFrame = {
+  def dupClustersExact(spark: SparkSession, dir: String): DataFrame =
+    dupClusters(spark, dir, exactChainPairs(spark, dir))
+
+  /** Exact-duplicate pairs as per-hash-group CHAINS (each doc links
+    * to its group's previous id) — the engine-independent pair source
+    * behind [[dupClustersExact]] and the oracle-checked curation
+    * composition (`p_clean_corpus_exact`). */
+  private[graft] def exactChainPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byHash = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("h"))
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-    val chainPairs = byHash
+    byHash
       .withColumn("prev", lag(col("doc_id"), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("prev").as("src"), col("doc_id").as("dst"))
-    dupClusters(spark, dir, chainPairs)
   }
 
   /** Incremental exact dedup — the production shape where a NEW batch
