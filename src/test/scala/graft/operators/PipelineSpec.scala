@@ -12,6 +12,38 @@ class PipelineSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("memoized corpus tables miss when the file is regenerated in place") {
+    // The signature/n-gram memos key on (path, mtime, length):
+    // rewriting documents.parquet at the SAME path must produce fresh
+    // results, not serve the previous corpus (the stale-memo bug the
+    // identity key exists to prevent).
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    def write(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // mtime granularity can be coarse; force a distinct timestamp
+      val f = new java.io.File(s"$dir/documents.parquet")
+      f.setLastModified(f.lastModified() + 2000)
+    }
+    write(Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma")))
+    val firstDup = Dedup.exactDedup(spark, dir).collect().map(_.getLong(0))
+    val firstGrams = Dedup.crossdocNgrams(spark, dir, n = 2).count()
+    // exact + SimHash sources each emit the (1,2) link → distinct
+    val firstPairs = Dedup.dupPairs(spark, dir, includeMinhash = false)
+      .distinct().count()
+    assert(firstDup.toSeq == Seq(1L) && firstPairs == 1L)
+    write(Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")))
+    val secondDup = Dedup.exactDedup(spark, dir).collect().map(_.getLong(0))
+    val secondGrams = Dedup.crossdocNgrams(spark, dir, n = 2).count()
+    val secondPairs = Dedup.dupPairs(spark, dir, includeMinhash = false)
+      .distinct().count()
+    assert(secondDup.toSeq == Seq(1L, 2L, 3L), s"stale memo: ${secondDup.mkString(",")}")
+    assert(secondPairs == 0L, s"stale pair memo: $secondPairs")
+    assert(firstGrams == 2L && secondGrams == 3L,
+      s"stale ngram memo: $firstGrams / $secondGrams")
+  }
+
   test("minhash estimates jaccard within tolerance on planted near-dups") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 54).map(i => s"tok$i").mkString(" ") + " x1 x2 x3 x4 x5 x6"
