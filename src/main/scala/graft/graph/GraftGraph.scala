@@ -115,6 +115,25 @@ final class GraftGraph private (
   def assortativity(): DataFrame = GraphOps.assortativity(edges)
   def adamicAdar(topN: Int = 100): DataFrame =
     decode(GraphOps.adamicAdar(edges, topN), Seq("a", "b"))
+  /** Modularity Q of an ARBITRARY (vertex, label) assignment given in
+    * ORIGINAL vertex ids (labels may be any type — they only need
+    * equality). On a dictionary-encoded graph the vertex column is
+    * translated through the dict; unknown vertices fail the inner
+    * join silently on the edge side, which a caller scoring a full
+    * assignment never hits. */
+  def modularityOf(assignment: DataFrame): DataFrame = {
+    val lab = assignment.select(col("vertex"), col("label"))
+    val encoded = dict match {
+      case None => lab
+      case Some(d) =>
+        lab.join(d, lab("vertex") === d("vid"))
+          .select(col("vertex_id").as("vertex"), col("label"))
+    }
+    // labels need only equality semantics; normalize to a stable
+    // string so integral and string labellings both work
+    GraphOps.modularityOf(edges,
+      encoded.select(col("vertex"), col("label").cast("string").as("label")))
+  }
 }
 
 object GraftGraph {

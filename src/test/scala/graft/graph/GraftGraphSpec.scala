@@ -70,6 +70,23 @@ class GraftGraphSpec extends AnyFunSuite {
       && people.contains(r.getString(1))))
   }
 
+  test("facade modularityOf scores a string-id assignment to Louvain's own Q") {
+    import org.apache.spark.sql.functions.col
+    val names = Seq(
+      ("alice", "bob", 1.0), ("bob", "carol", 1.0), ("alice", "carol", 1.0),
+      ("xavier", "yolanda", 1.0), ("yolanda", "zed", 1.0), ("xavier", "zed", 1.0))
+      .toDF("src", "dst", "weight")
+    val g = GraftGraph(spark, names)
+    val q = g.modularityOf(
+      g.louvain().select(col("vertex"), col("community").as("label")))
+      .collect()(0)
+    // two disjoint triangles, communities = the triangles → Q = 0.5
+    assert((q.getLong(0), q.getLong(1), q.getLong(2)) == ((6L, 2L, 500000L)))
+    val lastLevelQ = g.louvainLevels().orderBy(col("level").desc)
+      .collect()(0).getLong(1)
+    assert(math.abs(lastLevelQ - q.getLong(2)) <= 1L)
+  }
+
   test("explicit landmarks on a string-id graph are given as labels") {
     val names = Seq(
       ("alice", "bob", 1.0), ("bob", "carol", 1.0), ("carol", "dave", 1.0))
