@@ -123,6 +123,8 @@ object SparkEntry {
     "q_date_spine" -> ((s, d) => Relational.qDateSpine(s, d)),
     "q_json_props" -> ((s, d) => Relational.qJsonProps(s, d)),
     "q_argmax" -> ((s, d) => Relational.qArgmax(s, d)),
+    "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
+    "q_interpolate" -> ((s, d) => Relational.qInterpolate(s, d)),
     "q_rows_window" -> ((s, d) => Relational.qRowsWindow(s, d)),
     "q_percentiles" -> ((s, d) => Relational.qPercentiles(s, d)),
     "q_histogram" -> ((s, d) => Relational.qHistogram(s, d)),
@@ -1340,6 +1342,52 @@ object SparkEntry {
         |  round(min(o_totalprice), 2) AS min_price
         |FROM r GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // Linear interpolation over per-user hourly spines. The carry of
+    // surrounding observations is IGNORE NULLS running last_value in
+    // both directions; the one interpolation division runs in DOUBLE
+    // over exact integer cents/seconds with the same expression tree
+    // as Spark, so rounding matches bit-for-bit.
+    "q_interpolate" ->
+      """WITH h AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT user_id, min(hour) AS mn, max(hour) AS mx FROM h GROUP BY 1)),
+        |j AS (SELECT sp.user_id, sp.hour, h.cents
+        |  FROM sp LEFT JOIN h USING (user_id, hour)),
+        |w AS (
+        |  SELECT user_id, hour, cents,
+        |    last_value(cents IGNORE NULLS) OVER a AS prev_c,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN hour END IGNORE NULLS)
+        |      OVER a AS prev_h,
+        |    last_value(cents IGNORE NULLS) OVER d AS next_c,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN hour END IGNORE NULLS)
+        |      OVER d AS next_h
+        |  FROM j
+        |  WINDOW a AS (PARTITION BY user_id ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    d AS (PARTITION BY user_id ORDER BY hour DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, hour,
+        |  CASE WHEN cents IS NOT NULL THEN cents
+        |    ELSE CAST(round(prev_c + CAST(next_c - prev_c AS DOUBLE)
+        |      * (epoch_ns(hour) // 1000000000 - epoch_ns(prev_h) // 1000000000)
+        |      / (epoch_ns(next_h) // 1000000000 - epoch_ns(prev_h) // 1000000000))
+        |      AS BIGINT) END AS cents,
+        |  cents IS NOT NULL AS observed
+        |FROM w ORDER BY user_id, hour""".stripMargin,
+    // Brute-force distance cross join: tractable for DuckDB at test
+    // scale and exactly the completeness proof for the Spark side's
+    // deletion-neighborhood equi-join.
+    "q_fuzzy_join" ->
+      """SELECT a.s_name AS name_a, b.s_name AS name_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        |  AND levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     // Same word-8-gram shingle construction as d_crossdoc_ngram; the
     // query side is doc_id < 100, containment >= 0.25 of the QUERY's
     // distinct shingles.

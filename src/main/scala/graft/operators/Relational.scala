@@ -660,6 +660,85 @@ object Relational {
     * the winner is deterministic cross-engine (a bare max_by(price)
     * picks an arbitrary row among equal prices). One map-side-combined
     * aggregation, no window, no second scan. */
+  /** Time-series gap fill with LINEAR interpolation: each user's
+    * hourly spend series is completed over its [min, max] hour spine
+    * (generated distributed-side per user, like q_date_spine), and
+    * missing hours take the straight line between the surrounding
+    * observed points. The carry of previous/next observations is two
+    * running `last(_, ignoreNulls)` windows (one per direction) — no
+    * self-join against the observed set, no per-gap scan. Money flows
+    * as exact integer cents; the single interpolation division runs
+    * in double over exact integers with an identical expression tree
+    * on both engines, so the e0 rounding is deterministic
+    * (SURVEY §6). */
+  def qInterpolate(spark: SparkSession, dir: String, maxUser: Long = 20L): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(round(sum(col("value")), 2) * 100).cast("long").as("cents"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hour"))
+    val joined = spine.join(hourly, Seq("user_id", "hour"), "left")
+    val asc = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy(col("user_id")).orderBy(col("hour").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("prev_c", last(col("cents"), ignoreNulls = true).over(asc))
+      .withColumn("prev_h",
+        last(when(col("cents").isNotNull, col("hour")), ignoreNulls = true).over(asc))
+      .withColumn("next_c", last(col("cents"), ignoreNulls = true).over(desc))
+      .withColumn("next_h",
+        last(when(col("cents").isNotNull, col("hour")), ignoreNulls = true).over(desc))
+      .select(col("user_id"), col("hour"),
+        when(col("cents").isNotNull, col("cents"))
+          .otherwise(round(col("prev_c")
+            + (col("next_c") - col("prev_c")).cast("double")
+              * (unix_timestamp(col("hour")) - unix_timestamp(col("prev_h")))
+              / (unix_timestamp(col("next_h")) - unix_timestamp(col("prev_h"))))
+            .cast("long"))
+          .as("cents"),
+        col("cents").isNotNull.as("observed"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  /** Approximate string join (Levenshtein ≤ 1) via one-deletion
+    * neighborhoods — the FastSS technique: two strings within edit
+    * distance 1 necessarily share a member of {s} ∪ deletions₁(s)
+    * (substitution: delete the edited position from both; insert/
+    * delete: the longer's deletion IS the shorter), so candidates
+    * come from an EQUI-join on md5(variant) — never an O(n²) cross
+    * join with a distance predicate, which is the nested-loop trap
+    * fuzzy joins fall into at scale. Candidates then verify with the
+    * exact codegen'd `levenshtein`. The oracle is the brute-force
+    * cross join in DuckDB — tractable there at test scale, and the
+    * completeness proof for the neighborhood join. The variant
+    * generation runs one interpreted `transform` per KEY (≤ |key| + 1
+    * short strings on a dim-sized table — not a corpus hot path; a
+    * native expression slots in if the key side ever becomes one). */
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("k"), col("s_name").as("name"))
+    val variants = names
+      .select(col("k"), col("name"),
+        explode(concat(array(col("name")),
+          expr("transform(sequence(1, length(name)), " +
+            "i -> concat(substring(name, 1, i-1), " +
+            "substring(name, i+1, length(name))))"))).as("v"))
+      .select(col("k"), col("name"), md5(col("v")).as("h"))
+      .distinct()
+    variants.select(col("h"), col("k").as("ka"), col("name").as("name_a"))
+      .join(variants.select(col("h"), col("k").as("kb"), col("name").as("name_b")),
+        Seq("h"))
+      .filter(col("ka") < col("kb"))
+      .select(col("name_a"), col("name_b")).distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   def qArgmax(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
