@@ -125,6 +125,7 @@ object SparkEntry {
     "q_argmax" -> ((s, d) => Relational.qArgmax(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "q_interpolate" -> ((s, d) => Relational.qInterpolate(s, d)),
+    "q_session_window" -> ((s, d) => Relational.qSessionWindow(s, d)),
     "q_rows_window" -> ((s, d) => Relational.qRowsWindow(s, d)),
     "q_percentiles" -> ((s, d) => Relational.qPercentiles(s, d)),
     "q_histogram" -> ((s, d) => Relational.qHistogram(s, d)),
@@ -1342,6 +1343,27 @@ object SparkEntry {
         |  round(min(o_totalprice), 2) AS min_price
         |FROM r GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // Session merge in µs arithmetic: new session when the gap from
+    // the previous event is >= 30 min (session_window's strict-merge
+    // semantics; the lag-based row-21 oracle uses >). Starts emitted
+    // as epoch-µs BIGINTs to dodge µs-vs-ns timestamp precision.
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER w) // 1000
+        |         >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
     // Linear interpolation over per-user hourly spines. The carry of
     // surrounding observations is IGNORE NULLS running last_value in
     // both directions; the one interpolation division runs in DOUBLE

@@ -660,6 +660,23 @@ object Relational {
     * the winner is deterministic cross-engine (a bare max_by(price)
     * picks an arbitrary row among equal prices). One map-side-combined
     * aggregation, no window, no second scan. */
+  /** Native `session_window` sessionization — Spark's built-in
+    * merging session operator (one groupBy, no lag window or custom
+    * state): windows extend 30 min past each event and overlapping
+    * windows merge, so a NEW session starts when the gap is ≥ 30 min
+    * (the lag formulation in [[qEventsSessionize]] uses strictly >;
+    * the oracle mirrors the ≥ semantics). Session starts are emitted
+    * as epoch MICROS BIGINTs — raw timestamps would differ between
+    * Spark's µs and the parquet file's ns precision. */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
   /** Time-series gap fill with LINEAR interpolation: each user's
     * hourly spend series is completed over its [min, max] hour spine
     * (generated distributed-side per user, like q_date_spine), and
