@@ -245,6 +245,8 @@ object SparkEntry {
     "s_stream_clean" -> ((s, d) => graft.streaming.StreamingOps.streamClean(s, d)),
     "s_stream_foreachbatch" -> ((s, d) =>
       graft.streaming.StreamingOps.streamForeachBatchAgg(s, d)),
+    "s_stream_session_window" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamSessionWindow(s, d)),
     // ORC sink/source round-trip under the oracle: documents → ORC
     // (write once per SF dir) → read back → the same token counts as
     // the parquet-backed t_tokens, proving the ORC path value-exact.
@@ -1472,6 +1474,30 @@ object SparkEntry {
         |  AND epoch_ns(v.ts) // 1000 <= epoch_ns(p.ts) // 1000
         |  AND epoch_ns(v.ts) // 1000 >= epoch_ns(p.ts) // 1000 - 1800000000
         |ORDER BY p_id, view_id""".stripMargin,
+    // Append-mode session windows: the emitted set is the sessions
+    // whose end (last event + 30 min, ms-floored) has passed the 1 h
+    // watermark — q_session_window's µs gap-merge plus Spark's
+    // millisecond watermark arithmetic.
+    "s_stream_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER w) // 1000
+        |         >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+        |    max(us) AS end_us, count(*) AS n_events
+        |  FROM s GROUP BY user_id, sid),
+        |wm AS (SELECT epoch_ns(max(ts)) // 1000000 - 3600000 AS wm_ms FROM events)
+        |SELECT user_id, start_us, n_events FROM sess, wm
+        |WHERE (end_us + 1800000000) // 1000 <= wm_ms
+        |ORDER BY user_id, start_us""".stripMargin,
     // Append-mode watermarked agg emits exactly the windows whose end
     // (ms) <= watermark = max event time (µs floored to ms) - 1h —
     // replicate Spark's millisecond watermark arithmetic.

@@ -231,6 +231,41 @@ object StreamingOps {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Watermarked native `session_window` sessionization in APPEND
+    * mode — the modern streaming form of [[streamSessionize]] (which
+    * carries custom `flatMapGroupsWithState` state): Spark merges
+    * per-user session windows as events arrive and emits a session
+    * once the 1 h watermark passes its end (last event + 30 min gap),
+    * evicting its state. Emitted set = sessions whose
+    * end ≤ max event time − 1 h, in Spark's millisecond watermark
+    * arithmetic — replicated exactly by the SQL oracle, like
+    * s_stream_watermark. Session starts emitted as epoch-µs BIGINTs
+    * (µs-vs-ns precision, as q_session_window). */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sessions = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"))
+    val name = "graft_stream_session_window"
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("user_id"), col("start_us"))
+  }
+
   /** Tumbling 1-hour window count/sum per event_type, executed as a
     * streaming query. Returns the materialized (batch-equal) result. */
   def streamHourlyAgg(spark: SparkSession, dir: String): DataFrame = {
