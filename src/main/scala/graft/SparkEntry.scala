@@ -189,6 +189,8 @@ object SparkEntry {
     "p_temperature" -> ((s, d) => Pipeline.temperatureSample(s, d)),
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "e_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "e_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "t_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -1143,6 +1145,27 @@ object SparkEntry {
         |  JOIN embeddings e ON e.vec_id <> q.vec_id) t
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // Cosine stated with the native expression's EXACT tree (double
+    // accumulation, dot / (sqrt(na)·sqrt(nb))): DuckDB's builtin
+    // list_cosine_similarity differs in the last ulp, which flipped
+    // one e4 rounding at a .5 boundary over the full 250k-pair set.
+    "e_knn_graph" ->
+      """WITH p AS (
+        |  SELECT a.vec_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(e.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |            CAST(a.embedding AS DOUBLE[])))
+        |        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |            CAST(e.embedding AS DOUBLE[])))) AS sim
+        |  FROM embeddings a JOIN embeddings e ON e.vec_id <> a.vec_id)
+        |SELECT vec_id, neighbor_id, rank,
+        |  CAST(round(sim * 10000) AS BIGINT) AS sim_e4
+        |FROM (SELECT vec_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS rank FROM p) t
+        |WHERE rank <= 10
+        |ORDER BY vec_id, rank""".stripMargin,
     "t_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -229,6 +229,56 @@ object Similarity {
   /** Embedding near-duplicate pairs: banded sign-LSH candidates,
     * exact cosine re-check, threshold 0.4. Band-key self-join —
     * near-linear at scale. */
+  /** Exact k-NN graph over the whole embedding table: every vector's
+    * top-k cosine neighbors — the similarity graph that bridges
+    * embeddings into the graph-analytics surface (feed it to CC /
+    * Louvain / degrees like any edge list). One broadcast of the
+    * vector table against itself scores all pairs with the codegen'd
+    * native cosine; top-k per vector has the full (sim, id) unique
+    * tiebreak. This exact form is the bounded-corpus reference — at
+    * 100 TB the SAME downstream composition runs over the LSH/IVF
+    * candidate pairs ([[annLshTopK]]/[[annIvfTopK]]) instead of
+    * all-pairs. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val right = emb.select(col("vec_id").as("nb"), col("embedding").as("e2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nb").asc)
+    emb.join(broadcast(right), col("vec_id") =!= col("nb"))
+      .select(col("vec_id"), col("nb"),
+        cosine(col("embedding"), col("e2")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("nb").as("neighbor_id"), col("rank"),
+        round(col("sim") * 1e4).cast("long").as("sim_e4"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** SemDeDup-style semantic clustering: mutual-k-NN edges above a
+    * cosine floor → connected components → (vec_id, cluster_id).
+    * The MUTUAL requirement (a ∈ knn(b) AND b ∈ knn(a)) is the
+    * standard guard against chain-merging through hub vectors; the
+    * contraction runs on narrow (id, id) rows via the same
+    * DataFrame CC used by the dedup verdict. Isolated vectors become
+    * singleton clusters. */
+  def embedClusters(spark: SparkSession, dir: String, k: Int = TopK,
+      minSimE4: Long = 9000L): DataFrame = {
+    val knn = knnGraph(spark, dir, k)
+      .filter(col("sim_e4") >= minSimE4)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+      .localCheckpoint(true) // feeds both sides of the mutual check
+    val mutual = knn
+      .intersect(knn.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") < col("b"))
+    val comp = graft.graph.ConnectedComponentsDF.run(spark,
+      mutual.select(col("a").as("src"), col("b").as("dst")))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(comp.select(col("vertex").as("vec_id"), col("component")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   def embedDup(spark: SparkSession, dir: String): DataFrame = {
     val e = banded(spark, dir)
     val a = e.select(col("band"), col("key"),

@@ -55,6 +55,32 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(reused.toSeq == selfFit.toSeq)
   }
 
+  test("embedClusters recovers planted clusters; loner stays a singleton") {
+    import org.apache.spark.sql.functions._
+    // Three well-separated base directions + per-member deterministic
+    // jitter → within-cluster cosine ≈ 1, cross-cluster ≈ 0; vector
+    // 99 points along a fourth axis, mutual to nobody.
+    def vec(axis: Int, jitter: Int): Seq[Float] =
+      (0 until 64).map { i =>
+        val base = if (i == axis) 10f else 0f
+        base + (if (i == (axis + jitter + 1) % 64) 0.1f * (jitter + 1) else 0f)
+      }
+    val rows =
+      (for {
+        c <- 0 until 3; j <- 0 until 5
+      } yield ((c * 10 + j).toLong, vec(c * 20, j))) :+ (99L, vec(63, 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_embclu").toString
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embedClusters(spark, dir, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (c <- 0 until 3; j <- 0 until 5)
+      assert(got(c * 10L + j) == c * 10L,
+        s"member ${c * 10 + j} → ${got(c * 10L + j)}")
+    assert(got(99L) == 99L, s"loner joined cluster ${got(99L)}")
+  }
+
   test("IVF ANN achieves reasonable recall of brute-force top-10") {
     val exact = Similarity.cosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
