@@ -266,18 +266,21 @@ object SparkEntry {
     // quotes and newlines explicitly.
     "src_csv_tokens" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      // nullValue is pinned to a sentinel on BOTH sides: the reader's
+      // default nullValue is "", which would round-trip an empty text
+      // field to null and skew its token/char counts vs the oracle.
       val out = cachedSideOutput(d, "documents", "docscsv")(p =>
         Tables.documents(s, d).select(col("doc_id"), col("text"))
           .write.mode("overwrite")
           .option("header", "true").option("quoteAll", "true")
-          .option("escape", "\"")
+          .option("escape", "\"").option("nullValue", "\u0000")
           .csv(p))
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType)))
       TextAnalysis.tokenCountsOf(
         s.read.schema(schema)
           .option("header", "true").option("multiLine", "true")
-          .option("escape", "\"")
+          .option("escape", "\"").option("nullValue", "\u0000")
           .csv(out))
     }),
   )
@@ -1371,10 +1374,14 @@ object SparkEntry {
     // Session merge in µs arithmetic: new session when the gap from
     // the previous event is >= 30 min (session_window's strict-merge
     // semantics; the lag-based row-21 oracle uses >). Starts emitted
-    // as epoch-µs BIGINTs to dodge µs-vs-ns timestamp precision.
+    // as epoch-µs BIGINTs to dodge µs-vs-ns timestamp precision. The
+    // running session-id sum orders by (us, event_id): with duplicate
+    // (user_id, ts) rows at a gap boundary, a bare ORDER BY us could
+    // sum an unflagged tie row before the flagged one and misassign
+    // it to the previous session (unique-sort-key rule, SURVEY §6).
     "q_session_window" ->
       """WITH g AS (
-        |  SELECT user_id, epoch_ns(ts) // 1000 AS us,
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |      OR epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER w) // 1000
         |         >= 1800000000
@@ -1382,7 +1389,7 @@ object SparkEntry {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, us,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM g)
         |SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
@@ -1503,7 +1510,7 @@ object SparkEntry {
     // millisecond watermark arithmetic.
     "s_stream_session_window" ->
       """WITH g AS (
-        |  SELECT user_id, epoch_ns(ts) // 1000 AS us,
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |      OR epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER w) // 1000
         |         >= 1800000000
@@ -1511,7 +1518,7 @@ object SparkEntry {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, us,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM g),
         |sess AS (SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,

@@ -42,6 +42,16 @@ object GraphBuilder {
   // keyed by (session, lineitem file identity) like the Louvain memo,
   // bounded, and its checkpoint blocks are declared in
   // retainedRddIds so the Bench/Verify per-query sweep keeps them.
+  //
+  // INVALIDATION CONTRACT: eviction (when more than 4 dataset
+  // identities have been touched) unpersists localCheckpoint-backed
+  // blocks, whose truncated lineage CANNOT be recomputed — any
+  // DataFrame returned by an earlier call that a caller still holds
+  // fails permanently on its next action. Derive what you need from
+  // a returned DataFrame before touching a 5th dataset, or re-call
+  // the builder (cheap cache hit while the entry is live). The same
+  // contract governs Dedup.signatureBase/ngramHashes. The sequential
+  // Bench/Verify sweep touches ≤ 2 identities and never trips this.
   private val coEdgesCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), (DataFrame, Set[Int])]
 

@@ -165,7 +165,12 @@ object Dedup {
   // them out to every pair source and every downstream consumer
   // (d_dup_clusters, p_clean_corpus, incremental runs). Keyed by
   // (session, file identity); an entry built without MinHash upgrades
-  // in place when a MinHash consumer arrives.
+  // in place when a MinHash consumer arrives. Eviction and the
+  // upgrade path unpersist non-recomputable localCheckpoint blocks —
+  // see the INVALIDATION CONTRACT note in GraphBuilder: previously
+  // returned DataFrames die when a 5th dataset identity is touched
+  // (or, here, when the MinHash upgrade replaces a minhash-less
+  // entry a caller still holds).
   private val sigCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (DataFrame, Boolean, Set[Int])]
 

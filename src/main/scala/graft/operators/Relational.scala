@@ -653,13 +653,6 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
-  /** Selective aggregation (max_by / min_by): per order status, the
-    * order id holding the extreme price — the "which row is the
-    * argmax" ask that otherwise costs a window + filter pass. Ties on
-    * price are broken by orderkey via a composite struct ordering, so
-    * the winner is deterministic cross-engine (a bare max_by(price)
-    * picks an arbitrary row among equal prices). One map-side-combined
-    * aggregation, no window, no second scan. */
   /** Native `session_window` sessionization — Spark's built-in
     * merging session operator (one groupBy, no lag window or custom
     * state): windows extend 30 min past each event and overlapping
@@ -756,6 +749,13 @@ object Relational {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Selective aggregation (max_by / min_by): per order status, the
+    * order id holding the extreme price — the "which row is the
+    * argmax" ask that otherwise costs a window + filter pass. Ties on
+    * price are broken by orderkey via a composite struct ordering, so
+    * the winner is deterministic cross-engine (a bare max_by(price)
+    * picks an arbitrary row among equal prices). One map-side-combined
+    * aggregation, no window, no second scan. */
   def qArgmax(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
