@@ -189,7 +189,8 @@ object SparkEntry {
     "p_temperature" -> ((s, d) => Pipeline.temperatureSample(s, d)),
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
-    "e_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "e_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(s, d).orderBy(col("vec_id"), col("rank"))),
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "e_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(s, d)),

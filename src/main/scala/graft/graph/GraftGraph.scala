@@ -181,6 +181,34 @@ object GraftGraph {
     }
   }
 
+  /** Embeddings → similarity graph in one line — the SemDeDup-style
+    * bridge: top-k cosine neighbors per vector
+    * ([[graft.operators.Similarity.knnGraphOf]], which dispatches to
+    * LSH candidates past the exact-path size bound), kept only where
+    * MUTUAL (a ∈ knn(b) AND b ∈ knn(a) — the hub chain-merge guard)
+    * and above `minSimE4`, wrapped as a [[GraftGraph]] with cosine
+    * edge weights so Louvain / CC / degrees run directly on it.
+    *
+    * {{{
+    * GraftGraph.fromKnn(spark, embeddings).louvain()  // semantic communities
+    * }}}
+    *
+    * `embeddings` must carry (vec_id, embedding: array&lt;float&gt;). */
+  def fromKnn(spark: SparkSession, embeddings: DataFrame, k: Int = 10,
+      minSimE4: Long = 9000L): GraftGraph = {
+    val knn = graft.operators.Similarity
+      .knnGraphOf(embeddings.select(col("vec_id"), col("embedding")), k)
+      .filter(col("sim_e4") >= minSimE4)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"), col("sim_e4"))
+      .localCheckpoint(true) // feeds both sides of the mutual check
+    val mutual = knn
+      .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
+      .filter(col("a") < col("b"))
+      .select(col("a").as("src"), col("b").as("dst"),
+        (col("sim_e4") / 1e4).as("weight"))
+    apply(spark, mutual)
+  }
+
   /** Read + wrap a delimited edge list. `stringIds = true` reads
     * src/dst as strings and dictionary-encodes them — real edge lists
     * routinely carry non-numeric ids. */

@@ -634,12 +634,14 @@ object GraphOps {
 
   /** RDD ids the Bench/Verify per-query sweep must not unpersist:
     * memoized Louvain assignments, the memoized canonical edge
-    * builds ([[GraphBuilder.retainedRddIds]]) and the memoized dedup
-    * signature tables are the only cross-query state. */
+    * builds ([[GraphBuilder.retainedRddIds]]), the memoized dedup
+    * signature tables and the memoized kNN edge table are the only
+    * cross-query state. */
   def retainedRddIds: Set[Int] =
     louvainCache.values.map(_._1.id).toSet ++
       GraphBuilder.retainedRddIds ++
-      graft.operators.Dedup.retainedRddIds
+      graft.operators.Dedup.retainedRddIds ++
+      graft.operators.Similarity.retainedRddIds
 
   /** Identity of the data behind a DataFrame's file sources: sorted
     * (path, mtime, length) per input file. Plans over non-file data

@@ -65,12 +65,15 @@ object Similarity {
   val LshRows = 2
 
   /** vec_id, embedding, exploded (band, key) sign-LSH rows. */
-  private def banded(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+  private def bandedOf(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), col("embedding"),
         explode(signLshBands(col("embedding"), EmbeddingDim, LshBands, LshRows)).as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+
+  private def banded(spark: SparkSession, dir: String): DataFrame =
+    bandedOf(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
 
   /** ANN top-k: candidates are corpus vectors sharing ANY sign-LSH
     * band key with the query (OR-of-ANDs). Recall vs brute force is
@@ -226,31 +229,112 @@ object Similarity {
           round(col("sim") * 1e4).cast("long").as("sim_e4")))
   }
 
-  /** Embedding near-duplicate pairs: banded sign-LSH candidates,
-    * exact cosine re-check, threshold 0.4. Band-key self-join —
-    * near-linear at scale. */
-  /** Exact k-NN graph over the whole embedding table: every vector's
-    * top-k cosine neighbors — the similarity graph that bridges
-    * embeddings into the graph-analytics surface (feed it to CC /
-    * Louvain / degrees like any edge list). One broadcast of the
-    * vector table against itself scores all pairs with the codegen'd
-    * native cosine; top-k per vector has the full (sim, id) unique
-    * tiebreak. This exact form is the bounded-corpus reference — at
-    * 100 TB the SAME downstream composition runs over the LSH/IVF
-    * candidate pairs ([[annLshTopK]]/[[annIvfTopK]]) instead of
-    * all-pairs. */
-  def knnGraph(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val right = emb.select(col("vec_id").as("nb"), col("embedding").as("e2"))
+  /** Largest embedding table the exact all-pairs kNN path accepts:
+    * above it the broadcast (n × dim floats) and the n² cosine wall
+    * both bite, so [[knnGraph]] dispatches to LSH candidates. */
+  val ExactKnnMaxRows = 16384L
+
+  /** Top-k per vector over scored (vec_id, nb, sim) rows, with the
+    * full (sim desc, nb asc) unique tiebreak; sims leave e4-scaled. */
+  private def topKEdges(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nb").asc)
-    emb.join(broadcast(right), col("vec_id") =!= col("nb"))
-      .select(col("vec_id"), col("nb"),
-        cosine(col("embedding"), col("e2")).as("sim"))
-      .withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("nb").as("neighbor_id"), col("rank"),
         round(col("sim") * 1e4).cast("long").as("sim_e4"))
-      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** k-NN edges from CANDIDATE pairs — the 100-TB path: score only
+    * the supplied (vec_id, candidate_id) pairs (from sign-LSH bands,
+    * IVF cells, or any other blocking scheme) and take per-vector
+    * top-k with the same (sim, id) tiebreak as the exact path. Pairs
+    * are deduped as bare (id, id) rows BEFORE the two embedding
+    * lookups, so no array column ever crosses a dedup shuffle; the
+    * lookups are plain equi-joins that co-partition with the corpus
+    * at scale instead of broadcasting it. */
+  def knnGraphFrom(emb: DataFrame, candidatePairs: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val e1 = emb.select(col("vec_id"), col("embedding"))
+    val e2 = emb.select(col("vec_id").as("nb"), col("embedding").as("e2"))
+    val scored = candidatePairs
+      .select(col("vec_id"), col("candidate_id").as("nb"))
+      .filter(col("vec_id") =!= col("nb"))
+      .dropDuplicates("vec_id", "nb")
+      .join(e1, Seq("vec_id"))
+      .join(e2, Seq("nb"))
+      .select(col("vec_id"), col("nb"),
+        cosine(col("embedding"), col("e2")).as("sim"))
+    topKEdges(scored, k)
+  }
+
+  /** Sign-LSH candidate pairs over the whole table (both directions):
+    * a band-key self-join emitting bare (vec_id, candidate_id) rows —
+    * near-linear in the corpus at scale, the default candidate source
+    * for [[knnGraphFrom]]. */
+  def lshCandidatePairs(emb: DataFrame): DataFrame = {
+    val e = bandedOf(emb).select(col("vec_id"), col("band"), col("key"))
+    e.join(e.select(col("band"), col("key"), col("vec_id").as("candidate_id")),
+        Seq("band", "key"))
+      .filter(col("vec_id") =!= col("candidate_id"))
+      .select(col("vec_id"), col("candidate_id"))
+  }
+
+  /** Exact all-pairs scored edges: one broadcast of the (bounded)
+    * vector table against itself, codegen'd native cosine. */
+  private def knnScoredExact(emb: DataFrame): DataFrame = {
+    val right = emb.select(col("vec_id").as("nb"), col("embedding").as("e2"))
+    emb.join(broadcast(right), col("vec_id") =!= col("nb"))
+      .select(col("vec_id"), col("nb"),
+        cosine(col("embedding"), col("e2")).as("sim"))
+  }
+
+  /** k-NN graph over an embedding DataFrame: every vector's top-k
+    * cosine neighbors — the similarity graph that bridges embeddings
+    * into the graph-analytics surface (feed it to CC / Louvain /
+    * degrees like any edge list). Dispatches on the measured table
+    * size, like adamicAdar's dense/sparse split: a bounded corpus
+    * (≤ [[ExactKnnMaxRows]]) takes the exact broadcast-all-pairs
+    * reference path; anything larger scores only sign-LSH candidate
+    * pairs through [[knnGraphFrom]] — approximate (recall is
+    * spec-checked vs exact) but linear-ish, never an n² broadcast. */
+  def knnGraphOf(emb: DataFrame, k: Int = TopK): DataFrame =
+    if (emb.count() <= ExactKnnMaxRows) topKEdges(knnScoredExact(emb), k)
+    else knnGraphFrom(emb, lshCandidatePairs(emb), k)
+
+  // One kNN edge table per (session, embeddings identity, k), built
+  // once and checkpointed: e_knn_graph and e_embed_clusters (and any
+  // facade composition) share the single most expensive similarity
+  // artifact instead of re-scoring all pairs per query — the same
+  // persist-once shape as the canonical edge and dedup-signature
+  // memos, with the same INVALIDATION CONTRACT (see GraphBuilder).
+  private val knnCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), (DataFrame, Set[Int])]
+
+  /** RDD ids backing memoized kNN edge tables (the Bench/Verify
+    * per-query sweep must not unpersist them). */
+  def retainedRddIds: Set[Int] = knnCache.values.flatMap(_._2).toSet
+
+  /** Memoized [[knnGraphOf]] over the embeddings table at `dir`.
+    * Unordered — callers that need a presentation order sort. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val key = (System.identityHashCode(spark).toString,
+      s"$dir:${src.lastModified}:${src.length}", k)
+    val sc = spark.sparkContext
+    if (knnCache.size > 4) {
+      knnCache.values.foreach { case (_, ids) =>
+        ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      }
+      knnCache.clear()
+    }
+    knnCache.getOrElseUpdate(key, {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val built = knnGraphOf(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), k)
+        .localCheckpoint(true)
+      val ids = sc.getPersistentRDDs.keySet.toSet -- before
+      (built, ids)
+    })._1
   }
 
   /** SemDeDup-style semantic clustering: mutual-k-NN edges above a
@@ -259,13 +343,13 @@ object Similarity {
     * standard guard against chain-merging through hub vectors; the
     * contraction runs on narrow (id, id) rows via the same
     * DataFrame CC used by the dedup verdict. Isolated vectors become
-    * singleton clusters. */
+    * singleton clusters. Rides the memoized [[knnGraph]] table — the
+    * second consumer pays only the mutual check and the contraction. */
   def embedClusters(spark: SparkSession, dir: String, k: Int = TopK,
       minSimE4: Long = 9000L): DataFrame = {
-    val knn = knnGraph(spark, dir, k)
-      .filter(col("sim_e4") >= minSimE4)
+    val knn = knnGraph(spark, dir, k) // checkpointed: both sides of the
+      .filter(col("sim_e4") >= minSimE4) // mutual check re-read it cheaply
       .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
-      .localCheckpoint(true) // feeds both sides of the mutual check
     val mutual = knn
       .intersect(knn.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") < col("b"))
@@ -279,6 +363,9 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding near-duplicate pairs: banded sign-LSH candidates,
+    * exact cosine re-check, threshold 0.4. Band-key self-join —
+    * near-linear at scale. */
   def embedDup(spark: SparkSession, dir: String): DataFrame = {
     val e = banded(spark, dir)
     val a = e.select(col("band"), col("key"),

@@ -20,6 +20,31 @@ class GraftGraphSpec extends AnyFunSuite {
     assert(g.pageRank().count() == 5)
   }
 
+  test("fromKnn clusters a planted embedding set end-to-end") {
+    // Three well-separated base directions with per-member jitter:
+    // embeddings → mutual-kNN cosine graph → CC / Louvain must
+    // recover exactly the three planted clusters (the SemDeDup story
+    // in one facade call).
+    def vec(axis: Int, jitter: Int): Seq[Float] =
+      (0 until 64).map { i =>
+        val base = if (i == axis) 10f else 0f
+        base + (if (i == (axis + jitter + 1) % 64) 0.1f * (jitter + 1) else 0f)
+      }
+    val emb = (for { c <- 0 until 3; j <- 0 until 5 }
+      yield ((c * 10 + j).toLong, vec(c * 20, j))).toDF("vec_id", "embedding")
+    val g = GraftGraph.fromKnn(spark, emb, k = 4)
+    val cc = g.connectedComponents().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc.size == 15, s"all planted members in the graph, got ${cc.size}")
+    for (c <- 0 until 3; j <- 1 until 5)
+      assert(cc(c * 10L + j) == cc(c * 10L), s"member ${c * 10 + j} split off")
+    assert(Set(cc(0L), cc(10L), cc(20L)).size == 3, "clusters must not merge")
+    val comm = g.louvain().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (c <- 0 until 3; j <- 1 until 5)
+      assert(comm(c * 10L + j) == comm(c * 10L))
+    assert(Set(comm(0L), comm(10L), comm(20L)).size == 3)
+  }
+
   test("string vertex ids round-trip through louvain and cc with original labels") {
     // Two name-keyed triangles joined by nothing: the facade must
     // dictionary-encode, run the long-id algorithms, and hand back

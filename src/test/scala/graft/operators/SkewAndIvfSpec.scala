@@ -81,6 +81,41 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(got(99L) == 99L, s"loner joined cluster ${got(99L)}")
   }
 
+  test("knnGraphFrom over ALL pairs equals the exact broadcast path") {
+    // Candidate-driven scoring with a complete candidate set must be
+    // IDENTICAL to the exact path — same cosine tree, same (sim, id)
+    // tiebreak. This pins the two code paths to one semantics.
+    val emb = graft.Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val ids = emb.select($"vec_id")
+    val all = ids.crossJoin(ids.select($"vec_id".as("candidate_id")))
+      .filter($"vec_id" =!= $"candidate_id")
+    val exact = Similarity.knnGraphOf(emb).collect().map(_.toSeq).toSet
+    val from = Similarity.knnGraphFrom(emb, all).collect().map(_.toSeq).toSet
+    assert(from == exact)
+  }
+
+  test("LSH-candidate kNN path (the at-scale dispatch) has high recall vs exact") {
+    val emb = graft.Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val exact = Similarity.knnGraphOf(emb)
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.knnGraphFrom(emb, Similarity.lshCandidatePairs(emb))
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.7, s"LSH kNN recall $recall (${(exact & lsh).size}/${exact.size})")
+  }
+
+  test("kNN edge table is memoized per (session, embeddings identity, k)") {
+    // e_knn_graph and e_embed_clusters must share ONE checkpointed
+    // scoring pass; its blocks are declared to the sweep's keep-set.
+    val a = Similarity.knnGraph(spark, sf)
+    assert(a eq Similarity.knnGraph(spark, sf))
+    assert(Similarity.retainedRddIds.nonEmpty)
+    assert(Similarity.retainedRddIds.subsetOf(
+      graft.graph.GraphOps.retainedRddIds))
+  }
+
   test("IVF ANN achieves reasonable recall of brute-force top-10") {
     val exact = Similarity.cosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
