@@ -576,9 +576,14 @@ object SparkEntry {
         |  CAST(min(d) AS BIGINT) AS hops
         |FROM bfs GROUP BY 1, 2 ORDER BY vertex, landmark""".stripMargin,
     // Neighborhood Jaccard on the strong-tie subgraph. The threshold
-    // replicates GraphOps.strongTies (1.25 × exact median edge weight
-    // — integer-valued, so quantile_cont is bit-exact across engines);
-    // zero-common edges are preserved via the LEFT JOIN.
+    // replicates GraphOps.strongTies: Spark side uses
+    // approx_percentile (bounded-memory GK sketch) whose returned
+    // value equals the exact median here — integer co-occurrence
+    // weights have per-value multiplicity far above the sketch's
+    // N/10000 rank error, and quantile_cont's interpolation lands on
+    // the same integer level — so exact quantile_cont × 1.25 states
+    // the same threshold. Zero-common edges are preserved via the
+    // LEFT JOIN.
     "g_jaccard" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,

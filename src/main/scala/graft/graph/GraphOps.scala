@@ -184,10 +184,21 @@ object GraphOps {
     * SF — the dense co-occurrence graph is near-complete, and
     * similarity/assortativity over the complete graph is degenerate.
     * Only the scalar median crosses the driver; the edge list is
-    * checkpointed so threshold + filter share one materialization. */
+    * checkpointed so threshold + filter share one materialization.
+    *
+    * The median is `approx_percentile` (GK sketch, bounded executor
+    * memory) — exact `percentile` accumulates a per-value counts map
+    * and is an OOM seed on arbitrary float-weighted edges at scale.
+    * Accuracy 10000 bounds the rank error to N/10000; on the integer
+    * co-occurrence weights (massive per-value multiplicity) the
+    * returned value equals the exact median at every tested SF, and
+    * the 1.25× multiplier keeps the ≥-threshold between integer
+    * weight levels, so the selected edge set — and the downstream
+    * g_jaccard/g_assortativity oracles — are unchanged. */
   def strongTies(edges: DataFrame): DataFrame = {
     val e = edges.localCheckpoint(true)
-    val thr = e.agg(expr("percentile(weight, 0.5)")).first().getDouble(0) * 1.25
+    val thr = e.agg(expr("approx_percentile(weight, 0.5, 10000)"))
+      .first().getDouble(0) * 1.25
     e.filter(col("weight") >= thr)
   }
 
