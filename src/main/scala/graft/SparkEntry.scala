@@ -1511,9 +1511,13 @@ object SparkEntry {
         |  AND epoch_ns(v.ts) // 1000 >= epoch_ns(p.ts) // 1000 - 1800000000
         |ORDER BY p_id, view_id""".stripMargin,
     // Append-mode session windows: the emitted set is the sessions
-    // whose end (last event + 30 min, ms-floored) has passed the 1 h
-    // watermark — q_session_window's µs gap-merge plus Spark's
-    // millisecond watermark arithmetic.
+    // whose end (last event + 30 min) has passed the 1 h watermark.
+    // The watermark VALUE is millisecond (wm_ms = max event ms − 1 h)
+    // but the eviction COMPARE is µs-precision ≤ (end_us ≤ wm_ms·1000
+    // — pinned by the planted sub-ms boundary spec): an ms-floored
+    // compare would wrongly emit a session ending 1–999 µs past the
+    // watermark. Session ends are unaligned, unlike s_stream_watermark
+    // whose hour-aligned ends have no sub-ms component.
     "s_stream_session_window" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
@@ -1532,7 +1536,7 @@ object SparkEntry {
         |  FROM s GROUP BY user_id, sid),
         |wm AS (SELECT epoch_ns(max(ts)) // 1000000 - 3600000 AS wm_ms FROM events)
         |SELECT user_id, start_us, n_events FROM sess, wm
-        |WHERE (end_us + 1800000000) // 1000 <= wm_ms
+        |WHERE end_us + 1800000000 <= wm_ms * 1000
         |ORDER BY user_id, start_us""".stripMargin,
     // Append-mode watermarked agg emits exactly the windows whose end
     // (ms) <= watermark = max event time (µs floored to ms) - 1h —

@@ -237,10 +237,11 @@ object StreamingOps {
     * per-user session windows as events arrive and emits a session
     * once the 1 h watermark passes its end (last event + 30 min gap),
     * evicting its state. Emitted set = sessions whose
-    * end ≤ max event time − 1 h, in Spark's millisecond watermark
-    * arithmetic — replicated exactly by the SQL oracle, like
-    * s_stream_watermark. Session starts emitted as epoch-µs BIGINTs
-    * (µs-vs-ns precision, as q_session_window). */
+    * end_µs ≤ wm_ms·1000 (the watermark value is millisecond, the
+    * eviction compare is µs-precision ≤ — pinned by the planted
+    * sub-ms boundary spec) — replicated exactly by the SQL oracle.
+    * Session starts emitted as epoch-µs BIGINTs (µs-vs-ns precision,
+    * as q_session_window). */
   def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema

@@ -129,6 +129,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("session-window eviction compares the session end at µs precision") {
+    // Planted sub-ms boundary: the watermark is millisecond-valued
+    // (wm_ms = max event ms − 1 h) but session ends are unaligned µs.
+    // A session ending 500 µs PAST wm_ms·1000 must be withheld; one
+    // ending exactly AT wm_ms·1000 must be emitted (≤ predicate).
+    // This pins the precision the SQL oracle must replicate — an
+    // ms-floored compare would wrongly emit the 500 µs straggler.
+    import spark.implicits._
+    // driver event fixing the watermark: max ts = 1.7e15 µs (ms-aligned)
+    val driverUs = 1_700_000_000_000_000L
+    val wmUs = driverUs - 3_600_000_000L // wm_ms·1000 = (max_ms − 1 h)·1000
+    val gapUs = 1_800_000_000L // 30 min session extension
+    val rows = Seq(
+      (1L, (wmUs + 500L - gapUs) * 1000L, 101L), // end = wm + 500 µs → withheld
+      (2L, (wmUs - gapUs) * 1000L, 102L), // end = wm exactly → emitted
+      (3L, (wmUs - 5_000_000L - gapUs) * 1000L, 103L), // end 5 s early → emitted
+      (9L, driverUs * 1000L, 104L)) // watermark driver; own session open
+    // events.parquet must be a single FILE (as in the testdata dirs):
+    // the stream's pathGlobFilter matches file names, not directories.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sesswm").toString
+    rows.toDF("user_id", "ts", "event_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val got = StreamingOps.streamSessionWindow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, wmUs - gapUs), (3L, wmUs - 5_000_000L - gapUs)),
+      s"emitted $got — eviction precision differs from µs-≤")
+  }
+
   test("foreachBatch landing is idempotent under batch replay") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
