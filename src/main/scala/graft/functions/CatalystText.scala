@@ -258,6 +258,35 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** One-deletion neighborhood of a string in one native pass:
+  * "abc" → ["abc", "bc", "ac", "ab"] — the FastSS blocking key set
+  * for edit-distance-1 joins (two strings within distance 1 share a
+  * member). Replaces the `concat(array(s), transform(sequence(1,
+  * length(s)), i -> concat(substring(...), substring(...))))`
+  * builtin composition whose interpreted lambda costs a closure call
+  * plus two substring evaluations per position per row — fine on a
+  * dim table, a scan-dominating cost if the fuzzy join is pointed at
+  * the corpus side. Character-based (code points), matching Spark's
+  * `substring`/`length` semantics exactly. */
+case class DeletionVariants(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    val out = new Array[AnyRef](n + 1)
+    out(0) = s
+    var i = 0
+    while (i < n) {
+      out(i + 1) = UTF8String.concat(s.substring(0, i), s.substring(i + 1, n))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): DeletionVariants = copy(c)
+}
+
 /** Unit-normalize a numeric array (L2) in one native loop — the
   * `transform(x, e -> e / sqrt(aggregate(...)))` builtin composition
   * evaluates an interpreted closure per element, which dominates when
@@ -320,4 +349,6 @@ object CatalystText {
   def cosine_sim(a: Column, b: Column): Column =
     shim.column(CosineSim(shim.expression(a), shim.expression(b)))
   def l2_normalize(c: Column): Column = shim.column(L2Normalize(shim.expression(c)))
+  def deletion_variants(c: Column): Column =
+    shim.column(DeletionVariants(shim.expression(c)))
 }

@@ -724,19 +724,16 @@ object Relational {
     * fuzzy joins fall into at scale. Candidates then verify with the
     * exact codegen'd `levenshtein`. The oracle is the brute-force
     * cross join in DuckDB — tractable there at test scale, and the
-    * completeness proof for the neighborhood join. The variant
-    * generation runs one interpreted `transform` per KEY (≤ |key| + 1
-    * short strings on a dim-sized table — not a corpus hot path; a
-    * native expression slots in if the key side ever becomes one). */
+    * completeness proof for the neighborhood join. Variant generation
+    * is the native [[graft.functions.DeletionVariants]] expression
+    * (one pass, no interpreted lambda), so the technique holds when
+    * either join side is corpus-sized, not just a dim table. */
   def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables.supplier(spark, dir)
       .select(col("s_suppkey").as("k"), col("s_name").as("name"))
     val variants = names
       .select(col("k"), col("name"),
-        explode(concat(array(col("name")),
-          expr("transform(sequence(1, length(name)), " +
-            "i -> concat(substring(name, 1, i-1), " +
-            "substring(name, i+1, length(name))))"))).as("v"))
+        explode(graft.functions.CatalystText.deletion_variants(col("name"))).as("v"))
       .select(col("k"), col("name"), md5(col("v")).as("h"))
       .distinct()
     variants.select(col("h"), col("k").as("ka"), col("name").as("name_a"))

@@ -60,6 +60,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("deletion_variants: native expression equals the HOF composition it replaced") {
+    // Includes empty string, single char, repeated chars (duplicate
+    // variants preserved — dedup happens downstream) and multi-byte
+    // code points (deletion is character-based, like substring).
+    val texts = Seq("", "a", "ab", "aaa", "Supplier#000000001",
+      "naïve", "日本語テキスト", "mixé 字")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "name")
+    val got = df.select(col("id"),
+        CatalystText.deletion_variants(col("name")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val want = df.select(col("id"),
+        concat(array(col("name")),
+          expr("transform(sequence(1, length(name)), " +
+            "i -> concat(substring(name, 1, i-1), " +
+            "substring(name, i+1, length(name))))")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    // Multiset equality on non-empty inputs. On "" the HOF quirked:
+    // sequence(1, 0) DESCENDS to [1, 0], emitting two spurious empty
+    // variants (collapsed downstream by distinct()); the native form
+    // returns the correct one-element neighborhood.
+    for (i <- texts.indices if texts(i).nonEmpty)
+      assert(got(i.toLong) == want(i.toLong), s"id=$i")
+    assert(got(0L) == Seq(""))
+  }
+
   test("minhash: identical inputs → identical signatures of length k") {
     samples(tokensGen, 10).foreach { toks =>
       val df = Seq((1L, toks), (2L, toks)).toDF("id", "toks")
