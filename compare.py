@@ -11,7 +11,12 @@ import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+only = sys.argv[3].split(",") if len(sys.argv) > 3 and sys.argv[3] != "-" else None
+# Optional 4th arg: write a CORRECTNESS-style JSON artifact (per-query
+# status + rows, including rows-only queries that have no oracle SQL)
+# so scale-up compares are a checked-in record, not a claim.
+json_out = sys.argv[4] if len(sys.argv) > 4 else None
+results = {}
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
@@ -29,11 +34,17 @@ def norm(v):
     return repr(v)
 
 fails = 0
+def fail(name, msg):
+    global fails
+    print(f"FAIL {name}: {msg}")
+    results[name] = {"check": "oracle", "status": "fail", "detail": msg[:200]}
+    fails += 1
+
 for name, sql in sorted(oracle.items()):
     if only and name not in only: continue
     spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not spark_files:
-        print(f"FAIL {name}: no spark output"); fails += 1; continue
+        fail(name, "no spark output"); continue
     try:
         duck = con.sql(sql)
         dtypes = dict(zip(duck.columns, (str(t) for t in duck.types)))
@@ -44,9 +55,9 @@ for name, sql in sorted(oracle.items()):
         scols = sorted(spark.columns)
         srows = con.sql(f"SELECT {','.join(scols)} FROM '{outdir}/{name}/*.parquet'").fetchall()
     except Exception as e:
-        print(f"FAIL {name}: {e}"); fails += 1; continue
+        fail(name, str(e)); continue
     if dcols != scols:
-        print(f"FAIL {name}: cols duck={dcols} spark={scols}"); fails += 1; continue
+        fail(name, f"cols duck={dcols} spark={scols}"); continue
     # The driver hash-compares TYPED values — repr() below erases type
     # skew (e.g. DuckDB sum(int)=HUGEINT vs Spark BIGINT), which is how
     # a mismatch shipped in round 1. Compare declared types too.
@@ -59,14 +70,34 @@ for name, sql in sorted(oracle.items()):
     tdiff = [(c, dtypes[c], stypes[c]) for c in dcols
              if tnorm(dtypes[c]) != tnorm(stypes[c])]
     if tdiff:
-        print(f"FAIL {name}: type skew (col, duck, spark): {tdiff}"); fails += 1; continue
+        fail(name, f"type skew (col, duck, spark): {tdiff}"); continue
     dn = sorted(tuple(norm(v) for v in r) for r in drows)
     sn = sorted(tuple(norm(v) for v in r) for r in srows)
     if len(dn) != len(sn):
-        print(f"FAIL {name}: rows duck={len(dn)} spark={len(sn)}"); fails += 1; continue
+        fail(name, f"rows duck={len(dn)} spark={len(sn)}"); continue
     if dn != sn:
         diff = [(a, b) for a, b in zip(dn, sn) if a != b][:3]
-        print(f"FAIL {name}: value mismatch, first diffs: {diff}"); fails += 1; continue
+        fail(name, f"value mismatch, first diffs: {diff}"); continue
     print(f"PASS {name} ({len(dn)} rows)")
+    results[name] = {"check": "oracle", "status": "pass", "rows": len(sn)}
+
+# Rows-only queries (no oracle SQL): record the driver's rows>0 check.
+for d in sorted(glob.glob(f"{outdir}/*/")):
+    name = d.rstrip("/").split("/")[-1]
+    if name in oracle or (only and name not in only): continue
+    try:
+        n = con.sql(f"SELECT count(*) FROM '{d}*.parquet'").fetchone()[0]
+    except Exception as e:
+        fail(name, f"rows-only read: {e}"); continue
+    status = "pass" if n > 0 else "fail"
+    if n == 0: fails += 1
+    print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only, {n} rows)")
+    results[name] = {"check": "rows_only", "status": status, "rows": n}
+
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({"sf_dir": sfdir, "queries": results,
+                   "n_pass": sum(1 for r in results.values() if r["status"] == "pass"),
+                   "n_fail": fails}, f, indent=1, sort_keys=True)
 print(f"\n{fails} failures / {len([n for n in oracle if not only or n in only])} checked")
 sys.exit(1 if fails else 0)

@@ -106,6 +106,33 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"LSH kNN recall $recall (${(exact & lsh).size}/${exact.size})")
   }
 
+  test("IVF-candidate kNN path composes through knnGraphFrom with useful recall") {
+    // knnGraphFrom accepts ANY blocking scheme's bare id pairs: the
+    // IVF cell self-join (single-probe equivalent) must still recover
+    // a majority of the exact graph on clustered embeddings.
+    val emb = graft.Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val centroids = Similarity.fitIvfCentroids(spark, sf)
+    val exact = Similarity.knnGraphOf(emb)
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnGraphFrom(emb,
+        Similarity.ivfCandidatePairs(spark, emb, centroids))
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF kNN recall $recall (${(exact & ivf).size}/${exact.size})")
+  }
+
+  test("e_knn_lsh emits per-vector recall of the at-scale path") {
+    val rows = Similarity.knnLshWithRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val recalls = rows.map(r => r.getLong(4))
+    assert(recalls.forall(r => r >= 0L && r <= 100L))
+    // seed-fixed LSH on the test corpus: overall recall is high
+    val mean = recalls.sum.toDouble / recalls.length
+    assert(mean >= 70.0, s"mean recall_e2 $mean")
+  }
+
   test("kNN edge table is memoized per (session, embeddings identity, k)") {
     // e_knn_graph and e_embed_clusters must share ONE checkpointed
     // scoring pass; its blocks are declared to the sweep's keep-set.
