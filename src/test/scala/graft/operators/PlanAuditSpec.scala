@@ -45,6 +45,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("event_type"), "prune must key on the partition column")
   }
 
+  test("candidate-path kNN is equi-join only — no nested-loop, no cartesian") {
+    // The at-scale dispatch's whole point: past the exact-path size
+    // bound, the kNN graph must never plan the all-pairs comparison.
+    // LSH and IVF candidate paths may broadcast SMALL sides at this
+    // scale, but the join strategy must be hash-keyed throughout.
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    for ((label, pairs) <- Seq(
+        "lsh" -> Similarity.lshCandidatePairs(emb),
+        "ivf" -> Similarity.ivfCandidatePairs(spark, emb,
+          Similarity.fitIvfCentroids(spark, sf)))) {
+      val plan = executedPlan(Similarity.knnGraphFrom(emb, pairs))
+      assert(!plan.contains("BroadcastNestedLoopJoin")
+          && !plan.contains("CartesianProduct"),
+        s"$label candidate path planned a non-equi join:\n${plan.take(3000)}")
+    }
+  }
+
   test("bottom_k_by_key equals the window formulation and partial-aggregates map-side") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
