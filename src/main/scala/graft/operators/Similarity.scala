@@ -112,12 +112,34 @@ object Similarity {
     * model pass, and search is a cell-key equi-join — the other
     * standard 100 TB ANN layout next to sign-LSH. Recall vs brute
     * force is spec-checked. */
+  // The fitted quantizer is the IVF family's persist-once artifact
+  // (16×dim doubles — driver-scalar sized, no RDD blocks to retain):
+  // memoized per (session, embeddings identity) so the self-fitting
+  // query entry, repeated searches and the candidate-pair generator
+  // all share ONE k-means fit, exactly as a production deployment
+  // persists centroids once and searches many times.
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Array[Array[Double]]]
+
+  private def embeddingsKey(spark: SparkSession, dir: String): (String, String) = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    (System.identityHashCode(spark).toString,
+      s"$dir:${src.lastModified}:${src.length}")
+  }
+
   /** Fit the IVF coarse quantizer and return its centroids — the
     * artifact a production deployment persists once and reuses across
     * every search (16×dim doubles: driver-scalar sized). Trains on a
     * bounded seeded sample of unit-normalized vectors, exactly as the
-    * self-fitting query path does. */
+    * model-path spec oracle does. Memoized per (session, embeddings
+    * identity). */
   def fitIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    if (centroidCache.size > 8) centroidCache.clear()
+    centroidCache.getOrElseUpdate(embeddingsKey(spark, dir),
+      fitIvfCentroidsUncached(spark, dir))
+  }
+
+  private def fitIvfCentroidsUncached(spark: SparkSession, dir: String): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val normArr = graft.functions.CatalystText.l2_normalize(col("embedding"))
@@ -162,7 +184,18 @@ object Similarity {
     annIvfSearch(spark, dir, assigned, centroids)
   }
 
-  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Self-fitting entry point: rides the memoized quantizer and the
+    * centroid-literal assignment — one k-means fit per (session,
+    * embeddings identity) however many IVF queries run. Equality with
+    * the fresh-fit model.transform path is spec-checked
+    * ([[annIvfTopKModelPath]]). */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    annIvfTopK(spark, dir, fitIvfCentroids(spark, dir))
+
+  /** The fresh-fit, `model.transform`-assigned formulation — the
+    * spec's oracle for the centroid-literal path (same seed + sample
+    * ⇒ same quantizer ⇒ identical results). Not memoized. */
+  private[graft] def annIvfTopKModelPath(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 

@@ -45,14 +45,45 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
   }
 
-  test("IVF centroid-reuse path equals the self-fitting path") {
+  test("IVF centroid-literal assignment equals the fresh-fit model.transform path") {
     // Fit once, persist the (tiny) centroid array, search many times
-    // — the production deployment shape. Same seed → same quantizer →
-    // identical results to the self-fitting query.
-    val centroids = Similarity.fitIvfCentroids(spark, sf)
-    val reused = Similarity.annIvfTopK(spark, sf, centroids).collect().map(_.toSeq)
-    val selfFit = Similarity.annIvfTopK(spark, sf).collect().map(_.toSeq)
-    assert(reused.toSeq == selfFit.toSeq)
+    // — the production deployment shape. Same seed + sample → same
+    // quantizer → the memoized literal-assignment entry must be
+    // IDENTICAL to a fresh KMeans fit assigned via model.transform.
+    val reused = Similarity.annIvfTopK(spark, sf).collect().map(_.toSeq)
+    val modelPath = Similarity.annIvfTopKModelPath(spark, sf).collect().map(_.toSeq)
+    assert(reused.toSeq == modelPath.toSeq)
+  }
+
+  test("kNN and quantizer memos miss when embeddings are regenerated in place") {
+    import org.apache.spark.sql.functions.col
+    def vec(axis: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == axis) 1f else 0f)
+    val dir = java.nio.file.Files.createTempDirectory("graft_knnmemo").toString
+    def write(rows: Seq[(Long, Seq[Float])]): Unit = {
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val f = new java.io.File(s"$dir/embeddings.parquet")
+      f.setLastModified(f.lastModified() + 2000)
+    }
+    // 3 vectors on one axis → each vector's 1-NN is another of the 3
+    write(Seq((1L, vec(0)), (2L, vec(0)), (3L, vec(0))))
+    val first = Similarity.knnGraph(spark, dir, k = 1).count()
+    assert(first == 3L)
+    // regenerate at the SAME path with 5 vectors: stale memo would
+    // still return 3 edges
+    write(Seq((1L, vec(0)), (2L, vec(0)), (3L, vec(0)),
+      (4L, vec(1)), (5L, vec(1))))
+    val second = Similarity.knnGraph(spark, dir, k = 1).count()
+    assert(second == 5L, s"stale kNN memo: $second edges")
+    // quantizer memo: 32 distinct axes each side (k = 16 needs
+    // enough distinct points), disjoint across the rewrite
+    write((1L to 64L).map(i => (i, vec((i % 32).toInt))))
+    val c1 = Similarity.fitIvfCentroids(spark, dir)
+    write((1L to 64L).map(i => (i, vec((i % 32).toInt + 32))))
+    val c2 = Similarity.fitIvfCentroids(spark, dir)
+    assert(c1.flatten.toSeq != c2.flatten.toSeq,
+      "stale centroid memo after in-place regeneration")
   }
 
   test("embedClusters recovers planted clusters; loner stays a singleton") {
