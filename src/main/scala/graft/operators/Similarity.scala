@@ -400,23 +400,36 @@ object Similarity {
     })._1
   }
 
-  /** The LSH-candidate kNN graph as a first-class query with
-    * per-vector recall@k vs the exact kNN table appended — the
-    * at-scale dispatch path made driver-visible, exactly as
-    * [[annLshTopK]] carries recall_e2. The exact side rides the
-    * memoized [[knnGraph]] table at test scale; at 100 TB the same
-    * probe runs against a sampled vector set (the standard sampled
-    * recall audit of a production ANN index). Deterministic: the
-    * sign-LSH hyperplanes are seed-fixed. */
+  /** The LSH-candidate kNN graph as a first-class query with SAMPLED
+    * recall@k appended — the at-scale dispatch path made
+    * driver-visible, exactly as [[annLshTopK]] carries recall_e2.
+    * The exact side is a brute-force top-k for a BOUNDED query
+    * sample only (broadcast sample × one corpus scan — the standard
+    * sampled recall audit of a production ANN index), NOT the
+    * dispatched [[knnGraph]] table: past the exact-path size bound
+    * that table is itself LSH-built, and recall against it would
+    * self-compare to 100. recall_e2 is null outside the sampled
+    * vectors. Deterministic: the sign-LSH hyperplanes are
+    * seed-fixed. */
   def knnLshWithRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val lsh = knnGraphFrom(emb, lshCandidatePairs(emb), k)
-    val exact = knnGraph(spark, dir, k)
-      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val sample = emb.filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("q"), col("embedding").as("qe"))
+    val sw = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb").asc)
+    val exact = emb.select(col("vec_id").as("nb"), col("embedding").as("e2"))
+      .join(broadcast(sample), col("q") =!= col("nb"))
+      .select(col("q"), col("nb"), cosine(col("qe"), col("e2")).as("sim"))
+      .withColumn("rank", row_number().over(sw))
+      .filter(col("rank") <= k)
+      .select(col("q").as("vec_id"), col("nb").as("neighbor_id"),
+        lit(1L).as("hit"))
     val w = Window.partitionBy(col("vec_id"))
     lsh.join(exact, Seq("vec_id", "neighbor_id"), "left")
       .withColumn("hit", coalesce(col("hit"), lit(0L)))
-      .withColumn("recall_e2", (sum(col("hit")).over(w) * 100L / k).cast("long"))
+      .withColumn("recall_e2",
+        when(col("vec_id") < QueryLimit,
+          (sum(col("hit")).over(w) * 100L / k).cast("long")))
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("sim_e4"),
         col("recall_e2"))
       .orderBy(col("vec_id"), col("rank"))
