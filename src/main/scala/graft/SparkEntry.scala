@@ -244,6 +244,8 @@ object SparkEntry {
     "s_stream_agg" -> ((s, d) => graft.streaming.StreamingOps.streamHourlyAgg(s, d)),
     "s_stream_watermark" -> ((s, d) => graft.streaming.StreamingOps.streamWatermarkedAgg(s, d)),
     "s_stream_join" -> ((s, d) => graft.streaming.StreamingOps.streamStreamJoin(s, d)),
+    "s_stream_static_join" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamStaticJoin(s, d)),
     "s_stream_sessionize" -> ((s, d) => graft.streaming.StreamingOps.streamSessionize(s, d)),
     "s_stream_dedup" -> ((s, d) => graft.streaming.StreamingOps.streamDedup(s, d)),
     "s_stream_clean" -> ((s, d) => graft.streaming.StreamingOps.streamClean(s, d)),
@@ -1539,6 +1541,14 @@ object SparkEntry {
         |SELECT user_id, start_us, n_events FROM sess, wm
         |WHERE end_us + 1800000000 <= wm_ms * 1000
         |ORDER BY user_id, start_us""".stripMargin,
+    // Stream-static enrichment: stateless join per micro-batch, so
+    // the complete-mode aggregate equals the plain batch join+agg.
+    "s_stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
     // Append-mode watermarked agg emits exactly the windows whose end
     // (ms) <= watermark = max event time (µs floored to ms) - 1h —
     // replicate Spark's millisecond watermark arithmetic.

@@ -220,7 +220,13 @@ object Relational {
     * quantities on purpose: both engines' interpolation formulas
     * (`lo + f·(hi−lo)` vs `(1−f)·lo + f·hi`) are bit-exact there,
     * while fractional percentiles over decimal data differ in the
-    * last ulp and fail hash comparison — measured, not theoretical. */
+    * last ulp and fail hash comparison — measured, not theoretical.
+    * Scale boundary: exact `percentile` accumulates a per-VALUE
+    * counts map per group — bounded here by the ~50 distinct integer
+    * quantities at any row count, but arbitrary-cardinality columns
+    * belong on [[qApproxPercentile]]'s GK sketch (whose in-query
+    * error verdict is the accuracy contract). Internal thresholds
+    * never use the exact form (see GraphOps.strongTies). */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))

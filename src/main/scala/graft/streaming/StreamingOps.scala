@@ -140,6 +140,40 @@ object StreamingOps {
     * interval joins emit each match exactly once as it forms, so the
     * result equals the batch interval join and shares a SQL oracle
     * (µs arithmetic replicated there). */
+  /** Stream-STATIC join — the streaming enrichment pattern: the
+    * event stream joins the static customer dimension per
+    * micro-batch. Unlike a stream-stream join this keeps NO join
+    * state at all (the static side is a plain relation, broadcast
+    * when small — at 100 TB of stream the dim is still dim-sized),
+    * so there is no watermark, no state store and no partition
+    * sizing concern; the complete-mode aggregate downstream is the
+    * only stateful operator. Result equals the batch join+agg, which
+    * is the SQL oracle. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = events
+      .join(cust, events("user_id") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val name = "graft_stream_static_join"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Stream-STATE partitioning is sized to the keyspace, not to the
