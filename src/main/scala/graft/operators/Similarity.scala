@@ -179,7 +179,7 @@ object Similarity {
     val assigned = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         element_at(reverse(array_sort(
-          org.apache.spark.sql.functions.array(simStructs: _*))), 1)
+          org.apache.spark.sql.functions.array(simStructs.toIndexedSeq: _*))), 1)
           .getField("cell").as("cell"))
     annIvfSearch(spark, dir, assigned, centroids)
   }
@@ -245,7 +245,7 @@ object Similarity {
     val probed = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < QueryLimit)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        slice(reverse(array_sort(org.apache.spark.sql.functions.array(distStructs: _*))),
+        slice(reverse(array_sort(org.apache.spark.sql.functions.array(distStructs.toIndexedSeq: _*))),
           1, IvfProbes).as("cells"))
       .select(col("query_id"), col("q_emb"), explode(col("cells.cell")).as("cell"))
 
@@ -331,7 +331,7 @@ object Similarity {
         lit(i).as("cell"))
     }
     val ranked = reverse(array_sort(
-      org.apache.spark.sql.functions.array(simStructs: _*)))
+      org.apache.spark.sql.functions.array(simStructs.toIndexedSeq: _*)))
     val home = emb.select(col("vec_id").as("candidate_id"),
       element_at(ranked, 1).getField("cell").as("cell"))
     val probes = emb.select(col("vec_id"),

@@ -17,7 +17,7 @@ object SkewOps {
     * partials double-count or drop (the SPARK-23207 bug class). A
     * content hash assigns every row the same salt on every attempt. */
   private def rowSalt(df: DataFrame, saltBuckets: Int) =
-    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong))
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets.toLong))
 
   /** Two-phase salted aggregation for algebraic aggregates over
     * skewed keys: phase 1 aggregates on (key, salt) — spreading one
