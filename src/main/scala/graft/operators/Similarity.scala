@@ -361,7 +361,15 @@ object Similarity {
     * pairs through [[knnGraphFrom]] — approximate (recall is
     * spec-checked vs exact) but linear-ish, never an n² broadcast. */
   def knnGraphOf(emb: DataFrame, k: Int = TopK): DataFrame =
-    if (emb.count() <= ExactKnnMaxRows) topKEdges(knnScoredExact(emb), k)
+    knnGraphOf(emb, k, ExactKnnMaxRows)
+
+  /** Threshold-overridable form so specs exercise the LSH branch of
+    * the dispatch itself (not just knnGraphFrom directly) without a
+    * 16k-row fixture — the same both-branches discipline as the
+    * jaccard/clustering hub dispatch. */
+  private[graft] def knnGraphOf(emb: DataFrame, k: Int,
+      exactMaxRows: Long): DataFrame =
+    if (emb.count() <= exactMaxRows) topKEdges(knnScoredExact(emb), k)
     else knnGraphFrom(emb, lshCandidatePairs(emb), k)
 
   // One kNN edge table per (session, embeddings identity, k), built

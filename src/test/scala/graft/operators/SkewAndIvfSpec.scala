@@ -169,6 +169,26 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(mean >= 70.0, s"mean sampled recall_e2 $mean")
   }
 
+  test("knnGraphOf dispatch: LSH branch equals exact branch on planted clusters") {
+    // Drive the dispatch's ELSE branch itself (threshold override)
+    // rather than calling knnGraphFrom directly: on well-separated
+    // planted clusters the sign-LSH candidates certainly contain the
+    // same-cluster neighbors, so both branches return identical
+    // edges.
+    def vec(axis: Int, jitter: Int): Seq[Float] =
+      (0 until 64).map { i =>
+        val base = if (i == axis) 10f else 0f
+        base + (if (i == (axis + jitter + 1) % 64) 0.1f * (jitter + 1) else 0f)
+      }
+    val emb = (for { c <- 0 until 3; j <- 0 until 5 }
+      yield ((c * 10 + j).toLong, vec(c * 20, j))).toDF("vec_id", "embedding")
+    val exact = Similarity.knnGraphOf(emb, 4, exactMaxRows = 10000L)
+      .collect().map(_.toSeq).toSet
+    val lshBranch = Similarity.knnGraphOf(emb, 4, exactMaxRows = 1L)
+      .collect().map(_.toSeq).toSet
+    assert(lshBranch == exact)
+  }
+
   test("kNN edge table is memoized per (session, embeddings identity, k)") {
     // e_knn_graph and e_embed_clusters must share ONE checkpointed
     // scoring pass; its blocks are declared to the sweep's keep-set.
