@@ -66,6 +66,8 @@ object SparkEntry {
       GraphOps.pageRankWeighted(s, GraphBuilder.supplierCoEdges(s, d))),
     "g_pagerank_det" -> ((s, d) =>
       GraphOps.pageRankInteger(s, GraphBuilder.supplierCoEdges(s, d))),
+    "g_ppr" -> ((s, d) =>
+      GraphOps.personalizedPageRank(s, GraphBuilder.supplierCoEdges(s, d))),
     "g_clustering" -> ((s, d) =>
       GraphOps.clusteringCoefficients(GraphBuilder.supplierCoEdges(s, d))),
     "g_sssp" -> ((s, d) =>
@@ -398,6 +400,34 @@ object SparkEntry {
       s"\nSELECT vertex, rank AS rank_e6 FROM r$iters ORDER BY vertex"
   }
 
+  /** Personalized PageRank unrolled to `iters` SQL iterations —
+    * identical integer arithmetic to GraphOps.personalizedPageRank
+    * (seeds = 3 smallest vertex ids, unnormalized 150000 restart per
+    * seed per round), so the match is exact. */
+  private def pprOracleSql(iters: Int = 10): String = {
+    val steps = (0 until iters).map { i =>
+      s""",
+         |c$i AS MATERIALIZED (SELECT f.dst AS vertex,
+         |    CAST(sum((r.rank * f.w) // f.wdeg) AS BIGINT) AS csum
+         |  FROM fr f JOIN r$i r ON r.vertex = f.src GROUP BY 1),
+         |r${i + 1} AS MATERIALIZED (SELECT r.vertex,
+         |  CAST(CASE WHEN r.seed THEN 150000 ELSE 0 END
+         |    + (coalesce(c.csum, 0) * 17) // 20 AS BIGINT) AS rank, r.seed
+         |  FROM r$i r LEFT JOIN c$i c ON c.vertex = r.vertex)""".stripMargin
+    }.mkString
+    s"""WITH $EdgeCte,
+       |wdeg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM sym GROUP BY 1),
+       |fr AS MATERIALIZED (SELECT s.src, s.dst, s.w, d.wdeg FROM sym s JOIN wdeg d ON d.src = s.src),
+       |verts AS (SELECT DISTINCT src AS vertex FROM sym),
+       |lms AS (SELECT vertex AS v FROM verts ORDER BY vertex LIMIT 3),
+       |r0 AS MATERIALIZED (SELECT verts.vertex,
+       |  CAST(CASE WHEN l.v IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT) AS rank,
+       |  l.v IS NOT NULL AS seed
+       |  FROM verts LEFT JOIN lms l ON l.v = verts.vertex)""".stripMargin +
+      steps +
+      s"\nSELECT vertex, rank AS rank_e6 FROM r$iters ORDER BY vertex"
+  }
+
   /** DuckDB-runnable SQL oracle per query (same aliases, same
     * determinism rules — SURVEY §6). Omitted keys get the driver's
     * weaker rows-only check. */
@@ -406,6 +436,7 @@ object SparkEntry {
     "g_modularity_of" -> modularityOfOracleSql(4),
     "g_kcore" -> kcoreOracleSql(),
     "g_pagerank_det" -> pagerankDetOracleSql(),
+    "g_ppr" -> pprOracleSql(),
     // Adamic–Adar over the strong-tie subgraph: wedge join + anti-join
     // against existing edges; per-common-neighbor 1/ln(deg) terms are
     // e4-rounded before the integer sum (SURVEY §6).

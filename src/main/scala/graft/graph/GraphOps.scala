@@ -526,6 +526,58 @@ object GraphOps {
     ranks.select(col("vertex"), col("rank").as("rank_e6")).orderBy(col("vertex"))
   }
 
+  /** Personalized PageRank (integer-deterministic) — rank restarts
+    * onto a SEED set instead of uniformly, so scores measure proximity
+    * to the seeds: the standard similar-items / recommendation query
+    * next to global PageRank. Seeds default to the three smallest
+    * vertex ids (the same deterministic landmark rule as
+    * [[shortestPaths]]); only that bounded id list crosses the driver.
+    *
+    * Restart mass is UNNORMALIZED — each seed vertex restarts with the
+    * full (1−d)·1e6 = 150000 per round, non-seeds with 0 — so seeding
+    * EVERY vertex reproduces [[pageRankInteger]] exactly (spec-pinned:
+    * the recursions become identical term by term). Relative ranking,
+    * the quantity PPR is consumed for, is unchanged by that scaling.
+    *
+    * Same bit-reproducibility contract as [[pageRankInteger]]: ranks
+    * e6-scaled, per-edge contributions floor-divided, damping ×17/20
+    * integer division — identical output under any partitioning or
+    * reduction order, hence oracle-checkable via unrolled integer SQL.
+    * Same plan shape per round: one join + one aggregation over a
+    * checkpointed fraction table. */
+  def personalizedPageRank(spark: SparkSession, edges: DataFrame,
+      landmarks: Seq[Long] = Seq.empty, iters: Int = 10): DataFrame = {
+    val both = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight").cast("long").as("w")))
+    val wdeg = both.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val fr = both.join(wdeg, Seq("src")).localCheckpoint(true)
+    val verts = fr.select(col("src").as("vertex")).distinct()
+    val seeds: Seq[Long] =
+      if (landmarks.nonEmpty) landmarks
+      else verts.orderBy(col("vertex")).limit(3).collect().map(_.getLong(0)).toSeq
+    var ranks = verts
+      .withColumn("seed", col("vertex").isInCollection(seeds))
+      .withColumn("rank",
+        when(col("seed"), lit(1000000L)).otherwise(lit(0L)))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = fr
+        .join(ranks.select(col("vertex").as("src"), col("rank")), Seq("src"))
+        .select(col("dst"), expr("(rank * w) div wdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      ranks = ranks.select(col("vertex"), col("seed"))
+        .join(contribs.select(col("dst").as("vertex"), col("csum")),
+          Seq("vertex"), "left")
+        .withColumn("csum0", coalesce(col("csum"), lit(0L)))
+        .select(col("vertex"), col("seed"),
+          (when(col("seed"), lit(150000L)).otherwise(lit(0L))
+            + expr("(csum0 * 17) div 20")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("vertex"), col("rank").as("rank_e6")).orderBy(col("vertex"))
+  }
+
   /** Weighted label propagation communities, DataFrame-native.
     *
     * Each round: join labels to the symmetrized edge list, sum edge

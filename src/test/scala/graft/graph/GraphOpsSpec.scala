@@ -204,6 +204,38 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(it == it2, "integer pagerank changed under repartitioning")
   }
 
+  test("personalized pagerank: all-seeds run IS global integer pagerank") {
+    // With every vertex seeded, the unnormalized restart term is the
+    // global recursion's 150000 for all vertices — the two fixpoints
+    // are identical term by term, so the integers must match exactly.
+    val star = edgesDf((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 1.0), (0L, 4L, 1.0))
+    val global = GraphOps.pageRankInteger(spark, star).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ppr = GraphOps.personalizedPageRank(spark, star,
+        landmarks = Seq(0L, 1L, 2L, 3L, 4L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ppr == global, s"all-seed PPR diverged: $ppr vs $global")
+  }
+
+  test("personalized pagerank localizes mass to the seed's component") {
+    // Two disconnected triangles; seeding only {0} must leave the
+    // other component at exactly 0 rank (integer arithmetic — no
+    // float dust), while the seed's component accumulates mass
+    // ordered by proximity to the seed.
+    val g = edgesDf((0L, 1L, 1.0), (1L, 2L, 1.0), (0L, 2L, 1.0),
+      (10L, 11L, 1.0), (11L, 12L, 1.0), (10L, 12L, 1.0))
+    val ppr = GraphOps.personalizedPageRank(spark, g, landmarks = Seq(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(10L, 11L, 12L).forall(ppr(_) == 0L),
+      s"rank leaked across components: $ppr")
+    assert(ppr(0L) > ppr(1L) && ppr(1L) == ppr(2L), s"seed locality: $ppr")
+    // Default landmarks = three smallest vertex ids (deterministic):
+    // seeding {0,1,2} gives the whole first triangle restart mass.
+    val dflt = GraphOps.personalizedPageRank(spark, g)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dflt(0L) == dflt(1L) && dflt(1L) == dflt(2L) && dflt(10L) == 0L)
+  }
+
   test("label propagation groups cliques, splits across a weak bridge") {
     val e = edgesDf(
       (0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 2L, 1.0),
