@@ -250,6 +250,8 @@ object SparkEntry {
       graft.streaming.StreamingOps.streamStaticJoin(s, d)),
     "s_stream_sessionize" -> ((s, d) => graft.streaming.StreamingOps.streamSessionize(s, d)),
     "s_stream_dedup" -> ((s, d) => graft.streaming.StreamingOps.streamDedup(s, d)),
+    "s_stream_dedup_wm" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamDedupWithinWatermark(s, d)),
     "s_stream_clean" -> ((s, d) => graft.streaming.StreamingOps.streamClean(s, d)),
     "s_stream_foreachbatch" -> ((s, d) =>
       graft.streaming.StreamingOps.streamForeachBatchAgg(s, d)),
@@ -1370,6 +1372,14 @@ object SparkEntry {
         |ORDER BY hour, event_type""".stripMargin,
     "s_stream_dedup" ->
       """SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h""".stripMargin,
+    // State-bounded dedup over one micro-batch: the watermark only
+    // advances BETWEEN batches, so no key's state evicts mid-batch
+    // and the emitted set is exactly the distinct keys — batch-equal.
+    // (The eviction/re-emission semantics past the watermark are
+    // pinned by the multi-batch MemoryStream spec.)
+    "s_stream_dedup_wm" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     // Streaming gates + dedup ≡ batch distinct-over-gated: emitting
     // hashes keeps the result arrival-order independent.
     "s_stream_clean" ->

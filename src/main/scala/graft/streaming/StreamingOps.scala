@@ -101,6 +101,46 @@ object StreamingOps {
     spark.table(name).orderBy(col("h"))
   }
 
+  /** STATE-BOUNDED streaming dedup — the continuous-ingest form of
+    * [[streamDedup]]: `dropDuplicatesWithinWatermark` keeps each key's
+    * state only until the event-time watermark passes it, so on an
+    * unbounded stream the state store stays proportional to the
+    * watermark window instead of the whole history (plain
+    * `dropDuplicates` state grows forever — the one shape that cannot
+    * run continuously at 100 TB/day). The semantic trade is explicit:
+    * duplicates are only suppressed while they arrive within the
+    * watermark delay of each other; a duplicate arriving after its
+    * key's state was evicted re-emits (spec-pinned with a multi-batch
+    * MemoryStream, including the eviction itself).
+    *
+    * Batch-equal oracle: the events file arrives as ONE micro-batch
+    * (the watermark only advances between batches, so no state is
+    * evicted mid-batch) — the emitted set is exactly the distinct
+    * (user_id, event_type) keys, independent of which physical row
+    * won first-arrival since only the key columns are emitted. */
+  def streamDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val deduped = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val name = "graft_stream_dedup_wm"
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Streaming corpus cleaning: quality gates (stateless projections
     * — they pipeline with the stream scan) feeding streaming exact
     * dedup, the continuous-ingest form of the batch curation

@@ -161,6 +161,64 @@ class StreamingSpec extends AnyFunSuite {
       s"emitted $got — eviction precision differs from µs-≤")
   }
 
+  test("dropDuplicatesWithinWatermark bounds state: evicts, then re-emits") {
+    // The semantic contract that separates the state-bounded dedup
+    // from plain dropDuplicates: (a) a duplicate arriving within the
+    // watermark delay is suppressed; (b) once the watermark passes a
+    // key's event time + delay, its state is EVICTED (numRowsTotal
+    // drops); (c) a later re-arrival of the same key re-emits — plain
+    // dropDuplicates would hold state forever and never re-emit.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)] // (sec, key)
+    val deduped = input.toDF().toDF("sec", "k")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"), col("sec"))
+    val name = "graft_dedup_wm_eviction"
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      def emitted() = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Batch 1: key 42 first seen at t=1000 → emitted once.
+      input.addData((1000L, 42L))
+      q.processAllAvailable()
+      assert(emitted() == Set((42L, 1000L)))
+      // Batch 2: duplicate of 42 at t=1100 (within the 600 s delay of
+      // the stored state) → suppressed. Key 7 at t=5000 emits and
+      // advances the watermark to 4400 s, past 42's expiry (1000+600)
+      // → 42's state is evicted; only key 7 remains stored.
+      input.addData((1100L, 42L), (5000L, 7L))
+      q.processAllAvailable()
+      assert(emitted() == Set((42L, 1000L), (7L, 5000L)),
+        s"within-watermark duplicate not suppressed: ${emitted()}")
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 1L, s"expired dedup state not evicted: $stateRows rows")
+      // Batch 3: key 42 re-arrives at t=5200 — after eviction, so it
+      // MUST re-emit (the documented semantic difference from the
+      // unbounded streamDedup).
+      input.addData((5200L, 42L))
+      q.processAllAvailable()
+      assert(emitted() == Set((42L, 1000L), (7L, 5000L), (42L, 5200L)),
+        s"post-eviction re-arrival did not re-emit: ${emitted()}")
+    } finally q.stop()
+  }
+
+  test("streamDedupWithinWatermark equals batch distinct keys on one micro-batch") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingOps.streamDedupWithinWatermark(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batch = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+      .orderBy(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("foreachBatch landing is idempotent under batch replay") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
