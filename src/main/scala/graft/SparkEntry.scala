@@ -243,6 +243,7 @@ object SparkEntry {
     "m_frame_sample" -> ((s, d) => Multimodal.frameSampleDf(s, d)),
     "m_resize" -> ((s, d) => Multimodal.resizeDf(s, d)),
     "m_features" -> ((s, d) => Multimodal.extractFeaturesDf(s, d)),
+    "m_near_dup" -> ((s, d) => Multimodal.nearDupPairs(s, d)),
     "s_stream_agg" -> ((s, d) => graft.streaming.StreamingOps.streamHourlyAgg(s, d)),
     "s_stream_watermark" -> ((s, d) => graft.streaming.StreamingOps.streamWatermarkedAgg(s, d)),
     "s_stream_join" -> ((s, d) => graft.streaming.StreamingOps.streamStreamJoin(s, d)),

@@ -109,8 +109,10 @@ object Dedup {
 
   /** SimHash banded pairs over a prepared (doc_id, fp) table —
     * `fps` must already be materialized (checkpointed/persisted):
-    * it feeds both sides of the band self-join. */
-  private def simhashPairsFrom(fps: DataFrame, maxHamming: Int): DataFrame = {
+    * it feeds both sides of the band self-join. Shared with the
+    * multimodal byte-payload near-dup ([[Multimodal.nearDupPairs]]) —
+    * the banding is fingerprint-agnostic. */
+  private[operators] def simhashPairsFrom(fps: DataFrame, maxHamming: Int): DataFrame = {
     // 8 bands of 8 bits give the pigeonhole recall guarantee only up
     // to Hamming distance 7 (one band must then be untouched); past
     // that, qualifying pairs would be silently missed.

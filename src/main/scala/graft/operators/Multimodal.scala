@@ -127,4 +127,74 @@ object Multimodal {
 
   def extractFeaturesDf(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, dir).toDF().orderBy(col("doc_id"))
+
+  /** Typed record produced by the payload fingerprinter. */
+  case class PayloadFp(doc_id: Long, fp: Long)
+
+  /** 64-bit byte-level SimHash: every sliding `n`-byte window of the
+    * payload votes ±1 per bit via its FNV-1a hash (the same vote
+    * scheme as the text-token [[graft.functions.CatalystText]]
+    * SimHash64, with byte windows as the feature set — content-aware
+    * where a whole-payload hash is all-or-nothing). A payload shorter
+    * than one window votes once on its entirety. */
+  private[operators] def payloadSimhash(payload: Array[Byte], n: Int = 8): Long = {
+    import graft.functions.Fnv
+    val votes = new Array[Int](64)
+    def vote(h: Long): Unit = {
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    if (payload.length <= n) vote(Fnv.hash(payload))
+    else {
+      var i = 0
+      while (i + n <= payload.length) {
+        vote(Fnv.hash(java.util.Arrays.copyOfRange(payload, i, i + n)))
+        i += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Byte-payload near-duplicate pairs over ANY (doc_id, payload:
+    * binary) table — the third dedup modality next to text
+    * (MinHash/SimHash on tokens) and embeddings (cosine): a re-encoded
+    * or lightly-corrupted copy of a binary asset hashes to a nearby
+    * byte-level SimHash even though its exact hash differs. Candidate
+    * generation reuses [[Dedup.simhashPairsFrom]]'s 8-byte-band
+    * pigeonhole join (100% recall at Hamming ≤ 7, never O(n²)); the
+    * fingerprint table is checkpointed so the payload scan runs once,
+    * and only (id, fp) rows — 16 bytes — ever shuffle. */
+  def nearDupPairsOf(payloads: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val fps = payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, p) =>
+        PayloadFp(id, payloadSimhash(p))
+      })
+      .toDF()
+      .localCheckpoint(true)
+    Dedup.simhashPairsFrom(fps, maxHamming)
+  }
+
+  /** [[nearDupPairsOf]] over the documents table's stand-in payloads
+    * (text encoded to UTF-8 bytes — the corpus has no binary column;
+    * see the object scaladoc). */
+  def nearDupPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 7): DataFrame =
+    nearDupPairsOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+      maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
 }

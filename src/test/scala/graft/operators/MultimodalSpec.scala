@@ -18,6 +18,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("byte-payload near-dup finds planted corruption, skips distinct payloads") {
+    import spark.implicits._
+    // Deterministic pseudo-random payloads: A, a 5-byte corruption of
+    // A (a near-dup a whole-payload hash cannot see), an identical
+    // copy of A, and an unrelated payload.
+    def payload(seed: Long, len: Int): Array[Byte] = {
+      var x = seed
+      Array.fill(len) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte
+      }
+    }
+    val a = payload(1L, 2000)
+    val corrupted = a.clone()
+    (500 until 505).foreach(i => corrupted(i) = (corrupted(i) ^ 0x5a).toByte)
+    val rows = Seq((1L, a), (2L, corrupted), (3L, a.clone()),
+      (4L, payload(99L, 2000)))
+    val pairs = Multimodal.nearDupPairsOf(rows.toDF("doc_id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    // identical copy: Hamming 0; corruption: small but nonzero.
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0L), s"$pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0L), s"$pairs")
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 3L), s"$pairs")
+    // the unrelated payload pairs with nobody
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"$pairs")
+  }
+
+  test("payload simhash: identical bytes hash equal, window locality holds") {
+    // High-entropy payload (an LCG stream — a patterned payload's
+    // repeating windows give vote margins no single byte can move):
+    // flipping one byte perturbs only the 8 windows covering it, a
+    // ±16 vote swing against ~√1000 margins — the fingerprint moves
+    // a few bits (4 for this payload, deterministic), far from the
+    // ~32 of an unrelated payload.
+    var x = 7L
+    val p = Array.fill(1000) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 33).toByte
+    }
+    assert(Multimodal.payloadSimhash(p) == Multimodal.payloadSimhash(p.clone()))
+    val q = p.clone(); q(400) = (q(400) ^ 0x7f).toByte
+    val d = java.lang.Long.bitCount(
+      Multimodal.payloadSimhash(p) ^ Multimodal.payloadSimhash(q))
+    assert(d == 4L, s"single-byte corruption moved $d bits")
+  }
+
   test("feature extraction yields sane byte statistics") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.nonEmpty)
