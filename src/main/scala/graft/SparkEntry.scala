@@ -190,9 +190,35 @@ object SparkEntry {
     "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "p_temperature" -> ((s, d) => Pipeline.temperatureSample(s, d)),
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
+    // SemDeDup verdict from mutual-kNN clusters (rides the kNN memo).
+    // τ = 0.4 matches d_embed_dup: the synthetic corpus is near-random
+    // (max pairwise cosine ≈ 0.6), so the production default 0.9 would
+    // make every vector a singleton and the verdict trivially true.
+    "d_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d, minSimE4 = 4000L)),
+    // The oracle-checkable sibling: clusters driven by the closed-form
+    // cosine-threshold pair predicate instead of this engine's mutual-
+    // kNN tiebreaks. Exact (complete bounded self-join) only below
+    // ExactKnnMaxRows — assert loudly rather than hash-mismatch
+    // opaquely if the embeddings table ever outgrows the bound.
+    "d_semantic_dedup_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      require(emb.count() <= Similarity.ExactKnnMaxRows,
+        s"d_semantic_dedup_exact's oracle is valid only while embeddings <= " +
+          s"${Similarity.ExactKnnMaxRows} rows (exact-pair dispatch bound)")
+      Similarity.semanticDedupFrom(s, d,
+        Similarity.cosineThresholdPairs(emb, minSimE4 = 4000L))
+    }),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
-    "e_knn_graph" -> ((s, d) =>
-      Similarity.knnGraph(s, d).orderBy(col("vec_id"), col("rank"))),
+    // The exact all-pairs oracle below holds only while knnGraph takes
+    // the exact dispatch branch: assert the bound loudly here rather
+    // than hash-mismatch opaquely on a future scale-up (the LSH branch
+    // is driver-visible via e_knn_lsh instead).
+    "e_knn_graph" -> ((s, d) => {
+      require(Tables.embeddings(s, d).count() <= Similarity.ExactKnnMaxRows,
+        s"e_knn_graph's exact oracle is valid only while embeddings <= " +
+          s"${Similarity.ExactKnnMaxRows} rows (knnGraph dispatches to LSH above)")
+      Similarity.knnGraph(s, d).orderBy(col("vec_id"), col("rank"))
+    }),
     "e_knn_lsh" -> ((s, d) => Similarity.knnLshWithRecall(s, d)),
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -1172,6 +1198,33 @@ object SparkEntry {
         |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_survivor
         |FROM h JOIN c USING (h)
         |ORDER BY doc_id""".stripMargin,
+    // Semantic verdict in closed form: cosine-threshold pairs (same
+    // exact expression tree as CosineSim — DuckDB's builtin differs in
+    // the last ulp, see e_knn_graph) → recursive-CTE connected
+    // components (the g_cc labeling) → min-id survivor; pairless
+    // vectors are singletons. Valid while the Spark side's exact
+    // dispatch branch holds (embeddings <= ExactKnnMaxRows — the
+    // entry asserts it loudly).
+    "d_semantic_dedup_exact" ->
+      """WITH RECURSIVE n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE CAST(round(list_dot_product(a.de, b.de) / (a.nrm * b.nrm)
+        |    * 10000) AS BIGINT) >= 4000),
+        |sym AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |verts AS (SELECT DISTINCT src AS v FROM sym),
+        |reach(v, u) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT r.v, s.dst FROM reach r JOIN sym s ON s.src = r.u),
+        |comp AS (SELECT v, CAST(min(u) AS BIGINT) AS c FROM reach GROUP BY v)
+        |SELECT e.vec_id, coalesce(comp.c, e.vec_id) AS cluster_id,
+        |  e.vec_id = coalesce(comp.c, e.vec_id) AS is_survivor
+        |FROM embeddings e LEFT JOIN comp ON comp.v = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "d_incremental" ->
       """SELECT doc_id FROM documents d
         |WHERE doc_id >= 250 AND NOT EXISTS (

@@ -39,11 +39,22 @@ object Pipeline {
     * fluent English; only the corpus view exposes it). Off by
     * default: it adds one corpus-wide n-gram df pass.
     *
+    * `semanticClusters` arms the SemDeDup stage: a precomputed
+    * (doc_id, cluster_id) table — [[Similarity.semanticDedup]] output
+    * keyed to doc ids, or any clustering — applied AFTER the lexical
+    * survivor pass: among lexical survivors sharing a semantic
+    * cluster, only the min doc_id is kept (paraphrases and
+    * re-renderings that hash/shingle dedup cannot see). Threaded the
+    * same persist-once way as `precomputedPairs`: at 100 TB the
+    * cluster table is built once off the embedding store and fanned
+    * out. Docs absent from the table are their own singletons.
+    *
     * Output: (doc_id, n_tokens, n_chars) of kept documents. */
   def cleanCorpus(spark: SparkSession, dir: String,
       minTokens: Int = 10,
       precomputedPairs: Option[DataFrame] = None,
-      maxSharedE4: Option[Long] = None): DataFrame = {
+      maxSharedE4: Option[Long] = None,
+      semanticClusters: Option[DataFrame] = None): DataFrame = {
     val t = col("text")
     val metrics = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -73,13 +84,27 @@ object Pipeline {
     // Survivor = min doc_id among the cluster's GATED members; the
     // shuffle carries only (id, id, counters) — no text.
     import org.apache.spark.sql.expressions.Window
-    gated
+    val lexical = gated
       .join(clusters, Seq("doc_id"))
       .withColumn("survivor",
         min(col("doc_id")).over(Window.partitionBy(col("cluster_id"))))
       .filter(col("doc_id") === col("survivor"))
       .select(col("doc_id"), col("n_tokens"), col("n_chars"))
-      .orderBy(col("doc_id"))
+    val kept = semanticClusters match {
+      case Some(sem) =>
+        // One survivor per semantic cluster AMONG lexical survivors —
+        // the same gate-then-pick discipline as the lexical stage.
+        lexical
+          .join(sem.select(col("doc_id"), col("cluster_id").as("sem_cluster")),
+            Seq("doc_id"), "left")
+          .withColumn("sem_c", coalesce(col("sem_cluster"), col("doc_id")))
+          .withColumn("sem_survivor",
+            min(col("doc_id")).over(Window.partitionBy(col("sem_c"))))
+          .filter(col("doc_id") === col("sem_survivor"))
+          .select(col("doc_id"), col("n_tokens"), col("n_chars"))
+      case None => lexical
+    }
+    kept.orderBy(col("doc_id"))
   }
 
   /** Fixed-width character chunking — the training-sequence prep

@@ -469,6 +469,70 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** The SemDeDup VERDICT — the curation decision [[embedClusters]]
+    * stops one step short of: one survivor per semantic cluster
+    * (min vec_id), emitted as (vec_id, cluster_id, is_survivor) —
+    * exactly the shape [[Dedup.dupClusters]] emits for the lexical
+    * modality, so a pipeline consumes both verdicts uniformly. Rides
+    * the memoized kNN table via embedClusters; the second consumer
+    * pays only the mutual check + contraction. */
+  def semanticDedup(spark: SparkSession, dir: String, k: Int = TopK,
+      minSimE4: Long = 9000L): DataFrame =
+    embedClusters(spark, dir, k, minSimE4)
+      .withColumn("is_survivor", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+
+  /** Semantic verdict over a PRECOMPUTED (src, dst) similarity-pair
+    * table — the reuse entry point, mirroring the pairs overload of
+    * [[Dedup.dupClusters]]: contraction on narrow (id, id) rows,
+    * every embedding covered (pairless vectors = singleton
+    * survivors). */
+  def semanticDedupFrom(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = graft.graph.ConnectedComponentsDF.run(spark, pairs)
+      .select(col("vertex").as("vec_id"), col("component"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+      .withColumn("is_survivor", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Cosine-threshold near-dup pairs (src < dst, e4-rounded sim ≥
+    * `minSimE4`) — the engine-independent pair source behind the
+    * oracle-checked semantic verdict (`d_semantic_dedup_exact`): a
+    * plain threshold predicate DuckDB can state in closed form, where
+    * the mutual-kNN edge set depends on this engine's tiebreaks.
+    * Size-dispatched like [[knnGraphOf]]: one bounded broadcast
+    * self-join below `exactMaxRows` (complete by construction —
+    * that's what makes it oracle-checkable), sign-LSH banded
+    * candidates above (recall ≈ 98% at sim 0.4 for 8×2 bands —
+    * at-scale shape, spec-checked equal on planted clusters). Only
+    * qualifying (id, id) rows survive the score filter, so nothing
+    * wide ever shuffles. */
+  def cosineThresholdPairs(emb: DataFrame, minSimE4: Long,
+      exactMaxRows: Long = ExactKnnMaxRows): DataFrame = {
+    val scored =
+      if (emb.count() <= exactMaxRows) {
+        val right = emb.select(col("vec_id").as("nb"), col("embedding").as("e2"))
+        emb.join(broadcast(right), col("vec_id") < col("nb"))
+          .select(col("vec_id"), col("nb"),
+            round(cosine(col("embedding"), col("e2")) * 1e4).cast("long").as("sim_e4"))
+      } else {
+        lshCandidatePairs(emb)
+          .filter(col("vec_id") < col("candidate_id"))
+          .select(col("vec_id"), col("candidate_id").as("nb"))
+          .dropDuplicates("vec_id", "nb")
+          .join(emb, Seq("vec_id"))
+          .join(emb.select(col("vec_id").as("nb"), col("embedding").as("e2")), Seq("nb"))
+          .select(col("vec_id"), col("nb"),
+            round(cosine(col("embedding"), col("e2")) * 1e4).cast("long").as("sim_e4"))
+      }
+    scored.filter(col("sim_e4") >= minSimE4)
+      .select(col("vec_id").as("src"), col("nb").as("dst"))
+  }
+
   /** Embedding near-duplicate pairs: banded sign-LSH candidates,
     * exact cosine re-check, threshold 0.4. Band-key self-join —
     * near-linear at scale. */

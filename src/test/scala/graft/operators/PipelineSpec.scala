@@ -238,6 +238,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 6L), s"kept: ${kept.mkString(",")}")
   }
 
+  test("cleanCorpus semantic-cluster stage collapses paraphrases lexical dedup misses") {
+    // Docs 1 and 2 are paraphrases: different words (no shared
+    // shingles, distant simhash — the lexical pair sources cannot
+    // link them) but, by assumption, nearby embeddings; doc 3 is
+    // unrelated. The semantic cluster table (in production:
+    // Similarity.semanticDedup keyed to doc ids) is threaded in
+    // precomputed, and only the min-id paraphrase may survive.
+    val docs = Seq(
+      (1L, ("the cat and the dog are in the house and " * 4).trim),
+      (2L, ("it is a good day for all of us here and there " * 4).trim),
+      (3L, ("please read the following terms and conditions for it " * 4).trim))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_semclean").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val without = Pipeline.cleanCorpus(spark, dir).collect().map(_.getLong(0))
+    assert(without.toSeq == Seq(1L, 2L, 3L), s"ungated: ${without.mkString(",")}")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_id")
+    val semantic = Pipeline.cleanCorpus(spark, dir,
+        semanticClusters = Some(clusters))
+      .collect().map(_.getLong(0))
+    assert(semantic.toSeq == Seq(1L, 3L), s"semantic: ${semantic.mkString(",")}")
+    // docs absent from the cluster table are their own singletons
+    val partial = Pipeline.cleanCorpus(spark, dir,
+        semanticClusters = Some(Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")))
+      .collect().map(_.getLong(0))
+    assert(partial.toSeq == Seq(1L, 3L), s"partial: ${partial.mkString(",")}")
+  }
+
   test("cleanCorpus boilerplate gate drops template docs, keeps unique ones") {
     // Docs 1 and 2 share the same long boilerplate preamble (high
     // cross-doc 8-gram overlap) but differ enough that they are NOT

@@ -112,6 +112,62 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(got(99L) == 99L, s"loner joined cluster ${got(99L)}")
   }
 
+  test("semanticDedup: planted clusters get min-id survivors, loner survives") {
+    // Same planted geometry as the embedClusters spec: the verdict
+    // must mark exactly the min member of each cluster (and the
+    // singleton) as survivor — the curation decision SemDeDup feeds.
+    def vec(axis: Int, jitter: Int): Seq[Float] =
+      (0 until 64).map { i =>
+        val base = if (i == axis) 10f else 0f
+        base + (if (i == (axis + jitter + 1) % 64) 0.1f * (jitter + 1) else 0f)
+      }
+    val rows =
+      (for {
+        c <- 0 until 3; j <- 0 until 5
+      } yield ((c * 10 + j).toLong, vec(c * 20, j))) :+ (99L, vec(63, 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdd").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.semanticDedup(spark, dir, k = 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    for (c <- 0 until 3; j <- 0 until 5) {
+      val id = c * 10L + j
+      assert(got(id) == ((c * 10L, j == 0)), s"member $id → ${got(id)}")
+    }
+    assert(got(99L) == ((99L, true)), s"loner → ${got(99L)}")
+    // exactly one survivor per cluster
+    assert(got.values.count(_._2) == 4)
+  }
+
+  test("cosineThresholdPairs: LSH branch equals the exact branch; verdicts agree") {
+    def vec(axis: Int, jitter: Int): Seq[Float] =
+      (0 until 64).map { i =>
+        val base = if (i == axis) 10f else 0f
+        base + (if (i == (axis + jitter + 1) % 64) 0.1f * (jitter + 1) else 0f)
+      }
+    val rows = (for { c <- 0 until 3; j <- 0 until 5 }
+      yield ((c * 10 + j).toLong, vec(c * 20, j))) :+ (99L, vec(63, 0))
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineThresholdPairs(emb, 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineThresholdPairs(emb, 9000L, exactMaxRows = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-cluster pairs only, complete on both branches
+    assert(exact == (for { c <- 0 until 3; a <- 0 until 5; b <- 0 until 5
+      if a < b } yield (c * 10L + a, c * 10L + b)).toSet)
+    assert(lsh == exact)
+    // and the pairs-driven verdict agrees with the mutual-kNN one on
+    // well-separated clusters (both contract to min-id clusters)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semex").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val viaPairs = Similarity.semanticDedupFrom(spark, dir,
+        Similarity.cosineThresholdPairs(emb, 9000L))
+      .collect().map(_.toSeq).toSeq
+    val viaKnn = Similarity.semanticDedup(spark, dir, k = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(viaPairs == viaKnn)
+  }
+
   test("knnGraphFrom over ALL pairs equals the exact broadcast path") {
     // Candidate-driven scoring with a complete candidate set must be
     // IDENTICAL to the exact path — same cosine tree, same (sim, id)
