@@ -220,6 +220,7 @@ object SparkEntry {
       Similarity.knnGraph(s, d).orderBy(col("vec_id"), col("rank"))
     }),
     "e_knn_lsh" -> ((s, d) => Similarity.knnLshWithRecall(s, d)),
+    "e_knn_ivf" -> ((s, d) => Similarity.knnIvfWithRecall(s, d)),
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "e_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(s, d)),

@@ -421,7 +421,29 @@ object Similarity {
     * seed-fixed. */
   def knnLshWithRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val lsh = knnGraphFrom(emb, lshCandidatePairs(emb), k)
+    withSampledRecall(emb, knnGraphFrom(emb, lshCandidatePairs(emb), k), k)
+  }
+
+  /** The IVF-candidate kNN graph as a first-class query — the second
+    * blocking scheme's at-scale path made driver-visible, exactly as
+    * [[knnLshWithRecall]] does for sign-LSH: multi-probe cell
+    * candidates from the memoized quantizer scored through
+    * [[knnGraphFrom]], with the same sampled brute-force recall
+    * audit appended. */
+  def knnIvfWithRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val pairs = ivfCandidatePairs(spark, emb, fitIvfCentroids(spark, dir))
+    withSampledRecall(emb, knnGraphFrom(emb, pairs, k), k)
+  }
+
+  /** Append the SAMPLED recall@k audit to an ANN kNN edge table: the
+    * exact side is a brute-force top-k for a BOUNDED query sample
+    * only (broadcast sample × one corpus scan — the standard sampled
+    * recall probe of a production ANN index), never the dispatched
+    * [[knnGraph]] table, which past the exact-path bound is itself
+    * approximate and would self-compare to 100. recall_e2 is null
+    * outside the sampled vectors. */
+  private def withSampledRecall(emb: DataFrame, ann: DataFrame, k: Int): DataFrame = {
     val sample = emb.filter(col("vec_id") < QueryLimit)
       .select(col("vec_id").as("q"), col("embedding").as("qe"))
     val sw = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb").asc)
@@ -433,7 +455,7 @@ object Similarity {
       .select(col("q").as("vec_id"), col("nb").as("neighbor_id"),
         lit(1L).as("hit"))
     val w = Window.partitionBy(col("vec_id"))
-    lsh.join(exact, Seq("vec_id", "neighbor_id"), "left")
+    ann.join(exact, Seq("vec_id", "neighbor_id"), "left")
       .withColumn("hit", coalesce(col("hit"), lit(0L)))
       .withColumn("recall_e2",
         when(col("vec_id") < QueryLimit,

@@ -225,6 +225,20 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(mean >= 70.0, s"mean sampled recall_e2 $mean")
   }
 
+  test("e_knn_ivf emits sampled recall of the IVF-candidate path") {
+    val rows = Similarity.knnIvfWithRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (sampled, rest) = rows.partition(_.getLong(0) < Similarity.QueryLimit)
+    assert(rest.forall(_.isNullAt(4)))
+    assert(sampled.nonEmpty && sampled.forall(r =>
+      !r.isNullAt(4) && r.getLong(4) >= 0L && r.getLong(4) <= 100L))
+    val recalls = sampled.map(_.getLong(4))
+    val mean = recalls.sum.toDouble / recalls.length
+    // multi-probe IVF on the near-random corpus: the measured ~0.5+
+    // band (single-probe measured 0.26 — the layout this pins)
+    assert(mean >= 50.0, s"mean sampled IVF recall_e2 $mean")
+  }
+
   test("knnGraphOf dispatch: LSH branch equals exact branch on planted clusters") {
     // Drive the dispatch's ELSE branch itself (threshold override)
     // rather than calling knnGraphFrom directly: on well-separated
