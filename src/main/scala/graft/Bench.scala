@@ -6,11 +6,24 @@ import graft.graph.GraphOps
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
   * Queries run in sorted-name order (deterministic across JVMs). A
   * failing query is reported on stderr and fails the whole run —
-  * a swallowed failure would *improve* the total and mask breakage. */
+  * a swallowed failure would *improve* the total and mask breakage.
+  *
+  * The suite runs SPARK_GRAFT_REPEAT times (default 2) and reports
+  * each query's LOWER MEDIAN (sorted times at index (n-1)/2 — the min
+  * for n=2, the true median for n=3): iterative/graph queries swing
+  * 20-30% run-to-run under host contention, which had become the
+  * dominant noise in round-over-round comparison. Repeats are at the
+  * SUITE level with every cross-query memo cleared in between — a
+  * per-query repeat would time warm-memo hits (g_louvain's second run
+  * is a ~0 s memo read) and hide the build costs the suite exists to
+  * track; within a sweep the intentional memo sharing (e.g.
+  * e_embed_clusters builds the kNN table, e_knn_graph rides it)
+  * stays, exactly as in prior single-sweep rounds. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeat = math.max(sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt, 1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,32 +47,53 @@ object Bench {
       spark.range(1000).selectExpr("sum(id) s", "count(*) c").count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => failures += ((name, String.valueOf(e))) }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Release per-query scratch state (localCheckpoint blocks, stray
-      // caches): leftovers tax later queries with heap pressure. The
-      // Louvain memo is the only state meant to outlive a query.
-      val keep = GraphOps.retainedRddIds
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!keep(id)) rdd.unpersist(blocking = false)
+
+    def sweep(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => failures += ((name, String.valueOf(e))) }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // Release per-query scratch state (localCheckpoint blocks,
+          // stray caches): leftovers tax later queries with heap
+          // pressure. Cross-query memos are the only state meant to
+          // outlive a query (and die between sweeps, below).
+          val keep = GraphOps.retainedRddIds
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!keep(id)) rdd.unpersist(blocking = false)
+          }
+          name -> dt
+        }
+
+    val sweeps = (1 to repeat).map { i =>
+      // Cold-memo conditions per sweep: clear every cross-query memo
+      // (and its now-unretained blocks) so sweep i+1 measures the same
+      // builds sweep 1 did, comparable to prior rounds' single sweeps.
+      if (i > 1) {
+        GraphOps.clearAllMemos(spark)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
-      name -> dt
+      sweep()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     if (failures.nonEmpty) {
       failures.foreach { case (n, e) => System.err.println(s"[bench] $n FAILED: $e") }
       spark.stop()
       sys.exit(1)
     }
+    // Lower median across sweeps, per query.
+    val names = sweeps.head.map(_._1)
+    val med = names.map { n =>
+      val ts = sweeps.map(_.toMap.apply(n)).sorted
+      n -> ts((ts.length - 1) / 2)
+    }
+    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = med.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line as an artifact: log capture has truncated
     // the stdout tail mid-JSON two rounds running, losing the first

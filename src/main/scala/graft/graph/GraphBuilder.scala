@@ -59,6 +59,19 @@ object GraphBuilder {
     * unpersist them between queries). */
   def retainedRddIds: Set[Int] = coEdgesCache.values.flatMap(_._2).toSet
 
+  /** Release memoized edge builds owned by `spark`; foreign-context
+    * entries are dropped without touching RDDs (ids are per-context
+    * counters). Used by the Bench suite-repeat. */
+  private[graft] def clearMemos(spark: SparkSession): Unit = {
+    val ctx = System.identityHashCode(spark).toString
+    val sc = spark.sparkContext
+    coEdgesCache.foreach { case (k, (_, ids)) =>
+      if (k._1 == ctx)
+        ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    coEdgesCache.clear()
+  }
+
   /** Supplier co-occurrence graph: an undirected edge (s1, s2) with
     * weight = number of orders in which both suppliers appear.
     * This is the engine's standard derived test graph (SURVEY §3).

@@ -706,6 +706,24 @@ object GraphOps {
       graft.operators.Dedup.retainedRddIds ++
       graft.operators.Similarity.retainedRddIds
 
+  /** Release EVERY cross-query memo owned by `spark` (Louvain
+    * assignments, canonical edges, dedup signatures/n-grams, kNN
+    * table, IVF quantizer) — the Bench suite-repeat calls this
+    * between sweeps so each sweep measures the same cold-memo build
+    * costs a fresh round would. Foreign-context entries are dropped
+    * without unpersist calls (per-context RDD id counters — see the
+    * eviction note in Similarity.knnGraph). */
+  def clearAllMemos(spark: SparkSession): Unit = {
+    val ctx = System.identityHashCode(spark).toString
+    louvainCache.foreach { case (k, (rdd, _)) =>
+      if (k._1 == ctx) rdd.unpersist(blocking = false)
+    }
+    louvainCache.clear()
+    GraphBuilder.clearMemos(spark)
+    graft.operators.Dedup.clearMemos(spark)
+    graft.operators.Similarity.clearMemos(spark)
+  }
+
   /** Identity of the data behind a DataFrame's file sources: sorted
     * (path, mtime, length) per input file. Plans over non-file data
     * (e.g. local relations) embed their rows in the semantic hash, so

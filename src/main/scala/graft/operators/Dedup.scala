@@ -188,6 +188,20 @@ object Dedup {
   def retainedRddIds: Set[Int] =
     sigCache.values.flatMap(_._3).toSet ++ ngramCache.values.flatMap(_._2).toSet
 
+  /** Release the memoized signature/n-gram artifacts owned by `spark`
+    * and drop foreign-context entries without touching RDDs (ids are
+    * per-context counters). Used by the Bench suite-repeat. */
+  private[graft] def clearMemos(spark: SparkSession): Unit = {
+    val ctx = System.identityHashCode(spark).toString
+    val sc = spark.sparkContext
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    sigCache.foreach { case (k, (_, _, ids)) => if (k._1 == ctx) release(ids) }
+    sigCache.clear()
+    ngramCache.foreach { case (k, (_, ids)) => if (k._1 == ctx) release(ids) }
+    ngramCache.clear()
+  }
+
   /** Distinct (doc_id, h = md5(word n-gram)) over the corpus,
     * memoized per (session, data identity, n). */
   private[operators] def ngramHashes(spark: SparkSession, dir: String,

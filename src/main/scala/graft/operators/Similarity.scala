@@ -385,6 +385,23 @@ object Similarity {
     * per-query sweep must not unpersist them). */
   def retainedRddIds: Set[Int] = knnCache.values.flatMap(_._2).toSet
 
+  /** Release every memoized artifact OWNED BY `spark` (its kNN
+    * checkpoint blocks + quantizer entries) and drop the rest without
+    * touching RDDs: recorded ids are per-context sequential counters,
+    * so unpersisting a stale entry's ids through a NEW context could
+    * hit an unrelated live RDD that reused the number. Used by the
+    * Bench suite-repeat to restore cold-memo conditions. */
+  private[graft] def clearMemos(spark: SparkSession): Unit = {
+    val ctx = System.identityHashCode(spark).toString
+    val sc = spark.sparkContext
+    knnCache.foreach { case (k, (_, ids)) =>
+      if (k._1 == ctx)
+        ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    knnCache.clear()
+    centroidCache.clear()
+  }
+
   /** Memoized [[knnGraphOf]] over the embeddings table at `dir`.
     * Unordered — callers that need a presentation order sort. */
   def knnGraph(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
@@ -393,8 +410,13 @@ object Similarity {
       s"$dir:${src.lastModified}:${src.length}", k)
     val sc = spark.sparkContext
     if (knnCache.size > 4) {
-      knnCache.values.foreach { case (_, ids) =>
-        ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      // Unpersist only entries owned by THIS context: RDD ids are
+      // per-context counters, so a stale entry's id under a different
+      // (possibly stopped) context may collide with an unrelated live
+      // RDD here. Foreign-context entries are just dropped.
+      knnCache.foreach { case (k, (_, ids)) =>
+        if (k._1 == key._1)
+          ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       }
       knnCache.clear()
     }
