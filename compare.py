@@ -6,7 +6,7 @@ oracle_sql.json in DuckDB against the sf dir's parquet tables, then
 compares: row count, column names (sorted), and cell values (rows
 sorted, columns sorted by name). Prints PASS/FAIL per query.
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -34,14 +34,16 @@ def norm(v):
     return repr(v)
 
 fails = 0
-def fail(name, msg):
+checked = 0
+def fail(name, msg, check="oracle"):
     global fails
     print(f"FAIL {name}: {msg}")
-    results[name] = {"check": "oracle", "status": "fail", "detail": msg[:200]}
+    results[name] = {"check": check, "status": "fail", "detail": msg[:200]}
     fails += 1
 
 for name, sql in sorted(oracle.items()):
     if only and name not in only: continue
+    checked += 1
     spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not spark_files:
         fail(name, "no spark output"); continue
@@ -82,13 +84,23 @@ for name, sql in sorted(oracle.items()):
     results[name] = {"check": "oracle", "status": "pass", "rows": len(sn)}
 
 # Rows-only queries (no oracle SQL): record the driver's rows>0 check.
-for d in sorted(glob.glob(f"{outdir}/*/")):
-    name = d.rstrip("/").split("/")[-1]
+# Restricted to the CURRENT query set (queries.json, written by
+# Verify): a stale outdir subdirectory from a renamed/removed query
+# must not count as a pass. Fall back to the directory glob (with a
+# warning) for outdirs produced by an older Verify.
+qnames_path = f"{outdir}/queries.json"
+if os.path.exists(qnames_path):
+    known = set(json.load(open(qnames_path)))
+else:
+    print("WARN: no queries.json in outdir — rows-only pass may count stale dirs")
+    known = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{outdir}/*/")}
+for name in sorted(known):
     if name in oracle or (only and name not in only): continue
+    checked += 1
     try:
-        n = con.sql(f"SELECT count(*) FROM '{d}*.parquet'").fetchone()[0]
+        n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
     except Exception as e:
-        fail(name, f"rows-only read: {e}"); continue
+        fail(name, f"rows-only read: {e}", check="rows_only"); continue
     status = "pass" if n > 0 else "fail"
     if n == 0: fails += 1
     print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only, {n} rows)")
@@ -99,5 +111,5 @@ if json_out:
         json.dump({"sf_dir": sfdir, "queries": results,
                    "n_pass": sum(1 for r in results.values() if r["status"] == "pass"),
                    "n_fail": fails}, f, indent=1, sort_keys=True)
-print(f"\n{fails} failures / {len([n for n in oracle if not only or n in only])} checked")
+print(f"\n{fails} failures / {checked} checked")
 sys.exit(1 if fails else 0)

@@ -204,6 +204,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(it == it2, "integer pagerank changed under repartitioning")
   }
 
+  test("strongTies sketch median equals the exact median on real co-occurrence weights") {
+    // The g_jaccard/g_assortativity oracles state exact quantile_cont
+    // while strongTies uses approx_percentile (bounded-memory GK
+    // sketch): equality rests on the integer weights' per-value
+    // multiplicity swamping the sketch's N/10000 rank error. Pin that
+    // data-dependent assumption HERE so a future weight distribution
+    // that breaks it fails in one line, not as a far-away oracle
+    // hash mismatch.
+    import org.apache.spark.sql.functions.expr
+    val edges = GraphBuilder.supplierCoEdges(spark, "/root/testdata/sf0.001")
+    val r = edges.agg(
+      expr("approx_percentile(weight, 0.5, 10000)").as("sketch"),
+      expr("percentile(weight, 0.5)").as("exact")).first()
+    assert(r.getDouble(0) == r.getDouble(1),
+      s"GK sketch median ${r.getDouble(0)} != exact ${r.getDouble(1)}")
+  }
+
   test("personalized pagerank: all-seeds run IS global integer pagerank") {
     // With every vertex seeded, the unnormalized restart term is the
     // global recursion's 150000 for all vertices — the two fixpoints
