@@ -75,6 +75,10 @@ object SparkEntry {
         .orderBy(col("vertex"), col("landmark"))),
     "g_kcore" -> ((s, d) =>
       GraphOps.kCore(s, GraphBuilder.supplierCoEdges(s, d), k = 10)),
+    "g_closeness" -> ((s, d) =>
+      GraphOps.closenessCentrality(s, GraphBuilder.supplierCoEdges(s, d))),
+    "g_hits" -> ((s, d) =>
+      GraphOps.hits(s, GraphBuilder.purchaseEdges(s, d))),
     // End-to-end file ingest: the reference's native input is a
     // delimited edge list — write the co-occurrence edges as TSV once
     // per SF dir, read back through EdgeListSource.readCanonical, and
@@ -458,10 +462,38 @@ object SparkEntry {
       s"\nSELECT vertex, rank AS rank_e6 FROM r$iters ORDER BY vertex"
   }
 
+  /** HITS unrolled to `iters` rounds of integer SQL — mirrors
+    * [[graft.graph.GraphOps.hits]] term by term: per round an
+    * authority sum + max-normalize (floor division, DuckDB `//` =
+    * Spark `div`), then a hub sum + max-normalize. */
+  private def hitsOracleSql(iters: Int = 5): String = {
+    val steps = (0 until iters).map { i =>
+      s""",
+         |ar$i AS MATERIALIZED (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
+         |  FROM e JOIN h$i h ON h.id = e.src GROUP BY 1),
+         |a${i + 1} AS MATERIALIZED (SELECT id,
+         |  CAST(a * 1000000 // (SELECT max(a) FROM ar$i) AS BIGINT) AS a FROM ar$i),
+         |hr$i AS MATERIALIZED (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS h
+         |  FROM e JOIN a${i + 1} a ON a.id = e.dst GROUP BY 1),
+         |h${i + 1} AS MATERIALIZED (SELECT id,
+         |  CAST(h * 1000000 // (SELECT max(h) FROM hr$i) AS BIGINT) AS h FROM hr$i)""".stripMargin
+    }.mkString
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |h0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS h FROM e)""".stripMargin +
+      steps +
+      s"""
+         |SELECT id, 'hub' AS role, h AS score_e6 FROM h$iters
+         |UNION ALL
+         |SELECT id, 'auth' AS role, a AS score_e6 FROM a$iters
+         |ORDER BY role, id""".stripMargin
+  }
+
   /** DuckDB-runnable SQL oracle per query (same aliases, same
     * determinism rules — SURVEY §6). Omitted keys get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "g_hits" -> hitsOracleSql(),
     "g_lpa" -> lpaOracleSql(),
     "g_modularity_of" -> modularityOfOracleSql(4),
     "g_kcore" -> kcoreOracleSql(),
@@ -639,6 +671,31 @@ object SparkEntry {
         |SELECT v AS vertex, CAST(lm AS BIGINT) AS landmark,
         |  CAST(min(d) AS BIGINT) AS hops
         |FROM bfs GROUP BY 1, 2 ORDER BY vertex, landmark""".stripMargin,
+    // Landmark closeness: the g_sssp BFS CTE aggregated per vertex.
+    // harmonic_e4 floors 1e4/hops PER TERM (DuckDB `//` = Spark
+    // `div`) before summing — integers both sides, reduction-order
+    // free. Landmark-self rows (hops = 0) are excluded like the
+    // Spark filter.
+    "g_closeness" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM sym),
+        |lms AS (SELECT v FROM verts ORDER BY v LIMIT 3),
+        |bfs(lm, v, d) AS (
+        |  SELECT v, v, 0 FROM lms
+        |  UNION
+        |  SELECT b.lm, s.dst, b.d + 1 FROM bfs b
+        |  JOIN sym s ON s.src = b.v WHERE b.d < 30),
+        |sp AS (SELECT lm, v, min(d) AS hops FROM bfs GROUP BY 1, 2)
+        |SELECT v AS vertex, count(*) AS reached,
+        |  CAST(sum(hops) AS BIGINT) AS total_hops,
+        |  CAST(max(hops) AS BIGINT) AS ecc_lb,
+        |  CAST(sum(10000 // hops) AS BIGINT) AS harmonic_e4
+        |FROM sp WHERE v <> lm GROUP BY 1 ORDER BY vertex""".stripMargin,
     // Neighborhood Jaccard on the strong-tie subgraph. The threshold
     // replicates GraphOps.strongTies: Spark side uses
     // approx_percentile (bounded-memory GK sketch) whose returned

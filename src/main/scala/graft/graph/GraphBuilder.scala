@@ -105,6 +105,21 @@ object GraphBuilder {
     })._1
   }
 
+  /** DIRECTED bipartite purchase edges customer → supplier: one
+    * distinct (o_custkey, l_suppkey) edge per customer-supplier pair
+    * that shares an order. The natural input for link-analysis
+    * measures that need direction (HITS hubs/authorities) where the
+    * undirected co-occurrence graph would degenerate. One join on the
+    * orderkey + one distinct — both map-side-combinable aggregations
+    * at any scale. */
+  def purchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+
   /** Edge DataFrame (src, dst, weight) → GraphX undirected weighted
     * graph. EdgePartition2D bounds vertex replication to 2√P at
     * cluster scale. Partitioning inherits the session's parallelism —

@@ -402,6 +402,38 @@ object GraphOps {
     spark.createDataFrame(res).toDF("vertex", "landmark", "hops")
   }
 
+  /** Landmark closeness / harmonic centrality — the standard
+    * sampled approximation of exact closeness (which needs all-pairs
+    * BFS, infeasible past toy graphs): per vertex, aggregate hop
+    * distances to the deterministic landmark set from
+    * [[shortestPaths]]. Emitted per reachable vertex:
+    *
+    *   - `reached`   — landmarks reached (≠ the vertex itself)
+    *   - `total_hops` — Σ hops (closeness ∝ reached/total_hops)
+    *   - `ecc_lb`    — max hops: a lower bound on eccentricity, the
+    *                   landmark estimate of the graph diameter's end
+    *   - `harmonic_e4` — Σ floor(1e4/hops): harmonic centrality with
+    *                   PER-TERM integer flooring, so the sum is
+    *                   bit-identical under any reduction order (the
+    *                   same integer contract as [[pageRankInteger]])
+    *
+    * One aggregation over the Pregel result — the landmark set is
+    * what bounds the work: |V|·|landmarks| rows, not |V|². Vertices
+    * reaching no landmark (and the landmark-self 0-hop rows) are
+    * absent, mirroring the BFS-CTE oracle. */
+  def closenessCentrality(spark: SparkSession, edges: DataFrame,
+      landmarks: Seq[Long] = Seq.empty): DataFrame = {
+    shortestPaths(spark, edges, landmarks)
+      .filter(col("vertex") =!= col("landmark"))
+      .groupBy(col("vertex"))
+      .agg(
+        count(lit(1)).as("reached"),
+        sum(col("hops")).as("total_hops"),
+        max(col("hops")).as("ecc_lb"),
+        sum(expr("10000 div hops")).as("harmonic_e4"))
+      .orderBy(col("vertex"))
+  }
+
   /** k-core: the maximal subgraph where every vertex has degree ≥ k,
     * by iterative peeling — drop under-degree vertices, recompute,
     * repeat to fixpoint. Each round is one aggregation + one semi-join
@@ -576,6 +608,47 @@ object GraphOps {
         .localCheckpoint(true)
     }
     ranks.select(col("vertex"), col("rank").as("rank_e6")).orderBy(col("vertex"))
+  }
+
+  /** HITS hubs & authorities (integer-deterministic) over a DIRECTED
+    * edge list — on the bipartite purchase graph, hub score ranks
+    * customers by how much high-authority supply they buy, authority
+    * ranks suppliers by how much high-hub demand they serve. The
+    * measure global PageRank can't express: it needs edge DIRECTION,
+    * which the undirected co-occurrence graph erases.
+    *
+    * Kleinberg's recursion with the engine's integer contract: scores
+    * e6-scaled; each half-round is one equi-join + one
+    * map-side-combined sum keyed by the far endpoint; normalization
+    * divides by the round's max (one-row cross, the g_modularity_of
+    * pattern) with integer floor division — so max score is exactly
+    * 1e6 every round and the output is bit-identical under any
+    * partitioning or reduction order, hence unrolled-SQL
+    * oracle-checkable. Overflow-safe while max in/out-degree < ~9e6
+    * (raw sums ≤ 1e6·deg, scaled by 1e6 within Long range); beyond
+    * that, normalize with a wider scale before this would matter.
+    * localCheckpoint per half-round keeps the plan flat. */
+  def hits(spark: SparkSession, edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var hubs = e.select(col("src").as("id")).distinct()
+      .withColumn("h", lit(1000000L))
+      .localCheckpoint(true)
+    var auths: DataFrame = hubs // replaced on the first round (iters >= 1)
+    for (_ <- 1 to iters) {
+      val araw = e.join(hubs.select(col("id").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      auths = araw.crossJoin(araw.agg(max(col("a")).as("amax")))
+        .select(col("dst").as("id"), expr("a * 1000000 div amax").as("a"))
+        .localCheckpoint(true)
+      val hraw = e.join(auths.select(col("id").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+      hubs = hraw.crossJoin(hraw.agg(max(col("h")).as("hmax")))
+        .select(col("src").as("id"), expr("h * 1000000 div hmax").as("h"))
+        .localCheckpoint(true)
+    }
+    hubs.select(col("id"), lit("hub").as("role"), col("h").as("score_e6"))
+      .unionAll(auths.select(col("id"), lit("auth").as("role"), col("a").as("score_e6")))
+      .orderBy(col("role"), col("id"))
   }
 
   /** Weighted label propagation communities, DataFrame-native.

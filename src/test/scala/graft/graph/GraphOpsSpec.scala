@@ -204,6 +204,47 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(it == it2, "integer pagerank changed under repartitioning")
   }
 
+  test("closeness on a path graph: hand-computed hop aggregates") {
+    // Path 1-2-3-4-5, default landmarks = 3 smallest ids {1,2,3}.
+    // Vertex 4: hops (3,2,1) → total 6, ecc 3,
+    //   harmonic = 10000//3 + 10000//2 + 10000 = 3333+5000+10000.
+    // Vertex 1 (a landmark itself): self row excluded → hops to
+    //   {2,3} = (1,2) → total 3, ecc 2, harmonic 15000.
+    val e = edgesDf((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0))
+    val rows = GraphOps.closenessCentrality(spark, e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(rows == Seq(
+      (1L, 2L, 3L, 2L, 15000L),
+      (2L, 2L, 2L, 1L, 20000L),
+      (3L, 2L, 3L, 2L, 15000L),
+      (4L, 3L, 6L, 3L, 18333L),
+      (5L, 3L, 9L, 4L, 10833L)))
+  }
+
+  test("hits: hand-computed two-round scores on a 2x2 bipartite graph") {
+    // Edges c1->s10, c2->s10, c2->s20.
+    // Round 1: a(s10)=2e6, a(s20)=1e6 -> norm a=(1e6, 500000);
+    //   h(c1)=1e6, h(c2)=1.5e6 -> norm h=(666666, 1e6).
+    // Round 2: a(s10)=1666666, a(s20)=1e6 -> norm (1e6, 600000);
+    //   h(c1)=1e6, h(c2)=1.6e6 -> norm (625000, 1e6).
+    val e = Seq((1L, 10L, 1.0), (2L, 10L, 1.0), (2L, 20L, 1.0))
+      .toDF("src", "dst", "weight")
+    val rows = GraphOps.hits(spark, e, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(
+      (10L, "auth", 1000000L), (20L, "auth", 600000L),
+      (1L, "hub", 625000L), (2L, "hub", 1000000L)))
+  }
+
+  test("hits is invariant under input repartitioning") {
+    val e = (1L to 40L).map(c => (c, 100L + c % 7, 1.0)).toDF("src", "dst", "weight")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.hits(spark, df, iters = 3).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(run(e) == run(e.repartition(13)))
+  }
+
   test("strongTies sketch median equals the exact median on real co-occurrence weights") {
     // The g_jaccard/g_assortativity oracles state exact quantile_cont
     // while strongTies uses approx_percentile (bounded-memory GK
