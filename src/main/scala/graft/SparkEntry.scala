@@ -270,6 +270,19 @@ object SparkEntry {
         StructField("text", StringType)))
       TextAnalysis.tokenCountsOf(s.read.schema(schema).json(out))
     }),
+    // binaryFile-source ingestion: documents materialized once per SF
+    // dir as individual payload files, read back through Spark's
+    // binaryFile source (parallel listing, column-pruned content),
+    // fingerprinted and checked byte-exact against the parquet text.
+    "src_binary_files" -> ((s, d) => {
+      val out = cachedSideOutput(d, "documents", "docsbin")(p =>
+        graft.sources.BinaryFileSource.writePayloadFiles(
+          Tables.documents(s, d).select(col("doc_id"), col("text")), p))
+      graft.sources.BinaryFileSource.readPayloads(s, out)
+        .select(col("doc_id"), col("bytes"),
+          org.apache.spark.sql.functions.md5(col("payload")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSampleDf(s, d)),
     "m_resize" -> ((s, d) => Multimodal.resizeDf(s, d)),
@@ -1515,6 +1528,18 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Byte-exact round-trip through the binaryFile source: file size
+    // and md5 of the UTF-8 payload vs the parquet text (DuckDB md5
+    // hashes the string's UTF-8 bytes; encode() gives their length).
+    // Empty text is excluded because a 0-byte file yields no split —
+    // invisible to the source (spec-pinned in SourcesSpec).
+    "src_binary_files" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents
+        |WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+        |ORDER BY doc_id""".stripMargin,
     // Composite (price, key) ordering makes the argmax row unique.
     // DuckDB's max_by can't order by a struct, so the oracle states
     // the same semantics as unique-ranked windows.

@@ -129,4 +129,29 @@ class SourcesSpec extends AnyFunSuite {
     // partition filter must appear in the scan, not a post-filter
     assert(plan.contains("PartitionFilters") || !plan.contains("Filter ("), plan)
   }
+
+  test("binaryFile source: payload round-trip is byte-exact, markers excluded") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bin").toFile.getAbsolutePath
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, ""),             // empty payload → 0-byte file, see below
+      (7L, "naïve déjà-vu") // multi-byte UTF-8: bytes ≠ chars
+    ).toDF("doc_id", "text")
+    BinaryFileSource.writePayloadFiles(docs, dir)
+    val back = BinaryFileSource.readPayloads(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8")))
+      .sortBy(_._1)
+    // _SUCCESS is in the directory but pathGlobFilter keeps it out.
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    // PIN the source quirk: the 0-byte doc_2.bin exists on disk but
+    // Spark sizes file splits by length, so a 0-length file yields
+    // NO partition — zero-byte assets are invisible to binaryFile
+    // (the src_binary_files oracle excludes empty text to match).
+    assert(new java.io.File(dir, "doc_2.bin").exists())
+    assert(back.toSeq == Seq(
+      (1L, 11L, "hello world"),
+      (7L, "naïve déjà-vu".getBytes("UTF-8").length.toLong, "naïve déjà-vu")))
+  }
 }
