@@ -192,6 +192,17 @@ object SparkEntry {
     "p_funnel" -> ((s, d) => Pipeline.curationFunnel(s, d)),
     "p_domain_cap" -> ((s, d) => Pipeline.domainCap(s, d)),
     "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
+    // Boilerplate-bearing pages: per-source header + unique body +
+    // per-lang footer. Headers/footers recur across the corpus and
+    // are struck; the body line survives the ordered re-assembly.
+    "p_line_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{concat, concat_ws, lit}
+      Pipeline.lineDedupOf(Tables.documents(s, d).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("source: "), col("source")),
+          col("text"),
+          concat(lit("(c) corpus "), col("lang"))).as("text")))
+    }),
     "p_temperature" -> ((s, d) => Pipeline.temperatureSample(s, d)),
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
     // SemDeDup verdict from mutual-kNN clusters (rides the kNN memo).
@@ -1202,6 +1213,29 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
+    // Line-level boilerplate: same split + zip-unnest explode both
+    // sides; string_agg(... ORDER BY pos) re-assembles survivors in
+    // document order (aggregates skip the CASE's NULLs, mirroring
+    // collect_list); coalesce('') keeps an all-removed doc's md5('')
+    // equal to Spark's concat_ws over an empty array.
+    "p_line_dedup" ->
+      """WITH pages AS (
+        |  SELECT doc_id, 'source: ' || source || chr(10) || text
+        |    || chr(10) || '(c) corpus ' || lang AS text FROM documents),
+        |parts AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS p FROM pages),
+        |idx AS (SELECT doc_id, p, unnest(range(1, len(p) + 1)) AS i FROM parts),
+        |lines AS (SELECT doc_id, i AS pos, p[i] AS line FROM idx),
+        |bp AS (SELECT md5(line) AS h FROM lines
+        |  WHERE length(trim(line)) > 0
+        |  GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= 3),
+        |fl AS (SELECT l.doc_id, l.pos, l.line, b.h IS NOT NULL AS is_bp
+        |  FROM lines l LEFT JOIN bp b ON b.h = md5(l.line))
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+        |    chr(10) ORDER BY pos), '')) AS clean_md5
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

@@ -237,6 +237,56 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document LINE-level boilerplate removal (the CCNet /
+    * RefinedWeb line-dedup pass): lines appearing in ≥ `minDocs`
+    * distinct documents — navigation chrome, cookie banners, footer
+    * legalese — are struck from every document, and the cleaned text
+    * is re-assembled in original line order. The complement of
+    * document-level dedup: no document pair need be similar for the
+    * corpus to be full of repeated lines.
+    *
+    * Shape at scale: the corpus is exploded to (doc_id, pos, line)
+    * ONCE (localCheckpoint — the df pass and the reconstruction both
+    * read it); the line-frequency table keys on md5(line) so only
+    * 16-byte hashes shuffle for the df aggregation, and the verdict
+    * joins back by hash. Line TEXT crosses exactly one exchange — the
+    * per-doc reconstruction groupBy, which any re-assembly must pay.
+    * Blank lines are never boilerplate (kept verbatim); the cleaned
+    * text is emitted as md5 so the row stays narrow.
+    *
+    * Output: (doc_id, n_lines, n_removed, clean_md5). Takes any
+    * (doc_id, text) table — the driver query feeds it synthetic
+    * multi-line pages (source header + body + lang footer built from
+    * the documents table, both engine sides identically), because the
+    * raw test corpus is single-line token bags where line repetition
+    * cannot occur; the planted spec covers mixed keep/drop layouts. */
+  def lineDedupOf(docs: DataFrame, minDocs: Int = 3): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .localCheckpoint(true)
+    val bp = lines
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy(md5(col("line")).as("h"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+      .select(col("h"))
+    lines
+      .join(bp, md5(col("line")) === col("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("h").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        // collect_list drops the nulls `when` leaves on removed
+        // lines; array_sort orders by the struct's leading pos field,
+        // so the surviving lines re-assemble in document order.
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("h").isNull, struct(col("pos"), col("line"))))),
+            x => x.getField("line")))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-flattened source mix (α = 0.5): the multinomial
     * re-weighting used to even out source sizes when drawing a
     * training mix — small sources keep more of their docs, huge ones

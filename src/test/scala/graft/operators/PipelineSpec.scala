@@ -439,4 +439,25 @@ class PipelineSpec extends AnyFunSuite {
           s"approx $approx vs exact $exact")
       }
   }
+
+  test("lineDedup strikes cross-doc lines and re-assembles survivors in order") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // "BANNER" appears in 3 docs (>= minDocs) → struck everywhere;
+    // "rare" in only 2 → kept; blank lines are never boilerplate.
+    val docs = Seq(
+      (1L, "BANNER\nalpha\nrare\nomega"),
+      (2L, "beta\nBANNER\nrare"),
+      (3L, "\nBANNER"), // all non-blank lines removed, blank kept
+      (4L, "solo text")
+    ).toDF("doc_id", "text")
+    val got = Pipeline.lineDedupOf(docs, minDocs = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L, md5hex("alpha\nrare\nomega")), // order preserved around the strike
+      (2L, 3L, 1L, md5hex("beta\nrare")),
+      (3L, 2L, 1L, md5hex("")),                   // blank line + struck line
+      (4L, 1L, 0L, md5hex("solo text"))))
+  }
 }
