@@ -129,6 +129,7 @@ object SparkEntry {
     "q_date_spine" -> ((s, d) => Relational.qDateSpine(s, d)),
     "q_json_props" -> ((s, d) => Relational.qJsonProps(s, d)),
     "q_argmax" -> ((s, d) => Relational.qArgmax(s, d)),
+    "q_stats" -> ((s, d) => Relational.qStats(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "q_interpolate" -> ((s, d) => Relational.qInterpolate(s, d)),
     "q_session_window" -> ((s, d) => Relational.qSessionWindow(s, d)),
@@ -1574,6 +1575,32 @@ object SparkEntry {
         |FROM documents
         |WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
         |ORDER BY doc_id""".stripMargin,
+    // Exact integer sufficient statistics (quantities as longs,
+    // prices as cents, squares in HUGEINT = Spark decimal(38,0));
+    // one double expression with identical operand casts both sides.
+    "q_stats" ->
+      """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y * y) AS HUGEINT) AS syy
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx = sx * sx
+        |         OR CAST(n AS HUGEINT) * syy = sy * sy THEN NULL
+        |    ELSE CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |      * 10000) AS BIGINT) END AS corr_e4,
+        |  CAST(round(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) * 10000) AS BIGINT) AS stddev_q_e4
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     // Composite (price, key) ordering makes the argmax row unique.
     // DuckDB's max_by can't order by a struct, so the oracle states
     // the same semantics as unique-ranked windows.

@@ -770,4 +770,44 @@ object Relational {
         round(max(col("o_totalprice")), 2).as("max_price"),
         round(min(col("o_totalprice")), 2).as("min_price"))
       .orderBy(col("o_orderstatus"))
+
+  /** Grouped statistical aggregates — Pearson correlation between
+    * quantity and price, and quantity's population stddev — via
+    * EXACT integer sufficient statistics (the [[graft.graph.GraphOps
+    * .assortativity]] cross-engine pattern): builtin `corr`/`stddev`
+    * stream float partial states whose accumulation order varies per
+    * run, so their low bits are not reproducible, let alone
+    * oracle-matchable. Here every sum is exact (quantities as longs,
+    * prices as cents; squares summed as DECIMAL(38,0) — sum(y²)
+    * overflows BIGINT at sf ≥ 0.1) and the single float expression
+    * is stated with the same operand casts in the DuckDB oracle, so
+    * the e4 rounding is deterministic. One map-side-combined
+    * aggregation; the zero-variance guard compares exact integers. */
+  def qStats(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val stats = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+    def dbl(c: String) = col(c).cast("double")
+    val varx = col("n").cast(d38) * col("sxx") - col("sx") * col("sx")
+    val vary = col("n").cast(d38) * col("syy") - col("sy") * col("sy")
+    stats.select(col("l_returnflag"), col("n"),
+        when(varx === lit(0) || vary === lit(0), lit(null).cast("long"))
+          .otherwise(round((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+            / (sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+              * sqrt(dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")))
+            * 1e4).cast("long"))
+          .as("corr_e4"),
+        round(sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+          / dbl("n") * 1e4).cast("long").as("stddev_q_e4"))
+      .orderBy(col("l_returnflag"))
+  }
 }
