@@ -130,6 +130,7 @@ object SparkEntry {
     "q_json_props" -> ((s, d) => Relational.qJsonProps(s, d)),
     "q_argmax" -> ((s, d) => Relational.qArgmax(s, d)),
     "q_stats" -> ((s, d) => Relational.qStats(s, d)),
+    "e_pq_adc" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "q_interpolate" -> ((s, d) => Relational.qInterpolate(s, d)),
     "q_session_window" -> ((s, d) => Relational.qSessionWindow(s, d)),

@@ -400,6 +400,7 @@ object Similarity {
     }
     knnCache.clear()
     centroidCache.clear()
+    pqCache.clear()
   }
 
   /** Memoized [[knnGraphOf]] over the embeddings table at `dir`.
@@ -457,6 +458,133 @@ object Similarity {
     val pairs = ivfCandidatePairs(spark, emb, fitIvfCentroids(spark, dir))
     withSampledRecall(emb, knnGraphFrom(emb, pairs, k), k)
   }
+
+  // ---- Product quantization (round 8) ----
+  // The 100 TB memory-compression layout: a 64-d float embedding
+  // (256 B) compresses to PqSubspaces codebook indices (8 B), and
+  // search scans CODES, not vectors — the corpus that fits in RAM
+  // grows 32×. LSH and IVF prune CANDIDATES; PQ shrinks the
+  // REPRESENTATION, and production indexes (IVF-PQ) compose both.
+
+  val PqSubspaces = 16
+  val PqCodebook = 32
+  val PqSubDim: Int = EmbeddingDim / PqSubspaces
+
+  // Codebooks are the PQ family's persist-once artifact
+  // (8×16×8 doubles — driver-scalar sized, no RDD blocks): memoized
+  // per (session, embeddings identity) like the IVF quantizer.
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Array[Array[Array[Double]]]]
+
+  /** Fit the PQ codebooks — one k-means per 8-d subspace over a
+    * bounded seeded sample of unit-normalized vectors, returned as
+    * [subspace][code][subdim] centroids. The corpus is scanned once
+    * (localCheckpoint) however many subspaces train on it. */
+  def fitPqCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    if (pqCache.size > 8) pqCache.clear()
+    pqCache.getOrElseUpdate(embeddingsKey(spark, dir), {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val normArr = graft.functions.CatalystText.l2_normalize(col("embedding"))
+      val emb = Tables.embeddings(spark, dir).select(normArr.as("v"))
+      val n = math.max(Tables.embeddings(spark, dir).count(), 1L)
+      val trainTarget = 100000L
+      val train = (if (n <= trainTarget) emb
+                   else emb.sample(withReplacement = false,
+                     trainTarget.toDouble / n, seed = 42L))
+        .localCheckpoint(true)
+      try {
+        (0 until PqSubspaces).map { m =>
+          val sub = train.select(array_to_vector(
+            slice(col("v"), m * PqSubDim + 1, PqSubDim)).as("features"))
+          new KMeans().setK(PqCodebook).setSeed(42L + m).setMaxIter(10)
+            .fit(sub).clusterCenters.map(_.toArray)
+        }.toArray
+      } finally train.unpersist(false)
+    })
+  }
+
+  /** Encode each vector as its per-subspace nearest-centroid indices:
+    * (vec_id, codes array<int>). The argmin is a centroid-LITERAL
+    * projection (|c|² − 2·s·c per candidate, struct-sorted with the
+    * code index as deterministic tiebreak) — no fitting, no shuffle;
+    * at scale this runs as a map over the corpus exactly once and
+    * the 8-byte codes are what you persist. */
+  def pqEncode(emb: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val normArr = graft.functions.CatalystText.l2_normalize(col("embedding"))
+    val withNorm = emb.select(col("vec_id"), normArr.as("v"))
+    val codeCols = codebooks.zipWithIndex.map { case (cb, m) =>
+      val sub = slice(col("v"), m * PqSubDim + 1, PqSubDim)
+      val cands = cb.zipWithIndex.map { case (c, k) =>
+        val cLit = array(c.toSeq.map(lit): _*)
+        val cSq = c.map(x => x * x).sum
+        struct((lit(cSq) - lit(2.0) * dot(sub, cLit)).as("d2"),
+          lit(k).as("k"))
+      }
+      element_at(array_sort(array(cands.toIndexedSeq: _*)), 1)
+        .getField("k")
+    }
+    withNorm.select(col("vec_id"),
+      array(codeCols.toIndexedSeq: _*).as("codes"))
+  }
+
+  /** ADC shortlist size: the exact re-rank touches full vectors for
+    * only this many candidates per query. */
+  val PqShortlist = 50
+
+  /** PQ search, production shape: an asymmetric-distance (ADC) sweep
+    * over CODES builds a shortlist, then an exact re-rank rescores
+    * only the shortlist with full vectors. Each query precomputes
+    * its [subspace][code] inner-product lookup table in-plan (one
+    * row of 16×32 doubles), so scoring a candidate is 16 table
+    * lookups summed — the corpus side of the sweep touches only
+    * 16-byte codes, which is the entire point: at 100 TB the code
+    * table is 16× smaller than the vectors, and full embeddings are
+    * fetched for `PqShortlist` ids per query (an equi-join), never
+    * scanned. The exact-side recall audit ([[withRecall]]) rides
+    * along, so the compression loss is driver-visible per query. */
+  def pqAdcTopK(spark: SparkSession, dir: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val codes = pqEncode(emb, codebooks)
+    val normArr = graft.functions.CatalystText.l2_normalize(col("embedding"))
+    val qBase = emb.filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), normArr.as("qv"))
+    val lut = array(codebooks.zipWithIndex.map { case (cb, m) =>
+      val qSub = slice(col("qv"), m * PqSubDim + 1, PqSubDim)
+      array(cb.map(c => dot(qSub, array(c.toSeq.map(lit): _*))).toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
+    val luts = qBase.select(col("query_id"), lut.as("lut"))
+    val adc = (0 until PqSubspaces).map { m =>
+      element_at(element_at(col("lut"), m + 1),
+        element_at(col("codes"), m + 1) + 1)
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= PqShortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = shortlist
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nemb")), Seq("neighbor_id"))
+      .join(broadcast(qBase), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nemb")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    withRecall(spark, dir,
+      rescored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim") * 1e4).cast("long").as("sim_e4")))
+  }
+
+  /** Self-fitting PQ entry — rides the memoized codebooks. */
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    pqAdcTopK(spark, dir, fitPqCodebooks(spark, dir))
 
   /** Append the SAMPLED recall@k audit to an ANN kNN edge table: the
     * exact side is a brute-force top-k for a BOUNDED query sample

@@ -277,4 +277,45 @@ class SkewAndIvfSpec extends AnyFunSuite {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall $recall (${(exact & ivf).size}/${exact.size})")
   }
+
+  test("PQ codes are in range and the ADC+re-rank search has high recall") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val cb = Similarity.fitPqCodebooks(spark, sf)
+    assert(cb.length == Similarity.PqSubspaces &&
+      cb.forall(_.length == Similarity.PqCodebook))
+    val codes = Similarity.pqEncode(emb, cb).collect()
+    assert(codes.length == emb.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == Similarity.PqSubspaces &&
+        cs.forall(c => c >= 0 && c < Similarity.PqCodebook), cs)
+    }
+    // The exact re-rank means the search misses a true neighbor only
+    // when it falls outside the ADC shortlist entirely.
+    val out = Similarity.pqAdcTopK(spark, sf).collect()
+    val mean = out.map(_.getLong(4)).sum.toDouble / out.length
+    assert(mean >= 70.0, s"PQ ADC+re-rank mean recall_e2 $mean")
+  }
+
+  test("PQ codebook memo misses when embeddings are regenerated in place") {
+    def vec(axis: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == axis) 1f else 0f)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqmemo").toString
+    def write(rows: Seq[(Long, Seq[Float])]): Unit = {
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val f = new java.io.File(s"$dir/embeddings.parquet")
+      f.setLastModified(f.lastModified() + 2000)
+    }
+    // 64 distinct one-hot axes → enough distinct points per 4-d
+    // subspace; the rewrite shifts every axis so ANY stale codebook
+    // differs from the fresh fit.
+    write((1L to 64L).map(i => (i, vec((i % 32).toInt))))
+    val c1 = Similarity.fitPqCodebooks(spark, dir)
+    write((1L to 64L).map(i => (i, vec((i % 32).toInt + 32))))
+    val c2 = Similarity.fitPqCodebooks(spark, dir)
+    assert(c1.flatten.flatten.toSeq != c2.flatten.flatten.toSeq,
+      "stale PQ codebook memo after in-place regeneration")
+  }
 }
