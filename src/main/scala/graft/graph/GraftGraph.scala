@@ -58,15 +58,15 @@ final class GraftGraph private (
     * landmark set is small by construction), so callers never see or
     * guess the internal dense ids. Unknown labels fail loudly rather
     * than silently selecting arbitrary vertices. */
-  def shortestPaths(landmarks: Seq[Any] = Seq.empty): DataFrame = {
-    val encoded: Seq[Long] = dict match {
+  private def encodeLandmarks(landmarks: Seq[Any], who: String): Seq[Long] =
+    dict match {
       case None => landmarks.map {
         case l: Long => l
         case i: Int => i.toLong
         case s: Short => s.toLong
         case b: Byte => b.toLong
         case other => throw new IllegalArgumentException(
-          s"shortestPaths: graph has integral vertex ids but landmark '$other' " +
+          s"$who: graph has integral vertex ids but landmark '$other' " +
             s"(${other.getClass.getSimpleName}) is not integral")
       }
       case Some(d) if landmarks.nonEmpty =>
@@ -77,12 +77,24 @@ final class GraftGraph private (
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val missing = labels.filterNot(found.contains)
         if (missing.nonEmpty) throw new IllegalArgumentException(
-          s"shortestPaths: unknown landmark labels: ${missing.mkString(", ")}")
+          s"$who: unknown landmark labels: ${missing.mkString(", ")}")
         labels.map(found)
       case Some(_) => Seq.empty
     }
-    decode(GraphOps.shortestPaths(spark, edges, encoded), Seq("vertex", "landmark"))
-  }
+
+  def shortestPaths(landmarks: Seq[Any] = Seq.empty): DataFrame =
+    decode(GraphOps.shortestPaths(spark, edges,
+      encodeLandmarks(landmarks, "shortestPaths")), Seq("vertex", "landmark"))
+  /** Seeded (personalized) PageRank; empty seeds default to the 3
+    * smallest internal ids, like [[shortestPaths]]. */
+  def personalizedPageRank(landmarks: Seq[Any] = Seq.empty,
+      iters: Int = 10): DataFrame =
+    decode(GraphOps.personalizedPageRank(spark, edges,
+      encodeLandmarks(landmarks, "personalizedPageRank"), iters), Seq("vertex"))
+  /** Landmark closeness/harmonic centrality over [[shortestPaths]]. */
+  def closenessCentrality(landmarks: Seq[Any] = Seq.empty): DataFrame =
+    decode(GraphOps.closenessCentrality(spark, edges,
+      encodeLandmarks(landmarks, "closenessCentrality")), Seq("vertex"))
   def kCore(k: Int): DataFrame = decode(GraphOps.kCore(spark, edges, k), Seq("vertex"))
   def pageRankWeighted(iters: Int = 10): DataFrame =
     decode(GraphOps.pageRankWeighted(spark, edges, iters), Seq("vertex"))

@@ -126,6 +126,15 @@ class GraftGraphSpec extends AnyFunSuite {
     // unknown labels fail loudly instead of selecting arbitrary vertices
     val err = intercept[IllegalArgumentException](g.shortestPaths(Seq("nobody")))
     assert(err.getMessage.contains("nobody"))
+    // the shared landmark translation serves the whole landmark family
+    val cc = g.closenessCentrality(Seq("alice")).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(cc == Map("bob" -> 1L, "carol" -> 2L, "dave" -> 3L), cc.toString)
+    val ppr = g.personalizedPageRank(Seq("alice"), iters = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // mass concentrates at the seed; every vertex decodes to a label
+    assert(ppr.keySet == Set("alice", "bob", "carol", "dave"))
+    assert(ppr("alice") == ppr.values.max, ppr.toString)
   }
 
   test("string-id edge list file reads and analyzes end-to-end") {
