@@ -131,6 +131,7 @@ object SparkEntry {
     "q_argmax" -> ((s, d) => Relational.qArgmax(s, d)),
     "q_stats" -> ((s, d) => Relational.qStats(s, d)),
     "e_pq_adc" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
+    "q_merge_upsert" -> ((s, d) => Relational.qMergeUpsert(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "q_interpolate" -> ((s, d) => Relational.qInterpolate(s, d)),
     "q_session_window" -> ((s, d) => Relational.qSessionWindow(s, d)),
@@ -1576,6 +1577,26 @@ object SparkEntry {
         |FROM documents
         |WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
         |ORDER BY doc_id""".stripMargin,
+    // MERGE stated as its relational expansion: base rows not in the
+    // update batch, rewritten matched rows, appended inserts. Cents
+    // stay integer until the final /100.0.
+    "q_merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus FROM orders),
+        |upd AS (SELECT o_orderkey, cents * 110 // 100 AS u_cents,
+        |    'U' AS u_status FROM t WHERE o_orderkey % 10 = 0),
+        |ins AS (SELECT o_orderkey + 1000000000 AS o_orderkey,
+        |    cents AS u_cents, 'N' AS u_status FROM t WHERE o_orderkey % 10 = 3),
+        |merged AS (
+        |  SELECT t.o_orderkey, coalesce(u.u_cents, t.cents) AS cents,
+        |    coalesce(u.u_status, t.o_orderstatus) AS status
+        |  FROM t LEFT JOIN upd u ON u.o_orderkey = t.o_orderkey
+        |  UNION ALL
+        |  SELECT o_orderkey, u_cents, u_status FROM ins)
+        |SELECT status, count(*) AS n,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS sum_price
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
     // Exact integer sufficient statistics (quantities as longs,
     // prices as cents, squares in HUGEINT = Spark decimal(38,0));
     // one double expression with identical operand casts both sides.

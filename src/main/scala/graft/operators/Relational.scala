@@ -771,6 +771,42 @@ object Relational {
         round(min(col("o_totalprice")), 2).as("min_price"))
       .orderBy(col("o_orderstatus"))
 
+  /** MERGE/upsert semantics without a table format — the incremental-
+    * maintenance pattern every warehouse feed runs: an updates batch
+    * (matched keys get new price + status 'U') and an inserts batch
+    * (fresh keys, status 'N') merge into the base via ONE left join +
+    * coalesce and a union — matched rows rewritten, unmatched kept,
+    * new rows appended. Both batches derive deterministically from
+    * the base (o_orderkey mod 10) so the query is self-contained and
+    * oracle-checkable. Money as exact cents (longs) end to end; the
+    * output is the per-status aggregate of the merged table, which
+    * pins every row of the merge result under the hash compare. At
+    * scale the join shuffles on the key both sides already share —
+    * the same shape a MERGE INTO compiles to. */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus"))
+    val upd = t.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"),
+        // +10% in integer cents: floor division, reduction-order free
+        expr("cents * 110 div 100").as("u_cents"), lit("U").as("u_status"))
+    val ins = t.filter(col("o_orderkey") % 10 === 3)
+      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        col("cents").as("u_cents"), lit("N").as("u_status"))
+    val merged = t.join(upd, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("u_cents"), col("cents")).as("cents"),
+        coalesce(col("u_status"), col("o_orderstatus")).as("status"))
+      .unionAll(ins.select(col("o_orderkey"), col("u_cents").as("cents"),
+        col("u_status").as("status")))
+    merged.groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("cents")).cast("double") / 100.0, 2).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
   /** Grouped statistical aggregates — Pearson correlation between
     * quantity and price, and quantity's population stddev — via
     * EXACT integer sufficient statistics (the [[graft.graph.GraphOps
