@@ -79,6 +79,8 @@ object SparkEntry {
       GraphOps.closenessCentrality(s, GraphBuilder.supplierCoEdges(s, d))),
     "g_hits" -> ((s, d) =>
       GraphOps.hits(s, GraphBuilder.purchaseEdges(s, d))),
+    "g_betweenness" -> ((s, d) =>
+      GraphOps.betweennessCentrality(s, GraphBuilder.supplierCoEdges(s, d))),
     // End-to-end file ingest: the reference's native input is a
     // delimited edge list — write the co-occurrence edges as TSV once
     // per SF dir, read back through EdgeListSource.readCanonical, and
@@ -516,11 +518,60 @@ object SparkEntry {
          |ORDER BY role, id""".stripMargin
   }
 
+  /** Landmark Brandes betweenness unrolled — mirrors
+    * [[graft.graph.GraphOps.betweennessCentrality]] round by round:
+    * `maxLevels` forward BFS frontiers (σ sums, visited anti-join),
+    * then the backward dependency folds with the same per-term
+    * floor division. The delta CTEs carry σ so each backward step
+    * is one self-contained join. */
+  private def betweennessOracleSql(maxLevels: Int = 6): String = {
+    val fwd = (1 to maxLevels).map { i =>
+      s""",
+         |fr$i AS MATERIALIZED (
+         |  SELECT f.lm, s.dst AS v, $i AS d, CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM fr${i - 1} f JOIN sym s ON s.src = f.v
+         |  LEFT JOIN vis${i - 1} vv ON vv.lm = f.lm AND vv.v = s.dst
+         |  WHERE vv.v IS NULL
+         |  GROUP BY f.lm, s.dst),
+         |vis$i AS MATERIALIZED (SELECT * FROM vis${i - 1}
+         |  UNION ALL SELECT lm, v, d, sigma FROM fr$i)""".stripMargin
+    }.mkString
+    val bwd = ((maxLevels - 1) to 0 by -1).map { lev =>
+      s""",
+         |c$lev AS MATERIALIZED (
+         |  SELECT l.lm, l.v,
+         |    CAST(sum((l.sigma * (1000000 + dw.delta)) // dw.sigma) AS BIGINT) AS dsum
+         |  FROM vis$maxLevels l JOIN sym s ON s.src = l.v
+         |  JOIN del${lev + 1} dw ON dw.lm = l.lm AND dw.v = s.dst AND dw.d = ${lev + 1}
+         |  WHERE l.d = $lev
+         |  GROUP BY l.lm, l.v),
+         |del$lev AS MATERIALIZED (SELECT * FROM del${lev + 1}
+         |  UNION ALL
+         |  SELECT l.lm, l.v, l.d, l.sigma, CAST(coalesce(c.dsum, 0) AS BIGINT) AS delta
+         |  FROM vis$maxLevels l LEFT JOIN c$lev c ON c.lm = l.lm AND c.v = l.v
+         |  WHERE l.d = $lev)""".stripMargin
+    }.mkString
+    s"""WITH $EdgeCte,
+       |verts AS (SELECT DISTINCT src AS v FROM sym),
+       |lms AS (SELECT v FROM verts ORDER BY v LIMIT 3),
+       |fr0 AS MATERIALIZED (SELECT v AS lm, v, 0 AS d, CAST(1 AS BIGINT) AS sigma FROM lms),
+       |vis0 AS MATERIALIZED (SELECT * FROM fr0)""".stripMargin +
+      fwd +
+      s""",
+         |del$maxLevels AS MATERIALIZED (SELECT lm, v, d, sigma,
+         |  CAST(0 AS BIGINT) AS delta FROM vis$maxLevels WHERE d = $maxLevels)""".stripMargin +
+      bwd +
+      s"""
+         |SELECT v AS vertex, CAST(sum(delta) AS BIGINT) AS bc_e6
+         |FROM del0 WHERE v <> lm GROUP BY v ORDER BY vertex""".stripMargin
+  }
+
   /** DuckDB-runnable SQL oracle per query (same aliases, same
     * determinism rules — SURVEY §6). Omitted keys get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "g_hits" -> hitsOracleSql(),
+    "g_betweenness" -> betweennessOracleSql(),
     "g_lpa" -> lpaOracleSql(),
     "g_modularity_of" -> modularityOfOracleSql(4),
     "g_kcore" -> kcoreOracleSql(),

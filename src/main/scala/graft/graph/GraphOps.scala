@@ -610,6 +610,75 @@ object GraphOps {
     ranks.select(col("vertex"), col("rank").as("rank_e6")).orderBy(col("vertex"))
   }
 
+  /** Landmark-sampled betweenness centrality (Brandes 2001 restricted
+    * to a landmark source set — exact betweenness needs all-pairs
+    * shortest paths, infeasible past toy graphs; sampling sources is
+    * the standard estimator). Per landmark: a forward BFS accumulates
+    * exact integer shortest-path counts σ (all predecessors of a
+    * vertex sit one level up, so one frontier⋈edges aggregation per
+    * level is exact), then the backward sweep folds dependencies
+    * level by level with the engine's integer contract —
+    * δ_e6(v) = Σ_w σ(v)·(1e6 + δ_e6(w)) div σ(w), floor-divided
+    * PER TERM like [[pageRankInteger]] — so the result is
+    * bit-identical under any partitioning and oracle-checkable as
+    * unrolled SQL. Both sweeps run a FIXED `maxLevels` rounds
+    * (empty frontiers no-op) so the unrolled oracle's shape never
+    * depends on the data's diameter. Output: (vertex, bc_e6) =
+    * Σ over landmarks of the vertex's dependency, landmarks
+    * excluded from their own sums. */
+  def betweennessCentrality(spark: SparkSession, edges: DataFrame,
+      landmarks: Seq[Long] = Seq.empty, maxLevels: Int = 6): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val verts = sym.select(col("src").as("v")).distinct()
+    val seeds: Seq[Long] =
+      if (landmarks.nonEmpty) landmarks
+      else verts.orderBy(col("v")).limit(3).collect().map(_.getLong(0)).toSeq
+    var vis = verts.filter(col("v").isInCollection(seeds))
+      .select(col("v").as("lm"), col("v"), lit(0).as("d"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var frontier = vis
+    for (i <- 1 to maxLevels) {
+      frontier = frontier
+        .join(sym, frontier("v") === sym("src"))
+        .select(col("lm"), col("dst").as("v"), col("sigma"))
+        .groupBy(col("lm"), col("v")).agg(sum(col("sigma")).as("sigma"))
+        .join(vis.select(col("lm"), col("v")), Seq("lm", "v"), "left_anti")
+        .withColumn("d", lit(i))
+        .select(col("lm"), col("v"), col("d"), col("sigma"))
+        .localCheckpoint(true)
+      vis = vis.unionAll(frontier).localCheckpoint(true)
+    }
+    // Backward: deltas exist for levels > lev as the sweep descends.
+    var delta = vis.filter(col("d") === maxLevels)
+      .select(col("lm"), col("v"), col("d"), lit(0L).as("delta"))
+      .localCheckpoint(true)
+    for (lev <- (maxLevels - 1) to 0 by -1) {
+      val below = delta.filter(col("d") === lev + 1)
+        .join(vis.filter(col("d") === lev + 1).select(
+          col("lm"), col("v"), col("sigma").as("sigma_w")), Seq("lm", "v"))
+        .select(col("lm"), col("v").as("w"), col("sigma_w"), col("delta").as("delta_w"))
+      val lvl = vis.filter(col("d") === lev)
+      val contrib = lvl
+        .join(sym, lvl("v") === sym("src"))
+        .select(col("lm"), col("v"), col("sigma"), col("dst").as("w"))
+        .join(below, Seq("lm", "w"))
+        .select(col("lm"), col("v"),
+          expr("(sigma * (1000000 + delta_w)) div sigma_w").as("c"))
+        .groupBy(col("lm"), col("v")).agg(sum(col("c")).as("dsum"))
+      delta = delta.unionAll(
+          lvl.join(contrib, Seq("lm", "v"), "left")
+            .select(col("lm"), col("v"), col("d"),
+              coalesce(col("dsum"), lit(0L)).as("delta")))
+        .localCheckpoint(true)
+    }
+    delta.filter(col("v") =!= col("lm"))
+      .groupBy(col("v").as("vertex"))
+      .agg(sum(col("delta")).as("bc_e6"))
+      .orderBy(col("vertex"))
+  }
+
   /** HITS hubs & authorities (integer-deterministic) over a DIRECTED
     * edge list — on the bipartite purchase graph, hub score ranks
     * customers by how much high-authority supply they buy, authority

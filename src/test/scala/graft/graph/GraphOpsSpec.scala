@@ -222,6 +222,34 @@ class GraphOpsSpec extends AnyFunSuite {
       (5L, 3L, 9L, 4L, 10833L)))
   }
 
+  test("betweenness on a path graph: hand-computed Brandes dependencies") {
+    // Path 1-2-3-4-5, landmarks {1,2,3}; σ = 1 on every shortest
+    // path, so each backward fold adds exactly (1e6 + δ_w).
+    //   from 1: δ(4)=1e6, δ(3)=2e6, δ(2)=3e6
+    //   from 2: δ(4)=1e6, δ(3)=2e6, δ(1)=0
+    //   from 3: δ(2)=1e6, δ(4)=1e6
+    // bc(2)=3e6+1e6=4e6, bc(3)=2e6+2e6=4e6, bc(4)=1e6·3=3e6,
+    // bc(1)=bc(5)=0.
+    val e = edgesDf((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0))
+    val rows = GraphOps.betweennessCentrality(spark, e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq(
+      (1L, 0L), (2L, 4000000L), (3L, 4000000L), (4L, 3000000L), (5L, 0L)))
+  }
+
+  test("betweenness splits dependency across equal-length paths") {
+    // Diamond 1-2-4, 1-3-4 plus tail 4-5, landmark {1} only: two
+    // shortest paths 1→4 (σ(4)=2), so 2 and 3 each carry HALF the
+    // dependency of {4,5}: δ(2)=δ(3)=(1e6+δ(4))·1/2 with
+    // δ(4)=1e6 → floor(2e6/2)=1e6 each. δ(4) itself = 1e6 (from 5).
+    val e = edgesDf((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 4L, 1.0),
+      (3L, 4L, 1.0), (4L, 5L, 1.0))
+    val rows = GraphOps.betweennessCentrality(spark, e, landmarks = Seq(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq(
+      (2L, 1000000L), (3L, 1000000L), (4L, 1000000L), (5L, 0L)))
+  }
+
   test("hits: hand-computed two-round scores on a 2x2 bipartite graph") {
     // Edges c1->s10, c2->s10, c2->s20.
     // Round 1: a(s10)=2e6, a(s20)=1e6 -> norm a=(1e6, 500000);
