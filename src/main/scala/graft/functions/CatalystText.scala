@@ -339,6 +339,74 @@ case class L2Normalize(child: Expression)
   override protected def withNewChildInternal(c: Expression): L2Normalize = copy(c)
 }
 
+/** Product-quantization encoder: l2-normalize the input vector, then
+  * per subspace emit the index of the Euclidean-nearest codebook
+  * centroid (ties to the smallest index — deterministic). The
+  * codebooks ride the expression instance as literals, so encoding is
+  * one tight loop per row; the `dot`-HOF composition this replaces
+  * paid an interpreted per-element closure for every (subspace,
+  * centroid) candidate — 512 per row at the production shape. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
+  private val subDim = codebooks(0)(0).length
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<float|double> input, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val af = elemIsFloat
+    val n = a.numElements()
+    if (n != codebooks.length * subDim) return null
+    val x = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      x(i) = v; ss += v * v
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    i = 0
+    while (i < n) { x(i) /= norm; i += 1 }
+    val codes = new Array[Int](codebooks.length)
+    var m = 0
+    while (m < codebooks.length) {
+      val cb = codebooks(m)
+      val base = m * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < cb.length) {
+        val c = cb(k)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val diff = x(base + j) - c(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      codes(m) = best
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
 object CatalystText {
   import org.apache.spark.sql.graft.shim
   def simhash64(c: Column): Column = shim.column(SimHash64(shim.expression(c)))
@@ -351,4 +419,6 @@ object CatalystText {
   def l2_normalize(c: Column): Column = shim.column(L2Normalize(shim.expression(c)))
   def deletion_variants(c: Column): Column =
     shim.column(DeletionVariants(shim.expression(c)))
+  def pq_encode(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    shim.column(PqEncode(shim.expression(c), codebooks))
 }

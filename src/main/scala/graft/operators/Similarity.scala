@@ -488,45 +488,51 @@ object Similarity {
       val normArr = graft.functions.CatalystText.l2_normalize(col("embedding"))
       val emb = Tables.embeddings(spark, dir).select(normArr.as("v"))
       val n = math.max(Tables.embeddings(spark, dir).count(), 1L)
-      val trainTarget = 100000L
+      // 4-d subspaces need far fewer training points than the full-
+      // dim IVF quantizer; 20k bounds 16 fits to seconds. Seeded
+      // RANDOM init is deterministic and one job, where k-means||
+      // schedules ~5 init rounds per fit — ×16 fits that scheduling
+      // overhead dominated (measured 29.7 s → see commit).
+      val trainTarget = 20000L
       val train = (if (n <= trainTarget) emb
                    else emb.sample(withReplacement = false,
                      trainTarget.toDouble / n, seed = 42L))
         .localCheckpoint(true)
       try {
-        (0 until PqSubspaces).map { m =>
-          val sub = train.select(array_to_vector(
-            slice(col("v"), m * PqSubDim + 1, PqSubDim)).as("features"))
-          new KMeans().setK(PqCodebook).setSeed(42L + m).setMaxIter(10)
-            .fit(sub).clusterCenters.map(_.toArray)
-        }.toArray
+        // The 16 fits are independent: submit them as concurrent
+        // Spark jobs (each is a chain of tiny 20k×4-d stages —
+        // serially the suite pays 160 scheduling round-trips).
+        // Determinism is per-fit (seeded init, fixed data), so
+        // concurrency cannot reorder anything observable.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(PqSubspaces)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          Await.result(Future.sequence((0 until PqSubspaces).map { m =>
+            Future {
+              val sub = train.select(array_to_vector(
+                slice(col("v"), m * PqSubDim + 1, PqSubDim)).as("features"))
+              new KMeans().setK(PqCodebook).setSeed(42L + m).setMaxIter(10)
+                .setInitMode("random")
+                .fit(sub).clusterCenters.map(_.toArray)
+            }
+          }.toSeq), Duration.Inf).toArray
+        } finally pool.shutdown()
       } finally train.unpersist(false)
     })
   }
 
   /** Encode each vector as its per-subspace nearest-centroid indices:
-    * (vec_id, codes array<int>). The argmin is a centroid-LITERAL
-    * projection (|c|² − 2·s·c per candidate, struct-sorted with the
-    * code index as deterministic tiebreak) — no fitting, no shuffle;
-    * at scale this runs as a map over the corpus exactly once and
-    * the 8-byte codes are what you persist. */
-  def pqEncode(emb: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val normArr = graft.functions.CatalystText.l2_normalize(col("embedding"))
-    val withNorm = emb.select(col("vec_id"), normArr.as("v"))
-    val codeCols = codebooks.zipWithIndex.map { case (cb, m) =>
-      val sub = slice(col("v"), m * PqSubDim + 1, PqSubDim)
-      val cands = cb.zipWithIndex.map { case (c, k) =>
-        val cLit = array(c.toSeq.map(lit): _*)
-        val cSq = c.map(x => x * x).sum
-        struct((lit(cSq) - lit(2.0) * dot(sub, cLit)).as("d2"),
-          lit(k).as("k"))
-      }
-      element_at(array_sort(array(cands.toIndexedSeq: _*)), 1)
-        .getField("k")
-    }
-    withNorm.select(col("vec_id"),
-      array(codeCols.toIndexedSeq: _*).as("codes"))
-  }
+    * (vec_id, codes array<int>) via the native [[graft.functions
+    * .PqEncode]] expression — the codebooks ride the plan as
+    * literals, so encoding is one tight loop per row (ties to the
+    * smallest index, deterministic). No fitting, no shuffle; at
+    * scale this runs as a map over the corpus exactly once and the
+    * 16-byte codes are what you persist. */
+  def pqEncode(emb: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
+    emb.select(col("vec_id"),
+      graft.functions.CatalystText.pq_encode(col("embedding"), codebooks).as("codes"))
 
   /** ADC shortlist size: the exact re-rank touches full vectors for
     * only this many candidates per query. */
