@@ -639,8 +639,21 @@ object GraphOps {
       .select(col("v").as("lm"), col("v"), lit(0).as("d"), lit(1L).as("sigma"))
       .localCheckpoint(true)
     var frontier = vis
-    for (i <- 1 to maxLevels) {
-      frontier = frontier
+    // Early-stop past the deepest reached level: an empty frontier
+    // makes every later unrolled round a provable no-op (nothing to
+    // expand forward; the deepest level's δ is 0 whether seeded or
+    // folded), so skipping them cannot change the output the
+    // fixed-round oracle states — it only skips scheduled empties
+    // (diameter ~2 here would otherwise pay 12 rounds of joins).
+    var deepest = 0
+    var i = 1
+    val shuffleN = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    while (i <= maxLevels && deepest == i - 1) {
+      // NUMBERED repartition pins the exploding frontier⋈edges
+      // stage's parallelism: AQE sizes it by its tiny INPUTS and
+      // would coalesce the Σdeg-row output onto ~2 tasks (the
+      // g_adamic_adar wedge lesson).
+      frontier = frontier.repartition(shuffleN, col("v"))
         .join(sym, frontier("v") === sym("src"))
         .select(col("lm"), col("dst").as("v"), col("sigma"))
         .groupBy(col("lm"), col("v")).agg(sum(col("sigma")).as("sigma"))
@@ -648,18 +661,22 @@ object GraphOps {
         .withColumn("d", lit(i))
         .select(col("lm"), col("v"), col("d"), col("sigma"))
         .localCheckpoint(true)
-      vis = vis.unionAll(frontier).localCheckpoint(true)
+      if (frontier.count() > 0) {
+        deepest = i
+        vis = vis.unionAll(frontier).localCheckpoint(true)
+      }
+      i += 1
     }
     // Backward: deltas exist for levels > lev as the sweep descends.
-    var delta = vis.filter(col("d") === maxLevels)
+    var delta = vis.filter(col("d") === deepest)
       .select(col("lm"), col("v"), col("d"), lit(0L).as("delta"))
       .localCheckpoint(true)
-    for (lev <- (maxLevels - 1) to 0 by -1) {
+    for (lev <- (deepest - 1) to 0 by -1) {
       val below = delta.filter(col("d") === lev + 1)
         .join(vis.filter(col("d") === lev + 1).select(
           col("lm"), col("v"), col("sigma").as("sigma_w")), Seq("lm", "v"))
         .select(col("lm"), col("v").as("w"), col("sigma_w"), col("delta").as("delta_w"))
-      val lvl = vis.filter(col("d") === lev)
+      val lvl = vis.filter(col("d") === lev).repartition(shuffleN, col("v"))
       val contrib = lvl
         .join(sym, lvl("v") === sym("src"))
         .select(col("lm"), col("v"), col("sigma"), col("dst").as("w"))
