@@ -134,6 +134,8 @@ object SparkEntry {
     "q_stats" -> ((s, d) => Relational.qStats(s, d)),
     "e_pq_adc" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "q_merge_upsert" -> ((s, d) => Relational.qMergeUpsert(s, d)),
+    "s_stream_outer_join" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamStreamOuterJoin(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "q_interpolate" -> ((s, d) => Relational.qInterpolate(s, d)),
     "q_session_window" -> ((s, d) => Relational.qSessionWindow(s, d)),
@@ -1824,6 +1826,32 @@ object SparkEntry {
         |  ON p.user_id = v.user_id
         |  AND epoch_ns(v.ts) // 1000 <= epoch_ns(p.ts) // 1000
         |  AND epoch_ns(v.ts) // 1000 >= epoch_ns(p.ts) // 1000 - 1800000000
+        |ORDER BY p_id, view_id""".stripMargin,
+    // Left-outer stream-stream join: matched pairs emit like the
+    // inner join; a null-extended row emits only once the global
+    // watermark (min of the two streams' max-event-ms − 1 h) proves
+    // no future view can match — every candidate has
+    // v_ts ≤ p_ts < wm. Watermark VALUE in ms, eviction COMPARE in
+    // µs (p_us < wm_ms·1000, strict — pinned by the planted sub-ms
+    // boundary spec in StreamingSpec); purchases still inside the
+    // horizon are withheld in state.
+    "s_stream_outer_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+        |    epoch_ns(ts) // 1000 AS p_us FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id,
+        |    epoch_ns(ts) // 1000 AS v_us FROM events WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(v_us // 1000) FROM v),
+        |    (SELECT max(p_us // 1000) FROM p)) - 3600000 AS wm_ms),
+        |m AS (SELECT p.p_id, v.view_id, p.user_id
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |    AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 1800000000),
+        |nulls AS (SELECT p.p_id, CAST(NULL AS BIGINT) AS view_id, p.user_id
+        |  FROM p, wm
+        |  WHERE p.p_us < wm.wm_ms * 1000
+        |    AND NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id
+        |      AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 1800000000))
+        |SELECT p_id, view_id, user_id FROM m
+        |UNION ALL SELECT p_id, view_id, user_id FROM nulls
         |ORDER BY p_id, view_id""".stripMargin,
     // Append-mode session windows: the emitted set is the sessions
     // whose end (last event + 30 min) has passed the 1 h watermark.

@@ -261,6 +261,57 @@ object StreamingOps {
     spark.table(name).orderBy(col("p_id"), col("view_id"))
   }
 
+  /** Watermarked LEFT-OUTER stream-stream join — the enrichment
+    * pattern when the right side may legitimately be absent
+    * (purchases with no preceding view). Matched pairs emit as they
+    * arrive, like the inner join; an UNMATCHED left row emits its
+    * null-extended result only when the watermark proves no future
+    * right row can match (every candidate view has
+    * v_ts ≤ p_ts < watermark), at which point its state is evicted —
+    * the semantics plain left join cannot express on unbounded
+    * streams. Purchases still inside the horizon are withheld in
+    * state by design; the oracle replicates the eviction arithmetic
+    * (watermark VALUE in ms, eviction COMPARE in µs — the
+    * session-window lesson). Same 8-partition state sizing as the
+    * inner join. */
+  def streamStreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      def stream() = spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val views = stream()
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = stream()
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+        .select(col("p_id"), col("view_id"), col("user_id"))
+      val name = "graft_stream_outer_join"
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name).orderBy(col("p_id"), col("view_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Watermarked APPEND-mode hourly aggregation — the production
     * streaming shape: `withWatermark` bounds how late data may
     * arrive, only finalized windows (window.end <= watermark) are

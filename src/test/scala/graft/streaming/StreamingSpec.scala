@@ -161,6 +161,39 @@ class StreamingSpec extends AnyFunSuite {
       s"emitted $got — eviction precision differs from µs-≤")
   }
 
+  test("outer join null-emission compares the purchase time at µs precision") {
+    // Planted sub-ms boundary for the LEFT-OUTER stream-stream join:
+    // an unmatched purchase's null row emits iff no future view can
+    // match, i.e. p_us < wm_ms·1000 (strict — a purchase AT the
+    // watermark could still tie a view with v_ts = p_ts). P1 sits
+    // 500 µs past the watermark (withheld), P2 exactly at it
+    // (withheld under strict-<), P3 five seconds before (emitted);
+    // user 4's view+purchase pair emits matched regardless.
+    import spark.implicits._
+    val driverUs = 1_700_000_000_000_000L // ms-aligned driver events
+    val wmUs = driverUs - 3_600_000_000L
+    val rows = Seq(
+      (1L, "purchase", (wmUs + 500L) * 1000L, 11L),
+      (2L, "purchase", wmUs * 1000L, 12L),
+      (3L, "purchase", (wmUs - 5_000_000L) * 1000L, 13L),
+      (4L, "view", (wmUs - 20_000_000L) * 1000L, 14L),
+      (4L, "purchase", (wmUs - 10_000_000L) * 1000L, 15L),
+      (9L, "view", driverUs * 1000L, 16L), // right-stream wm driver
+      (8L, "purchase", driverUs * 1000L, 17L)) // left-stream wm driver
+    val dir = java.nio.file.Files.createTempDirectory("graft_outerwm").toString
+    rows.toDF("user_id", "event_type", "ts", "event_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val got = StreamingOps.streamStreamOuterJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString).orNull,
+        r.getLong(2))).toSet
+    assert(got == Set((15L, "14", 4L), (13L, null, 3L)),
+      s"emitted $got — null-emission precision differs from strict µs-<")
+  }
+
   test("dropDuplicatesWithinWatermark bounds state: evicts, then re-emits") {
     // The semantic contract that separates the state-bounded dedup
     // from plain dropDuplicates: (a) a duplicate arriving within the
