@@ -136,6 +136,7 @@ object SparkEntry {
     "q_merge_upsert" -> ((s, d) => Relational.qMergeUpsert(s, d)),
     "s_stream_outer_join" -> ((s, d) =>
       graft.streaming.StreamingOps.streamStreamOuterJoin(s, d)),
+    "e_knn_ivfpq" -> ((s, d) => Similarity.knnIvfPqWithRecall(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "q_interpolate" -> ((s, d) => Relational.qInterpolate(s, d)),
     "q_session_window" -> ((s, d) => Relational.qSessionWindow(s, d)),

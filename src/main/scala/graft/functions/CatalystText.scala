@@ -407,6 +407,44 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
 }
 
+/** Symmetric PQ code distance (SDC): approximate similarity of two
+  * ENCODED vectors as Σ_m table[m][codeA_m][codeB_m], where the
+  * tables (centroid⋅centroid inner products per subspace) ride the
+  * expression as literals — scoring a candidate pair touches only
+  * two 16-int code arrays, never the vectors. The compressed-domain
+  * pruning step of an IVF-PQ index. */
+case class PqSdcSim(left: Expression, right: Expression,
+    tables: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_sdc_sim requires two array<int> code inputs, got $other")
+    }
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != tables.length || b.numElements() != tables.length)
+      return null
+    var s = 0.0
+    var m = 0
+    while (m < tables.length) {
+      s += tables(m)(a.getInt(m))(b.getInt(m))
+      m += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqSdcSim = copy(left = l, right = r)
+}
+
 object CatalystText {
   import org.apache.spark.sql.graft.shim
   def simhash64(c: Column): Column = shim.column(SimHash64(shim.expression(c)))
@@ -421,4 +459,6 @@ object CatalystText {
     shim.column(DeletionVariants(shim.expression(c)))
   def pq_encode(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
     shim.column(PqEncode(shim.expression(c), codebooks))
+  def pq_sdc_sim(a: Column, b: Column, tables: Array[Array[Array[Double]]]): Column =
+    shim.column(PqSdcSim(shim.expression(a), shim.expression(b), tables))
 }

@@ -592,6 +592,40 @@ object Similarity {
   def pqAdcTopK(spark: SparkSession, dir: String): DataFrame =
     pqAdcTopK(spark, dir, fitPqCodebooks(spark, dir))
 
+  /** The IVF-PQ kNN graph — the production index composition, all
+    * three compression/pruning layers in one pipeline: IVF cells
+    * block candidates (never all-pairs), symmetric PQ code distance
+    * (SDC — per-subspace centroid⋅centroid tables riding the plan as
+    * literals) prunes each vector's candidates to a 3k shortlist
+    * touching only 16-int codes, and [[knnGraphFrom]] exact-re-ranks
+    * only the shortlist (embeddings fetched by equi-join). Both
+    * quantizers are the memoized persist-once artifacts. The sampled
+    * brute-force recall audit rides along like the other at-scale
+    * kNN paths. */
+  def knnIvfPqWithRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cb = fitPqCodebooks(spark, dir)
+    val tables = cb.map(sub => sub.map(ca =>
+      sub.map(cbk => ca.indices.map(i => ca(i) * cbk(i)).sum)))
+    val codes = pqEncode(emb, cb)
+    val pairs = ivfCandidatePairs(spark, emb, fitIvfCentroids(spark, dir))
+      .filter(col("vec_id") =!= col("candidate_id"))
+      .dropDuplicates("vec_id", "candidate_id")
+    val scored = pairs
+      .join(codes.select(col("vec_id"), col("codes").as("ca")), Seq("vec_id"))
+      .join(codes.select(col("vec_id").as("candidate_id"), col("codes").as("cb")),
+        Seq("candidate_id"))
+      .select(col("vec_id"), col("candidate_id"),
+        graft.functions.CatalystText.pq_sdc_sim(col("ca"), col("cb"), tables)
+          .as("sdc"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sdc").desc, col("candidate_id").asc)
+    val shortlist = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 5 * k)
+      .select(col("vec_id"), col("candidate_id"))
+    withSampledRecall(emb, knnGraphFrom(emb, shortlist, k), k)
+  }
+
   /** Append the SAMPLED recall@k audit to an ANN kNN edge table: the
     * exact side is a brute-force top-k for a BOUNDED query sample
     * only (broadcast sample × one corpus scan — the standard sampled

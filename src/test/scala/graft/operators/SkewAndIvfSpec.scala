@@ -239,6 +239,20 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(mean >= 50.0, s"mean sampled IVF recall_e2 $mean")
   }
 
+  test("e_knn_ivfpq: IVF blocking + SDC code pruning + exact re-rank keeps recall") {
+    val rows = Similarity.knnIvfPqWithRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sampled = rows.filter(_.getLong(0) < Similarity.QueryLimit)
+      .filterNot(_.isNullAt(4))
+    val mean = sampled.map(_.getLong(4)).sum.toDouble / sampled.length
+    // The composition is bounded by IVF candidate recall (~0.6 on
+    // this corpus); SDC pruning on near-random vectors (PQ's worst
+    // case — no subspace structure) costs a few points and the
+    // exact re-rank recovers ordering within the shortlist. A
+    // structured corpus sits far above this floor.
+    assert(mean >= 50.0, s"mean sampled IVF-PQ recall_e2 $mean")
+  }
+
   test("knnGraphOf dispatch: LSH branch equals exact branch on planted clusters") {
     // Drive the dispatch's ELSE branch itself (threshold override)
     // rather than calling knnGraphFrom directly: on well-separated
