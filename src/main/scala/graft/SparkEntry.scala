@@ -137,6 +137,8 @@ object SparkEntry {
     "s_stream_outer_join" -> ((s, d) =>
       graft.streaming.StreamingOps.streamStreamOuterJoin(s, d)),
     "e_knn_ivfpq" -> ((s, d) => Similarity.knnIvfPqWithRecall(s, d)),
+    "s_stream_router_join" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamStreamRightOuterJoin(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "q_interpolate" -> ((s, d) => Relational.qInterpolate(s, d)),
     "q_session_window" -> ((s, d) => Relational.qSessionWindow(s, d)),
@@ -1854,6 +1856,28 @@ object SparkEntry {
         |SELECT p_id, view_id, user_id FROM m
         |UNION ALL SELECT p_id, view_id, user_id FROM nulls
         |ORDER BY p_id, view_id""".stripMargin,
+    // Right-outer mirror: a view's unmatched null row emits when the
+    // watermark passes v_ts PLUS the 30 min join range (the
+    // condition-derived allowance) — v_us + 30 min < wm_ms·1000,
+    // strict µs compare like the left side.
+    "s_stream_router_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+        |    epoch_ns(ts) // 1000 AS p_us FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id,
+        |    epoch_ns(ts) // 1000 AS v_us FROM events WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(v_us // 1000) FROM v),
+        |    (SELECT max(p_us // 1000) FROM p)) - 3600000 AS wm_ms),
+        |m AS (SELECT p.p_id, v.view_id, v.user_id
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |    AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 1800000000),
+        |nulls AS (SELECT CAST(NULL AS BIGINT) AS p_id, v.view_id, v.user_id
+        |  FROM v, wm
+        |  WHERE v.v_us + 1800000000 < wm.wm_ms * 1000
+        |    AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+        |      AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 1800000000))
+        |SELECT p_id, view_id, user_id FROM m
+        |UNION ALL SELECT p_id, view_id, user_id FROM nulls
+        |ORDER BY view_id, p_id""".stripMargin,
     // Append-mode session windows: the emitted set is the sessions
     // whose end (last event + 30 min) has passed the 1 h watermark.
     // The watermark VALUE is millisecond (wm_ms = max event ms − 1 h)

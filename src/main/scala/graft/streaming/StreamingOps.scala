@@ -312,6 +312,52 @@ object StreamingOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Watermarked RIGHT-OUTER stream-stream join — the abandonment
+    * query (views that never converted): the mirror of
+    * [[streamStreamOuterJoin]] with the OTHER eviction bound. A
+    * view's candidate purchases have p_ts ∈ [v_ts, v_ts + 30 min],
+    * so its unmatched null row emits only when the watermark passes
+    * v_ts PLUS the join range (v_us + 30 min < wm_µs) — the
+    * condition-derived state allowance the left side's bound doesn't
+    * exercise. Same 8-partition state sizing. */
+  def streamStreamRightOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      def stream() = spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val views = stream()
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = stream()
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+        "right_outer")
+        .select(col("p_id"), col("view_id"), col("v_user").as("user_id"))
+      val name = "graft_stream_router_join"
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name).orderBy(col("view_id"), col("p_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Watermarked APPEND-mode hourly aggregation — the production
     * streaming shape: `withWatermark` bounds how late data may
     * arrive, only finalized windows (window.end <= watermark) are

@@ -194,6 +194,38 @@ class StreamingSpec extends AnyFunSuite {
       s"emitted $got — null-emission precision differs from strict µs-<")
   }
 
+  test("right-outer null-emission waits out the join-range allowance") {
+    // The mirror bound: a view's candidate purchases extend to
+    // v_ts + 30 min, so its null row emits iff
+    // v_us + 30 min < wm_µs (strict). V1 is 500 µs inside the
+    // allowance and V2 exactly at it (both withheld); V3 cleared it
+    // by 5 s (emitted); user 4's pair emits matched.
+    import spark.implicits._
+    val driverUs = 1_700_000_000_000_000L
+    val wmUs = driverUs - 3_600_000_000L
+    val rangeUs = 1_800_000_000L
+    val rows = Seq(
+      (1L, "view", (wmUs - rangeUs + 500L) * 1000L, 11L),
+      (2L, "view", (wmUs - rangeUs) * 1000L, 12L),
+      (3L, "view", (wmUs - rangeUs - 5_000_000L) * 1000L, 13L),
+      (4L, "view", (wmUs - rangeUs - 20_000_000L) * 1000L, 14L),
+      (4L, "purchase", (wmUs - rangeUs - 10_000_000L) * 1000L, 15L),
+      (9L, "view", driverUs * 1000L, 16L),
+      (8L, "purchase", driverUs * 1000L, 17L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_routerwm").toString
+    rows.toDF("user_id", "event_type", "ts", "event_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val got = StreamingOps.streamStreamRightOuterJoin(spark, dir).collect()
+      .map(r => (Option(r.get(0)).map(_.toString).orNull, r.getLong(1),
+        r.getLong(2))).toSet
+    assert(got == Set(("15", 14L, 4L), (null, 13L, 3L)),
+      s"emitted $got — right-side allowance differs from strict µs-<")
+  }
+
   test("dropDuplicatesWithinWatermark bounds state: evicts, then re-emits") {
     // The semantic contract that separates the state-bounded dedup
     // from plain dropDuplicates: (a) a duplicate arriving within the
