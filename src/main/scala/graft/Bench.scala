@@ -8,9 +8,11 @@ import graft.graph.GraphOps
   * failing query is reported on stderr and fails the whole run —
   * a swallowed failure would *improve* the total and mask breakage.
   *
-  * The suite runs SPARK_GRAFT_REPEAT times (default 2) and reports
+  * The suite runs SPARK_GRAFT_REPEAT times (default 3) and reports
   * each query's LOWER MEDIAN (sorted times at index (n-1)/2 — the min
-  * for n=2, the true median for n=3): iterative/graph queries swing
+  * for n=2, the TRUE median for n=3, which is why 3 is the default:
+  * a min-of-2 systematically hides regressions that manifest as
+  * occasional slow runs): iterative/graph queries swing
   * 20-30% run-to-run under host contention, which had become the
   * dominant noise in round-over-round comparison. Repeats are at the
   * SUITE level with every cross-query memo cleared in between — a
@@ -23,7 +25,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val repeat = math.max(sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt, 1)
+    val repeat = math.max(sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt, 1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,6 +47,13 @@ object Bench {
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
       Tables.events(spark, sfDir).count()
       spark.range(1000).selectExpr("sum(id) s", "count(*) c").count()
+      // Materialize the per-SF-dir file fixtures up front so both
+      // sweeps time the read path (previously only sweep 1 paid the
+      // one-time writes, and the lower-median picked the cheap run).
+      // The edge-list write populates the coEdges memo — clear it so
+      // sweep 1 starts cold-memo like every other sweep.
+      SparkEntry.prewarmSideOutputs(spark, sfDir)
+      GraphOps.clearAllMemos(spark)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
 

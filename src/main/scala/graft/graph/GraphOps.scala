@@ -715,6 +715,10 @@ object GraphOps {
     * that, normalize with a wider scale before this would matter.
     * localCheckpoint per half-round keeps the plan flat. */
   def hits(spark: SparkSession, edges: DataFrame, iters: Int = 5): DataFrame = {
+    // auths only takes its (id, a) shape inside the loop; with zero
+    // rounds the final select would reference a column that never
+    // exists. Fail loudly instead of with an AnalysisException.
+    require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     var hubs = e.select(col("src").as("id")).distinct()
       .withColumn("h", lit(1000000L))

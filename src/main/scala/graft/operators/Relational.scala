@@ -792,8 +792,13 @@ object Relational {
       .select(col("o_orderkey"),
         // +10% in integer cents: floor division, reduction-order free
         expr("cents * 110 div 100").as("u_cents"), lit("U").as("u_status"))
+    // Insert keys offset by the base table's max key: synthesized
+    // keys stay out of the base domain at ANY scale factor (a fixed
+    // +1e9 offset would collide once orderkeys pass 1e9, sf ≳ 170).
+    // The max is a one-row aggregate, broadcast by the cross join.
     val ins = t.filter(col("o_orderkey") % 10 === 3)
-      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+      .crossJoin(t.agg(max(col("o_orderkey")).as("max_key")))
+      .select((col("o_orderkey") + col("max_key")).as("o_orderkey"),
         col("cents").as("u_cents"), lit("N").as("u_status"))
     val merged = t.join(upd, Seq("o_orderkey"), "left")
       .select(col("o_orderkey"),
