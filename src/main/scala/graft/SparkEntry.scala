@@ -179,6 +179,10 @@ object SparkEntry {
     "e_knn_ivfpq" -> ((s, d) => Similarity.knnIvfPqWithRecall(s, d)),
     "s_stream_router_join" -> ((s, d) =>
       graft.streaming.StreamingOps.streamStreamRightOuterJoin(s, d)),
+    "s_stream_full_outer" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamStreamFullOuterJoin(s, d)),
+    "s_stream_hopping" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamHoppingAgg(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "q_interpolate" -> ((s, d) => Relational.qInterpolate(s, d)),
     "q_session_window" -> ((s, d) => Relational.qSessionWindow(s, d)),
@@ -1905,6 +1909,48 @@ object SparkEntry {
         |SELECT p_id, view_id, user_id FROM m
         |UNION ALL SELECT p_id, view_id, user_id FROM nulls
         |ORDER BY view_id, p_id""".stripMargin,
+    // Full-outer: inner pairs ∪ BOTH watermark-gated null sets —
+    // unmatched purchases at p_us < wm_ms·1000 (left bound) and
+    // unmatched views at v_us + 30 min < wm_ms·1000 (the
+    // condition-derived right bound). Strict µs compares both sides.
+    "s_stream_full_outer" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+        |    epoch_ns(ts) // 1000 AS p_us FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id,
+        |    epoch_ns(ts) // 1000 AS v_us FROM events WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(v_us // 1000) FROM v),
+        |    (SELECT max(p_us // 1000) FROM p)) - 3600000 AS wm_ms),
+        |m AS (SELECT p.p_id, v.view_id, p.user_id
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |    AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 1800000000),
+        |pnulls AS (SELECT p.p_id, CAST(NULL AS BIGINT) AS view_id, p.user_id
+        |  FROM p, wm
+        |  WHERE p.p_us < wm.wm_ms * 1000
+        |    AND NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id
+        |      AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 1800000000)),
+        |vnulls AS (SELECT CAST(NULL AS BIGINT) AS p_id, v.view_id, v.user_id
+        |  FROM v, wm
+        |  WHERE v.v_us + 1800000000 < wm.wm_ms * 1000
+        |    AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+        |      AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 1800000000))
+        |SELECT p_id, view_id, user_id FROM m
+        |UNION ALL SELECT p_id, view_id, user_id FROM pnulls
+        |UNION ALL SELECT p_id, view_id, user_id FROM vnulls
+        |ORDER BY p_id, view_id""".stripMargin,
+    // Hopping windows: every event lands in len/slide = 4
+    // slide-aligned windows; complete mode emits all of them, equal
+    // to the batch replication below (k = 0..3 windows back from the
+    // event's own slide bucket).
+    "s_stream_hopping" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value
+        |  FROM events),
+        |w AS (SELECT make_timestamp((us // 900000000 - k) * 900000000)
+        |    AS win_start, event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks)
+        |SELECT win_start, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
     // Append-mode session windows: the emitted set is the sessions
     // whose end (last event + 30 min) has passed the 1 h watermark.
     // The watermark VALUE is millisecond (wm_ms = max event ms − 1 h)

@@ -358,6 +358,88 @@ object StreamingOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Watermarked FULL-OUTER stream-stream join — both eviction
+    * bounds of the outer family live in ONE query: matched pairs
+    * emit as they form (the inner join); an unmatched PURCHASE
+    * null-extends when the watermark proves no future view can match
+    * (p_us < wm_ms·1000, the [[streamStreamOuterJoin]] bound); an
+    * unmatched VIEW null-extends when the watermark passes its end
+    * of the join range (v_us + 30 min < wm_ms·1000, the
+    * [[streamStreamRightOuterJoin]] condition-derived allowance).
+    * The oracle is inner pairs ∪ BOTH watermark-gated null sets;
+    * user_id coalesces across sides since exactly one is non-null
+    * per row. Same 8-partition state sizing as the inner join. */
+  def streamStreamFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      def stream() = spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val views = stream()
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = stream()
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+        .select(col("p_id"), col("view_id"),
+          coalesce(col("user_id"), col("v_user")).as("user_id"))
+      val name = "graft_stream_full_outer_join"
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name).orderBy(col("p_id"), col("view_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** HOPPING-window aggregation — the overlapping-window variant of
+    * [[streamHourlyAgg]]: `window(ts, 1 h, 15 min)` lands every
+    * event in len/slide = 4 windows, the shape dashboards use for
+    * smoothed rolling rates. State is 4× the tumbling variant's
+    * (one row per open window per type), still bounded by the time
+    * horizon; complete mode emits all windows, equal to the batch
+    * computation (each event replicated into the 4 slide-aligned
+    * windows covering it), which is the SQL oracle. */
+  def streamHoppingAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = raw
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val name = "graft_stream_hopping"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("win_start"), col("event_type"))
+  }
+
   /** Watermarked APPEND-mode hourly aggregation — the production
     * streaming shape: `withWatermark` bounds how late data may
     * arrive, only finalized windows (window.end <= watermark) are

@@ -226,6 +226,58 @@ class StreamingSpec extends AnyFunSuite {
       s"emitted $got — right-side allowance differs from strict µs-<")
   }
 
+  test("full-outer join applies both null-emission bounds in one query") {
+    // Both boundary fixtures merged (disjoint user ids so the planted
+    // rows never cross-match): the purchase side emits its null row
+    // under the LEFT bound (p_us < wm_µs, strict — P3 only), the view
+    // side under the RIGHT bound (v_us + 30 min < wm_µs, strict — V3
+    // only), and the user-4 pair emits matched. P1/V1 sit 500 µs
+    // inside their bounds, P2/V2 exactly at them — all withheld.
+    import spark.implicits._
+    val driverUs = 1_700_000_000_000_000L // ms-aligned driver events
+    val wmUs = driverUs - 3_600_000_000L
+    val rangeUs = 1_800_000_000L
+    val rows = Seq(
+      (1L, "purchase", (wmUs + 500L) * 1000L, 21L),
+      (2L, "purchase", wmUs * 1000L, 22L),
+      (3L, "purchase", (wmUs - 5_000_000L) * 1000L, 23L),
+      (5L, "view", (wmUs - rangeUs + 500L) * 1000L, 31L),
+      (6L, "view", (wmUs - rangeUs) * 1000L, 32L),
+      (7L, "view", (wmUs - rangeUs - 5_000_000L) * 1000L, 33L),
+      (4L, "view", (wmUs - 20_000_000L) * 1000L, 14L),
+      (4L, "purchase", (wmUs - 10_000_000L) * 1000L, 15L),
+      (9L, "view", driverUs * 1000L, 16L),
+      (8L, "purchase", driverUs * 1000L, 17L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fullouterwm").toString
+    rows.toDF("user_id", "event_type", "ts", "event_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val got = StreamingOps.streamStreamFullOuterJoin(spark, dir).collect()
+      .map(r => (Option(r.get(0)).map(_.toString).orNull,
+        Option(r.get(1)).map(_.toString).orNull, r.getLong(2))).toSet
+    assert(got == Set(("15", "14", 4L), ("23", null, 3L), (null, "33", 7L)),
+      s"emitted $got — full-outer bounds differ from the strict µs-< pair")
+  }
+
+  test("hopping-window agg equals batch events replicated into 4 windows") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingOps.streamHoppingAgg(spark, sf).collect()
+    val batch = graft.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+      .collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    // every event lands in exactly len/slide = 4 windows
+    val nEvents = graft.Tables.events(spark, sf).count()
+    assert(streamed.map(_.getLong(2)).sum == 4 * nEvents)
+  }
+
   test("dropDuplicatesWithinWatermark bounds state: evicts, then re-emits") {
     // The semantic contract that separates the state-bounded dedup
     // from plain dropDuplicates: (a) a duplicate arriving within the
