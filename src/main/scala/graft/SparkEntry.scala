@@ -122,6 +122,9 @@ object SparkEntry {
       GraphOps.hits(s, GraphBuilder.purchaseEdges(s, d))),
     "g_betweenness" -> ((s, d) =>
       GraphOps.betweennessCentrality(s, GraphBuilder.supplierCoEdges(s, d))),
+    "g_scc" -> ((s, d) =>
+      graft.graph.StronglyConnectedDF.run(s, GraphBuilder.supplierChainEdges(s, d))
+        .orderBy(col("vertex"))),
     // End-to-end file ingest: the reference's native input is a
     // delimited edge list — write the co-occurrence edges as TSV once
     // per SF dir, read back through EdgeListSource.readCanonical, and
@@ -733,6 +736,28 @@ object SparkEntry {
     // Connected components against a DuckDB recursive reachability
     // CTE: component = min reachable vertex id — exactly GraphX's
     // fixpoint labeling. Pure integer computation, no float drift.
+    // SCC is algorithm-independent: the oracle states the DEFINITION
+    // (mutual reachability via a transitive-closure CTE, label = min
+    // member), not the engine's coloring rounds. The closure is
+    // bounded by the supplier count squared — oracle-side only; the
+    // engine never materializes it.
+    "g_scc" ->
+      """WITH RECURSIVE
+        |os AS (SELECT l_orderkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |ch AS (SELECT l_suppkey AS src, lead(l_suppkey) OVER
+        |    (PARTITION BY l_orderkey ORDER BY q, l_suppkey) AS dst FROM os),
+        |e AS (SELECT DISTINCT src, dst FROM ch
+        |  WHERE dst IS NOT NULL AND src <> dst),
+        |v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+        |reach(a, b) AS (
+        |  SELECT vertex, vertex FROM v
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+        |scc AS (SELECT r1.a AS vertex, min(r1.b) AS scc_id
+        |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        |  GROUP BY r1.a)
+        |SELECT vertex, scc_id FROM scc ORDER BY vertex""".stripMargin,
     "g_cc" ->
       """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst

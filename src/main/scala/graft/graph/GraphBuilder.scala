@@ -120,6 +120,28 @@ object GraphBuilder {
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .distinct()
 
+  /** DIRECTED supplier hand-off chain: within each order, rank the
+    * order's suppliers by (total quantity supplied, suppkey) — a
+    * UNIQUE composite, so the ranking is deterministic even though
+    * the synthetic data repeats (orderkey, linenumber) pairs — and
+    * emit an edge from each supplier to the next in rank. Quantity
+    * varies per order, so direction varies across orders and the
+    * union is cyclic: the directed-with-cycles input SCC needs,
+    * where [[purchaseEdges]]' bipartite customer→supplier graph is
+    * a DAG by construction. One aggregation + one window + one
+    * distinct, all keyed on the orderkey. */
+  def supplierChainEdges(spark: SparkSession, dir: String): DataFrame = {
+    val os = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey")).orderBy(col("q"), col("l_suppkey"))
+    os.withColumn("nxt", lead(col("l_suppkey"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("l_suppkey") =!= col("nxt"))
+      .select(col("l_suppkey").as("src"), col("nxt").as("dst"))
+      .distinct()
+  }
+
   /** Edge DataFrame (src, dst, weight) → GraphX undirected weighted
     * graph. EdgePartition2D bounds vertex replication to 2√P at
     * cluster scale. Partitioning inherits the session's parallelism —
