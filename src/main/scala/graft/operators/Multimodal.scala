@@ -128,15 +128,11 @@ object Multimodal {
   def extractFeaturesDf(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, dir).toDF().orderBy(col("doc_id"))
 
-  /** Typed record produced by the payload fingerprinter. */
-  case class PayloadFp(doc_id: Long, fp: Long)
-
-  /** 64-bit byte-level SimHash: every sliding `n`-byte window of the
-    * payload votes ±1 per bit via its FNV-1a hash (the same vote
-    * scheme as the text-token [[graft.functions.CatalystText]]
-    * SimHash64, with byte windows as the feature set — content-aware
-    * where a whole-payload hash is all-or-nothing). A payload shorter
-    * than one window votes once on its entirety. */
+  /** Reference 64-bit byte-level SimHash — the plain-Scala statement
+    * of the fingerprint the native [[graft.functions.PayloadSimHash64]]
+    * expression computes (same sliding-window FNV-1a bit votes). The
+    * hot path is the EXPRESSION; this stays as the independent
+    * implementation the equality spec compares against. */
   private[operators] def payloadSimhash(payload: Array[Byte], n: Int = 8): Long = {
     import graft.functions.Fnv
     val votes = new Array[Int](64)
@@ -174,15 +170,9 @@ object Multimodal {
     * fingerprint table is checkpointed so the payload scan runs once,
     * and only (id, fp) rows — 16 bytes — ever shuffle. */
   def nearDupPairsOf(payloads: DataFrame, maxHamming: Int = 7): DataFrame = {
-    val spark = payloads.sparkSession
-    import spark.implicits._
     val fps = payloads
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(rows => rows.map { case (id, p) =>
-        PayloadFp(id, payloadSimhash(p))
-      })
-      .toDF()
+      .select(col("doc_id"),
+        graft.functions.CatalystText.payload_simhash64(col("payload")).as("fp"))
       .localCheckpoint(true)
     Dedup.simhashPairsFrom(fps, maxHamming)
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.graph.SparkTestSession
 
@@ -62,6 +63,27 @@ class MultimodalSpec extends AnyFunSuite {
     val d = java.lang.Long.bitCount(
       Multimodal.payloadSimhash(p) ^ Multimodal.payloadSimhash(q))
     assert(d == 4L, s"single-byte corruption moved $d bits")
+  }
+
+  test("native payload_simhash64 expression equals the reference implementation") {
+    import spark.implicits._
+    // The hot path is the native expression; the plain-Scala
+    // payloadSimhash stays as the independent reference. Equality
+    // over: empty, shorter-than-window, exactly-one-window, and
+    // multi-window payloads.
+    var x = 3L
+    def lcg(len: Int): Array[Byte] = Array.fill(len) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 33).toByte
+    }
+    val payloads = Seq(Array.emptyByteArray, lcg(3), lcg(8), lcg(9), lcg(2000))
+    val viaExpr = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        graft.functions.CatalystText.payload_simhash64(col("payload")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    val viaRef = payloads.map(Multimodal.payloadSimhash(_))
+    assert(viaExpr.toSeq == viaRef, s"expr $viaExpr vs reference $viaRef")
   }
 
   test("feature extraction yields sane byte statistics") {
