@@ -31,7 +31,12 @@ final class GraftGraph private (
     val edges: DataFrame,
     /** (vid: original label, vertex_id: long) — present only when the
       * input ids were non-integral */
-    private val dict: Option[DataFrame]) {
+    private val dict: Option[DataFrame],
+    /** (src, dst) in the ORIGINAL wrapped orientation, encoded to the
+      * same long ids — the input for direction-aware measures (HITS),
+      * which the canonical undirected view would erase. A lazy plan:
+      * nothing is computed unless a directed measure runs. */
+    private val directed: DataFrame) {
 
   /** Replace encoded long ids in `cols` with the original labels,
     * preserving column order. */
@@ -95,6 +100,18 @@ final class GraftGraph private (
   def closenessCentrality(landmarks: Seq[Any] = Seq.empty): DataFrame =
     decode(GraphOps.closenessCentrality(spark, edges,
       encodeLandmarks(landmarks, "closenessCentrality")), Seq("vertex"))
+  /** Landmark betweenness (Brandes σ-splits from the landmark set;
+    * empty landmarks default to the 3 smallest internal ids, like
+    * [[shortestPaths]]). Landmarks are ORIGINAL labels. */
+  def betweennessCentrality(landmarks: Seq[Any] = Seq.empty): DataFrame =
+    decode(GraphOps.betweennessCentrality(spark, edges,
+      encodeLandmarks(landmarks, "betweennessCentrality")), Seq("vertex"))
+  /** HITS hubs/authorities over the ORIGINAL edge orientation as
+    * wrapped (hub score of a vertex with no out-edges, or authority
+    * with no in-edges, is simply absent, as in [[GraphOps.hits]]).
+    * Ids decode back to the original labels. */
+  def hits(iters: Int = 5): DataFrame =
+    decode(GraphOps.hits(spark, directed, iters), Seq("id"))
   def kCore(k: Int): DataFrame = decode(GraphOps.kCore(spark, edges, k), Seq("vertex"))
   def pageRankWeighted(iters: Int = 10): DataFrame =
     decode(GraphOps.pageRankWeighted(spark, edges, iters), Seq("vertex"))
@@ -120,8 +137,12 @@ final class GraftGraph private (
     decode(GraphOps.pageRankInteger(spark, edges, iters), Seq("vertex"))
   /** Strong-tie subgraph (weight ≥ 1.25× median) as a new graph —
     * the similarity statistics below are typically run on it. */
-  def strongTies(): GraftGraph =
-    new GraftGraph(spark, GraphOps.strongTies(edges), dict)
+  def strongTies(): GraftGraph = {
+    // the subgraph is undirected by construction: its canonical
+    // orientation doubles as the directed view
+    val st = GraphOps.strongTies(edges)
+    new GraftGraph(spark, st, dict, st.select(col("src"), col("dst")))
+  }
   def edgeJaccard(): DataFrame =
     decode(GraphOps.edgeJaccard(edges), Seq("src", "dst"))
   def assortativity(): DataFrame = GraphOps.assortativity(edges)
@@ -168,10 +189,14 @@ object GraftGraph {
     // for strings) — canonicalize first, encode after.
     val canon = GraphBuilder.canonicalEdges(weighted, srcCol, dstCol,
       weightCol.getOrElse("weight"))
+    // original-orientation (src, dst) for direction-aware measures
+    val rawDirected = weighted.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
     if (isIntegral(canon.schema("src").dataType))
       new GraftGraph(spark,
         canon.select(col("src").cast("long"), col("dst").cast("long"), col("weight")),
-        None)
+        None,
+        rawDirected.select(col("src").cast("long"), col("dst").cast("long")))
     else {
       import spark.implicits._
       // Dense deterministic ids: global sort fixes a total order, then
@@ -185,11 +210,18 @@ object GraftGraph {
         .zipWithIndex()
         .toDF("vid", "vertex_id")
         .localCheckpoint(true)
-      val enc = canon
-        .join(dict.select(col("vid").as("src"), col("vertex_id").as("src_enc")), Seq("src"))
-        .join(dict.select(col("vid").as("dst"), col("vertex_id").as("dst_enc")), Seq("dst"))
-        .select(col("src_enc").as("src"), col("dst_enc").as("dst"), col("weight"))
-      new GraftGraph(spark, enc, Some(dict))
+      def encode(df: DataFrame, cols: Seq[String]): DataFrame = {
+        val order = df.columns.toSeq
+        cols.foldLeft(df) { (acc, c) =>
+          acc.withColumn(c, col(c).cast("string"))
+            .join(dict.select(col("vid").as(c), col("vertex_id").as(s"${c}__enc")),
+              Seq(c))
+            .drop(c)
+            .withColumnRenamed(s"${c}__enc", c)
+        }.select(order.map(col): _*)
+      }
+      new GraftGraph(spark, encode(canon, Seq("src", "dst")), Some(dict),
+        encode(rawDirected, Seq("src", "dst")))
     }
   }
 
@@ -228,7 +260,10 @@ object GraftGraph {
       delimiter: String = "\t", stringIds: Boolean = false): GraftGraph =
     if (stringIds)
       apply(spark, graft.sources.EdgeListSource.readString(spark, path, delimiter))
-    else
-      new GraftGraph(spark,
-        graft.sources.EdgeListSource.readCanonical(spark, path, delimiter), None)
+    else {
+      // readCanonical pre-canonicalizes, so the file's orientation is
+      // already collapsed — the canonical view doubles as directed.
+      val canon = graft.sources.EdgeListSource.readCanonical(spark, path, delimiter)
+      new GraftGraph(spark, canon, None, canon.select(col("src"), col("dst")))
+    }
 }

@@ -95,6 +95,34 @@ class GraftGraphSpec extends AnyFunSuite {
       && people.contains(r.getString(1))))
   }
 
+  test("facade hits and betweenness decode string labels") {
+    // HITS runs on the ORIGINAL orientation: u→v and w→v make v the
+    // sole authority and u, w equal hubs (each normalizes to 1e6) —
+    // on the canonicalized undirected view the roles would blur.
+    val directed = Seq(("u", "v", 1.0), ("w", "v", 1.0))
+      .toDF("src", "dst", "weight")
+    val h = GraftGraph(spark, directed).hits().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(h == Map(("v", "auth") -> 1000000L,
+      ("u", "hub") -> 1000000L, ("w", "hub") -> 1000000L), h.toString)
+
+    // Landmark betweenness on the path ann—bob—cat from its
+    // endpoints: only bob carries any dependency; landmarks are
+    // given (and results returned) as original labels.
+    val path = Seq(("ann", "bob", 1.0), ("bob", "cat", 1.0))
+      .toDF("src", "dst", "weight")
+    val bc = GraftGraph(spark, path)
+      .betweennessCentrality(Seq("ann", "cat")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bc.keySet == Set("ann", "bob", "cat"), bc.toString)
+    assert(bc("bob") > 0L && bc("ann") == 0L && bc("cat") == 0L, bc.toString)
+    // unknown landmark labels fail loudly, not silently
+    val err = intercept[IllegalArgumentException] {
+      GraftGraph(spark, path).betweennessCentrality(Seq("nobody"))
+    }
+    assert(err.getMessage.contains("nobody"))
+  }
+
   test("facade modularityOf scores a string-id assignment to Louvain's own Q") {
     import org.apache.spark.sql.functions.col
     val names = Seq(
