@@ -203,6 +203,7 @@ object SparkEntry {
     // Salted two-phase aggregation under an EXACT oracle: the skew
     // toolkit must produce byte-identical results to the plain
     // group-by it replaces.
+    "q_approx_topk" -> ((s, d) => TextAnalysis.approxTopTokens(s, d)),
     "q_skew_agg" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
       SkewOps.saltedSumCount(li, Seq("l_returnflag"), "l_quantity")
@@ -1550,6 +1551,16 @@ object SparkEntry {
     // Sketch-quality oracles: the HLL/GK estimates aren't
     // bit-reproducible across engines, so the queries emit the exact
     // value + an in-query error-bound verdict the oracle pins true.
+    // Heavy hitters under the sketch-quality pattern: exact top-k is
+    // SQL; the CMS point estimates are seeded/deterministic and the
+    // verdict column pins est ∈ [n, n + ceil(eps·N)] as TRUE.
+    "q_approx_topk" ->
+      """SELECT token, count(*) AS n, TRUE AS cms_ok FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents) t
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC
+        |LIMIT 25""".stripMargin,
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,

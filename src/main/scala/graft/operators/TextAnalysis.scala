@@ -83,6 +83,43 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Count-min-sketch heavy hitters with an in-query exact verdict —
+    * the BOUNDED-MEMORY form of [[topTokens]] a 100 TB corpus needs:
+    * the sketch pass holds w·d = ⌈e/ε⌉·⌈ln 1/δ⌉ counters regardless
+    * of vocabulary size, is one codegen'd aggregation (Spark's
+    * builtin `count_min_sketch`, mergeable across partitions), and
+    * answers any token's frequency to within ε·N overcounting. The
+    * exact top-k pass rides along as the AUDIT, exactly like
+    * q_approx_distinct / the ANN recall probes: per top token the
+    * verdict pins the CMS guarantee est ∈ [n, n + ⌈ε·N⌉] — the
+    * sketch's point estimates are read on the driver from the ONE
+    * bounded sketch row (k lookups, the bounded-collect class of the
+    * landmark reads). Seeded, hence deterministic and
+    * oracle-checkable with `TRUE AS cms_ok`. At scale the candidate
+    * set comes from any cheap source (per-partition local top-m, a
+    * prior day's top-k) and only the sketch pass touches the corpus;
+    * here the audit IS the candidate source. */
+  def approxTopTokens(spark: SparkSession, dir: String, k: Int = 25,
+      eps: Double = 0.0002, confidence: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TF.tokens(col("text"))).as("token"))
+    val row = toks.agg(
+      expr(s"count_min_sketch(token, ${eps}d, ${confidence}d, 42)").as("sk"),
+      count(lit(1)).as("total")).head()
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val errBound = math.ceil(eps * row.getLong(1)).toLong
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    exact.toSeq.map { case (token, n) =>
+      val est = sketch.estimateCount(token)
+      (token, n, est >= n && est <= n + errBound)
+    }.toDF("token", "n", "cms_ok")
+      .orderBy(col("n").desc, col("token").asc)
+  }
+
   /** Gopher-style repetition statistics per document: duplicate-bigram
     * fraction and the share of the most common bigram — the standard
     * "is this document degenerate boilerplate/keyboard-mash" quality
