@@ -262,6 +262,22 @@ object SparkEntry {
           concat(lit("(c) corpus "), col("lang"))).as("text")))
     }),
     "p_temperature" -> ((s, d) => Pipeline.temperatureSample(s, d)),
+    // Exact-substring span dedup: shared ≥25-token spans planted
+    // in-query (append/prepend per doc_id residue — the raw corpus
+    // is random token bags where verbatim cross-doc runs cannot
+    // occur), both engine sides identically.
+    "p_span_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{concat_ws => fconcatws, lit => flit, pmod => fpmod, trim => ftrim, when => fwhen}
+      Pipeline.spanDedupOf(
+        Tables.documents(s, d).select(col("doc_id"),
+          fwhen(fpmod(col("doc_id"), flit(10L)) === 3,
+            fconcatws(" ", ftrim(col("text")), flit(SpanA)))
+          .when(fpmod(col("doc_id"), flit(10L)) === 5,
+            fconcatws(" ", flit(SpanA), ftrim(col("text"))))
+          .when(fpmod(col("doc_id"), flit(10L)) === 7,
+            fconcatws(" ", ftrim(col("text")), flit(SpanB)))
+          .otherwise(col("text")).as("text")))
+    }),
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
     // SemDeDup verdict from mutual-kNN clusters (rides the kNN memo).
     // τ = 0.4 matches d_embed_dup: the synthetic corpus is near-random
@@ -535,6 +551,53 @@ object SparkEntry {
     * [[graft.graph.GraphOps.hits]] term by term: per round an
     * authority sum + max-normalize (floor division, DuckDB `//` =
     * Spark `div`), then a hub sum + max-normalize. */
+  /** Planted shared spans for p_span_dedup — 30 tokens each (≥ the
+    * 25-token span floor), interpolated identically into the Spark
+    * plant and the DuckDB oracle. */
+  private val SpanA = (0 until 30).map(i => f"spana$i%02d").mkString(" ")
+  private val SpanB = (0 until 30).map(i => f"spanb$i%02d").mkString(" ")
+
+  /** The span-dedup pipeline stated in SQL: plant → shingle → df ≥ 2
+    * → merged maximal intervals → complement re-assembly. */
+  private def spanDedupOracleSql(): String =
+    s"""WITH pages AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN concat(trim(text), ' ', '$SpanA')
+      |         WHEN doc_id % 10 = 5 THEN concat('$SpanA', ' ', trim(text))
+      |         WHEN doc_id % 10 = 7 THEN concat(trim(text), ' ', '$SpanB')
+      |         ELSE text END AS text FROM documents),
+      |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+      |  FROM pages),
+      |pos AS (SELECT doc_id, ts, unnest(range(0, len(ts) - 24)) AS p
+      |  FROM toks WHERE len(ts) >= 25),
+      |sh AS (SELECT doc_id, p,
+      |    md5(array_to_string(ts[p + 1 : p + 25], chr(1))) AS h FROM pos),
+      |dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |dp AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
+      |i0 AS (SELECT doc_id, p, max(p + 24) OVER (PARTITION BY doc_id ORDER BY p
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM dp),
+      |i1 AS (SELECT doc_id, p, CASE WHEN prev_end IS NULL OR p > prev_end + 1
+      |    THEN 1 ELSE 0 END AS nw FROM i0),
+      |i2 AS (SELECT doc_id, p, sum(nw) OVER (PARTITION BY doc_id ORDER BY p)
+      |    AS iid FROM i1),
+      |islands AS (SELECT doc_id, iid, min(p) AS s, max(p) + 24 AS e
+      |  FROM i2 GROUP BY 1, 2),
+      |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(e - s + 1) AS BIGINT) AS n_removed FROM islands GROUP BY 1),
+      |tokpos AS (SELECT doc_id, unnest(ts) AS tok,
+      |    generate_subscripts(ts, 1) - 1 AS tp FROM toks),
+      |keep AS (SELECT t.doc_id, t.tok, t.tp FROM tokpos t
+      |  WHERE NOT EXISTS (SELECT 1 FROM islands i
+      |    WHERE i.doc_id = t.doc_id AND t.tp BETWEEN i.s AND i.e)),
+      |clean AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY tp)) AS cm
+      |  FROM keep GROUP BY 1)
+      |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+      |  coalesce(c.n_spans, 0) AS n_spans,
+      |  coalesce(c.n_removed, 0) AS n_removed,
+      |  coalesce(cl.cm, md5('')) AS clean_md5
+      |FROM toks t LEFT JOIN cov c USING (doc_id)
+      |LEFT JOIN clean cl USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   private def hitsOracleSql(iters: Int = 5): String = {
     val steps = (0 until iters).map { i =>
       s""",
@@ -610,6 +673,7 @@ object SparkEntry {
     * determinism rules — SURVEY §6). Omitted keys get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "p_span_dedup" -> spanDedupOracleSql(),
     "g_hits" -> hitsOracleSql(),
     "g_betweenness" -> betweennessOracleSql(),
     "g_lpa" -> lpaOracleSql(),

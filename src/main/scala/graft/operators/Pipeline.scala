@@ -287,6 +287,89 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document EXACT-SUBSTRING span removal — the strongest
+    * lexical dedup signal (Lee et al. 2022, "Deduplicating Training
+    * Data"): any run of ≥ `minTokens` consecutive tokens shared
+    * verbatim by ≥ 2 distinct documents is struck from every
+    * document carrying it. The distributed equivalent of the paper's
+    * suffix array: a duplicated span of length s ≥ L is exactly a
+    * chain of s − L + 1 consecutive duplicated L-shingles, so
+    * (1) every position's L-shingle hashes once (md5 — span TEXT
+    * never shuffles, 16-byte keys do), (2) shingles in ≥ 2 docs mark
+    * their positions, (3) per doc, overlapping/adjacent marked
+    * intervals [p, p+L−1] merge into maximal spans via one
+    * running-max window, and (4) the kept tokens re-assemble from
+    * the complement ranges. Token arrays stay inside their document
+    * row end to end (the explode and the slice both run in the
+    * scan's stage); the only wide exchanges are the hash df
+    * aggregation and the per-doc window/groupBy any span assembly
+    * must pay.
+    *
+    * Output: (doc_id, n_tokens, n_spans, n_removed, clean_md5) with
+    * clean_md5 = md5 of the kept tokens joined by ' ' (md5("") for a
+    * fully-covered doc). Takes any (doc_id, text) table; the driver
+    * query plants shared spans in-query (the raw corpus is random
+    * token bags, where verbatim 25-token cross-doc runs cannot
+    * occur), and the planted spec covers overlap/adjacency/edge
+    * layouts. */
+  def spanDedupOf(docs: DataFrame, minTokens: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = minTokens
+    val sep = "\u0001"
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      .localCheckpoint(true)
+    // one (doc_id, pos, h) row per shingle position; the sequence is
+    // guarded (sequence(0, n) DESCENDS for n < 0 — the documented
+    // Spark quirk), and the slice/md5 run before any exchange.
+    val sh = toks
+      .filter(size(col("ts")) >= L)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), size(col("ts")) - L)).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(sep, slice(col("ts"), col("p") + 1, lit(L)))).as("h"))
+      .localCheckpoint(true)
+    val dup = sh.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h"))
+    val marked = sh.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("p"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val islands = marked
+      .withColumn("prev_end",
+        max(col("p") + (L - 1)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nw",
+        when(col("prev_end").isNull || col("p") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("iid", sum(col("nw")).over(w))
+      .groupBy(col("doc_id"), col("iid"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + (L - 1)).as("e"))
+    val cov = islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("n_removed"),
+        array_sort(collect_list(struct(col("s"), col("e")))).as("iv"))
+    // complement ranges: starts = [0] ++ (e+1), ends = (s−1) ++ [n−1];
+    // per-doc O(spans) interpreted HOF work over bounded arrays.
+    toks.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        md5(concat_ws(" ", flatten(zip_with(
+          concat(array(lit(0)),
+            transform(coalesce(col("iv"),
+              array().cast("array<struct<s:int,e:int>>")),
+              x => x.getField("e") + 1)),
+          concat(transform(coalesce(col("iv"),
+              array().cast("array<struct<s:int,e:int>>")),
+              x => x.getField("s") - 1),
+            array(size(col("ts")) - 1)),
+          (a, b) => when(b >= a, slice(col("ts"), a + 1, b - a + 1))
+            .otherwise(array().cast("array<string>")))))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-flattened source mix (α = 0.5): the multinomial
     * re-weighting used to even out source sizes when drawing a
     * training mix — small sources keep more of their docs, huge ones
