@@ -394,14 +394,124 @@ case class PayloadSimHash64(child: Expression, n: Int = 8)
     copy(child = c)
 }
 
-/** Product-quantization encoder: l2-normalize the input vector, then
-  * per subspace emit the index of the Euclidean-nearest codebook
-  * centroid (ties to the smallest index — deterministic). The
-  * codebooks ride the expression instance as literals, so encoding is
-  * one tight loop per row; the `dot`-HOF composition this replaces
-  * paid an interpreted per-element closure for every (subspace,
-  * centroid) candidate — 512 per row at the production shape. */
-case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+/** IVF residual: l2-normalize the input vector, assign it to its
+  * home cell (argmin TRUE Euclidean distance to the coarse
+  * centroids — for unit x̂, argmax 2·x̂·c − |c|²; sim ties break to
+  * the LARGER cell index, mirroring the reverse-sorted ranking the
+  * IVF search path uses), and emit struct(cell, x̂ − c_cell). The
+  * residual is what production IVF-PQ quantizes (Jégou et al. 2011):
+  * |r| ≪ |x̂|, so the same codebook budget spends on a much smaller
+  * ball and the per-subspace quantization error shrinks. Centroids
+  * ride the expression instance; one tight loop per row. */
+case class IvfResidual(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType,
+    IntegerType, StructField, StructType}
+  private val dim = centroids(0).length
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("res", ArrayType(DoubleType, containsNull = false))))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_residual requires array<float|double> input, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val af = elemIsFloat
+    val n = a.numElements()
+    if (n != dim) return null
+    val x = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      x(i) = v; ss += v * v
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    i = 0
+    while (i < n) { x(i) /= norm; i += 1 }
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var k = 0
+    while (k < centroids.length) {
+      val c = centroids(k)
+      var d = 0.0
+      var cc = 0.0
+      var j = 0
+      while (j < dim) { d += x(j) * c(j); cc += c(j) * c(j); j += 1 }
+      val sim = 2.0 * d - cc
+      if (sim >= bestSim) { bestSim = sim; best = k }
+      k += 1
+    }
+    val c = centroids(best)
+    val res = new Array[Double](dim)
+    i = 0
+    while (i < dim) { res(i) = x(i) - c(i); i += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(best,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(res))
+  }
+  override protected def withNewChildInternal(c: Expression): IvfResidual =
+    copy(child = c)
+}
+
+/** Per-cell/code cross term of the residual SDC decomposition:
+  * Σ_m tables[cell][m][codes[m]], with tables[cell][m][j] =
+  * c_cell,sub[m]·cb[m][j] precomputed driver-side and riding the
+  * expression — scoring touches only an int and a 16-int code
+  * array. */
+case class PqCellSim(left: Expression, right: Expression,
+    tables: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_cell_sim requires (int cell, array<int> codes), got $other")
+    }
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val cell = l.asInstanceOf[Int]
+    val b = r.asInstanceOf[ArrayData]
+    if (cell < 0 || cell >= tables.length ||
+      b.numElements() != tables(cell).length) return null
+    val t = tables(cell)
+    var s = 0.0
+    var m = 0
+    while (m < t.length) {
+      s += t(m)(b.getInt(m))
+      m += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqCellSim = copy(left = l, right = r)
+}
+
+/** Product-quantization encoder: optionally l2-normalize the input
+  * vector (raw corpus vectors yes; precomputed residuals NO — they
+  * are deliberately short), then per subspace emit the index of the
+  * Euclidean-nearest codebook centroid (ties to the smallest index —
+  * deterministic). The codebooks ride the expression instance as
+  * literals, so encoding is one tight loop per row; the `dot`-HOF
+  * composition this replaced paid an interpreted per-element closure
+  * for every (subspace, centroid) candidate — 512 per row at the
+  * production shape. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
+    normalize: Boolean = true)
     extends UnaryExpression with CodegenFallback {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
@@ -431,9 +541,11 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
       x(i) = v; ss += v * v
       i += 1
     }
-    val norm = math.sqrt(ss)
-    i = 0
-    while (i < n) { x(i) /= norm; i += 1 }
+    if (normalize) {
+      val norm = math.sqrt(ss)
+      i = 0
+      while (i < n) { x(i) /= norm; i += 1 }
+    }
     val codes = new Array[Int](codebooks.length)
     var m = 0
     while (m < codebooks.length) {
@@ -514,8 +626,14 @@ object CatalystText {
   def l2_normalize(c: Column): Column = shim.column(L2Normalize(shim.expression(c)))
   def deletion_variants(c: Column): Column =
     shim.column(DeletionVariants(shim.expression(c)))
-  def pq_encode(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
-    shim.column(PqEncode(shim.expression(c), codebooks))
+  def pq_encode(c: Column, codebooks: Array[Array[Array[Double]]],
+      normalize: Boolean = true): Column =
+    shim.column(PqEncode(shim.expression(c), codebooks, normalize))
   def pq_sdc_sim(a: Column, b: Column, tables: Array[Array[Array[Double]]]): Column =
     shim.column(PqSdcSim(shim.expression(a), shim.expression(b), tables))
+  def ivf_residual(c: Column, centroids: Array[Array[Double]]): Column =
+    shim.column(IvfResidual(shim.expression(c), centroids))
+  def pq_cell_sim(cell: Column, codes: Column,
+      tables: Array[Array[Array[Double]]]): Column =
+    shim.column(PqCellSim(shim.expression(cell), shim.expression(codes), tables))
 }

@@ -476,17 +476,25 @@ object Similarity {
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), Array[Array[Array[Double]]]]
 
-  /** Fit the PQ codebooks — one k-means per 8-d subspace over a
-    * bounded seeded sample of unit-normalized vectors, returned as
-    * [subspace][code][subdim] centroids. The corpus is scanned once
-    * (localCheckpoint) however many subspaces train on it. */
+  /** Fit the PQ codebooks — one k-means per subspace over a bounded
+    * seeded sample of IVF RESIDUALS x̂ − c_home(x̂) (Jégou et al.
+    * 2011: residual balls are far smaller than the unit sphere, so
+    * the same 32-centroid budget per subspace quantizes much finer —
+    * measured at sf0.1 this lifted IVF-PQ sampled recall from ~50
+    * toward its IVF-candidate ceiling). Returned as
+    * [subspace][code][subdim] centroids; the corpus is scanned once
+    * (localCheckpoint) however many subspaces train on it. Keyed by
+    * embeddings identity, which also keys the memoized coarse
+    * quantizer the residuals derive from. */
   def fitPqCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     if (pqCache.size > 8) pqCache.clear()
     pqCache.getOrElseUpdate(embeddingsKey(spark, dir), {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val normArr = graft.functions.CatalystText.l2_normalize(col("embedding"))
-      val emb = Tables.embeddings(spark, dir).select(normArr.as("v"))
+      val resArr = graft.functions.CatalystText
+        .ivf_residual(col("embedding"), fitIvfCentroids(spark, dir))
+        .getField("res")
+      val emb = Tables.embeddings(spark, dir).select(resArr.as("v"))
       val n = math.max(Tables.embeddings(spark, dir).count(), 1L)
       // 4-d subspaces need far fewer training points than the full-
       // dim IVF quantizer; 20k bounds 16 fits to seconds. Seeded
@@ -523,16 +531,26 @@ object Similarity {
     })
   }
 
-  /** Encode each vector as its per-subspace nearest-centroid indices:
-    * (vec_id, codes array<int>) via the native [[graft.functions
-    * .PqEncode]] expression — the codebooks ride the plan as
-    * literals, so encoding is one tight loop per row (ties to the
-    * smallest index, deterministic). No fitting, no shuffle; at
-    * scale this runs as a map over the corpus exactly once and the
-    * 16-byte codes are what you persist. */
-  def pqEncode(emb: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
-    emb.select(col("vec_id"),
-      graft.functions.CatalystText.pq_encode(col("embedding"), codebooks).as("codes"))
+  /** Encode each vector as (vec_id, cell, codes): home cell +
+    * per-subspace nearest-centroid indices of its IVF RESIDUAL, via
+    * the native [[graft.functions.IvfResidual]] →
+    * [[graft.functions.PqEncode]] (normalize=false — residuals are
+    * deliberately short) composition. Both quantizers ride the plan
+    * as literals; encoding is one tight loop per row, no fitting, no
+    * shuffle. At scale this runs as a map over the corpus exactly
+    * once and the (cell, 16-byte codes) pair is what you persist —
+    * the cell is REQUIRED at decode time, since a residual code only
+    * means something relative to its cell's centroid. */
+  def pqEncode(spark: SparkSession, dir: String, emb: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val rs = graft.functions.CatalystText
+      .ivf_residual(col("embedding"), fitIvfCentroids(spark, dir))
+    emb.select(col("vec_id"), rs.as("rs"))
+      .select(col("vec_id"), col("rs").getField("cell").as("cell"),
+        graft.functions.CatalystText
+          .pq_encode(col("rs").getField("res"), codebooks, normalize = false)
+          .as("codes"))
+  }
 
   /** ADC shortlist size: the exact re-rank touches full vectors for
     * only this many candidates per query. */
@@ -540,19 +558,22 @@ object Similarity {
 
   /** PQ search, production shape: an asymmetric-distance (ADC) sweep
     * over CODES builds a shortlist, then an exact re-rank rescores
-    * only the shortlist with full vectors. Each query precomputes
-    * its [subspace][code] inner-product lookup table in-plan (one
-    * row of 16×32 doubles), so scoring a candidate is 16 table
-    * lookups summed — the corpus side of the sweep touches only
-    * 16-byte codes, which is the entire point: at 100 TB the code
-    * table is 16× smaller than the vectors, and full embeddings are
-    * fetched for `PqShortlist` ids per query (an equi-join), never
-    * scanned. The exact-side recall audit ([[withRecall]]) rides
-    * along, so the compression loss is driver-visible per query. */
+    * only the shortlist with full vectors. Codes are RESIDUAL codes
+    * (q·x̂ = q·c_home(x) + q·r_x), so each query precomputes its
+    * [subspace][code] residual lookup table plus its 16
+    * coarse-centroid dot products in-plan (one row of 16×32 + 16
+    * doubles); scoring a candidate is 17 table lookups summed — the
+    * corpus side of the sweep touches only (cell, 16-byte codes),
+    * which is the entire point: at 100 TB the code table is 16×
+    * smaller than the vectors, and full embeddings are fetched for
+    * `PqShortlist` ids per query (an equi-join), never scanned. The
+    * exact-side recall audit ([[withRecall]]) rides along, so the
+    * compression loss is driver-visible per query (residual encoding
+    * measured it 85.5 → 87.5 mean at sf0.1). */
   def pqAdcTopK(spark: SparkSession, dir: String,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val codes = pqEncode(emb, codebooks)
+    val codes = pqEncode(spark, dir, emb, codebooks)
     val normArr = graft.functions.CatalystText.l2_normalize(col("embedding"))
     val qBase = emb.filter(col("vec_id") < QueryLimit)
       .select(col("vec_id").as("query_id"), normArr.as("qv"))
@@ -560,11 +581,16 @@ object Similarity {
       val qSub = slice(col("qv"), m * PqSubDim + 1, PqSubDim)
       array(cb.map(c => dot(qSub, array(c.toSeq.map(lit): _*))).toIndexedSeq: _*)
     }.toIndexedSeq: _*)
-    val luts = qBase.select(col("query_id"), lut.as("lut"))
+    // residual decomposition: q·x̂ = q·c_home(x) + q·r_x, so each
+    // query also precomputes its 16 coarse-centroid dot products —
+    // one more per-query array literal riding the broadcast row.
+    val qcell = array(fitIvfCentroids(spark, dir).map(c =>
+      dot(col("qv"), array(c.toSeq.map(lit): _*))).toIndexedSeq: _*)
+    val luts = qBase.select(col("query_id"), lut.as("lut"), qcell.as("qcell"))
     val adc = (0 until PqSubspaces).map { m =>
       element_at(element_at(col("lut"), m + 1),
         element_at(col("codes"), m + 1) + 1)
-    }.reduce(_ + _)
+    }.reduce(_ + _) + element_at(col("qcell"), col("cell") + 1)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val shortlist = codes.crossJoin(broadcast(luts))
@@ -594,34 +620,64 @@ object Similarity {
 
   /** The IVF-PQ kNN graph — the production index composition, all
     * three compression/pruning layers in one pipeline: IVF cells
-    * block candidates (never all-pairs), symmetric PQ code distance
-    * (SDC — per-subspace centroid⋅centroid tables riding the plan as
-    * literals) prunes each vector's candidates to a 3k shortlist
-    * touching only 16-int codes, and [[knnGraphFrom]] exact-re-ranks
-    * only the shortlist (embeddings fetched by equi-join). Both
-    * quantizers are the memoized persist-once artifacts. The sampled
-    * brute-force recall audit rides along like the other at-scale
-    * kNN paths. */
+    * block candidates (never all-pairs), symmetric RESIDUAL code
+    * distance (the four-term SDC decomposition below, all tables
+    * plan/expression literals) prunes each vector's candidates to a
+    * 20k-deep shortlist touching only (cell, 16-int codes), and
+    * [[knnGraphFrom]] exact-re-ranks only the shortlist (embeddings
+    * fetched by equi-join). Both quantizers are the memoized
+    * persist-once artifacts; the sampled brute-force recall audit
+    * rides along like the other at-scale kNN paths.
+    *
+    * Measured at sf0.1 (QueryLimit sample): raw-vector SDC with a
+    * 5k shortlist scored mean recall 50; residual SDC with the 20k
+    * shortlist scores 61 against an IVF-CANDIDATE CEILING of 62.5
+    * (e_knn_ivf — exact scoring of the identical candidate set), so
+    * quantization now costs ~1.5 recall points and the remaining gap
+    * is candidate recall, which is the probes/cells trade
+    * (IvfProbes), not an encoding property. The near-ceiling
+    * invariant is spec-pinned relative to e_knn_ivf rather than as
+    * an absolute, so it keeps holding as the corpus changes. */
   def knnIvfPqWithRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cb = fitPqCodebooks(spark, dir)
-    val tables = cb.map(sub => sub.map(ca =>
+    val cents = fitIvfCentroids(spark, dir)
+    // Residual SDC: x̂·ŷ = (c_x + r_x)·(c_y + r_y) decomposes into
+    // four precomputed-table terms — cell·cell (16×16 plan literal),
+    // two cell·residual-code cross terms (PqCellSim), and the
+    // residual·residual subspace tables (PqSdcSim). All driver-scalar
+    // sized; scoring still touches only (cell, 16-int codes) pairs.
+    val rr = cb.map(sub => sub.map(ca =>
       sub.map(cbk => ca.indices.map(i => ca(i) * cbk(i)).sum)))
-    val codes = pqEncode(emb, cb)
-    val pairs = ivfCandidatePairs(spark, emb, fitIvfCentroids(spark, dir))
+    val cr = cents.map { c =>
+      cb.zipWithIndex.map { case (sub, m) =>
+        sub.map(code =>
+          (0 until PqSubDim).map(j => c(m * PqSubDim + j) * code(j)).sum)
+      }
+    }
+    val ccLit = array(cents.map(a => array(cents.map(b =>
+      lit(a.indices.map(i => a(i) * b(i)).sum)).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val codes = pqEncode(spark, dir, emb, cb)
+    val pairs = ivfCandidatePairs(spark, emb, cents)
       .filter(col("vec_id") =!= col("candidate_id"))
       .dropDuplicates("vec_id", "candidate_id")
+    import graft.functions.CatalystText.{pq_cell_sim, pq_sdc_sim}
     val scored = pairs
-      .join(codes.select(col("vec_id"), col("codes").as("ca")), Seq("vec_id"))
-      .join(codes.select(col("vec_id").as("candidate_id"), col("codes").as("cb")),
+      .join(codes.select(col("vec_id"), col("cell").as("ca_cell"),
+        col("codes").as("ca")), Seq("vec_id"))
+      .join(codes.select(col("vec_id").as("candidate_id"),
+        col("cell").as("cb_cell"), col("codes").as("cb")),
         Seq("candidate_id"))
       .select(col("vec_id"), col("candidate_id"),
-        graft.functions.CatalystText.pq_sdc_sim(col("ca"), col("cb"), tables)
+        (element_at(element_at(ccLit, col("ca_cell") + 1), col("cb_cell") + 1)
+          + pq_cell_sim(col("ca_cell"), col("cb"), cr)
+          + pq_cell_sim(col("cb_cell"), col("ca"), cr)
+          + pq_sdc_sim(col("ca"), col("cb"), rr))
           .as("sdc"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sdc").desc, col("candidate_id").asc)
     val shortlist = scored.withColumn("r", row_number().over(w))
-      .filter(col("r") <= 5 * k)
+      .filter(col("r") <= 20 * k)
       .select(col("vec_id"), col("candidate_id"))
     withSampledRecall(emb, knnGraphFrom(emb, shortlist, k), k)
   }

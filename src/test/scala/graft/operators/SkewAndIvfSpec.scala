@@ -240,17 +240,26 @@ class SkewAndIvfSpec extends AnyFunSuite {
   }
 
   test("e_knn_ivfpq: IVF blocking + SDC code pruning + exact re-rank keeps recall") {
-    val rows = Similarity.knnIvfPqWithRecall(spark, sf).collect()
-    assert(rows.nonEmpty)
-    val sampled = rows.filter(_.getLong(0) < Similarity.QueryLimit)
-      .filterNot(_.isNullAt(4))
-    val mean = sampled.map(_.getLong(4)).sum.toDouble / sampled.length
-    // The composition is bounded by IVF candidate recall (~0.6 on
-    // this corpus); SDC pruning on near-random vectors (PQ's worst
-    // case — no subspace structure) costs a few points and the
-    // exact re-rank recovers ordering within the shortlist. A
-    // structured corpus sits far above this floor.
+    def meanRecall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val sampled = rows.filter(_.getLong(0) < Similarity.QueryLimit)
+        .filterNot(_.isNullAt(4))
+      sampled.map(_.getLong(4)).sum.toDouble / sampled.length
+    }
+    val ivfpq = Similarity.knnIvfPqWithRecall(spark, sf).collect()
+    assert(ivfpq.nonEmpty)
+    val mean = meanRecall(ivfpq)
     assert(mean >= 50.0, s"mean sampled IVF-PQ recall_e2 $mean")
+    // The NEAR-CEILING invariant: e_knn_ivf exact-scores the
+    // identical candidate set, so its recall is the hard ceiling of
+    // any encoding. Residual SDC + the 20k shortlist must land
+    // within a few points of it — this pins "quantization loss is
+    // small" RELATIVE to the candidates (measured 61 vs 62.5 at
+    // sf0.1), which stays meaningful however the corpus moves, where
+    // an absolute floor conflates candidate recall with encoding
+    // quality.
+    val ceiling = meanRecall(Similarity.knnIvfWithRecall(spark, sf).collect())
+    assert(mean >= ceiling - 10.0,
+      s"IVF-PQ mean $mean too far under its candidate ceiling $ceiling")
   }
 
   test("knnGraphOf dispatch: LSH branch equals exact branch on planted clusters") {
@@ -298,10 +307,12 @@ class SkewAndIvfSpec extends AnyFunSuite {
     val cb = Similarity.fitPqCodebooks(spark, sf)
     assert(cb.length == Similarity.PqSubspaces &&
       cb.forall(_.length == Similarity.PqCodebook))
-    val codes = Similarity.pqEncode(emb, cb).collect()
+    val codes = Similarity.pqEncode(spark, sf, emb, cb).collect()
     assert(codes.length == emb.count())
     codes.foreach { r =>
-      val cs = r.getSeq[Int](1)
+      val cell = r.getInt(1)
+      assert(cell >= 0 && cell < Similarity.IvfCells, s"home cell $cell")
+      val cs = r.getSeq[Int](2)
       assert(cs.length == Similarity.PqSubspaces &&
         cs.forall(c => c >= 0 && c < Similarity.PqCodebook), cs)
     }
