@@ -42,6 +42,12 @@ object SparkEntry {
     cachedSideOutput(d, "documents", "docsbin")(p =>
       graft.sources.BinaryFileSource.writePayloadFiles(
         Tables.documents(s, d).select(col("doc_id"), col("text")), p))
+  private def sideOutDocsText(s: SparkSession, d: String): String =
+    cachedSideOutput(d, "documents", "docstext")(p =>
+      Tables.documents(s, d)
+        .select(org.apache.spark.sql.functions
+          .concat_ws("\u0001", col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").text(p))
   private def sideOutDocsOrc(s: SparkSession, d: String): String =
     cachedSideOutput(d, "documents", "docsorc")(p =>
       Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -63,6 +69,7 @@ object SparkEntry {
   def prewarmSideOutputs(s: SparkSession, d: String): Unit = {
     sideOutEdgeList(s, d); sideOutEventsPart(s, d); sideOutDocsJson(s, d)
     sideOutDocsBin(s, d); sideOutDocsOrc(s, d); sideOutDocsCsv(s, d)
+    sideOutDocsText(s, d)
   }
 
   /** Flagship: Louvain community detection on the supplier
@@ -326,6 +333,7 @@ object SparkEntry {
     "t_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     "t_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
+    "t_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
     // SF dir), the query filters one partition — the scan must show
@@ -407,6 +415,19 @@ object SparkEntry {
           .option("header", "true").option("multiLine", "true")
           .option("escape", "\"").option("nullValue", "\u0000")
           .csv(out))
+    }),
+    // Plain-text line source under the oracle: documents round-trip
+    // through write.text/read.text as one U+0001-delimited line per
+    // doc (the corpus is single-line token bags; the delimiter can't
+    // appear in whitespace-tokenized text), parsed scan-side with one
+    // codegen'd limit-2 split — the log-ingestion path where a 100 TB
+    // corpus usually STARTS. Same token counts as t_tokens.
+    "src_text_tokens" -> ((s, d) => {
+      val out = sideOutDocsText(s, d)
+      val parts = org.apache.spark.sql.functions.split(col("value"), "\u0001", 2)
+      TextAnalysis.tokenCountsOf(s.read.text(out)
+        .select(parts.getItem(0).cast("long").as("doc_id"),
+          parts.getItem(1).as("text")))
     }),
   )
 
@@ -1573,6 +1594,24 @@ object SparkEntry {
         |GROUP BY bigram
         |ORDER BY n DESC, bigram ASC
         |LIMIT 25""".stripMargin,
+    "t_collocations" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |idx AS (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks),
+        |occ AS (SELECT t[i] || ' ' || t[i + 1] AS bigram,
+        |    t[i] AS w1, t[i + 1] AS w2 FROM idx),
+        |nb AS (SELECT count(*) AS nb FROM occ),
+        |bi AS (SELECT bigram, min(w1) AS w1, min(w2) AS w2, count(*) AS b
+        |  FROM occ GROUP BY 1 HAVING count(*) >= 5),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
+        |c2 AS (SELECT w2, count(*) AS c2 FROM occ GROUP BY 1)
+        |SELECT bigram, b AS n,
+        |  CAST(round(ln(CAST(b AS DOUBLE) * nb.nb
+        |    / (CAST(c1.c1 AS DOUBLE) * c2.c2)) * 10000) AS BIGINT) AS pmi_e4
+        |FROM bi CROSS JOIN nb
+        |  JOIN c1 USING (w1) JOIN c2 USING (w2)
+        |ORDER BY pmi_e4 DESC, bigram ASC
+        |LIMIT 25""".stripMargin,
     "t_stopwords" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1748,6 +1787,11 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "src_csv_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "src_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars

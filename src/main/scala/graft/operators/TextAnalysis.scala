@@ -230,6 +230,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** PMI-ranked collocations — the "new york"/"et al" detector next
+    * to raw frequency ([[topBigrams]] surfaces COMMON pairs; PMI
+    * surfaces ASSOCIATED pairs whose words rarely appear apart):
+    * pmi(w1,w2) = ln(c12·N / (c1·c2)) over the bigram-position
+    * distribution (c1/c2 = occurrences as first/second word, N =
+    * total bigram positions). The e4 contract of [[tfidf]]: ONE
+    * double expression with identical casts both sides, rounded to
+    * integer BEFORE ranking so the top-k order is deterministic
+    * across engines; a min-count gate (c12 ≥ `minCount`) keeps
+    * hapax pairs (PMI's known pathology) out of the ranking.
+    * Shape: one corpus explode (checkpointed), three map-side
+    * combined aggregations over it, two token-keyed joins of the
+    * BOUNDED surviving-bigram table — the corpus is scanned once and
+    * nothing wider than (token, count) shuffles. */
+  def collocations(spark: SparkSession, dir: String, k: Int = 25,
+      minCount: Int = 5): DataFrame =
+    collocationsOf(Tables.documents(spark, dir), k, minCount)
+
+  /** [[collocations]] over any (doc_id, text) table. */
+  def collocationsOf(docs: DataFrame, k: Int = 25,
+      minCount: Int = 5): DataFrame = {
+    val occ = docs
+      .select(explode(TF.wordShingles(col("text"), 2)).as("bigram"))
+      .filter(col("bigram").contains(" "))
+      .select(col("bigram"),
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+      .localCheckpoint(true)
+    val nb = occ.count()
+    val bi = occ.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("b"), min(col("w1")).as("w1"), min(col("w2")).as("w2"))
+      .filter(col("b") >= minCount)
+    val c1 = occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = occ.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    bi.join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .select(col("bigram"), col("b").as("n"),
+        round(log(col("b").cast("double") * nb
+          / (col("c1").cast("double") * col("c2"))) * 1e4)
+          .cast("long").as("pmi_e4"))
+      .orderBy(col("pmi_e4").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Corpus bigram frequencies (word 2-gram shingles), top-25. */
   def topBigrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
     Tables.documents(spark, dir)

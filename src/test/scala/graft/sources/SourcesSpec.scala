@@ -154,4 +154,25 @@ class SourcesSpec extends AnyFunSuite {
       (1L, 11L, "hello world"),
       (7L, "naïve déjà-vu".getBytes("UTF-8").length.toLong, "naïve déjà-vu")))
   }
+
+  test("text-line round-trip preserves ids and text through the delimiter") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_text_rt").toFile.getAbsolutePath
+    val docs = Seq(
+      (1L, "hello  world"),   // double space survives (no trim on write)
+      (2L, ""),               // empty text → trailing-delimiter line
+      (7L, "naïve déjà-vu"),  // multi-byte UTF-8
+      (9L, "tab\ttokens here") // tab is whitespace, not the delimiter
+    ).toDF("doc_id", "text")
+    docs.select(concat_ws("\u0001", col("doc_id"), col("text")).as("value"))
+      .write.text(s"$dir/out")
+    val parts = split(col("value"), "\u0001", 2)
+    val back = spark.read.text(s"$dir/out")
+      .select(parts.getItem(0).cast("long").as("doc_id"),
+        parts.getItem(1).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "hello  world"), (2L, ""),
+      (7L, "naïve déjà-vu"), (9L, "tab\ttokens here")))
+  }
 }
