@@ -132,6 +132,12 @@ object SparkEntry {
     "g_scc" -> ((s, d) =>
       graft.graph.StronglyConnectedDF.run(s, GraphBuilder.supplierChainEdges(s, d))
         .orderBy(col("vertex"))),
+    // Cohesion mining on the top-decile strong-tie subgraph: the
+    // 4-truss (every edge in ≥ 2 surviving triangles). Oracle unrolls
+    // the same fixed peel rounds.
+    "g_ktruss" -> ((s, d) =>
+      GraphOps.kTruss(s,
+        GraphOps.decileTies(GraphBuilder.supplierCoEdges(s, d)), k = 4)),
     // End-to-end file ingest: the reference's native input is a
     // delimited edge list — write the co-occurrence edges as TSV once
     // per SF dir, read back through EdgeListSource.readCanonical, and
@@ -502,6 +508,26 @@ object SparkEntry {
     * under-degree vertices and their edges; past the fixpoint the
     * rounds are identity. 20 rounds covers the peel depth of these
     * graphs with a wide margin (the Scala loop converges in < 5). */
+  /** k-truss unrolled to exactly `rounds` SQL peel rounds — the same
+    * fixed-round parity contract as the engine's GraphOps.kTruss
+    * (early engine stop only skips no-op rounds). */
+  private def ktrussOracleSql(k: Int = 4, rounds: Int = 12): String = {
+    val peels = (0 until rounds).map { r =>
+      s""",
+         |sy$r AS MATERIALIZED (SELECT src, dst FROM t$r
+         |  UNION ALL SELECT dst, src FROM t$r),
+         |t${r + 1} AS MATERIALIZED (SELECT ed.src, ed.dst FROM t$r ed
+         |  JOIN sy$r s1 ON s1.src = ed.src
+         |  JOIN sy$r s2 ON s2.src = ed.dst AND s2.dst = s1.dst
+         |  GROUP BY ed.src, ed.dst HAVING count(*) >= ${k - 2})""".stripMargin
+    }.mkString
+    s"""WITH $EdgeCte,
+       |thr AS (SELECT quantile_disc(w, 0.9) AS t FROM e),
+       |t0 AS MATERIALIZED (SELECT src, dst FROM e, thr WHERE w >= t)""".stripMargin +
+      peels +
+      s"\nSELECT src, dst FROM t$rounds ORDER BY src, dst"
+  }
+
   private def kcoreOracleSql(k: Int = 10, rounds: Int = 20): String = {
     val peels = (0 until rounds).map { r =>
       s""",
@@ -700,6 +726,7 @@ object SparkEntry {
     "g_lpa" -> lpaOracleSql(),
     "g_modularity_of" -> modularityOfOracleSql(4),
     "g_kcore" -> kcoreOracleSql(),
+    "g_ktruss" -> ktrussOracleSql(),
     "g_pagerank_det" -> pagerankDetOracleSql(),
     "g_ppr" -> pprOracleSql(),
     // Adamic–Adar over the strong-tie subgraph: wedge join + anti-join

@@ -113,6 +113,8 @@ final class GraftGraph private (
   def hits(iters: Int = 5): DataFrame =
     decode(GraphOps.hits(spark, directed, iters), Seq("id"))
   def kCore(k: Int): DataFrame = decode(GraphOps.kCore(spark, edges, k), Seq("vertex"))
+  def kTruss(k: Int): DataFrame =
+    decode(GraphOps.kTruss(spark, edges, k), Seq("src", "dst"))
   def pageRankWeighted(iters: Int = 10): DataFrame =
     decode(GraphOps.pageRankWeighted(spark, edges, iters), Seq("vertex"))
   def connectedComponents(): DataFrame =

@@ -464,6 +464,76 @@ object GraphOps {
       .orderBy(col("vertex"))
   }
 
+  /** k-truss: the maximal subgraph where every edge participates in
+    * ≥ k−2 triangles — the cohesion mining step up from [[kCore]]
+    * (every k-truss is inside the (k−1)-core, but truss demands the
+    * neighbors also interlink, so it isolates genuinely dense
+    * sub-communities instead of high-degree stars). Iterative edge
+    * peeling: per round, per-edge triangle support over the CURRENT
+    * surviving subgraph, drop support < k−2, repeat; cascades
+    * propagate (a dropped edge lowers its triangles' other edges).
+    *
+    * Support per round reuses the [[clusteringCoefficients]]
+    * dispatch: adjacency array-intersect while every neighbor list
+    * is small (dense/small-V), else the [[wedgeCommonCounts]] wedge
+    * join with explicitly pinned parallelism (the AQE-undersizing
+    * rule). Rounds cap at `rounds` and the oracle unrolls EXACTLY
+    * `rounds` peels, so even a non-converged state compares equal —
+    * early-stop only skips no-op rounds (the g_betweenness
+    * fixed-round contract; measured convergence: 7 rounds sf0.01,
+    * 3 rounds sf0.1 at k=4). Each round is one agg + one semi-join
+    * over a localCheckpointed shrinking edge list — the [[kCore]]
+    * per-round shape and cost. */
+  def kTruss(spark: SparkSession, edges: DataFrame, k: Int,
+      rounds: Int = 12): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var it = 0
+    var changed = true
+    while (changed && it < rounds) {
+      val kept = trussSupportRound(e)
+        .filter(col("c") >= k - 2)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      changed = kept.count() != e.count()
+      e = kept
+      it += 1
+    }
+    e.orderBy(col("src"), col("dst"))
+  }
+
+  /** One support round: per surviving canonical edge, its triangle
+    * count in the current subgraph (edges with zero support may be
+    * absent — callers filter ≥ k−2 ≥ 1 anyway). */
+  private[graft] def trussSupportRound(e: DataFrame): DataFrame = {
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    if (adjacencySafe(e, sym)) {
+      val adj = sym.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+      e.join(adj.select(col("src").as("a"), col("nbrs").as("na")), col("src") === col("a"))
+        .join(adj.select(col("src").as("b"), col("nbrs").as("nb")), col("dst") === col("b"))
+        .select(col("src"), col("dst"),
+          size(array_intersect(col("na"), col("nb"))).cast("long").as("c"))
+    } else {
+      e.join(wedgeCommonCounts(sym)
+          .select(col("a").as("src"), col("b").as("dst"), col("c")),
+        Seq("src", "dst"), "inner")
+    }
+  }
+
+  /** Top-decile-weight subgraph (weight ≥ the 0.9 quantile): the
+    * sparse strong-tie substrate for cohesion mining — the full
+    * co-occurrence graph is near-complete, where truss peeling is
+    * vacuous (min support ≈ 100 at sf0.1). Same approx_percentile
+    * rationale and integer-multiplicity stability argument as
+    * [[strongTies]] (DuckDB side: quantile_disc — both return an
+    * observed weight level, and per-level multiplicity dwarfs the
+    * GK rank-error bound). */
+  def decileTies(edges: DataFrame, q: Double = 0.9): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    val thr = e.agg(expr(s"approx_percentile(weight, ${q}d, 10000)"))
+      .first().getDouble(0)
+    e.filter(col("weight") >= thr)
+  }
+
   /** Connected components (GraphX fixpoint). */
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     val g = GraphBuilder.toGraphX(edges)

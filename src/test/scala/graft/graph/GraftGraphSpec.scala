@@ -123,6 +123,19 @@ class GraftGraphSpec extends AnyFunSuite {
     assert(err.getMessage.contains("nobody"))
   }
 
+  test("facade kTruss decodes edge labels") {
+    // 4-clique among people plus a star at hub: the truss keeps the
+    // clique edges (as original labels) and drops the star.
+    val g = Seq(("ann", "bob"), ("ann", "cat"), ("ann", "dan"),
+      ("bob", "cat"), ("bob", "dan"), ("cat", "dan"),
+      ("hub", "s1"), ("hub", "s2"), ("hub", "s3"))
+      .map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "weight")
+    val t = GraftGraph(spark, g).kTruss(4).collect()
+      .map(r => Set(r.getString(0), r.getString(1)))
+    assert(t.length == 6)
+    assert(t.forall(_.subsetOf(Set("ann", "bob", "cat", "dan"))))
+  }
+
   test("facade modularityOf scores a string-id assignment to Louvain's own Q") {
     import org.apache.spark.sql.functions.col
     val names = Seq(
