@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, L2Normalize, MinHashSig, RollingHash64, SimHash64, SortedKvIntersectStats}
+import graft.functions.{CosineSim, InnerProduct, L2Normalize, MinHashSig, RollingHash64, SimHash64, SortedKvIntersectStats}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(...) ...")` works next to the Column
@@ -33,6 +33,8 @@ object GraftExtensions {
       args => MinHashSig(args.head, extractK(args))),
     ("cosine_sim", "cosine_sim(array<float|double>, array<float|double>) - cosine similarity",
       args => CosineSim(args.head, args(1))),
+    ("inner_product", "inner_product(array<float|double>, array<float|double>) - raw dot product",
+      args => InnerProduct(args.head, args(1))),
     ("l2_normalize", "l2_normalize(array<float|double>) - unit-normalized array<double>",
       args => L2Normalize(args.head)),
     ("word_shingles",

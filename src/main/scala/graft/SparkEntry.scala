@@ -311,6 +311,7 @@ object SparkEntry {
         Similarity.cosineThresholdPairs(emb, minSimE4 = 4000L))
     }),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "e_mips" -> ((s, d) => Similarity.mipsTopK(s, d)),
     // The exact all-pairs oracle below holds only while knnGraph takes
     // the exact dispatch branch: assert the bound loudly here rather
     // than hash-mismatch opaquely on a future scale-up (the LSH branch
@@ -1575,6 +1576,25 @@ object SparkEntry {
         |        e.vec_id ASC) AS rank
         |  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
         |  JOIN embeddings e ON e.vec_id <> q.vec_id) t
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // MIPS scored as f·⟨q,x⟩ with the per-id importance factor and
+    // list_dot_product over DOUBLE[] casts — the InnerProduct
+    // expression's exact tree; ranking on the e4 integer both sides.
+    "e_mips" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |    CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    CAST(round((1.0 + (e.vec_id % 7) / 4.0)
+        |      * list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |      * 10000) AS BIGINT) AS ip_e4
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, ip_e4,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ip_e4 DESC, neighbor_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rank, ip_e4 FROM r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     // Cosine stated with the native expression's EXACT tree (double

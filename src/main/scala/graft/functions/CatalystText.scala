@@ -264,6 +264,75 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Raw inner product ⟨a,b⟩ — [[CosineSim]] without the normalization
+  * (the MIPS scoring primitive; on non-unit vectors the two RANK
+  * differently, which is the whole point of e_mips). Identical
+  * accumulation order and float→double widening as CosineSim and as
+  * DuckDB's `list_dot_product` over DOUBLE[] casts, so e4-rounded
+  * scores hash-match across engines. */
+case class InnerProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"inner_product requires array<float|double> inputs, got ${l.catalogString} / ${r.catalogString}")
+  }
+  override def nullable: Boolean = true
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"inner_product requires array<float|double>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val af = elemIsFloat(left); val bf = elemIsFloat(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val anyNull = ctx.freshName("anyNull")
+      val getX = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |  $dot += ($getX) * ($getY);
+         |}
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): InnerProduct =
+    copy(left = l, right = r)
+}
+
 /** One-deletion neighborhood of a string in one native pass:
   * "abc" → ["abc", "bc", "ac", "ab"] — the FastSS blocking key set
   * for edit-distance-1 joins (two strings within distance 1 share a
@@ -623,6 +692,8 @@ object CatalystText {
     shim.column(WordShingles(shim.expression(tokens), n))
   def cosine_sim(a: Column, b: Column): Column =
     shim.column(CosineSim(shim.expression(a), shim.expression(b)))
+  def inner_product(a: Column, b: Column): Column =
+    shim.column(InnerProduct(shim.expression(a), shim.expression(b)))
   def l2_normalize(c: Column): Column = shim.column(L2Normalize(shim.expression(c)))
   def deletion_variants(c: Column): Column =
     shim.column(DeletionVariants(shim.expression(c)))

@@ -24,6 +24,11 @@ object VectorFunctions {
     * per element, which dominates bucket-join hot paths). */
   def cosine(a: Column, b: Column): Column = CatalystText.cosine_sim(a, b)
 
+  /** Raw ⟨a,b⟩ — native [[InnerProduct]] expression (the MIPS
+    * scoring primitive; same accumulation as [[cosine]]'s dot). */
+  def innerProduct(a: Column, b: Column): Column =
+    CatalystText.inner_product(a, b)
+
   /** Banded sign-LSH keys (OR-of-ANDs): `bands` independent buckets,
     * each keyed by `rowsPerBand` random-hyperplane sign bits. Two
     * vectors are candidates when ANY band key matches — small bands

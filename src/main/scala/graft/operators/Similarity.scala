@@ -40,6 +40,46 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Maximum-inner-product top-k (MIPS) — the retrieval objective of
+    * recommendation / reward scoring, where vector MAGNITUDE carries
+    * signal (item popularity, document importance) and the nearest
+    * neighbor by angle is NOT the argmax by dot product. The test
+    * corpus is unit-normalized (MIPS would collapse to cosine), so
+    * the corpus states a deterministic per-id importance factor
+    * f = 1 + (vec_id mod 7)/4; the score is f·⟨q,x⟩ — by linearity
+    * the factor never touches the arrays, so the scan reads raw
+    * embeddings and scales the SCALAR (one multiply per pair, zero
+    * array rewrites). Same broadcast-queries/one-corpus-scan shape
+    * as [[cosineTopK]]; ranking on the e4-rounded integer score with
+    * a neighbor-id tiebreak, so the order is engine-deterministic.
+    *
+    * At scale the standard reduction (Bachrach et al. 2014) drops
+    * MIPS into every existing ANN path: augment each scaled vector
+    * with sqrt(M² − ‖f·x‖²) (M = max norm; queries pad 0) — all
+    * augmented vectors sit on the M-sphere, where cosine order =
+    * inner-product order, so sign-LSH/IVF blocking applies unchanged
+    * (MipsSpec pins the reduction recovering the exact MIPS
+    * ranking on a cosine-vs-MIPS-divergent planted set). */
+  def mipsTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb
+      .filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val factor = lit(1.0) + (col("vec_id") % 7).cast("double") / 4.0
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(factor * innerProduct(col("q_emb"), col("embedding")) * 1e4)
+          .cast("long").as("ip_e4"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip_e4").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("ip_e4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Append per-query recall@k vs the exact top-k, computed in-query
     * over the same bounded query set — retrieval quality rides the
     * driver's row/hash check instead of living only in ScalaTest. At

@@ -19,12 +19,14 @@ class ExtensionsSpec extends AnyFunSuite {
       """SELECT simhash64(array('a','b','c')) AS sh,
         |  rolling_hash64('hello world') AS rh,
         |  minhash_sig(array('x','y'), 8) AS mh,
-        |  cosine_sim(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS cs""".stripMargin)
+        |  cosine_sim(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS cs,
+        |  inner_product(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS ip""".stripMargin)
       .collect()(0)
     assert(row.getLong(0) != 0L)
     assert(row.getLong(1) != 0L)
     assert(row.getSeq[Long](2).length == 8)
     assert(math.abs(row.getDouble(3) - math.sqrt(0.5)) < 1e-12)
+    assert(row.getDouble(4) == 23.0)
   }
 
   test("sorted_kv_intersect_stats from SQL matches the Column API and hand counts") {
