@@ -240,6 +240,7 @@ object SparkEntry {
     }),
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "d_bloom_dedup" -> ((s, d) => Dedup.bloomIncremental(s, d)),
     "d_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "d_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -1565,6 +1566,16 @@ object SparkEntry {
         |  SELECT 1 FROM documents e
         |  WHERE md5(e.text) = md5(d.text) AND e.doc_id < d.doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // exact_new in closed form; ok = TRUE pins the Bloom no-false-
+    // negative implication (¬exact_new ⇒ probe-positive) — a missed
+    // dup hash-fails here, the cms_ok pattern.
+    "d_bloom_dedup" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |base AS (SELECT DISTINCT h FROM h WHERE doc_id < 250)
+        |SELECT b.doc_id, base.h IS NULL AS exact_new, TRUE AS ok
+        |FROM h b LEFT JOIN base ON base.h = b.h
+        |WHERE b.doc_id >= 250
+        |ORDER BY b.doc_id""".stripMargin,
     "e_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank,
         |  CAST(round(sim * 10000) AS BIGINT) AS sim_e4

@@ -356,6 +356,46 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter incremental dedup — the MAP-SIDE form of
+    * [[incrementalDedup]]: the persisted corpus's hash set compresses
+    * to a Bloom filter (~10 bits/doc at fpp 0.01, built with ONE
+    * aggregation — `stat.bloomFilter`'s mergeable sketch), and the
+    * new batch probes it scan-side through the native
+    * [[graft.functions.BloomMightContain]] expression instead of
+    * shuffling into a hash anti-join. The guarantee is one-sided:
+    * probe=false ⇒ DEFINITELY new (zero false negatives — no dup
+    * ever slips through as "new"); probe=true ⇒ re-check exactly.
+    * That asymmetry is the production shape: the filter eliminates
+    * the (vast) definitely-new majority for free, and only the
+    * might-contain residue pays the exact path. Emitted per batch
+    * doc: (doc_id, exact_new, ok) where ok pins the no-FN implication
+    * ¬exact_new ⇒ probe=true — the oracle states TRUE AS ok, so any
+    * false negative hash-fails the driver compare (the cms_ok /
+    * recall-audit pattern).
+    *
+    * Scale: the filter is O(corpus) bits — broadcast-able to ~1e9
+    * docs (~1.2 GB at fpp 0.01); past that, shard filters by hash
+    * prefix and probe the matching shard (same expression, one
+    * filter per shard key). The exact audit join here is the
+    * TEST-side verdict, not the scale path. */
+  def bloomIncremental(spark: SparkSession, dir: String,
+      splitId: Long = 250L, fpp: Double = 0.01): DataFrame = {
+    val byHash = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .localCheckpoint(true)
+    val base = byHash.filter(col("doc_id") < splitId)
+      .select(col("h")).distinct().localCheckpoint(true)
+    val bloom = base.stat.bloomFilter("h", math.max(base.count(), 1L), fpp)
+    val probe = graft.functions.BloomMightContain(col("h"), bloom)
+    byHash.filter(col("doc_id") >= splitId)
+      .withColumn("might", probe)
+      .join(base.select(col("h"), lit(false).as("en")), Seq("h"), "left")
+      .select(col("doc_id"),
+        coalesce(col("en"), lit(true)).as("exact_new"),
+        (coalesce(col("en"), lit(true)) || col("might")).as("ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard (e4-scaled) computed only on LSH candidate
     * pairs — the verify stage after MinHash candidate generation. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
