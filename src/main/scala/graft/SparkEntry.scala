@@ -138,6 +138,8 @@ object SparkEntry {
     "g_ktruss" -> ((s, d) =>
       GraphOps.kTruss(s,
         GraphOps.decileTies(GraphBuilder.supplierCoEdges(s, d)), k = 4)),
+    "g_walks" -> ((s, d) =>
+      GraphOps.randomWalks(s, GraphBuilder.supplierCoEdges(s, d))),
     // End-to-end file ingest: the reference's native input is a
     // delimited edge list — write the co-occurrence edges as TSV once
     // per SF dir, read back through EdgeListSource.readCanonical, and
@@ -530,6 +532,31 @@ object SparkEntry {
       s"\nSELECT src, dst FROM t$rounds ORDER BY src, dst"
   }
 
+  /** Deterministic walks unrolled to `steps` SQL hops — the same
+    * md5-hex-derived neighbor choice as GraphOps.randomWalks, so
+    * every hop replays exactly. */
+  private def walksOracleSql(steps: Int = 4): String = {
+    val hops = (1 to steps).map { t =>
+      s""",
+         |w$t AS MATERIALIZED (SELECT w.walk_id, a.dst AS vertex
+         |  FROM w${t - 1} w JOIN adj a ON a.src = w.vertex
+         |  AND a.r = CAST(('0x' || substr(md5(CAST(w.walk_id AS VARCHAR)
+         |    || ':$t'), 1, 15)) AS BIGINT) % a.deg)""".stripMargin
+    }.mkString
+    val unions = (0 to steps)
+      .map(t => s"SELECT walk_id, $t AS step, vertex FROM w$t")
+      .mkString("\n", "\nUNION ALL ", "")
+    s"""WITH $EdgeCte,
+       |adj AS MATERIALIZED (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM sym),
+       |w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS vertex
+       |  FROM sym)""".stripMargin +
+      hops +
+      s"\nSELECT walk_id, step, vertex FROM ($unions) u ORDER BY walk_id, step"
+  }
+
   private def kcoreOracleSql(k: Int = 10, rounds: Int = 20): String = {
     val peels = (0 until rounds).map { r =>
       s""",
@@ -729,6 +756,7 @@ object SparkEntry {
     "g_modularity_of" -> modularityOfOracleSql(4),
     "g_kcore" -> kcoreOracleSql(),
     "g_ktruss" -> ktrussOracleSql(),
+    "g_walks" -> walksOracleSql(),
     "g_pagerank_det" -> pagerankDetOracleSql(),
     "g_ppr" -> pprOracleSql(),
     // Adamic–Adar over the strong-tie subgraph: wedge join + anti-join

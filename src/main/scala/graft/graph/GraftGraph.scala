@@ -115,6 +115,8 @@ final class GraftGraph private (
   def kCore(k: Int): DataFrame = decode(GraphOps.kCore(spark, edges, k), Seq("vertex"))
   def kTruss(k: Int): DataFrame =
     decode(GraphOps.kTruss(spark, edges, k), Seq("src", "dst"))
+  def randomWalks(steps: Int = 4): DataFrame =
+    decode(GraphOps.randomWalks(spark, edges, steps), Seq("walk_id", "vertex"))
   def pageRankWeighted(iters: Int = 10): DataFrame =
     decode(GraphOps.pageRankWeighted(spark, edges, iters), Seq("vertex"))
   def connectedComponents(): DataFrame =

@@ -534,6 +534,51 @@ object GraphOps {
     e.filter(col("weight") >= thr)
   }
 
+  /** Deterministic random walks — the DeepWalk/node2vec corpus
+    * generator (one walk per start vertex, fixed length; the output
+    * rows ARE the "sentences" a skip-gram embedding trains on). The
+    * next hop from v at step t is neighbor rank H(walk_id, t) mod
+    * deg(v) over the dst-sorted adjacency — H is a cross-engine
+    * content hash (md5 hex → 60-bit integer), so the walks are
+    * bit-identical under any partitioning AND replayable by the
+    * DuckDB oracle: pseudo-randomness with a closed form, the
+    * p_stratified contract applied to graph sampling.
+    *
+    * Shape at scale: the ranked adjacency is ONE window shuffle,
+    * then each step is an equi-join of the narrow (walk_id, vertex)
+    * frontier against it — walk state is O(#walks) rows regardless
+    * of graph size, no adjacency arrays, no per-vertex collect.
+    * Steps unroll a fixed count (`steps` joins), the
+    * fixed-round-oracle contract. */
+  def randomWalks(spark: SparkSession, edges: DataFrame,
+      steps: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = sym
+      .withColumn("r",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .select(col("src").as("a_src"), col("dst").as("a_dst"),
+        col("r").as("a_r"), col("deg").as("a_deg"))
+      .localCheckpoint(true)
+    var cur = adj.select(col("a_src").as("walk_id")).distinct()
+      .select(col("walk_id"), col("walk_id").as("vertex"))
+    val perStep = scala.collection.mutable.ArrayBuffer[DataFrame](
+      cur.select(col("walk_id"), lit(0).as("step"), col("vertex")))
+    for (t <- 1 to steps) {
+      val h = conv(substring(
+        md5(concat(col("walk_id").cast("string"), lit(s":$t"))), 1, 15), 16, 10)
+        .cast("long")
+      cur = cur
+        .join(adj, col("vertex") === col("a_src")
+          && col("a_r") === pmod(h, col("a_deg")))
+        .select(col("walk_id"), col("a_dst").as("vertex"))
+      perStep += cur.select(col("walk_id"), lit(t).as("step"), col("vertex"))
+    }
+    perStep.reduce(_ unionAll _).orderBy(col("walk_id"), col("step"))
+  }
+
   /** Connected components (GraphX fixpoint). */
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     val g = GraphBuilder.toGraphX(edges)
