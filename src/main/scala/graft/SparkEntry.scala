@@ -201,6 +201,8 @@ object SparkEntry {
       graft.streaming.StreamingOps.streamStreamFullOuterJoin(s, d)),
     "s_stream_hopping" -> ((s, d) =>
       graft.streaming.StreamingOps.streamHoppingAgg(s, d)),
+    "s_stream_cdc" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamCdcSnapshot(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "q_interpolate" -> ((s, d) => Relational.qInterpolate(s, d)),
     "q_session_window" -> ((s, d) => Relational.qSessionWindow(s, d)),
@@ -2181,6 +2183,18 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value
         |FROM w GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+    // CDC snapshot: latest event per user under the UNIQUE
+    // (ts, event_id) ranking — the micro-batched merge is associative,
+    // so the streamed snapshot equals this batch closed form exactly.
+    "s_stream_cdc" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_type, round(value, 2) AS last_value
+        |FROM r WHERE rk = 1
+        |ORDER BY user_id""".stripMargin,
     // Append-mode session windows: the emitted set is the sessions
     // whose end (last event + 30 min) has passed the 1 h watermark.
     // The watermark VALUE is millisecond (wm_ms = max event ms − 1 h)

@@ -559,6 +559,80 @@ object StreamingOps {
   private[graft] def landBatch(sink: String)(df: DataFrame, id: Long): Unit =
     df.write.mode("overwrite").parquet(s"$sink/batch=$id")
 
+  /** Per-micro-batch CDC merge: the new snapshot version is
+    * latest-row-per-key over (previous snapshot ∪ batch), ranked by
+    * the UNIQUE (ts, event_id) order — out-of-order/late events can
+    * never clobber a newer snapshot row (spec-pinned), and the merge
+    * is associative, so the final snapshot is independent of how the
+    * stream was micro-batched. Versioned `v<id>` output makes batch
+    * replay idempotent: re-running batch id rewrites v<id> from
+    * v<id−1> byte-identically (the [[landBatch]] contract, applied
+    * to MERGE state). This is `q_merge_upsert`'s relational
+    * expansion run continuously; a keyed table format would replace
+    * the full-snapshot rewrite with a row-level MERGE, same
+    * semantics. */
+  private[graft] def mergeCdc(sink: String)(df: DataFrame, id: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val cols = Seq("user_id", "event_id", "ts", "event_type", "value")
+      .map(col)
+    val batch = df.select(cols: _*)
+    val prev = new java.io.File(s"$sink/v${id - 1}")
+    val merged =
+      if (prev.exists()) spark.read.parquet(prev.getPath).unionByName(batch)
+      else batch
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    merged.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .write.mode("overwrite").parquet(s"$sink/v$id")
+  }
+
+  /** Streaming CDC snapshot materialization: treat each event as an
+    * upsert of its user key and maintain a latest-row-per-key
+    * snapshot across micro-batches via [[mergeCdc]] — the
+    * change-data-capture consumer every warehouse ingest runs. The
+    * source is the events table re-sharded to 4 files once per SF
+    * dir so `maxFilesPerTrigger=1` drives a genuinely multi-batch
+    * stream; the final snapshot equals the batch latest-row-per-key
+    * (the oracle), BECAUSE the merge is associative — not because
+    * the batching was lucky. */
+  def streamCdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val key = java.lang.Long.toHexString(src.length() ^ src.lastModified())
+    val stem = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val srcDir = s"/tmp/graft_cdcsrc_${stem}_$key"
+    if (!new java.io.File(s"$srcDir/_SUCCESS").exists()) {
+      graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(srcDir)
+    }
+    val sink = s"/tmp/graft_cdcsink_${stem}_$key"
+    // Reset the sink: versions are per-RUN state (batch ids restart
+    // at 0 every run), so a stale higher version from a previous,
+    // differently-batched run must not win the final `last` pick.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (new java.io.File(sink).exists()) rm(new java.io.File(sink))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream.foreachBatch(mergeCdc(sink) _).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val last = new java.io.File(sink).listFiles()
+      .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong).max
+    spark.read.parquet(s"$sink/v$last")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** `foreachBatch` parquet sink — the production pattern for landing
     * a stream in a batch table with per-batch idempotence (see
     * [[landBatch]]). The check re-reads the sink directory and

@@ -361,4 +361,54 @@ class StreamingSpec extends AnyFunSuite {
       new Directory(new java.io.File(sink)).deleteRecursively()
     }
   }
+
+  test("CDC merge: out-of-order events never clobber, replay is idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_cdc_spec").toString
+    def batch(rows: (Long, Long, Long, String, Double)*) =
+      rows.toDF("user_id", "event_id", "ts_us", "event_type", "value")
+        .select(col("user_id"), col("event_id"),
+          expr("timestamp_micros(ts_us)").as("ts"),
+          col("event_type"), col("value"))
+    def snapshot(v: Long) = spark.read.parquet(s"$sink/v$v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    try {
+      // batch 0: user 1 at t=100, user 2 at t=200
+      StreamingOps.mergeCdc(sink)(batch(
+        (1L, 10L, 100L, "view", 1.0), (2L, 20L, 200L, "view", 2.0)), 0L)
+      assert(snapshot(0L) == Map(1L -> 10L, 2L -> 20L))
+      // batch 1: newer event for user 1, plus a LATE event for user 2
+      // (older ts) — the late row must NOT clobber the snapshot.
+      StreamingOps.mergeCdc(sink)(batch(
+        (1L, 30L, 300L, "purchase", 3.0), (2L, 5L, 50L, "view", 9.0)), 1L)
+      assert(snapshot(1L) == Map(1L -> 30L, 2L -> 20L))
+      // replay batch 1 (the restart case): v1 is rewritten identically
+      StreamingOps.mergeCdc(sink)(batch(
+        (1L, 30L, 300L, "purchase", 3.0), (2L, 5L, 50L, "view", 9.0)), 1L)
+      assert(snapshot(1L) == Map(1L -> 30L, 2L -> 20L))
+      // same-ts tie breaks by event_id (the unique composite order)
+      StreamingOps.mergeCdc(sink)(batch((1L, 29L, 300L, "view", 4.0)), 2L)
+      assert(snapshot(2L) == Map(1L -> 30L, 2L -> 20L))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(sink)).deleteRecursively()
+    }
+  }
+
+  test("streamed CDC snapshot equals the batch latest-row-per-key") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingOps.streamCdcSnapshot(spark, sf).collect()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batch = graft.Tables.events(spark, sf)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id")).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
 }
