@@ -188,6 +188,8 @@ object SparkEntry {
     "q_interval_join" -> ((s, d) => Relational.qIntervalJoin(s, d)),
     "q_date_spine" -> ((s, d) => Relational.qDateSpine(s, d)),
     "q_json_props" -> ((s, d) => Relational.qJsonProps(s, d)),
+    "q_variant_extract" -> ((s, d) => Relational.qVariantExtract(s, d)),
+    "q_gap_islands" -> ((s, d) => Relational.qGapIslands(s, d)),
     "q_argmax" -> ((s, d) => Relational.qArgmax(s, d)),
     "q_stats" -> ((s, d) => Relational.qStats(s, d)),
     "e_pq_adc" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
@@ -816,6 +818,30 @@ object SparkEntry {
         |FROM (SELECT event_type,
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The VARIANT path states the same closed form — the fixed-schema
+    // and schema-free extractions are mutually checking.
+    "q_variant_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_gap_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |    date_diff('day', DATE '1970-01-01', day)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |islands AS (SELECT user_id, grp, count(*) AS len,
+        |    max(day) AS island_end
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(max_by(len, island_end) AS BIGINT) AS latest_streak
+        |FROM islands GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q_rows_window" ->
       """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

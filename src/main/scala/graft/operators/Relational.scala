@@ -622,6 +622,50 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Schema-FREE semi-structured extraction through Spark 4's
+    * VARIANT type: `parse_json` decodes props into the binary
+    * variant encoding once at the scan, `variant_get` path-extracts
+    * with a type cast — no StructType declared anywhere, the
+    * schema-on-read path for props whose shape drifts (vs
+    * [[qJsonProps]]' fixed-schema `from_json`, which is the faster
+    * plan when the shape IS known). Same aggregate as q_json_props,
+    * so the two paths are mutually checking; JSON text still never
+    * shuffles (parse + extract are scan-side projections). */
+  def qVariantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Gaps-and-islands: per-user runs of CONSECUTIVE active days (the
+    * retention/streak query): group key = day − row_number over the
+    * per-user day sequence (constant within a consecutive run — the
+    * classic integer-date trick, exact arithmetic end to end). One
+    * distinct + two windows/aggregations, all shuffling on user_id;
+    * emitted per user: active days, island count, longest and
+    * latest streak lengths. */
+  def qGapIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val grouped = days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          - row_number().over(w))
+    val islands = grouped.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), max(col("day")).as("island_end"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest_streak"),
+        max_by(col("len"), col("island_end")).as("latest_streak"))
+      .orderBy(col("user_id"))
+  }
+
   /** Sliding ROWS window: trailing-3-order spend per customer, in
     * exact cents (BIGINT) so the frame accumulation is order-immune
     * across engines. Complements q_range_window (RANGE frame) and
