@@ -190,6 +190,8 @@ object SparkEntry {
     "q_json_props" -> ((s, d) => Relational.qJsonProps(s, d)),
     "q_variant_extract" -> ((s, d) => Relational.qVariantExtract(s, d)),
     "q_gap_islands" -> ((s, d) => Relational.qGapIslands(s, d)),
+    "q_time_weighted" -> ((s, d) => Relational.qTimeWeighted(s, d)),
+    "p_split" -> ((s, d) => Pipeline.trainValTestSplit(s, d)),
     "q_argmax" -> ((s, d) => Relational.qArgmax(s, d)),
     "q_stats" -> ((s, d) => Relational.qStats(s, d)),
     "e_pq_adc" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
@@ -826,6 +828,33 @@ object SparkEntry {
         |FROM (SELECT event_type,
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_time_weighted" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS v2 FROM events),
+        |l AS (SELECT user_id, ts_us, v2,
+        |    lead(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS next_us
+        |  FROM e),
+        |a AS (SELECT user_id, count(*) AS n_events,
+        |    min(ts_us) AS t0, max(ts_us) AS t1,
+        |    CAST(sum(CASE WHEN next_us IS NOT NULL
+        |      THEN v2 * (next_us - ts_us) END) AS BIGINT) AS wsum
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, n_events, t1 - t0 AS span_us,
+        |  wsum // (t1 - t0) AS twa_e2
+        |FROM a WHERE t1 > t0
+        |ORDER BY user_id""".stripMargin,
+    "p_split" ->
+      """SELECT source,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 8)
+        |      < 'f5c28f5c' THEN 'train'
+        |    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 8)
+        |      < 'fae147ae' THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY source, split""".stripMargin,
     "q_gap_islands" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

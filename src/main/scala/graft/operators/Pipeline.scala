@@ -433,6 +433,32 @@ object Pipeline {
     * content hash gives the same sample on any cluster layout, makes
     * the query oracle-checkable, and still evaluates at the scan:
     * one pass, no shuffle, composes with pushdown. */
+  /** Deterministic train/val/test split — the assignment every
+    * training run needs frozen BEFORE any sampling/packing: each doc
+    * lands in exactly one split by its content-hash residue (md5 of
+    * doc_id + salt, first 8 hex chars as a uniform draw), so the
+    * split is layout-stable (repartition/rerun/engine-independent),
+    * leak-free by construction (a doc can never be in two splits),
+    * and replayable in closed form by the oracle — the
+    * [[stratifiedSample]] contract extended from keep/drop to an
+    * N-way partition. Thresholds at 96%/2%/2% of the 32-bit hex
+    * space. Emitted as per-(source, split) counts — the sanity
+    * dashboard checked before training starts; the per-doc
+    * assignment is the same expression un-aggregated. */
+  def trainValTestSplit(spark: SparkSession, dir: String,
+      seed: Long = 42L): DataFrame = {
+    val h = substring(md5(concat(col("doc_id").cast("string"),
+      lit(s":split:$seed"))), 1, 8)
+    val split = when(h < lit("f5c28f5c"), "train")
+      .when(h < lit("fae147ae"), "val")
+      .otherwise("test")
+    Tables.documents(spark, dir)
+      .select(col("source"), split.as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+  }
+
   def stratifiedSample(spark: SparkSession, dir: String,
       fractions: Map[String, Double] = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.1),
       seed: Long = 42L): DataFrame = {

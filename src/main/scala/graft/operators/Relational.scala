@@ -666,6 +666,34 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Time-weighted average over irregular samples (the metering /
+    * billing integral — a plain avg over-weights burst periods):
+    * each observation holds its value until the next one, so
+    * TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first) per user. Exact
+    * integer arithmetic end to end: µs timestamps, cent values, one
+    * BIGINT floor division at the end (positive operands — Spark
+    * `div` ≡ DuckDB `//` there); the (ts_us, event_id) window order
+    * is unique. Users with a single event (zero span) are excluded
+    * — the integral is undefined, not zero. */
+  def qTimeWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("v2"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"),
+        sum(when(col("next_us").isNotNull,
+          col("v2") * (col("next_us") - col("ts_us")))).as("wsum"))
+      .filter(col("t1") > col("t0"))
+      .select(col("user_id"), col("n_events"),
+        (col("t1") - col("t0")).as("span_us"),
+        expr("wsum div (t1 - t0)").as("twa_e2"))
+      .orderBy(col("user_id"))
+  }
+
   /** Sliding ROWS window: trailing-3-order spend per customer, in
     * exact cents (BIGINT) so the frame accumulation is order-immune
     * across engines. Complements q_range_window (RANGE frame) and
