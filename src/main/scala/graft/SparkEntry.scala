@@ -121,6 +121,9 @@ object SparkEntry {
     "g_sssp" -> ((s, d) =>
       GraphOps.shortestPaths(s, GraphBuilder.supplierCoEdges(s, d))
         .orderBy(col("vertex"), col("landmark"))),
+    "g_sssp_w" -> ((s, d) =>
+      GraphOps.weightedShortestPaths(s, GraphBuilder.supplierCoEdges(s, d))
+        .orderBy(col("vertex"), col("landmark"))),
     "g_kcore" -> ((s, d) =>
       GraphOps.kCore(s, GraphBuilder.supplierCoEdges(s, d), k = 10)),
     "g_closeness" -> ((s, d) =>
@@ -321,6 +324,7 @@ object SparkEntry {
     }),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "e_mips" -> ((s, d) => Similarity.mipsTopK(s, d)),
+    "e_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     // The exact all-pairs oracle below holds only while knnGraph takes
     // the exact dispatch branch: assert the bound loudly here rather
     // than hash-mismatch opaquely on a future scale-up (the LSH branch
@@ -578,6 +582,30 @@ object SparkEntry {
       s"""
          |SELECT DISTINCT v AS vertex FROM (SELECT src AS v FROM e$rounds
          |  UNION ALL SELECT dst FROM e$rounds) t ORDER BY vertex""".stripMargin
+  }
+
+  /** Bellman-Ford unrolled to `rounds` relax-and-min SQL rounds —
+    * identical integer arithmetic to GraphOps.weightedShortestPaths
+    * (BIGINT distance sums, order-free min), so the match is exact. */
+  private def ssspWOracleSql(nLandmarks: Int = 3, rounds: Int = 6): String = {
+    val steps = (0 until rounds).map { r =>
+      s""",
+         |d${r + 1} AS MATERIALIZED (SELECT lm, vertex, min(d) AS d FROM (
+         |  SELECT lm, vertex, d FROM d$r
+         |  UNION ALL
+         |  SELECT r.lm, s.dst AS vertex, r.d + s.w AS d
+         |  FROM d$r r JOIN sym s ON s.src = r.vertex) t
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString
+    s"""WITH $EdgeCte,
+       |verts AS (SELECT DISTINCT src AS v FROM sym),
+       |lms AS (SELECT v FROM verts ORDER BY v LIMIT $nLandmarks),
+       |d0 AS MATERIALIZED (SELECT v AS lm, v AS vertex,
+       |  CAST(0 AS BIGINT) AS d FROM lms)""".stripMargin +
+      steps +
+      s"""
+         |SELECT vertex, CAST(lm AS BIGINT) AS landmark, d AS wdist
+         |FROM d$rounds ORDER BY vertex, landmark""".stripMargin
   }
 
   /** Integer PageRank unrolled to `iters` SQL iterations — identical
@@ -1010,6 +1038,7 @@ object SparkEntry {
         |SELECT v AS vertex, CAST(lm AS BIGINT) AS landmark,
         |  CAST(min(d) AS BIGINT) AS hops
         |FROM bfs GROUP BY 1, 2 ORDER BY vertex, landmark""".stripMargin,
+    "g_sssp_w" -> ssspWOracleSql(),
     // Landmark closeness: the g_sssp BFS CTE aggregated per vertex.
     // harmonic_e4 floors 1e4/hops PER TERM (DuckDB `//` = Spark
     // `div`) before summing — integers both sides, reduction-order
@@ -1693,6 +1722,24 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank, ip_e4 FROM r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // Range search filters on the e4-rounded integer, so the τ
+    // boundary is engine-exact; cosine stated as the native
+    // expression's tree (list_dot_product over DOUBLE[] casts).
+    "e_range_search" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |    CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    CAST(round(
+        |      list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |      / (sqrt(list_dot_product(q.qe, q.qe))
+        |         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                 CAST(e.embedding AS DOUBLE[]))))
+        |      * 10000) AS BIGINT) AS sim_e4
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, sim_e4 FROM s
+        |WHERE sim_e4 >= 3000
+        |ORDER BY query_id, sim_e4 DESC, neighbor_id""".stripMargin,
     // Cosine stated with the native expression's EXACT tree (double
     // accumulation, dot / (sqrt(na)·sqrt(nb))): DuckDB's builtin
     // list_cosine_similarity differs in the last ulp, which flipped

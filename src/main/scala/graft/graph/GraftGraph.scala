@@ -90,6 +90,14 @@ final class GraftGraph private (
   def shortestPaths(landmarks: Seq[Any] = Seq.empty): DataFrame =
     decode(GraphOps.shortestPaths(spark, edges,
       encodeLandmarks(landmarks, "shortestPaths")), Seq("vertex", "landmark"))
+  /** Weighted (min edge-weight sum) landmark distances; empty
+    * landmarks default to the 3 smallest internal ids, like
+    * [[shortestPaths]]. */
+  def weightedShortestPaths(landmarks: Seq[Any] = Seq.empty,
+      rounds: Int = 6): DataFrame =
+    decode(GraphOps.weightedShortestPaths(spark, edges,
+      encodeLandmarks(landmarks, "weightedShortestPaths"), rounds),
+      Seq("vertex", "landmark"))
   /** Seeded (personalized) PageRank; empty seeds default to the 3
     * smallest internal ids, like [[shortestPaths]]. */
   def personalizedPageRank(landmarks: Seq[Any] = Seq.empty,

@@ -402,6 +402,54 @@ object GraphOps {
     spark.createDataFrame(res).toDF("vertex", "landmark", "hops")
   }
 
+  /** WEIGHTED single-source shortest paths from the deterministic
+    * landmark set — [[shortestPaths]] counts hops; this minimizes the
+    * SUM OF EDGE WEIGHTS along the path (travel time / transfer cost),
+    * where on a weighted graph the cheapest route is routinely the
+    * longer-hop one. Bellman-Ford as `rounds` relax-and-min rounds:
+    *
+    *   dist_{r+1}(lm, v) = min(dist_r(lm, v),
+    *                           min over edges (u,v): dist_r(lm, u) + w)
+    *
+    * Each round is ONE equi-join of the (lm, vertex, d) state against
+    * the checkpointed symmetric edge table plus one min-aggregation —
+    * min over BIGINTs is reduction-order-free, so the state is
+    * bit-identical under any partitioning and the unrolled integer
+    * SQL oracle matches exactly (the [[pageRankInteger]] contract).
+    * Rounds are FIXED (not converge-tested) so the oracle unrolls the
+    * same computation; on these co-occurrence graphs 6 rounds is past
+    * the fixpoint (spec-asserted: rounds=6 ≡ rounds=7). State is
+    * O(|landmarks|·V) narrow rows; per-round shuffle is the relax
+    * join's |landmarks|·E rows of (lm, vertex, d) — no adjacency
+    * arrays, no driver collect. Only vertices reached within `rounds`
+    * hops emit, mirroring the BFS-CTE shape. */
+  def weightedShortestPaths(spark: SparkSession, edges: DataFrame,
+      landmarks: Seq[Long] = Seq.empty, rounds: Int = 6): DataFrame = {
+    import spark.implicits._
+    val sym = edges
+      .select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight").cast("long").as("w")))
+      .localCheckpoint(true)
+    val lms =
+      if (landmarks.nonEmpty) landmarks.toDF("v")
+      else sym.select(col("src").as("v")).distinct().orderBy(col("v")).limit(3)
+    var dist = lms
+      .select(col("v").as("lm"), col("v").as("vertex"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relax = dist
+        .join(sym.select(col("src").as("vertex"), col("dst"), col("w")),
+          Seq("vertex"))
+        .select(col("lm"), col("dst").as("vertex"), (col("d") + col("w")).as("d"))
+      dist = dist.unionAll(relax)
+        .groupBy(col("lm"), col("vertex")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("vertex"), col("lm").cast("long").as("landmark"),
+      col("d").as("wdist"))
+  }
+
   /** Landmark closeness / harmonic centrality — the standard
     * sampled approximation of exact closeness (which needs all-pairs
     * BFS, infeasible past toy graphs): per vertex, aggregate hop

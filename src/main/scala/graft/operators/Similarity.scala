@@ -40,6 +40,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cosine RANGE search — every neighbor with sim ≥ τ per query,
+    * the dual of [[cosineTopK]]: top-k answers "the k best whatever
+    * their quality", range search answers "everything above a quality
+    * floor however many" (the retrieval shape of dedup sweeps,
+    * recommendation floors, and RAG relevance cutoffs, where a query
+    * may legitimately have 0 or 500 matches). Same plan as the top-k:
+    * the bounded query set broadcasts against ONE corpus scan — no
+    * corpus shuffle, no window (the threshold replaces ranking, so
+    * this is cheaper than top-k at any scale). The predicate filters
+    * on the e4-ROUNDED integer, making the boundary engine-exact;
+    * deterministic (sim desc, neighbor) output order. τ = 0.3 on the
+    * near-random test corpus (~0.5 max off-diagonal sim); at scale
+    * the same sign-LSH banding that serves [[annTopK]] restricts the
+    * scan to candidate buckets — range search composes with every
+    * blocking scheme top-k does. */
+  def rangeSearch(spark: SparkSession, dir: String, tauE4: Long = 3000): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb
+      .filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("embedding")) * 1e4)
+          .cast("long").as("sim_e4"))
+      .filter(col("sim_e4") >= tauE4)
+      .orderBy(col("query_id"), col("sim_e4").desc, col("neighbor_id"))
+  }
+
   /** Maximum-inner-product top-k (MIPS) — the retrieval objective of
     * recommendation / reward scoring, where vector MAGNITUDE carries
     * signal (item popularity, document importance) and the nearest

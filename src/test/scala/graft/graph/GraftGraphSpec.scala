@@ -176,6 +176,13 @@ class GraftGraphSpec extends AnyFunSuite {
     // mass concentrates at the seed; every vertex decodes to a label
     assert(ppr.keySet == Set("alice", "bob", "carol", "dave"))
     assert(ppr("alice") == ppr.values.max, ppr.toString)
+    // weighted distances share the translation: alice→carol is 2 by
+    // weight sum (1+1), not 1 hop — and labels decode on both columns.
+    val wd = g.weightedShortestPaths(Seq("alice")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val wdist = wd.map { case (v, l, d) => assert(l == "alice"); v -> d }.toMap
+    assert(wdist == Map("alice" -> 0L, "bob" -> 1L, "carol" -> 2L, "dave" -> 3L),
+      wd.toString)
   }
 
   test("string-id edge list file reads and analyzes end-to-end") {

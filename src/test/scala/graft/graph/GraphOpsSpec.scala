@@ -377,6 +377,40 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(n2 == 2L)
   }
 
+  test("weighted SSSP: cheap two-hop path beats the heavy direct edge") {
+    // 1—3 direct costs 5; 1—2—3 costs 1+1=2. Unweighted BFS would
+    // answer 1 hop; the weighted distance must be 2. All three
+    // vertices are landmarks (3 smallest of 3).
+    val g = edgesDf((1L, 3L, 5.0), (1L, 2L, 1.0), (2L, 3L, 1.0))
+    val d = GraphOps.weightedShortestPaths(spark, g)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(d == Map(
+      (1L, 1L) -> 0L, (2L, 1L) -> 1L, (3L, 1L) -> 2L,
+      (1L, 2L) -> 1L, (2L, 2L) -> 0L, (3L, 2L) -> 1L,
+      (1L, 3L) -> 2L, (2L, 3L) -> 1L, (3L, 3L) -> 0L), d.toString)
+  }
+
+  test("weighted SSSP: vertices outside the landmark component are absent") {
+    val g = edgesDf((1L, 2L, 1.0), (2L, 3L, 2.0), (10L, 11L, 1.0))
+    val rows = GraphOps.weightedShortestPaths(spark, g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Landmarks = 3 smallest vertices = 1, 2, 3; the 10—11 component
+    // never meets a landmark frontier, so it emits nothing.
+    assert(rows.forall { case (v, lm, _) => v <= 3L && lm <= 3L })
+    assert(rows.size == 9)
+  }
+
+  test("weighted SSSP is past its fixpoint at the default 6 rounds") {
+    // A 6-vertex weighted ring plus a heavy chord: longest useful
+    // relaxation chain < 6, so rounds 6 and 7 must agree exactly —
+    // the convergence premise the fixed-round oracle rests on.
+    val g = edgesDf((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (4L, 5L, 1.0), (5L, 6L, 1.0), (1L, 6L, 1.0), (1L, 4L, 9.0))
+    def run(r: Int) = GraphOps.weightedShortestPaths(spark, g, rounds = r)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(run(6) == run(7))
+  }
+
   test("canonicalEdges dedupes direction and sums weights") {
     val raw = Seq((2L, 1L, 1.0), (1L, 2L, 2.0), (3L, 3L, 9.0), (1L, 3L, 1.0))
       .toDF("a", "b", "w")
