@@ -135,6 +135,8 @@ object SparkEntry {
     "g_scc" -> ((s, d) =>
       graft.graph.StronglyConnectedDF.run(s, GraphBuilder.supplierChainEdges(s, d))
         .orderBy(col("vertex"))),
+    "g_triads" -> ((s, d) =>
+      GraphOps.triadCensus(s, GraphBuilder.supplierChainEdges(s, d))),
     // Cohesion mining on the top-decile strong-tie subgraph: the
     // 4-truss (every edge in ≥ 2 surviving triangles). Oracle unrolls
     // the same fixed peel rounds.
@@ -193,6 +195,7 @@ object SparkEntry {
     "q_json_props" -> ((s, d) => Relational.qJsonProps(s, d)),
     "q_variant_extract" -> ((s, d) => Relational.qVariantExtract(s, d)),
     "q_gap_islands" -> ((s, d) => Relational.qGapIslands(s, d)),
+    "q_retention_cohort" -> ((s, d) => Relational.qRetentionCohort(s, d)),
     "q_time_weighted" -> ((s, d) => Relational.qTimeWeighted(s, d)),
     "p_split" -> ((s, d) => Pipeline.trainValTestSplit(s, d)),
     "q_argmax" -> ((s, d) => Relational.qArgmax(s, d)),
@@ -883,6 +886,14 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY source, split""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH m AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS c0 FROM m GROUP BY 1)
+        |SELECT c0 AS cohort_day, CAST(day - c0 AS BIGINT) AS offset_d,
+        |  count(*) AS n_users
+        |FROM m JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, offset_d""".stripMargin,
     "q_gap_islands" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -986,6 +997,27 @@ object SparkEntry {
         |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
         |  GROUP BY r1.a)
         |SELECT vertex, scc_id FROM scc ORDER BY vertex""".stripMargin,
+    // Triad census: wedge join closed against the distinct edge set;
+    // cycles canonicalized to their smallest-vertex rotation so each
+    // cyclic triangle counts once. Same chain-edge CTE as g_scc.
+    "g_triads" ->
+      """WITH os AS (SELECT l_orderkey, l_suppkey,
+        |    CAST(sum(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |ch AS (SELECT l_suppkey AS src, lead(l_suppkey) OVER
+        |    (PARTITION BY l_orderkey ORDER BY q, l_suppkey) AS dst FROM os),
+        |e AS (SELECT DISTINCT src, dst FROM ch
+        |  WHERE dst IS NOT NULL AND src <> dst),
+        |w AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        |  FROM e ab JOIN e bc ON bc.src = ab.dst
+        |  WHERE ab.src <> bc.dst),
+        |ff AS (SELECT count(*) AS n FROM w
+        |  JOIN e ac ON ac.src = w.a AND ac.dst = w.c),
+        |cyc AS (SELECT count(*) AS n FROM w
+        |  JOIN e ca ON ca.src = w.c AND ca.dst = w.a
+        |  WHERE w.a < w.b AND w.a < w.c)
+        |SELECT CAST(ff.n AS BIGINT) AS n_ffl, CAST(cyc.n AS BIGINT) AS n_cycle
+        |FROM ff, cyc""".stripMargin,
     "g_cc" ->
       """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst

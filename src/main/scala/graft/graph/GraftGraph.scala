@@ -120,6 +120,9 @@ final class GraftGraph private (
     * Ids decode back to the original labels. */
   def hits(iters: Int = 5): DataFrame =
     decode(GraphOps.hits(spark, directed, iters), Seq("id"))
+  /** Directed triad census (feed-forward vs cycle counts) over the
+    * graph's edges as stored — counts only, so no label decode. */
+  def triadCensus(): DataFrame = GraphOps.triadCensus(spark, edges)
   def kCore(k: Int): DataFrame = decode(GraphOps.kCore(spark, edges, k), Seq("vertex"))
   def kTruss(k: Int): DataFrame =
     decode(GraphOps.kTruss(spark, edges, k), Seq("src", "dst"))

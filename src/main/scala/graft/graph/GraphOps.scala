@@ -402,6 +402,44 @@ object GraphOps {
     spark.createDataFrame(res).toDF("vertex", "landmark", "hops")
   }
 
+  /** Directed triad census over a (src, dst) edge table: counts the
+    * two connected 3-vertex triangle motifs — FEED-FORWARD (a→b,
+    * b→c, a→c: the hierarchy/delegation motif) and CYCLE (a→b, b→c,
+    * c→a: the feedback motif). Their ratio is the standard
+    * hierarchy-vs-feedback signature of a directed network (Milo et
+    * al. 2002 motif analysis). Feed-forward instances are counted per
+    * ordered pattern (the midpoint b is unique per instance); cycles
+    * are canonicalized to their smallest-vertex rotation so each
+    * cyclic triangle counts exactly once.
+    *
+    * Plan: wedges (a→b⋈b→c) close against the distinct edge set by
+    * equi-join — never an enumeration of vertex triples. The wedge
+    * join is the row-exploding shape AQE mis-coalesces (sizes the
+    * stage by its tiny inputs), so both inputs carry an explicit
+    * NUMBERED repartition on the join key — exempt from AQE
+    * coalescing, the g_betweenness lesson. Output is one row; the
+    * two single-row aggregates cross at the end (the bounded
+    * one-row-aggregate class from the plan audit). */
+  def triadCensus(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val wedges = e.select(col("src").as("a"), col("dst").as("b"))
+      .repartition(n, col("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c"))
+        .repartition(n, col("b")), Seq("b"))
+      .filter(col("a") =!= col("c"))
+    val ff = wedges
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_ffl"))
+    val cyc = wedges
+      .filter(col("a") < col("b") && col("a") < col("c"))
+      .join(e.select(col("dst").as("a"), col("src").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_cycle"))
+    ff.crossJoin(cyc)
+  }
+
   /** WEIGHTED single-source shortest paths from the deterministic
     * landmark set — [[shortestPaths]] counts hops; this minimizes the
     * SUM OF EDGE WEIGHTS along the path (travel time / transfer cost),

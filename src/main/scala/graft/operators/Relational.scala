@@ -694,6 +694,29 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention matrix — the growth-analytics staple: users
+    * grouped by their FIRST active day (the cohort), then counted by
+    * how many days after joining they were active again. Exact
+    * integer date arithmetic (calendar-day truncation, day-diff
+    * offsets) so the matrix is engine-deterministic; the (user, day)
+    * activity set is distinct-ed BEFORE the join so each user counts
+    * once per (cohort, offset) cell. Two narrow shuffles (distinct,
+    * min-per-user) + one count aggregation — every row is (user_id,
+    * date), no event payload moves. Daily grain because the synthetic
+    * corpus spans one month; the month/week variant is the same plan
+    * with a different truncation. */
+  def qRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val cohort = m.groupBy(col("user_id")).agg(min(col("day")).as("c0"))
+    m.join(cohort, Seq("user_id"))
+      .groupBy(col("c0").as("cohort_day"),
+        datediff(col("day"), col("c0")).cast("long").as("offset_d"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("offset_d"))
+  }
+
   /** Sliding ROWS window: trailing-3-order spend per customer, in
     * exact cents (BIGINT) so the frame accumulation is order-immune
     * across engines. Complements q_range_window (RANGE frame) and

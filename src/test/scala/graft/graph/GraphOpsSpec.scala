@@ -377,6 +377,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(n2 == 2L)
   }
 
+  test("triad census separates feed-forward from cyclic triangles") {
+    import spark.implicits._
+    // 1→2→3 with shortcut 1→3: one feed-forward, no cycle.
+    // 4→5→6→4: one cycle (counted once despite 3 rotations).
+    // 7⇄8: a 2-cycle, not a triangle — must count nowhere.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (7L, 8L), (8L, 7L)).toDF("src", "dst")
+    val r = GraphOps.triadCensus(spark, e).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (1L, 1L), r.toString)
+  }
+
+  test("triad census on the fully-bidirected triangle: 6 ffl, 2 cycles") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val r = GraphOps.triadCensus(spark, e).collect()(0)
+    // Every ordered midpoint pattern closes (6 instances); the two
+    // orientations of the cycle each count once.
+    assert((r.getLong(0), r.getLong(1)) == (6L, 2L), r.toString)
+  }
+
   test("weighted SSSP: cheap two-hop path beats the heavy direct edge") {
     // 1—3 direct costs 5; 1—2—3 costs 1+1=2. Unweighted BFS would
     // answer 1 hop; the weighted distance must be 2. All three
