@@ -196,6 +196,7 @@ object SparkEntry {
     "q_variant_extract" -> ((s, d) => Relational.qVariantExtract(s, d)),
     "q_gap_islands" -> ((s, d) => Relational.qGapIslands(s, d)),
     "q_retention_cohort" -> ((s, d) => Relational.qRetentionCohort(s, d)),
+    "q_event_funnel" -> ((s, d) => Relational.qEventFunnel(s, d)),
     "q_time_weighted" -> ((s, d) => Relational.qTimeWeighted(s, d)),
     "p_split" -> ((s, d) => Pipeline.trainValTestSplit(s, d)),
     "q_argmax" -> ((s, d) => Relational.qArgmax(s, d)),
@@ -886,6 +887,23 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY source, split""".stripMargin,
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |t1 AS (SELECT user_id, min(us) AS t1_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(us) AS t2_us FROM e JOIN t1 USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1_us GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(us) AS t3_us FROM e JOIN t2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2_us GROUP BY 1)
+        |SELECT user_id, t1_us, t2_us, t3_us,
+        |  CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+        |    WHEN t2_us IS NOT NULL THEN 2
+        |    WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+        |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |  LEFT JOIN t3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_retention_cohort" ->
       """WITH m AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |c AS (SELECT user_id, min(day) AS c0 FROM m GROUP BY 1)

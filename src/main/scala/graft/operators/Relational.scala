@@ -694,6 +694,42 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Ordered event-sequence funnel (the windowFunnel staple):
+    * how deep did each user get through view → click → purchase in
+    * STRICT temporal order? Computed as the greedy earliest chain —
+    * first view, first click after it, first purchase after that —
+    * which is EXACT for pure ordering: any valid chain (v, c, p)
+    * dominates the greedy one step-wise (v₀ ≤ v ⇒ the first click
+    * after v₀ is ≤ c ⇒ …), so a chain exists iff the greedy chain
+    * completes. Three narrow min-aggregations chained by equi-joins —
+    * per-user event lists never materialize as arrays; µs-integer
+    * timestamps end to end so the emitted chain is engine-exact.
+    * Depth counts stages reached; users with events but no view sit
+    * at depth 0 (they are part of the funnel's denominator). */
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val users = e.select(col("user_id")).distinct()
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1_us"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id")).filter(col("us") > col("t1_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2_us"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id")).filter(col("us") > col("t2_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3_us"))
+    users
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        when(col("t3_us").isNotNull, 3L)
+          .when(col("t2_us").isNotNull, 2L)
+          .when(col("t1_us").isNotNull, 1L)
+          .otherwise(0L).as("depth"))
+      .orderBy(col("user_id"))
+  }
+
   /** Cohort retention matrix — the growth-analytics staple: users
     * grouped by their FIRST active day (the cohort), then counted by
     * how many days after joining they were active again. Exact
