@@ -166,6 +166,8 @@ object SparkEntry {
       GraphOps.assortativity(GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
     "g_adamic_adar" -> ((s, d) =>
       GraphOps.adamicAdar(GraphBuilder.supplierCoEdges(s, d))),
+    "g_squares" -> ((s, d) =>
+      GraphOps.squareCount(GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q2_filter_proj" -> ((s, d) => Relational.q2FilterProj(s, d)),
     "q3_topn_join" -> ((s, d) => Relational.q3TopnJoin(s, d)),
@@ -821,6 +823,24 @@ object SparkEntry {
         |SELECT a, b, count(*) AS common, CAST(sum(term) AS BIGINT) AS aa_e4
         |FROM t GROUP BY a, b
         |ORDER BY aa_e4 DESC, a, b LIMIT 100""".stripMargin,
+    // 4-cycle census via the diagonal identity C4 = Σ c·(c−1)/4 over
+    // pair codegrees on the strong-tie subgraph — exact integers end
+    // to end, so the wedge-join oracle states the same scalar.
+    "g_squares" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |    CAST(count(*) AS DOUBLE) AS weight
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |thr AS (SELECT quantile_cont(weight, 0.5) * 1.25 AS t FROM e),
+        |st AS MATERIALIZED (SELECT src, dst FROM e, thr WHERE weight >= t),
+        |sym AS MATERIALIZED (SELECT src, dst FROM st UNION ALL SELECT dst, src FROM st),
+        |cw AS (SELECT s1.src AS a, s2.dst AS b, count(*) AS c
+        |  FROM sym s1 JOIN sym s2 ON s2.src = s1.dst AND s1.src < s2.dst
+        |  GROUP BY 1, 2)
+        |SELECT CAST(coalesce(sum(c * (c - 1)), 0) // 4 AS BIGINT) AS n_squares
+        |FROM cw""".stripMargin,
     // Banded interval join ≡ the plain range join (the oracle is the
     // semantics; the banding is the plan).
     "q_interval_join" ->

@@ -55,6 +55,8 @@ final class GraftGraph private (
   def degrees(): DataFrame = decode(GraphOps.degrees(edges), Seq("vertex"))
   def degreeHistogram(): DataFrame = GraphOps.degreeHistogram(edges)
   def triangleCount(): DataFrame = GraphOps.triangleCount(edges)
+  /** Global 4-cycle census (one scalar row) — counts only, no decode. */
+  def squareCount(): DataFrame = GraphOps.squareCount(edges)
   def clusteringCoefficients(): DataFrame =
     decode(GraphOps.clusteringCoefficients(edges), Seq("vertex"))
   /** Landmarks are given as ORIGINAL vertex labels: on a

@@ -337,6 +337,51 @@ object GraphOps {
       .limit(topN)
   }
 
+  /** Global 4-cycle (C4) census — the square analogue of
+    * [[triangleCount]], the next motif statistic after triangles and
+    * [[triadCensus]]. Identity: every 4-cycle u–x–w–y–u has exactly
+    * two diagonals {u,w} and {x,y}, and a pair with c common
+    * neighbors is the diagonal of C(c,2) cycles, so
+    * C4 = Σ_pairs c·(c−1) / 4 — an exact BIGINT derived from
+    * codegrees alone, no cycle enumeration and no floats.
+    *
+    * Same measured-shape dispatch as [[adamicAdar]]: dense/small-V
+    * enumerates the V²/2 candidate pairs against broadcast sorted
+    * adjacency (one native merge-intersect per pair — the Σdeg²
+    * wedge intermediate never materializes); the at-scale sparse
+    * path streams the AQE-pinned wedge join
+    * ([[wedgeCommonCounts]]). Both paths reduce to ONE scalar row,
+    * so distributed reduction order is immaterial to the hash. */
+  def squareCount(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val nE = e.count()
+    val denseMaxV = spark.conf.getOption("graft.squares.denseMaxVertices")
+      .map(_.toLong).getOrElse(8192L)
+    val budget = spark.conf.getOption("graft.triangles.broadcastBytes")
+      .map(_.toLong).getOrElse(160L << 20)
+    val verts = sym.select(col("src").as("w")).distinct().localCheckpoint(true)
+    val nV = verts.count()
+    val counts = if (nV <= denseMaxV && 2L * 16L * nE < budget) {
+      val ann = sym.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("ks"))
+      val adjA = ann.select(col("src").as("a2"), col("ks").as("ka"))
+      val adjB = ann.select(col("src").as("b2"), col("ks").as("kb"))
+      verts.select(col("w").as("a"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(verts.select(col("w").as("b"))))
+        .filter(col("a") < col("b"))
+        .join(broadcast(adjA), col("a") === col("a2"))
+        .join(broadcast(adjB), col("b") === col("b2"))
+        .select(graft.functions.CatalystGraph.sorted_kv_intersect_stats(
+          col("ka"), col("ka"), col("kb")).getField("common").as("c"))
+    } else {
+      wedgeCommonCounts(sym).select(col("c"))
+    }
+    counts.agg(coalesce(expr("sum(c * (c - 1)) div 4"), lit(0L)).as("n_squares"))
+  }
+
   /** Degree assortativity: Pearson correlation of endpoint degrees
     * over the symmetrized edge ends — one scalar describing whether
     * hubs attach to hubs (positive) or to leaves (negative), a

@@ -398,6 +398,28 @@ class GraphOpsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1)) == (6L, 2L), r.toString)
   }
 
+  test("square count: plain 4-cycle has one square, triangle has none") {
+    import spark.implicits._
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    assert(GraphOps.squareCount(c4).collect()(0).getLong(0) == 1L)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(GraphOps.squareCount(tri).collect()(0).getLong(0) == 0L)
+  }
+
+  test("square count: K4 has 3 squares; dense and wedge paths agree") {
+    import spark.implicits._
+    // K5 = C(5,4)·3 = 15 squares; a pendant vertex adds none.
+    val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)) :+ (5L, 6L)
+    val e = k5.toDF("src", "dst")
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("src", "dst")
+    assert(GraphOps.squareCount(k4).collect()(0).getLong(0) == 3L)
+    assert(GraphOps.squareCount(e).collect()(0).getLong(0) == 15L)
+    // Force the at-scale wedge path and require the identical scalar.
+    spark.conf.set("graft.squares.denseMaxVertices", "0")
+    try assert(GraphOps.squareCount(e).collect()(0).getLong(0) == 15L)
+    finally spark.conf.unset("graft.squares.denseMaxVertices")
+  }
+
   test("weighted SSSP: cheap two-hop path beats the heavy direct edge") {
     // 1—3 direct costs 5; 1—2—3 costs 1+1=2. Unweighted BFS would
     // answer 1 hop; the weighted distance must be 2. All three
