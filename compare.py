@@ -27,6 +27,33 @@ for t in TABLES:
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+# Verify-recorded per-query failures (exceptions at plan/run time):
+# surface the real message instead of a bare "no spark output".
+errors = {}
+if os.path.exists(f"{outdir}/errors.json"):
+    errors = json.load(open(f"{outdir}/errors.json"))
+
+# Testdata-staleness guard (round-9 lesson: the driver regenerated
+# /root/testdata between Verify and the artifact being read, and the
+# stale pass went unnoticed). Verify records each table's
+# (len, mtime_ms); if the files on disk have changed since, every
+# comparison below is against DIFFERENT data than Spark read.
+fingerprint_stale = False
+if os.path.exists(f"{outdir}/fingerprint.json"):
+    fp = json.load(open(f"{outdir}/fingerprint.json"))
+    for t, rec in sorted(fp.items()):
+        f = f"{sfdir}/{t}.parquet"
+        if not os.path.exists(f):
+            print(f"WARN fingerprint: {t}.parquet missing from {sfdir}")
+            fingerprint_stale = True
+            continue
+        st = os.stat(f)
+        if st.st_size != rec["len"] or int(st.st_mtime * 1000) != rec["mtime_ms"]:
+            print(f"WARN fingerprint: {t}.parquet changed since Verify ran "
+                  f"(len {rec['len']}→{st.st_size}, mtime_ms {rec['mtime_ms']}→{int(st.st_mtime*1000)})"
+                  " — results below compare stale Spark output against current data")
+            fingerprint_stale = True
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v): return "nan"
@@ -46,7 +73,8 @@ for name, sql in sorted(oracle.items()):
     checked += 1
     spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not spark_files:
-        fail(name, "no spark output"); continue
+        fail(name, f"query failed in Verify: {errors[name]}" if name in errors
+             else "no spark output"); continue
     try:
         duck = con.sql(sql)
         dtypes = dict(zip(duck.columns, (str(t) for t in duck.types)))
@@ -100,7 +128,8 @@ for name in sorted(known):
     try:
         n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
     except Exception as e:
-        fail(name, f"rows-only read: {e}", check="rows_only"); continue
+        fail(name, f"query failed in Verify: {errors[name]}" if name in errors
+             else f"rows-only read: {e}", check="rows_only"); continue
     status = "pass" if n > 0 else "fail"
     if n == 0: fails += 1
     print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only, {n} rows)")
@@ -108,7 +137,10 @@ for name in sorted(known):
 
 if json_out:
     with open(json_out, "w") as f:
+        fp_rec = (json.load(open(f"{outdir}/fingerprint.json"))
+                  if os.path.exists(f"{outdir}/fingerprint.json") else None)
         json.dump({"sf_dir": sfdir, "queries": results,
+                   "fingerprint": fp_rec, "fingerprint_stale": fingerprint_stale,
                    "n_pass": sum(1 for r in results.values() if r["status"] == "pass"),
                    "n_fail": fails}, f, indent=1, sort_keys=True)
 print(f"\n{fails} failures / {checked} checked")

@@ -29,6 +29,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -101,8 +102,13 @@ object Bench {
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = med.map(_._2).sum
+    // Testdata identity (round-9 lesson: a driver-side regeneration
+    // silently staled every artifact): embed the per-table
+    // (len, mtime, schema) fingerprint so a bench number is traceable
+    // to the exact data it measured.
+    val fp = Verify.fingerprintJson(Verify.testdataFingerprint(spark, sfDir))
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"repeat":$repeat,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"repeat":$repeat,"queries":$qs,"sf":"$sfDir","fingerprint":$fp}"""
     println(json)
     // Also persist the line as an artifact: log capture has truncated
     // the stdout tail mid-JSON two rounds running, losing the first

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated test schema.
   *
@@ -20,15 +22,51 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and floor to
-    * microsecond TimestampType with integer division (ns epochs
-    * overflow double's 53-bit mantissa, so no float math here).
+
+  /** `events.ts` has shipped in more than one physical parquet
+    * encoding across testdata generations: TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader only accepts as a raw INT64 under the
+    * legacy conf — and TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    * which Spark reads as TIMESTAMP_NTZ. A 100 TB lake mixes parquet
+    * vintages the same way, so ingestion branches on the footer's
+    * actual `ts` dataType instead of binding to one encoding.
+    *
+    * All three helpers below normalize to the SAME logical value the
+    * engine has always used: microsecond-precision TimestampType
+    * (`eventsTsCol`) or epoch-µs BIGINT (`eventsTsUsCol`). Nanos are
+    * floored to µs with integer division (ns epochs overflow double's
+    * 53-bit mantissa — no float math); NTZ wall-clocks are
+    * reinterpreted as instants under the session timezone, which this
+    * project pins to UTC everywhere (Verify/Bench/specs), making the
+    * cast value-identical to the UTC-written testdata.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def eventsRawSchema(s: SparkSession, d: String): StructType = {
+    // Must be set before the footer read: a NANOS file is otherwise
+    // rejected at schema inference. No-op for other vintages.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    table(s, d, "events").schema
+  }
+
+  private def tsVintage[A](dt: DataType)(nanos: => A, micros: => A): A = dt match {
+    case LongType                         => nanos // TIMESTAMP(NANOS) read as raw INT64
+    case TimestampNTZType | TimestampType => micros // TIMESTAMP(MICROS/MILLIS), NTZ or UTC
+    case other => throw new IllegalArgumentException(
+      s"unsupported events.ts encoding: $other (expected INT64 nanos or TIMESTAMP)")
+  }
+
+  /** Raw `ts` → microsecond TimestampType, whatever the file vintage. */
+  def eventsTsCol(schema: StructType): Column = tsVintage(schema("ts").dataType)(
+    expr("timestamp_micros(ts div 1000)"),
+    expr("cast(ts as timestamp)"))
+
+  /** Raw `ts` → epoch-microseconds BIGINT, whatever the file vintage. */
+  def eventsTsUsCol(schema: StructType): Column = tsVintage(schema("ts").dataType)(
+    expr("ts div 1000"),
+    expr("unix_micros(cast(ts as timestamp))"))
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    val schema = eventsRawSchema(s, d)
+    table(s, d, "events").withColumn("ts", eventsTsCol(schema))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

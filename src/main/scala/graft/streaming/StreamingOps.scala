@@ -27,14 +27,13 @@ object StreamingOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     val events = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .select(col("user_id"),
-        expr("ts div 1000").as("ts_us"),
+        graft.Tables.eventsTsUsCol(rawSchema).as("ts_us"),
         col("event_id"))
       .as[(Long, Long, Long)]
 
@@ -119,14 +118,13 @@ object StreamingOps {
     * (user_id, event_type) keys, independent of which physical row
     * won first-arrival since only the key columns are emitted. */
   def streamDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     val deduped = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .select(col("user_id"), col("event_type"),
-        expr("timestamp_micros(ts div 1000)").as("ts"))
+        graft.Tables.eventsTsCol(rawSchema).as("ts"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
@@ -190,8 +188,7 @@ object StreamingOps {
     * only stateful operator. Result equals the batch join+agg, which
     * is the SQL oracle. */
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     val events = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -215,7 +212,6 @@ object StreamingOps {
   }
 
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Stream-STATE partitioning is sized to the keyspace, not to the
     // batch core count: a stream-stream join keeps FOUR state stores
     // per partition, and every micro-batch pays a store
@@ -230,12 +226,12 @@ object StreamingOps {
   }
 
   private def streamStreamJoinInner(spark: SparkSession, dir: String): DataFrame = {
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     def stream() = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.eventsTsCol(rawSchema))
     val views = stream()
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -275,16 +271,15 @@ object StreamingOps {
     * session-window lesson). Same 8-partition state sizing as the
     * inner join. */
   def streamStreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
       def stream() = spark.readStream
         .schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", graft.Tables.eventsTsCol(rawSchema))
       val views = stream()
         .filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -321,16 +316,15 @@ object StreamingOps {
     * condition-derived state allowance the left side's bound doesn't
     * exercise. Same 8-partition state sizing. */
   def streamStreamRightOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
       def stream() = spark.readStream
         .schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", graft.Tables.eventsTsCol(rawSchema))
       val views = stream()
         .filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -370,16 +364,15 @@ object StreamingOps {
     * user_id coalesces across sides since exactly one is non-null
     * per row. Same 8-partition state sizing as the inner join. */
   def streamStreamFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
       def stream() = spark.readStream
         .schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", graft.Tables.eventsTsCol(rawSchema))
       val views = stream()
         .filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -417,13 +410,12 @@ object StreamingOps {
     * computation (each event replicated into the 4 slide-aligned
     * windows covering it), which is the SQL oracle. */
   def streamHoppingAgg(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     val raw = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.eventsTsCol(rawSchema))
     val agg = raw
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -456,13 +448,12 @@ object StreamingOps {
   /** The watermarked append-mode plan, shared by the memory-sink
     * query entry and the durable parquet-sink spec. */
   private[streaming] def watermarkedAggPlan(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.eventsTsCol(rawSchema))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -496,13 +487,12 @@ object StreamingOps {
     * Session starts emitted as epoch-µs BIGINTs (µs-vs-ns precision,
     * as q_session_window). */
   def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     val sessions = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.eventsTsCol(rawSchema))
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -526,15 +516,14 @@ object StreamingOps {
     // The stream source needs the file's raw schema (ts = INT64
     // nanos under the legacy conf); normalization to microsecond
     // TimestampType happens in the stream plan, same as Tables.events.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     // The file source wants a directory: stream the sf dir with a
     // glob filter selecting only the events file.
     val raw = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.eventsTsCol(rawSchema))
     val agg = raw
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
