@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 import graft.operators._
 import graft.graph.{GraphBuilder, GraphOps}
 
@@ -137,6 +137,24 @@ object SparkEntry {
         .orderBy(col("vertex"))),
     "g_triads" -> ((s, d) =>
       GraphOps.triadCensus(s, GraphBuilder.supplierChainEdges(s, d))),
+    // Motif DSL exercised end-to-end: closed (feed-forward) vs OPEN
+    // directed wedges on the RECURRENT hand-off subgraph (pairs seen
+    // in ≥2 orders — the strongTies-style cut; the raw chain graph is
+    // near-complete and its Σ indeg·outdeg wedge stream is ~200× the
+    // edge count). The open count needs the DSL's negated-term
+    // anti-join, which no fixed census computes.
+    "g_motif" -> ((s, d) => {
+      val e = GraphBuilder.recurrentChainEdges(s, d)
+      val closed = graft.graph.MotifFind
+        .find(e, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
+        .filter(col("a") =!= col("c"))
+        .agg(count(lit(1)).as("n_ffl"))
+      val open = graft.graph.MotifFind
+        .find(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+        .filter(col("a") =!= col("c"))
+        .agg(count(lit(1)).as("n_open_wedge"))
+      closed.crossJoin(open)
+    }),
     // Cohesion mining on the top-decile strong-tie subgraph: the
     // 4-truss (every edge in ≥ 2 surviving triangles). Oracle unrolls
     // the same fixed peel rounds.
@@ -221,6 +239,10 @@ object SparkEntry {
     "q_session_window" -> ((s, d) => Relational.qSessionWindow(s, d)),
     "q_rows_window" -> ((s, d) => Relational.qRowsWindow(s, d)),
     "q_percentiles" -> ((s, d) => Relational.qPercentiles(s, d)),
+    // EXACT global percentiles by distributed histogram-bisection
+    // selection (no global sort, no collect of data rows) — the
+    // at-scale exact companion to q_approx_pct.
+    "q_percentile_select" -> ((s, d) => Selection.qPercentileSelect(s, d)),
     "q_histogram" -> ((s, d) => Relational.qHistogram(s, d)),
     "q_range_window" -> ((s, d) => Relational.qRangeWindow(s, d)),
     "q_setops" -> ((s, d) => Relational.qSetOps(s, d)),
@@ -1056,6 +1078,29 @@ object SparkEntry {
         |  WHERE w.a < w.b AND w.a < w.c)
         |SELECT CAST(ff.n AS BIGINT) AS n_ffl, CAST(cyc.n AS BIGINT) AS n_cycle
         |FROM ff, cyc""".stripMargin,
+    // Motif DSL: closed vs open directed wedges over the RECURRENT
+    // (≥2 orders) chain-edge CTE; the open count is the wedge set
+    // minus the closing edge (LEFT JOIN ... IS NULL = the DSL's
+    // anti-join term).
+    "g_motif" ->
+      """WITH os AS (SELECT l_orderkey, l_suppkey,
+        |    CAST(sum(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |ch AS (SELECT l_suppkey AS src, lead(l_suppkey) OVER
+        |    (PARTITION BY l_orderkey ORDER BY q, l_suppkey) AS dst FROM os),
+        |e AS (SELECT src, dst FROM ch
+        |  WHERE dst IS NOT NULL AND src <> dst
+        |  GROUP BY src, dst HAVING count(*) >= 2),
+        |w AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        |  FROM e ab JOIN e bc ON bc.src = ab.dst
+        |  WHERE ab.src <> bc.dst),
+        |ff AS (SELECT count(*) AS n FROM w
+        |  JOIN e ac ON ac.src = w.a AND ac.dst = w.c),
+        |op AS (SELECT count(*) AS n FROM w
+        |  LEFT JOIN e ac ON ac.src = w.a AND ac.dst = w.c
+        |  WHERE ac.src IS NULL)
+        |SELECT CAST(ff.n AS BIGINT) AS n_ffl, CAST(op.n AS BIGINT) AS n_open_wedge
+        |FROM ff, op""".stripMargin,
     "g_cc" ->
       """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
@@ -1434,6 +1479,19 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // Exact discrete percentile = value at ascending rank ⌈p·n/100⌉:
+    // stated as ordered selection, the semantics the bisection
+    // implements (ties collapse to the same VALUE at any tie order,
+    // so row_number's arbitrary tie-break cannot change the answer).
+    "q_percentile_select" ->
+      """WITH r AS (SELECT l_extendedprice AS x,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT p.pct, round(r.x, 2) AS value
+        |FROM r, (VALUES (50), (90), (99)) p(pct)
+        |WHERE r.rk = CAST(ceil(p.pct / 100.0 * r.n) AS BIGINT)
+        |ORDER BY p.pct""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  count(*) AS n

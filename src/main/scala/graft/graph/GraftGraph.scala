@@ -125,6 +125,19 @@ final class GraftGraph private (
   /** Directed triad census (feed-forward vs cycle counts) over the
     * graph's edges as stored — counts only, so no label decode. */
   def triadCensus(): DataFrame = GraphOps.triadCensus(spark, edges)
+  /** Motif pattern matching over the graph's edges in their ORIGINAL
+    * wrapped orientation (directed terms need it; the canonical
+    * undirected view would erase direction). See [[MotifFind]] for
+    * the pattern language; vertex columns decode back to the
+    * original labels on dictionary-encoded graphs.
+    *
+    * {{{
+    * g.find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")  // open wedges
+    * }}} */
+  def find(pattern: String): DataFrame = {
+    val res = MotifFind.find(directed, pattern)
+    decode(res, res.columns.toSeq)
+  }
   def kCore(k: Int): DataFrame = decode(GraphOps.kCore(spark, edges, k), Seq("vertex"))
   def kTruss(k: Int): DataFrame =
     decode(GraphOps.kTruss(spark, edges, k), Seq("src", "dst"))

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph query operators (SURVEY §2 rows 1–8).
@@ -470,19 +470,60 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
-    val wedges = e.select(col("src").as("a"), col("dst").as("b"))
-      .repartition(n, col("b"))
-      .join(e.select(col("src").as("b"), col("dst").as("c"))
-        .repartition(n, col("b")), Seq("b"))
-      .filter(col("a") =!= col("c"))
-    val ff = wedges
-      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
-      .agg(count(lit(1)).as("n_ffl"))
-    val cyc = wedges
-      .filter(col("a") < col("b") && col("a") < col("c"))
-      .join(e.select(col("dst").as("a"), col("src").as("c")), Seq("a", "c"))
-      .agg(count(lit(1)).as("n_cycle"))
-    ff.crossJoin(cyc)
+    val nE = e.count()
+    val budget = spark.conf.getOption("graft.triangles.broadcastBytes")
+      .map(_.toLong).getOrElse(160L << 20)
+    if (2L * 16L * nE < budget) {
+      // Dense/broadcastable path (the g_adamic_adar lesson: on a
+      // dense small-V graph the Σ indeg·outdeg wedge stream is ~100M
+      // rows where the edge table is 450k — enumerate per EDGE against
+      // broadcast sorted adjacency instead). Per-edge identities, each
+      // an O(deg_a + deg_c) native merge-intersect, no wedge
+      // materialization:
+      //   FF  = Σ_{(a,c)∈E} |out(a) ∩ in(c)|      (midpoint b per inst)
+      //   CYC = Σ_{(c,a)∈E} |out(a) ∩ in(c)| / 3  (3 rotations each)
+      // Distinctness is structural: b∈out(a) ⇒ b≠a, b∈in(c) ⇒ b≠c,
+      // and every edge has src≠dst, so no extra filters — identical
+      // to the wedge-close formula (spec: both census fixtures + the
+      // path-equality check).
+      val outAdj = e.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val inAdj = e.groupBy(col("dst"))
+        .agg(sort_array(collect_list(col("src"))).as("nbrs"))
+      val empty = expr("CAST(array() AS ARRAY<BIGINT>)")
+      def common(a: Column, b: Column): Column =
+        graft.functions.CatalystGraph
+          .sorted_kv_intersect_stats(a, a, b).getField("common")
+      e.join(broadcast(outAdj.select(col("src").as("os"), col("nbrs").as("out_src"))),
+          col("src") === col("os"))
+        .join(broadcast(inAdj.select(col("dst").as("id_"), col("nbrs").as("in_dst"))),
+          col("dst") === col("id_"))
+        .join(broadcast(outAdj.select(col("src").as("od"), col("nbrs").as("out_dst"))),
+          col("dst") === col("od"), "left")
+        .join(broadcast(inAdj.select(col("dst").as("is_"), col("nbrs").as("in_src"))),
+          col("src") === col("is_"), "left")
+        .select(
+          common(col("out_src").cast("array<bigint>"),
+            col("in_dst").cast("array<bigint>")).as("ffc"),
+          common(coalesce(col("out_dst").cast("array<bigint>"), empty),
+            coalesce(col("in_src").cast("array<bigint>"), empty)).as("cycc"))
+        .agg(coalesce(sum(col("ffc")), lit(0L)).as("n_ffl"),
+          coalesce(expr("sum(cycc) div 3"), lit(0L)).as("n_cycle"))
+    } else {
+      val wedges = e.select(col("src").as("a"), col("dst").as("b"))
+        .repartition(n, col("b"))
+        .join(e.select(col("src").as("b"), col("dst").as("c"))
+          .repartition(n, col("b")), Seq("b"))
+        .filter(col("a") =!= col("c"))
+      val ff = wedges
+        .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+        .agg(count(lit(1)).as("n_ffl"))
+      val cyc = wedges
+        .filter(col("a") < col("b") && col("a") < col("c"))
+        .join(e.select(col("dst").as("a"), col("src").as("c")), Seq("a", "c"))
+        .agg(count(lit(1)).as("n_cycle"))
+      ff.crossJoin(cyc)
+    }
   }
 
   /** WEIGHTED single-source shortest paths from the deterministic

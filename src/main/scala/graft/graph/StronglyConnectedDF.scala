@@ -61,9 +61,18 @@ object StronglyConnectedDF {
     var outer = 0
     var done = verts.limit(1).count() == 0
     while (!done && outer < maxOuter) {
-      // (1) forward max-color propagation to fixpoint
+      // (1) forward max-color propagation to fixpoint.
+      // Inner-round frames use a LAZY localCheckpoint: the signature
+      // aggregate that immediately follows is a full scan, so ONE job
+      // both materializes the round's state (truncating lineage) and
+      // computes the fixpoint signature — an eager checkpoint would
+      // pay a second full job per round, which on a long directed
+      // chain (O(diameter) rounds) doubles the whole stage. Safe
+      // precisely because the follow-up action is a FULL scan (a
+      // limit-style partial action would truncate lineage with
+      // unmaterialized partitions — the CLAUDE.md lazy-state rule).
       var color = verts.select(col("vertex"), col("vertex").as("color"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       var sig = colorSum(color)
       var converged = false
       var inner = 0
@@ -78,7 +87,7 @@ object StronglyConnectedDF {
           .select(col("vertex"),
             greatest(col("color"), coalesce(col("cin"), col("color")))
               .as("color"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val nsig = colorSum(next)
         converged = nsig == sig
         color = next; sig = nsig; inner += 1
@@ -87,9 +96,11 @@ object StronglyConnectedDF {
         throw new IllegalStateException(
           s"SCC forward coloring did not converge in $maxInner rounds")
 
-      // (2) roots + backward containment within each root's color
+      // (2) roots + backward containment within each root's color —
+      // same lazy-checkpoint + full-scan-count fold as the forward
+      // loop: one job per round, not two.
       var scc = color.filter(col("color") === col("vertex"))
-        .select(col("vertex"), col("vertex").as("scc")).localCheckpoint(true)
+        .select(col("vertex"), col("vertex").as("scc")).localCheckpoint(false)
       var n = scc.count()
       converged = false; inner = 0
       while (!converged && inner < maxInner) {
@@ -99,7 +110,7 @@ object StronglyConnectedDF {
         val contained = preds.join(color, Seq("vertex"))
           .filter(col("color") === col("scc"))
           .select(col("vertex"), col("scc"))
-        val next = scc.unionAll(contained).distinct().localCheckpoint(true)
+        val next = scc.unionAll(contained).distinct().localCheckpoint(false)
         val nn = next.count()
         converged = nn == n
         scc = next; n = nn; inner += 1

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed selection (k-th order statistic) — the missing
+  * piece between `q_percentiles` (exact, but per-group over small
+  * integer domains) and `q_approx_pct` (approximate): EXACT arbitrary
+  * percentiles over a column too large to sort globally or collect.
+  *
+  * Algorithm: histogram bisection (the classic distributed-selection
+  * shape). Each round builds a B-bucket equi-width histogram of the
+  * candidate value range — one filtered scan + one ≤B-row aggregate —
+  * locates the bucket containing the target rank, and recurses into
+  * it. The range shrinks B× per round, so rounds are
+  * O(log_B(range/gap)) — in practice 2-4 for doubles. When the
+  * candidate set is small (≤ `exactBound` rows) the remaining rows
+  * are sorted DISTRIBUTED and the answer read by `limit(k).max` — no
+  * `collect()` of data rows anywhere; the only driver-side state is
+  * the ≤B-row histogram per round (bounded-by-construction, the CMS
+  * top-k precedent).
+  *
+  * 100 TB shape: every round is a parquet scan with a pushed-down
+  * BETWEEN filter + a map-side-combined aggregate; no shuffle ever
+  * exceeds B rows, no executor holds more than a partition's worth of
+  * candidates, and the final exact sort touches ≤ exactBound rows.
+  * Skew is immune by construction (equal values collapse the range to
+  * width 0, answered directly).
+  */
+object Selection {
+
+  /** Value at ascending rank `k` (1-indexed) of `df`'s single numeric
+    * column `x`. */
+  private[operators] def kthSmallest(df: DataFrame, k: Long,
+      buckets: Int = 1024, exactBound: Long = 65536L): Double = {
+    require(k >= 1, s"rank $k out of range")
+    val head = df.agg(
+      count(lit(1)).as("n"),
+      min(col("x")).as("lo"),
+      max(col("x")).as("hi")).head()
+    var n = head.getLong(0)
+    require(k <= n, s"rank $k out of range (n=$n)")
+    var lo = head.getDouble(1)
+    var hi = head.getDouble(2)
+    var kRem = k
+    var cand = df
+    while (n > exactBound && hi > lo) {
+      val width = (hi - lo) / buckets
+      if (width <= 0 || width.isNaN || (lo + width) == lo) {
+        // Range collapsed below double resolution: [lo, hi] spans
+        // < `buckets` ulps, so at most ~`buckets` DISTINCT doubles
+        // remain — a per-value count is bounded like the histogram
+        // and resolves the rank exactly.
+        val byVal = cand.groupBy(col("x")).agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+        var cum = 0L
+        for ((v, c) <- byVal) { cum += c; if (cum >= kRem) return v }
+        return byVal.last._1
+      }
+      // Bucket index, clamped so x == hi lands in the last bucket.
+      val hist = cand
+        .select(least(floor((col("x") - lit(lo)) / lit(width)),
+          lit(buckets - 1L)).cast("long").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      var cum = 0L
+      var chosen = -1L
+      var inBucket = 0L
+      for ((b, c) <- hist if chosen < 0) {
+        if (cum + c >= kRem) { chosen = b; inBucket = c; kRem -= cum }
+        else cum += c
+      }
+      val newLo = lo + chosen * width
+      val newHi = if (chosen == buckets - 1L) hi else lo + (chosen + 1L) * width
+      val lastBucket = chosen == buckets - 1L
+      cand = cand.filter(col("x") >= newLo &&
+        (if (lastBucket) col("x") <= newHi else col("x") < newHi))
+      lo = newLo; hi = newHi; n = inBucket
+    }
+    // Exact finish on the ≤exactBound candidate set: k-th smallest =
+    // max of the k ascending-smallest rows. sort + limit + max is
+    // fully distributed (TakeOrdered), no row ever reaches the driver.
+    require(kRem <= Int.MaxValue, "exact-finish rank overflows limit()")
+    cand.orderBy(col("x")).limit(kRem.toInt)
+      .agg(max(col("x"))).head().getDouble(0)
+  }
+
+  /** Exact percentiles (discrete: value at rank ⌈p·n⌉, the
+    * percentile_disc/quantile_disc convention) of `valueCol`.
+    * Output: (pct: BIGINT, value) one row per requested percentile. */
+  def exactPercentiles(input: DataFrame, valueCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val df = input.select(col(valueCol).cast("double").as("x"))
+      .filter(col("x").isNotNull)
+      .localCheckpoint(true) // feeds one bisection per percentile
+    val n = df.count()
+    val rows = pcts.sorted.map { p =>
+      require(p >= 1 && p <= 100, s"percentile $p out of range")
+      val k = math.max(1L, math.ceil(p / 100.0 * n).toLong)
+      (p.toLong, kthSmallest(df, k))
+    }
+    rows.toDF("pct", "value")
+      .select(col("pct"), round(col("value"), 2).as("value"))
+  }
+
+  /** Query entry: exact global p50/p90/p99 of lineitem extendedprice. */
+  def qPercentileSelect(spark: SparkSession, dir: String): DataFrame =
+    exactPercentiles(graft.Tables.lineitem(spark, dir), "l_extendedprice",
+      Seq(50, 90, 99)).orderBy(col("pct"))
+}

@@ -398,6 +398,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1)) == (6L, 2L), r.toString)
   }
 
+  test("triad census: dense and wedge paths agree on a mixed graph") {
+    import spark.implicits._
+    // ffl + cycle + 2-cycle + bidirected triangle + dangling chain —
+    // every census class at once. The tiny fixture takes the dense
+    // broadcast-adjacency path by default; forcing a zero broadcast
+    // budget re-runs the identical input through the at-scale wedge
+    // join, which must produce the identical one-row census.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (7L, 8L), (8L, 7L),
+      (10L, 11L), (11L, 10L), (11L, 12L), (12L, 11L), (10L, 12L), (12L, 10L),
+      (3L, 9L), (9L, 13L)).toDF("src", "dst")
+    val dense = GraphOps.triadCensus(spark, e).collect()(0)
+    assert((dense.getLong(0), dense.getLong(1)) == (7L, 3L), dense.toString)
+    spark.conf.set("graft.triangles.broadcastBytes", "1")
+    try {
+      val wedge = GraphOps.triadCensus(spark, e).collect()(0)
+      assert((wedge.getLong(0), wedge.getLong(1)) ==
+        (dense.getLong(0), dense.getLong(1)), wedge.toString)
+    } finally spark.conf.unset("graft.triangles.broadcastBytes")
+  }
+
   test("square count: plain 4-cycle has one square, triangle has none") {
     import spark.implicits._
     val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.SparkTestSession
+
+class SelectionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def dfOf(xs: Seq[Double]) = {
+    import spark.implicits._
+    xs.toDF("x").repartition(7) // scatter so no partition is sorted
+  }
+
+  private def groundTruth(xs: Seq[Double], k: Long): Double =
+    xs.sorted.apply((k - 1).toInt)
+
+  test("bisection selection matches the sorted ground truth on random data") {
+    val rnd = new scala.util.Random(42)
+    val xs = Seq.fill(10000)(rnd.nextDouble() * 2000 - 1000)
+    val df = dfOf(xs)
+    // Tiny exactBound + few buckets force several bisection rounds.
+    for (k <- Seq(1L, 17L, 5000L, 9999L, 10000L))
+      assert(Selection.kthSmallest(df, k, buckets = 8, exactBound = 100L)
+        == groundTruth(xs, k), s"rank $k")
+  }
+
+  test("heavy duplicates and all-equal columns select exactly") {
+    val xs = Seq.fill(5000)(7.25) ++ Seq.fill(3000)(1.5) ++ Seq.fill(2000)(9.0)
+    val df = dfOf(xs)
+    for (k <- Seq(1L, 3000L, 3001L, 8000L, 8001L, 10000L))
+      assert(Selection.kthSmallest(df, k, buckets = 8, exactBound = 100L)
+        == groundTruth(xs, k), s"rank $k")
+    val equal = dfOf(Seq.fill(4000)(42.0))
+    assert(Selection.kthSmallest(equal, 1L, 8, 100L) == 42.0)
+    assert(Selection.kthSmallest(equal, 4000L, 8, 100L) == 42.0)
+  }
+
+  test("ulp-adjacent values resolve through the collapsed-range path") {
+    // Three doubles within a few ulps: the equi-width histogram
+    // underflows (lo + width == lo) long before exactBound is reached,
+    // which must fall through to the bounded per-value count — and
+    // still be EXACT at every rank.
+    val a = 1.0
+    val b = java.lang.Math.nextUp(a)
+    val c = java.lang.Math.nextUp(b)
+    val xs = Seq.fill(400)(a) ++ Seq.fill(300)(b) ++ Seq.fill(300)(c)
+    val df = dfOf(xs)
+    for (k <- Seq(1L, 400L, 401L, 700L, 701L, 1000L))
+      assert(Selection.kthSmallest(df, k, buckets = 8, exactBound = 10L)
+        == groundTruth(xs, k), s"rank $k")
+  }
+
+  test("exactPercentiles uses the ceil(p*n) discrete convention") {
+    // n = 10 values 10..100: p50 → rank 5 → 50; p90 → rank 9 → 90;
+    // p99 → rank ceil(9.9) = 10 → 100; p1 → rank ceil(0.1) = 1 → 10.
+    import spark.implicits._
+    val df = (1 to 10).map(_ * 10.0).toDF("v")
+    val got = Selection.exactPercentiles(df, "v", Seq(50, 90, 99, 1))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 10.0, 50L -> 50.0, 90L -> 90.0, 99L -> 100.0))
+  }
+}
