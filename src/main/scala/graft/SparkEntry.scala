@@ -234,6 +234,11 @@ object SparkEntry {
       graft.streaming.StreamingOps.streamHoppingAgg(s, d)),
     "s_stream_cdc" -> ((s, d) =>
       graft.streaming.StreamingOps.streamCdcSnapshot(s, d)),
+    // Incremental graph maintenance: CC labels folded over a
+    // 4-micro-batch edge stream; final labels = batch CC (g_cc's
+    // recursive-CTE oracle) because the merge is associative.
+    "s_stream_cc" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamCcIncremental(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "q_interpolate" -> ((s, d) => Relational.qInterpolate(s, d)),
     "q_session_window" -> ((s, d) => Relational.qSessionWindow(s, d)),
@@ -396,6 +401,12 @@ object SparkEntry {
         .agg(fcount(flit(1)).as("n"), fround(fsum(col("value")), 2).as("sum_value"))
         .orderBy(col("user_id"))
     }),
+    // Versioned keyed table: three deterministic order-upsert batches
+    // MERGEd in sequence, then one time-travel aggregate per
+    // committed version — the transactional-table surface
+    // (commit-marker resolution, asOf reads, idempotent replay).
+    "src_time_travel" -> ((s, d) =>
+      graft.sources.VersionedTable.qTimeTravel(s, d)),
     // JSON source under the oracle: documents round-trip through
     // newline-delimited JSON (write once per SF dir), then the same
     // token counts as t_tokens — proving the JSON read path
@@ -1611,6 +1622,23 @@ object SparkEntry {
         |WHERE event_type = 'purchase'
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // Versioned-table time travel: per version v, live rows = latest
+    // per custkey over batches (o_orderkey mod 3) ≤ v, ranked by
+    // (batch DESC, o_orderkey DESC) — newer batches win, the unique
+    // orderkey breaks in-batch ties, exactly the MERGE's rank.
+    "src_time_travel" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    o_orderkey % 3 AS bid
+        |  FROM orders),
+        |v AS (SELECT 0 AS ver UNION ALL SELECT 1 UNION ALL SELECT 2),
+        |r AS (SELECT v.ver, b.o_custkey, b.o_totalprice,
+        |    row_number() OVER (PARTITION BY v.ver, b.o_custkey
+        |      ORDER BY b.bid DESC, b.o_orderkey DESC) AS rk
+        |  FROM v JOIN b ON b.bid <= v.ver)
+        |SELECT CAST(ver AS BIGINT) AS ver, count(*) AS n_keys,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM r WHERE rk = 1
+        |GROUP BY ver ORDER BY ver""".stripMargin,
     "src_json_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -2413,6 +2441,23 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value
         |FROM w GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+    // Incremental CC over the streamed co-occurrence edge list: the
+    // per-batch star-merge is associative, so the final labels equal
+    // batch CC over all edges — identical SQL to g_cc.
+    "s_stream_cc" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM sym),
+        |reach(v, u) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT r.v, s.dst FROM reach r JOIN sym s ON s.src = r.u)
+        |SELECT v AS vertex, CAST(min(u) AS BIGINT) AS component
+        |FROM reach GROUP BY v ORDER BY vertex""".stripMargin,
     // CDC snapshot: latest event per user under the UNIQUE
     // (ts, event_id) ranking — the micro-batched merge is associative,
     // so the streamed snapshot equals this batch closed form exactly.

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.SparkTestSession
+
+class VersionedTableSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import VersionedTable._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_vtab_spec").toString
+
+  private def rowsOf(v: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    v.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("merge upserts by key; updates win; in-batch ties break by order col") {
+    import spark.implicits._
+    val dir = tmp()
+    val v0 = merge(spark, dir,
+      Seq((1L, 10L, 1.0), (2L, 11L, 2.0)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    assert(v0 == 0L)
+    // Key 1 updated (even with a SMALLER ord — updates always win);
+    // key 3 inserted twice in one batch — ord 21 must win; key 2 kept.
+    val v1 = merge(spark, dir,
+      Seq((1L, 5L, 9.0), (3L, 20L, 3.0), (3L, 21L, 4.0)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    assert(v1 == 1L)
+    assert(rowsOf(latest(spark, dir)) ==
+      Set((1L, 5L, 9.0), (2L, 11L, 2.0), (3L, 21L, 4.0)))
+  }
+
+  test("time travel: earlier versions are immutable after later merges") {
+    import spark.implicits._
+    val dir = tmp()
+    merge(spark, dir, Seq((1L, 1L, 1.0)).toDF("k", "ord", "x"), Seq("k"), "ord")
+    val before = rowsOf(asOf(spark, dir, 0L))
+    merge(spark, dir, Seq((1L, 2L, 99.0)).toDF("k", "ord", "x"), Seq("k"), "ord")
+    assert(rowsOf(asOf(spark, dir, 0L)) == before)
+    assert(rowsOf(asOf(spark, dir, 1L)) == Set((1L, 2L, 99.0)))
+    assert(versions(dir) == Seq(0L, 1L))
+    intercept[IllegalArgumentException](asOf(spark, dir, 7L))
+  }
+
+  test("torn writes are invisible and replay commits the same version") {
+    import spark.implicits._
+    val dir = tmp()
+    merge(spark, dir, Seq((1L, 1L, 1.0)).toDF("k", "ord", "x"), Seq("k"), "ord")
+    // Simulate a crash between snapshot write and commit: a v1
+    // directory exists but carries no marker — readers must not see it
+    // and the next merge must claim version 1 again (idempotent replay).
+    Seq((9L, 9L, 9.0)).toDF("k", "ord", "x")
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    assert(latestVersion(dir).contains(0L))
+    val replayed = merge(spark, dir,
+      Seq((2L, 2L, 2.0)).toDF("k", "ord", "x"), Seq("k"), "ord")
+    assert(replayed == 1L)
+    assert(rowsOf(latest(spark, dir)) == Set((1L, 1L, 1.0), (2L, 2L, 2.0)))
+  }
+}

@@ -121,6 +121,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("incremental CC merge: cross-batch bridge, singletons, replay idempotence") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_ccmerge").toString
+    def labels(v: Int): Map[Long, Long] =
+      spark.read.parquet(s"$sink/v$v").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Batch 0: {1,2} and {5,6} — no connection between them.
+    StreamingOps.mergeCc(sink)(Seq((1L, 2L), (5L, 6L)).toDF("src", "dst"), 0L)
+    assert(labels(0) == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    // Batch 1: the 2—5 bridge exists ONLY here — the merged state must
+    // fuse components no single batch connects; vertex 7 rides in as a
+    // new pair. State self-pairs (1,1)/(5,5) must keep singleton-rooted
+    // vertices alive through the fold.
+    StreamingOps.mergeCc(sink)(Seq((2L, 5L), (7L, 8L)).toDF("src", "dst"), 1L)
+    val v1 = labels(1)
+    assert(v1 == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 7L, 8L -> 7L), v1.toString)
+    // Equals batch CC over the union of all edges (associativity).
+    val batch = graft.graph.ConnectedComponentsDF.run(spark,
+        Seq((1L, 2L), (5L, 6L), (2L, 5L), (7L, 8L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v1 == batch)
+    // Replaying batch 1 (restart mid-write) rewrites v1 from v0 — the
+    // labels must be unchanged, not re-merged into nonsense.
+    StreamingOps.mergeCc(sink)(Seq((2L, 5L), (7L, 8L)).toDF("src", "dst"), 1L)
+    assert(labels(1) == v1)
+  }
+
+  test("streamed incremental CC equals the batch computation at sf0.001") {
+    val streamed = StreamingOps.streamCcIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = graft.graph.GraphOps.connectedComponents(spark,
+        graft.graph.GraphBuilder.supplierCoEdges(spark, sf))
+      .orderBy(org.apache.spark.sql.functions.col("vertex")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stateful streaming sessionization equals batch sessionization") {
     val streamed = StreamingOps.streamSessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
