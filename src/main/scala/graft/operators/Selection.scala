@@ -92,9 +92,20 @@ object Selection {
       pcts: Seq[Int]): DataFrame = {
     val spark = input.sparkSession
     import spark.implicits._
-    val df = input.select(col(valueCol).cast("double").as("x"))
+    val base = input.select(col(valueCol).cast("double").as("x"))
       .filter(col("x").isNotNull)
-      .localCheckpoint(true) // feeds one bisection per percentile
+    // Two at-scale postures, same algorithm (spec-pinned equal):
+    // materialized (default) extracts the single column ONCE to a
+    // localCheckpoint and every round filters it in memory — right
+    // when the projected column fits cluster storage, which a
+    // column-pruned extract of even a very large table usually does.
+    // graft.selection.materialize=false keeps rounds on the source
+    // scan instead, so each round's narrowing range reaches parquet
+    // as PushedFilters — right when even one column is too large to
+    // pin, at the price of one pruned scan per round.
+    val materialize = spark.conf
+      .getOption("graft.selection.materialize").forall(_.toBoolean)
+    val df = if (materialize) base.localCheckpoint(true) else base
     val n = df.count()
     val rows = pcts.sorted.map { p =>
       require(p >= 1 && p <= 100, s"percentile $p out of range")

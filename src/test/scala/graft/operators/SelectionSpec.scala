@@ -52,6 +52,18 @@ class SelectionSpec extends AnyFunSuite {
         == groundTruth(xs, k), s"rank $k")
   }
 
+  test("materialized and scan-per-round postures select identically") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(5000)(rnd.nextDouble() * 100).toDF("v")
+    val a = Selection.exactPercentiles(df, "v", Seq(50, 99)).collect().toSeq
+    spark.conf.set("graft.selection.materialize", "false")
+    try {
+      val b = Selection.exactPercentiles(df, "v", Seq(50, 99)).collect().toSeq
+      assert(a == b)
+    } finally spark.conf.unset("graft.selection.materialize")
+  }
+
   test("exactPercentiles uses the ceil(p*n) discrete convention") {
     // n = 10 values 10..100: p50 → rank 5 → 50; p90 → rank 9 → 90;
     // p99 → rank ceil(9.9) = 10 → 100; p1 → rank ceil(0.1) = 1 → 10.

