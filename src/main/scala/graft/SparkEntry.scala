@@ -197,6 +197,9 @@ object SparkEntry {
     "q_distinct" -> ((s, d) => Relational.qDistinct(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
     "q_approx_pct" -> ((s, d) => Relational.qApproxPercentile(s, d)),
+    // Persisted per-day HLL sketches unioned at query time — the
+    // incremental-analytics artifact shape; 5%-verdict oracle.
+    "q_sketch_union" -> ((s, d) => Relational.qSketchUnion(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
@@ -248,6 +251,9 @@ object SparkEntry {
     // selection (no global sort, no collect of data rows) — the
     // at-scale exact companion to q_approx_pct.
     "q_percentile_select" -> ((s, d) => Selection.qPercentileSelect(s, d)),
+    // Per-group exact percentiles, dispatched few-huge-groups
+    // (per-group bisection) vs many-groups (parallel rank windows).
+    "q_group_percentile" -> ((s, d) => Selection.qGroupPercentile(s, d)),
     "q_histogram" -> ((s, d) => Relational.qHistogram(s, d)),
     "q_range_window" -> ((s, d) => Relational.qRangeWindow(s, d)),
     "q_setops" -> ((s, d) => Relational.qSetOps(s, d)),
@@ -1503,6 +1509,18 @@ object SparkEntry {
         |FROM r, (VALUES (50), (90), (99)) p(pct)
         |WHERE r.rk = CAST(ceil(p.pct / 100.0 * r.n) AS BIGINT)
         |ORDER BY p.pct""".stripMargin,
+    // Per-group exact discrete percentiles: same ordered-selection
+    // statement per group; ties collapse to the same value.
+    "q_group_percentile" ->
+      """WITH r AS (SELECT l_returnflag AS grp, l_extendedprice AS x,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rk,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT r.grp, p.pct, round(r.x, 2) AS value
+        |FROM r JOIN (VALUES (CAST(50 AS BIGINT)), (90), (99)) p(pct)
+        |  ON r.rk = greatest(1, CAST(ceil(p.pct / 100.0 * r.n) AS BIGINT))
+        |ORDER BY grp, pct""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  count(*) AS n
@@ -2017,6 +2035,15 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // Persisted-sketch union: the oracle pins exact distincts and the
+    // 5% sketch-quality verdict, as q_approx_distinct.
+    "q_sketch_union" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_approx_pct" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS exact_median,

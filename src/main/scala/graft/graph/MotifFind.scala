@@ -11,8 +11,13 @@ import org.apache.spark.sql.functions._
   * Pattern language: semicolon-separated edge terms.
   *   - `(a)-[]->(b)`  — a directed edge from variable a to b
   *   - `(a)-[]-(b)`   — an edge between a and b in either direction
-  *   - `!(a)-[]->(b)` — NO directed edge a→b (anti-join; both
-  *     variables must already be bound by positive terms)
+  *   - `(a)-[]->()`   — an ANONYMOUS end: matches like a fresh
+  *     variable (one row per such edge) but is dropped from the
+  *     output columns
+  *   - `!(a)-[]->(b)` — NO directed edge a→b (anti-join; named
+  *     variables must already be bound by positive terms). An
+  *     anonymous end in a negated term is existential:
+  *     `!(a)-[]->()` keeps only bindings where a has NO out-edge.
   *
   * Semantics are join composition, as in GraphFrames: one output row
   * per binding of the named vertex variables, columns in first-
@@ -44,14 +49,21 @@ object MotifFind {
 
   final case class Term(src: String, dst: String, directed: Boolean, negated: Boolean)
 
+  /** Prefix for anonymous-end variables — never appears in output. */
+  private val Anon = "__anon_"
+
   private val TermRe =
-    """\s*(!?)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*-\s*\[\s*\]\s*(->|-)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*""".r
+    """\s*(!?)\s*\(\s*([A-Za-z_]\w*)?\s*\)\s*-\s*\[\s*\]\s*(->|-)\s*\(\s*([A-Za-z_]\w*)?\s*\)\s*""".r
 
   def parse(pattern: String): Seq[Term] = {
+    var anonN = 0
+    def name(raw: String): String =
+      if (raw == null || raw.isEmpty) { anonN += 1; s"$Anon$anonN" } else raw
     val terms = pattern.split(";").toSeq.filter(_.trim.nonEmpty).map {
-      case TermRe(bang, s, arrow, d) => Term(s, d, arrow == "->", bang == "!")
+      case TermRe(bang, s, arrow, d) =>
+        Term(name(s), name(d), arrow == "->", bang == "!")
       case bad => throw new IllegalArgumentException(
-        s"unparseable motif term '${bad.trim}' — expected (a)-[]->(b), (a)-[]-(b), or a !-negated form")
+        s"unparseable motif term '${bad.trim}' — expected (a)-[]->(b), (a)-[]-(b), anonymous ends (), or a !-negated form")
     }
     if (terms.isEmpty || terms.forall(_.negated))
       throw new IllegalArgumentException(
@@ -60,7 +72,14 @@ object MotifFind {
       if (t.src == t.dst) throw new IllegalArgumentException(
         s"motif term binds both ends to '${t.src}' — self-loops are dropped " +
           "from the matched edge set, so this term can never match")
+      if (t.negated && t.src.startsWith(Anon) && t.dst.startsWith(Anon))
+        throw new IllegalArgumentException(
+          "a negated motif term needs at least one NAMED variable — " +
+            "'no edge between any two vertices' is not a per-binding predicate")
     }
+    if (terms.flatMap(t => Seq(t.src, t.dst)).forall(_.startsWith(Anon)))
+      throw new IllegalArgumentException(
+        s"motif '$pattern' binds no named variable — nothing to output")
     terms
   }
 
@@ -106,13 +125,18 @@ object MotifFind {
           .join(rel(t).repartition(n, keys: _*), shared)
     }
     for (t <- neg) {
-      val unbound = Seq(t.src, t.dst).filterNot(acc.columns.contains)
+      // Anonymous ends are existential, not join keys: the anti-join
+      // keys are the NAMED variables only (parse guarantees ≥ 1).
+      val keys = Seq(t.src, t.dst).filterNot(_.startsWith(Anon)).distinct
+      val unbound = keys.filterNot(acc.columns.contains)
       if (unbound.nonEmpty) throw new IllegalArgumentException(
         s"negated motif term references unbound variable(s) ${unbound.mkString(", ")}")
-      acc = acc.join(rel(t), Seq(t.src, t.dst), "left_anti")
+      acc = acc.join(rel(t), keys, "left_anti")
     }
-    // Columns in first-appearance order over the whole pattern.
+    // Named columns in first-appearance order; anonymous ends matched
+    // but are not part of the output.
     val order = terms.flatMap(t => Seq(t.src, t.dst)).distinct
+      .filterNot(_.startsWith(Anon))
       .filter(acc.columns.contains)
     acc.select(order.map(col): _*)
   }

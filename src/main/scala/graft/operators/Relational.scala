@@ -163,6 +163,43 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** MERGEABLE persisted sketches — the incremental-analytics shape
+    * [[qApproxDistinct]] only gestures at: at 100 TB you do NOT
+    * rescan history to count distincts over a widening window; you
+    * persist one tiny HLL sketch per (group, day) as data arrives and
+    * UNION sketches at query time. This operator materializes the
+    * per-(event_type, day) sketch table to parquet once per SF dir
+    * (binary sketch column — proving the artifact round-trips
+    * storage), reads it back, merges with `hll_union_agg` per
+    * event_type, and audits the estimate against the exact distinct
+    * with the 5% verdict convention (sketch QUALITY under the oracle,
+    * not its bits). lgConfigK=12 → ~1.6% standard error. */
+  def qSketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val key = java.lang.Long.toHexString(src.length() ^ src.lastModified())
+    val stem = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val skDir = s"/tmp/graft_hll_${stem}_$key"
+    if (!new java.io.File(s"$skDir/_SUCCESS").exists()) {
+      Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .write.mode("overwrite").parquet(skDir)
+    }
+    val merged = spark.read.parquet(skDir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
+        .as("approx_users"))
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * lit(0.05)).as("approx_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** Approximate percentile (GK sketch) next to the exact median —
     * the mergeable single-pass form used when exact per-group sorts
     * are too expensive. As with [[qApproxDistinct]], the sketch value

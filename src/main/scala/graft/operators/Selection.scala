@@ -120,4 +120,60 @@ object Selection {
   def qPercentileSelect(spark: SparkSession, dir: String): DataFrame =
     exactPercentiles(graft.Tables.lineitem(spark, dir), "l_extendedprice",
       Seq(50, 90, 99)).orderBy(col("pct"))
+
+  /** PER-GROUP exact percentiles, dispatched on the measured group
+    * count — the two scale regimes need opposite plans:
+    *   - FEW groups (≤ `graft.selection.maxBisectGroups`, default 8):
+    *     each group is huge, so a per-group window sort would funnel
+    *     it through one reducer; instead run the [[kthSmallest]]
+    *     bisection per (group, percentile) over one shared
+    *     single-column checkpoint — no sort of any group, ever.
+    *   - MANY groups: groups are individually modest and the shuffle
+    *     spreads them, so the classic rank-window shape (row_number +
+    *     group count, pick rank ⌈p·n⌉ by equi-joining precomputed
+    *     rank targets) sorts all groups in parallel.
+    * Both paths are exact under duplicates and spec-pinned equal.
+    * Output: (grp: STRING, pct: BIGINT, value). */
+  def groupPercentiles(input: DataFrame, groupCol: String, valueCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val maxBisect = spark.conf.getOption("graft.selection.maxBisectGroups")
+      .map(_.toInt).getOrElse(8)
+    val base = input
+      .select(col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("double").as("x"))
+      .filter(col("grp").isNotNull && col("x").isNotNull)
+    // Bounded probe: only ever pulls maxBisect+1 keys to the driver.
+    val probe = base.select(col("grp")).distinct()
+      .limit(maxBisect + 1).collect().map(_.getString(0))
+    if (probe.length <= maxBisect) {
+      val df = base.localCheckpoint(true)
+      val rows = for {
+        g <- probe.sorted.toSeq
+        sub = df.filter(col("grp") === g).select(col("x"))
+        n = sub.count()
+        p <- pcts.sorted
+      } yield (g, p.toLong, kthSmallest(sub, math.max(1L, math.ceil(p / 100.0 * n).toLong)))
+      rows.toDF("grp", "pct", "value")
+        .select(col("grp"), col("pct"), round(col("value"), 2).as("value"))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val ranked = base
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(col("x"))))
+      val targets = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+        .crossJoin(pcts.sorted.map(_.toLong).toDF("pct"))
+        .select(col("grp"), col("pct"),
+          greatest(lit(1L), ceil(col("pct") / 100.0 * col("n")).cast("long")).as("rk"))
+      ranked.join(targets, Seq("grp", "rk"))
+        .select(col("grp"), col("pct"), round(col("x"), 2).as("value"))
+    }
+  }
+
+  /** Query entry: exact per-returnflag p50/p90/p99 of extendedprice. */
+  def qGroupPercentile(spark: SparkSession, dir: String): DataFrame =
+    groupPercentiles(graft.Tables.lineitem(spark, dir), "l_returnflag",
+      "l_extendedprice", Seq(50, 90, 99))
+      .orderBy(col("grp"), col("pct"))
 }

@@ -81,6 +81,20 @@ class MotifFindSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("x", "y", "z")))
   }
 
+  test("anonymous ends match but don't appear in output; negated anon is existential") {
+    val e = directedEdges
+    // One row per out-edge of a (bag semantics), single output column.
+    val outs = MotifFind.find(e, "(a)-[]->()")
+    assert(outs.columns.toSeq == Seq("a"))
+    assert(outs.count() == 10L) // 10 distinct non-self directed edges
+    // Sink-pointing edges: b exists but has no out-edge of its own.
+    val sinks = MotifFind.find(e, "(a)-[]->(b); !(b)-[]->()")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sinks == Set((2L, 3L), (1L, 3L), (4L, 3L), (8L, 9L)), sinks.toString)
+    // Anonymous-first-term patterns bind from the anonymous side too.
+    assert(MotifFind.find(e, "()-[]->(b)").columns.toSeq == Seq("b"))
+  }
+
   test("malformed patterns and unbound negations are rejected") {
     val e = directedEdges
     intercept[IllegalArgumentException](MotifFind.parse("(a)->(b)"))
@@ -90,5 +104,8 @@ class MotifFindSpec extends AnyFunSuite {
       MotifFind.find(e, "(a)-[]->(b); (c)-[]->(d)")) // disconnected
     intercept[IllegalArgumentException](
       MotifFind.find(e, "(a)-[]->(b); !(a)-[]->(z)")) // unbound z
+    intercept[IllegalArgumentException](MotifFind.parse("()-[]->()")) // nothing named
+    intercept[IllegalArgumentException](
+      MotifFind.parse("(a)-[]->(b); !()-[]->()")) // negated both-anonymous
   }
 }

@@ -64,6 +64,20 @@ class SelectionSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.selection.materialize")
   }
 
+  test("group percentiles: bisection and window dispatch paths agree") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 10.0), ("b", 20.0), ("b", 30.0))).toDF("g", "v")
+    val want = Set(("a", 50L, 50.0), ("a", 90L, 90.0), ("a", 99L, 99.0),
+      ("b", 50L, 20.0), ("b", 90L, 30.0), ("b", 99L, 30.0))
+    def got() = Selection.groupPercentiles(df, "g", "v", Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got() == want) // 2 groups ≤ 8 → per-group bisection path
+    spark.conf.set("graft.selection.maxBisectGroups", "1") // force window path
+    try assert(got() == want)
+    finally spark.conf.unset("graft.selection.maxBisectGroups")
+  }
+
   test("exactPercentiles uses the ceil(p*n) discrete convention") {
     // n = 10 values 10..100: p50 → rank 5 → 50; p90 → rank 9 → 90;
     // p99 → rank ceil(9.9) = 10 → 100; p1 → rank ceil(0.1) = 1 → 10.
