@@ -66,10 +66,34 @@ object SparkEntry {
     * skipped them, and the lower-median reported a cheaper query than
     * the cold-memo contract implies. Writes are keyed on source-file
     * identity, so an already-fresh fixture is a no-op. */
+  /** Mixed-vintage parquet directory: an "old ingest" file set with a
+    * narrow INT32 doc_id and no source/n_chars columns, plus a "new
+    * ingest" set with the full widened schema — the drifted-lake shape
+    * the round-9 events incident proved real. Both vintages land in
+    * ONE directory (staged + atomic rename so the _SUCCESS cache guard
+    * can never see a torn two-write fixture). */
+  private def sideOutDocsVintages(s: SparkSession, d: String): String =
+    cachedSideOutput(d, "documents", "docsvint") { p =>
+      val stage = new java.io.File(p + ".stage")
+      if (stage.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(stage).deleteRecursively()
+      }
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").cast("int").as("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(stage.getPath)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .write.mode("append").parquet(stage.getPath)
+      if (!stage.renameTo(new java.io.File(p)))
+        throw new java.io.IOException(s"rename $stage -> $p failed")
+    }
+
   def prewarmSideOutputs(s: SparkSession, d: String): Unit = {
     sideOutEdgeList(s, d); sideOutEventsPart(s, d); sideOutDocsJson(s, d)
     sideOutDocsBin(s, d); sideOutDocsOrc(s, d); sideOutDocsCsv(s, d)
-    sideOutDocsText(s, d)
+    sideOutDocsText(s, d); sideOutDocsVintages(s, d)
   }
 
   /** Flagship: Louvain community detection on the supplier
@@ -175,6 +199,11 @@ object SparkEntry {
     }),
     "g_degree_hist" -> ((s, d) =>
       GraphOps.degreeHistogram(GraphBuilder.supplierCoEdges(s, d))),
+    // Rows-only + spec: HLL estimates aren't portable SQL; the spec
+    // pins exact equality with BFS on planted graphs (DataSketches
+    // coupon mode is exact at these cardinalities).
+    "g_anf" -> ((s, d) =>
+      GraphOps.anf(s, GraphBuilder.supplierCoEdges(s, d))),
     // Strong-tie subgraph (weight ≥ 1.25× median) for the similarity
     // statistics: the raw co-occurrence graph is near-complete, where
     // Jaccard is uniformly ~1 and assortativity degenerate.
@@ -392,6 +421,7 @@ object SparkEntry {
     "t_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     "t_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
+    "t_heldout_lm" -> ((s, d) => TextAnalysis.heldoutLm(s, d)),
     "t_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
@@ -493,6 +523,26 @@ object SparkEntry {
       TextAnalysis.tokenCountsOf(s.read.text(out)
         .select(parts.getItem(0).cast("long").as("doc_id"),
           parts.getItem(1).as("text")))
+    }),
+    // Schema evolution across parquet vintages, read the 100 TB way:
+    // declare ONE widened target schema over the mixed directory and
+    // let the per-file scan adapt — INT32 doc_id widens to BIGINT,
+    // columns absent from the old vintage null-fill. mergeSchema can
+    // only do the add-column half (CANNOT_MERGE_SCHEMAS on any type
+    // drift, spec-pinned in SourcesSpec) and pays a footer read per
+    // file; the explicit schema pays neither. Aggregate proves both
+    // vintages landed: n_docs counts all rows, n_v2/sum_chars only the
+    // new-vintage rows (non-null source/n_chars).
+    "src_schema_evolution" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, sum}
+      val out = sideOutDocsVintages(s, d)
+      s.read.schema("doc_id long, lang string, source string, n_chars long")
+        .parquet(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("source")).as("n_v2"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
     }),
   )
 
@@ -1701,6 +1751,30 @@ object SparkEntry {
         |FROM occ JOIN bi USING (bigram) JOIN uni USING (w1)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Same split hashes as p_split; per-term e4 rounding before the
+    // sum keeps the float path integer-exact across engines. The CROSS
+    // JOIN v is a one-row scalar (vocab size), not a data cross.
+    "t_heldout_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 8) AS hh,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |idx AS (SELECT doc_id, hh, t, unnest(range(1, greatest(len(t), 1))) AS i
+        |  FROM toks),
+        |occ AS (SELECT doc_id, hh, t[i] || ' ' || t[i + 1] AS bigram,
+        |    t[i] AS w1 FROM idx),
+        |train AS (SELECT * FROM occ WHERE hh < 'f5c28f5c'),
+        |vo AS (SELECT * FROM occ WHERE hh >= 'f5c28f5c' AND hh < 'fae147ae'),
+        |bi AS (SELECT bigram, count(*) AS b FROM train GROUP BY 1),
+        |uni AS (SELECT w1, count(*) AS u FROM train GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w1) AS nv FROM train)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(round(log2(
+        |      (CAST(coalesce(b, 0) + 1 AS DOUBLE)) / (coalesce(u, 0) + nv)
+        |    ) * 10000) AS BIGINT)) AS BIGINT) AS logprob2_e4
+        |FROM vo LEFT JOIN bi USING (bigram) LEFT JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "p_domain_cap" ->
       """WITH ranked AS (
         |  SELECT source, doc_id,
@@ -2169,6 +2243,14 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The vintage split is doc_id parity: even rows shipped the narrow
+    // v1 schema (source/n_chars absent → null under the widened read),
+    // odd rows the full v2 schema.
+    "src_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_v2,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // Byte-exact round-trip through the binaryFile source: file size
     // and md5 of the UTF-8 payload vs the parquet text (DuckDB md5
     // hashes the string's UTF-8 bytes; encode() gives their length).

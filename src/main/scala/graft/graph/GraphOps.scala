@@ -606,6 +606,62 @@ object GraphOps {
       .orderBy(col("vertex"))
   }
 
+  /** HyperANF approximate neighborhood function (Boldi, Rosa & Vigna,
+    * WWW 2011): per vertex, an HLL sketch of the ball N_r(v) =
+    * {vertices within distance r}, advanced one hop per round by
+    * merging each vertex's sketch with its neighbors' — sketch union
+    * IS ball union, so round r's estimates give the neighborhood
+    * function N(r) = Σ_v |N_r(v)| (reachable ordered pairs within r,
+    * self-pairs included) without any per-pair work. This is how
+    * effective diameter / average distance is measured on graphs
+    * where exact all-pairs BFS (V·E) is unthinkable: state is one
+    * ~2^lgK-register sketch per vertex, each round is one equi-join +
+    * one map-side-combinable union aggregation, and rounds stop at
+    * the sketch fixpoint (≤ graph diameter, capped by `maxRounds`).
+    *
+    * DataSketches HLL stays in exact (coupon) mode until well past
+    * the register count, so on small graphs the estimates are exact —
+    * the spec pins exact equality with driver-side BFS on planted
+    * graphs; at scale lgK=12 gives ~1.6% standard error per vertex.
+    * Output: one row per round (r, est_pairs), plus `d_eff90` — the
+    * smallest r whose ball count reaches 90% of the fixpoint count —
+    * stamped on every row (the single scalar a caller usually wants).
+    */
+  def anf(spark: SparkSession, edges: DataFrame, lgK: Int = 12,
+      maxRounds: Int = 32): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = e.union(e.select(col("dst"), col("src")))
+      .toDF("v", "nbr").localCheckpoint(true)
+    var state = sym.select(col("v")).distinct()
+      .groupBy(col("v")).agg(hll_sketch_agg(col("v"), lit(lgK)).as("sk"))
+      .localCheckpoint(true)
+    def pairs(st: DataFrame): Long =
+      st.agg(sum(hll_sketch_estimate(col("sk")))).first().getLong(0)
+    val counts = scala.collection.mutable.ArrayBuffer(pairs(state))
+    var done = false
+    while (!done && counts.size <= maxRounds) {
+      val fromNbrs = sym
+        .join(state.withColumnRenamed("v", "sv"), col("nbr") === col("sv"))
+        .select(col("v"), col("sk"))
+      val next = state.select(col("v"), col("sk")).union(fromNbrs)
+        .groupBy(col("v"))
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+        .localCheckpoint(true)
+      val c = pairs(next)
+      state.unpersist(false)
+      state = next
+      // Sketch-count fixpoint: every ball stopped growing (estimates
+      // are monotone under union, so an unchanged SUM means unchanged
+      // sketches on every vertex of this run's merge order).
+      if (c == counts.last) done = true else counts += c
+    }
+    state.unpersist(false)
+    val total = counts.last
+    val dEff = counts.indexWhere(_.toDouble >= 0.9 * total)
+    val rows = counts.toSeq.zipWithIndex.map { case (n, r) => (r, n, dEff) }
+    spark.createDataFrame(rows).toDF("r", "est_pairs", "d_eff90")
+  }
+
   /** k-core: the maximal subgraph where every vertex has degree ≥ k,
     * by iterative peeling — drop under-degree vertices, recompute,
     * repeat to fixpoint. Each round is one aggregation + one semi-join

@@ -230,6 +230,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Held-out language-model scoring — the quality-filter shape a
+    * training pipeline runs at selection time: fit add-one-smoothed
+    * bigram probabilities on the TRAIN split (p_split's hash
+    * convention, so the folds are layout-stable and engine-portable),
+    * then score every VAL-split document against that frozen model:
+    * P(w2|w1) = (c(w1 w2)+1) / (c(w1)+V), V = train leading-unigram
+    * vocabulary. Unseen bigrams and unseen histories both smooth to
+    * nonzero mass, so held-out docs always score.
+    *
+    * Float determinism follows [[bigramLogProb]]'s e4 contract: each
+    * bigram's log2-probability term is rounded to an e4 BIGINT before
+    * the per-doc sum, making the cross-engine result integer-exact
+    * regardless of summation order. Shape: one corpus explode
+    * (checkpointed, both splits from the same scan), two map-side
+    * combined count tables over the train rows, then the val rows
+    * LEFT-join those (token, count) tables — nothing wider than a
+    * bigram string shuffles, and the model tables are exactly the
+    * train corpus' distinct bigrams/unigrams. */
+  def heldoutLm(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
+    val hh = substring(md5(concat(col("doc_id").cast("string"),
+      lit(s":split:$seed"))), 1, 8)
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), hh.as("hh"),
+        explode(TF.wordShingles(col("text"), 2)).as("bigram"))
+      .filter(col("bigram").contains(" "))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .localCheckpoint(true)
+    val train = occ.filter(col("hh") < lit("f5c28f5c"))
+    val valOcc = occ.filter(col("hh") >= lit("f5c28f5c")
+      && col("hh") < lit("fae147ae"))
+    val bi = train.groupBy(col("bigram")).agg(count(lit(1)).as("b"))
+    val uni = train.groupBy(col("w1")).agg(count(lit(1)).as("u"))
+    // One bounded scalar (the vocabulary size) crosses the driver —
+    // a count, not data rows.
+    val vocab = train.select(col("w1")).distinct().count()
+    valOcc.join(bi, Seq("bigram"), "left")
+      .join(uni, Seq("w1"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(log2((coalesce(col("b"), lit(0L)).cast("double") + 1.0)
+          / (coalesce(col("u"), lit(0L)) + lit(vocab))) * 1e4).cast("long"))
+          .as("logprob2_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PMI-ranked collocations — the "new york"/"et al" detector next
     * to raw frequency ([[topBigrams]] surfaces COMMON pairs; PMI
     * surfaces ASSOCIATED pairs whose words rarely appear apart):

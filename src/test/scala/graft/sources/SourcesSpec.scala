@@ -155,6 +155,48 @@ class SourcesSpec extends AnyFunSuite {
       (7L, "naïve déjà-vu".getBytes("UTF-8").length.toLong, "naïve déjà-vu")))
   }
 
+  test("mixed parquet vintages: one explicit widened schema reads both files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_vint").toFile.getAbsolutePath
+    // v1 vintage: narrow INT32 id, no source column (old ingest)
+    Seq(1, 2).toDF("doc_id")
+      .select(col("doc_id").cast("int").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    // v2 vintage: widened BIGINT id + added column, same directory
+    Seq((10L, "web"), (11L, "book")).toDF("doc_id", "source")
+      .write.mode("append").parquet(s"$dir/t")
+
+    // The scale path: declare the target schema once; the per-file
+    // parquet scan widens INT32→BIGINT and null-fills absent columns.
+    val got = spark.read.schema("doc_id long, source string")
+      .parquet(s"$dir/t")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, None), (2L, None),
+      (10L, Some("web")), (11L, Some("book"))))
+
+    // mergeSchema handles ONLY the add-column half of the drift: over
+    // files that differ by a type change it throws CANNOT_MERGE_SCHEMAS
+    // (pinned so the next vintage drift reaches for the explicit-schema
+    // path, not the mergeSchema flag).
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/t").schema
+    }
+    assert(ex.getMessage.contains("CANNOT_MERGE_SCHEMAS"), ex.getMessage)
+  }
+
+  test("mergeSchema unions add-only vintages; plain read binds one footer") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_vint2").toFile.getAbsolutePath
+    Seq((1L, "en")).toDF("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    Seq((2L, "de", 42L)).toDF("doc_id", "lang", "n_chars")
+      .write.mode("append").parquet(s"$dir/t")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.schema.fieldNames.sorted.toSeq == Seq("doc_id", "lang", "n_chars"))
+    assert(merged.count() == 2L)
+  }
+
   test("text-line round-trip preserves ids and text through the delimiter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
