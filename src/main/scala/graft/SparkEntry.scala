@@ -325,6 +325,7 @@ object SparkEntry {
     "d_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "d_crossdoc_ngram" -> ((s, d) => Dedup.crossdocNgrams(s, d)),
+    "d_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(s, d)),
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "d_dup_clusters_exact" -> ((s, d) => Dedup.dupClustersExact(s, d)),
     "d_containment" -> ((s, d) => Dedup.containment(s, d)),
@@ -405,6 +406,8 @@ object SparkEntry {
     }),
     "e_knn_lsh" -> ((s, d) => Similarity.knnLshWithRecall(s, d)),
     "e_knn_ivf" -> ((s, d) => Similarity.knnIvfWithRecall(s, d)),
+    // Rows-only + spec (recall-monotonicity vs the LSH base graph).
+    "e_nn_descent" -> ((s, d) => Similarity.knnDescentWithRecall(s, d)),
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "e_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(s, d)),
@@ -2420,6 +2423,35 @@ object SparkEntry {
         |FROM j JOIN qs USING (doc_a)
         |WHERE round(n_common * 10000.0 / n_q) >= 2500
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Content-defined chunking: identical boundary rule (md5 of the
+    // trailing 3-token gram, leading nibble '0') and identical chunk
+    // reassembly (space-joined tokens in position order) — lag/cumsum
+    // windows mirror the Spark plan one-to-one. 0-based Spark pos vs
+    // 1-based DuckDB i: the guards (pos >= 2, i >= 3) pick the same
+    // token set.
+    "d_cdc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+        |tok AS (SELECT doc_id, i, t[i] AS tok FROM pos),
+        |fl AS (SELECT doc_id, i, tok,
+        |    CASE WHEN i >= 3 AND substr(md5(
+        |        lag(tok, 2) OVER w || ' ' || lag(tok, 1) OVER w || ' ' || tok
+        |      ), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |ch AS (SELECT doc_id, i, tok,
+        |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+        |  FROM fl),
+        |chunks AS (SELECT doc_id, cid,
+        |    md5(string_agg(tok, ' ' ORDER BY i)) AS h
+        |  FROM ch GROUP BY doc_id, cid),
+        |freq AS (SELECT h, count(DISTINCT doc_id) AS df FROM chunks GROUP BY h)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        |FROM chunks JOIN freq USING (h)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // Word 8-gram shingles with whole-text fallback for short docs —
     // identical construction to the Spark side's wordShingles(n=8).
     "d_crossdoc_ngram" ->

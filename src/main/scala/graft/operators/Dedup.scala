@@ -472,4 +472,53 @@ object Dedup {
           .as("shared_e4"))
       .orderBy(col("doc_id"))
   }
+
+  /** Content-defined chunking dedup (the FastCDC/LBFS idea at token
+    * granularity): chunk boundaries fall where a hash of the trailing
+    * `w`-token window hits a mask — a content-local rule, so an
+    * insertion early in a document shifts only the chunk it lands in,
+    * while fixed-width chunking would shift EVERY downstream chunk
+    * and destroy dedup. The engine-portable boundary rule is
+    * md5(last-w-token gram) leading nibble = '0' (p = 1/16, expected
+    * ~16-token chunks); duplicate chunks are those whose reassembled
+    * text hashes to a value seen in ≥ 2 distinct documents.
+    *
+    * Shape: one token explode, then BOTH windows (boundary-flag lag
+    * and running-boundary-count) ride the same (doc_id, pos)
+    * partitioning — tokens shuffle once, chunk reassembly happens
+    * doc-locally, and only 16-byte chunk hashes cross the global
+    * frequency shuffle. Output: (doc_id, n_chunks, n_dup_chunks). */
+  def cdcChunks(spark: SparkSession, dir: String, w: Int = 3): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir), w)
+
+  /** [[cdcChunks]] over any (doc_id, text) table. */
+  def cdcChunksOf(docs: DataFrame, w: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gram = concat_ws(" ",
+      (w - 1 to 1 by -1).map(j => lag(col("tok"), j).over(byPos)) :+ col("tok"): _*)
+    // Boundary AFTER token `pos` once a full window exists: chunk id
+    // of a token counts the boundaries strictly BEFORE it.
+    val chunks = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("b",
+        when(col("pos") >= w - 1
+          && substring(md5(gram), 1, 1) === "0", 1L).otherwise(0L))
+      .withColumn("cid",
+        coalesce(sum(col("b")).over(
+          byPos.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")))).as("h"))
+      .localCheckpoint(true)
+    val freq = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    chunks.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy(col("doc_id"))
+  }
 }

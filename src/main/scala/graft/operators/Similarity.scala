@@ -529,6 +529,46 @@ object Similarity {
     withSampledRecall(emb, knnGraphFrom(emb, pairs, k), k)
   }
 
+  /** One NN-descent refinement round (Dong, Moses & Li, WWW 2011)
+    * over an existing approximate kNN edge table: "a neighbor of a
+    * neighbor is probably a neighbor" — candidates for v are every
+    * pair of vectors sharing a pivot in the SYMMETRIZED graph
+    * (forward ∪ reverse edges), exact-rescored through
+    * [[knnGraphFrom]] with the base edges kept in the pool, so the
+    * refined graph's candidate set strictly contains the base's and
+    * recall is (practically) monotone. Reverse degree is capped at k
+    * per pivot (best-sim first) — the paper's sampling bound, without
+    * which one popular vector's R(v) makes the pivot expansion
+    * quadratic in its in-degree. Volume: ≤ n·(2k)² candidate rows,
+    * bare (id, id) pairs; no embedding arrays cross the expansion
+    * shuffles. The standard way to push a cheap blocking-scheme graph
+    * (LSH/IVF) toward exact-graph recall at linear-ish cost. */
+  def nnDescentFrom(emb: DataFrame, base: DataFrame, k: Int = TopK): DataFrame = {
+    val fwd = base.select(col("vec_id"), col("neighbor_id"))
+    val revRanked = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("sim_e4").desc, col("vec_id").asc)
+    val rev = base.withColumn("rrank", row_number().over(revRanked))
+      .filter(col("rrank") <= k)
+      .select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"))
+    val b = fwd.union(rev)
+      .select(col("vec_id").as("pivot"), col("neighbor_id").as("m"))
+    val non = b.join(b.select(col("pivot"), col("m").as("candidate_id")), Seq("pivot"))
+      .select(col("m").as("vec_id"), col("candidate_id"))
+    val cands = fwd.select(col("vec_id"), col("neighbor_id").as("candidate_id"))
+      .union(non)
+    knnGraphFrom(emb, cands, k)
+  }
+
+  /** NN-descent over the sign-LSH base graph as a first-class query,
+    * with the same sampled brute-force recall audit as
+    * [[knnLshWithRecall]] — the measured claim is that one descent
+    * round lifts the LSH graph's recall toward exact. */
+  def knnDescentWithRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val base = knnGraphFrom(emb, lshCandidatePairs(emb), k)
+    withSampledRecall(emb, nnDescentFrom(emb, base, k), k)
+  }
+
   // ---- Product quantization (round 8) ----
   // The 100 TB memory-compression layout: a 64-d float embedding
   // (256 B) compresses to PqSubspaces codebook indices (8 B), and

@@ -193,6 +193,25 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"LSH kNN recall $recall (${(exact & lsh).size}/${exact.size})")
   }
 
+  test("NN-descent round is recall-monotone over the LSH base and lifts it") {
+    val emb = graft.Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val exact = Similarity.knnGraphOf(emb)
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = Similarity.knnGraphFrom(emb, Similarity.lshCandidatePairs(emb))
+    val baseEdges = base.select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.nnDescentFrom(emb, base)
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rBase = (exact & baseEdges).size.toDouble / exact.size
+    val rRef = (exact & refined).size.toDouble / exact.size
+    // The descent candidate pool contains every base edge, so recall
+    // cannot drop; on this corpus one round visibly lifts it.
+    assert(rRef >= rBase, s"descent recall $rRef < base $rBase")
+    assert(rRef >= 0.85, s"descent recall $rRef")
+  }
+
   test("IVF-candidate kNN path composes through knnGraphFrom with useful recall") {
     // knnGraphFrom accepts ANY blocking scheme's bare id pairs: the
     // IVF cell self-join (single-probe equivalent) must still recover
