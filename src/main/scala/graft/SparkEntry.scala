@@ -119,6 +119,11 @@ object SparkEntry {
     "g_louvain" -> ((s, d) =>
       GraphOps.louvain(s, GraphBuilder.supplierCoEdges(s, d))
         .orderBy(col("vertex"))),
+    // Rows-only + spec (connectivity guarantee + modularity-monotone
+    // repair; rides the memoized louvain run, so the added cost is
+    // one intra-edge projection + one CC pass).
+    "g_leiden" -> ((s, d) =>
+      GraphOps.leiden(s, GraphBuilder.supplierCoEdges(s, d))),
     "g_modularity" -> ((s, d) =>
       GraphOps.louvainLevels(s, GraphBuilder.supplierCoEdges(s, d))
         .orderBy(col("level"))),
@@ -187,6 +192,8 @@ object SparkEntry {
         GraphOps.decileTies(GraphBuilder.supplierCoEdges(s, d)), k = 4)),
     "g_walks" -> ((s, d) =>
       GraphOps.randomWalks(s, GraphBuilder.supplierCoEdges(s, d))),
+    "g_node2vec" -> ((s, d) =>
+      GraphOps.node2vecWalks(s, GraphBuilder.supplierCoEdges(s, d))),
     // End-to-end file ingest: the reference's native input is a
     // delimited edge list — write the co-occurrence edges as TSV once
     // per SF dir, read back through EdgeListSource.readCanonical, and
@@ -643,6 +650,50 @@ object SparkEntry {
   /** Deterministic walks unrolled to `steps` SQL hops — the same
     * md5-hex-derived neighbor choice as GraphOps.randomWalks, so
     * every hop replays exactly. */
+  /** node2vec walks unrolled to SQL — [[walksOracleSql]]'s rank pick
+    * generalized to the weighted-interval pick: per step the
+    * candidate list (ordered by dst) gets half-open cumulative-weight
+    * intervals and the walk hash picks pmod(h, Σw); the distance-1
+    * class tests (prev, x) membership against the symmetric edge set
+    * exactly as the Spark side's left join. The hash is 15 hex digits
+    * → positive, so `%` ≡ pmod on both engines. */
+  private def node2vecOracleSql(steps: Int = 4, wR: Int = 1, wC: Int = 2,
+      wO: Int = 4): String = {
+    def h(t: Int) =
+      s"CAST(('0x' || substr(md5(CAST(walk_id AS VARCHAR) || ':$t'), 1, 15)) AS BIGINT)"
+    val hops = (2 to steps).map { t =>
+      s""",
+         |c$t AS MATERIALIZED (SELECT w.walk_id, w.vertex AS cur, a.dst AS x,
+         |    CASE WHEN a.dst = w.prev THEN $wR
+         |      WHEN m.src IS NOT NULL THEN $wC ELSE $wO END AS wt
+         |  FROM w${t - 1} w JOIN adj a ON a.src = w.vertex
+         |  LEFT JOIN sym m ON m.src = w.prev AND m.dst = a.dst),
+         |w$t AS MATERIALIZED (SELECT walk_id, cur AS prev, x AS vertex FROM (
+         |  SELECT walk_id, cur, x, wt,
+         |    coalesce(sum(wt) OVER (PARTITION BY walk_id ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         |    sum(wt) OVER (PARTITION BY walk_id) AS tot
+         |  FROM c$t) z
+         |  WHERE tot > 0 AND ${h(t)} % tot >= cum
+         |    AND ${h(t)} % tot < cum + wt)""".stripMargin
+    }.mkString
+    val unions = (0 to steps)
+      .map(t => s"SELECT walk_id, $t AS step, vertex FROM w$t")
+      .mkString("\n", "\nUNION ALL ", "")
+    s"""WITH $EdgeCte,
+       |adj AS MATERIALIZED (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM sym),
+       |w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS vertex
+       |  FROM sym),
+       |w1 AS MATERIALIZED (SELECT w.walk_id, w.vertex AS prev, a.dst AS vertex
+       |  FROM w0 w JOIN adj a ON a.src = w.vertex
+       |  AND a.r = ${h(1)} % a.deg)""".stripMargin +
+      hops +
+      s"\nSELECT walk_id, step, vertex FROM ($unions) u ORDER BY walk_id, step"
+  }
+
   private def walksOracleSql(steps: Int = 4): String = {
     val hops = (1 to steps).map { t =>
       s""",
@@ -889,6 +940,7 @@ object SparkEntry {
     "g_kcore" -> kcoreOracleSql(),
     "g_ktruss" -> ktrussOracleSql(),
     "g_walks" -> walksOracleSql(),
+    "g_node2vec" -> node2vecOracleSql(),
     "g_pagerank_det" -> pagerankDetOracleSql(),
     "g_ppr" -> pprOracleSql(),
     // Adamic–Adar over the strong-tie subgraph: wedge join + anti-join

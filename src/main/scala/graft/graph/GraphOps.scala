@@ -807,6 +807,80 @@ object GraphOps {
     perStep.reduce(_ unionAll _).orderBy(col("walk_id"), col("step"))
   }
 
+  /** node2vec biased walks (Grover & Leskovec, KDD 2016): the
+    * second-order extension of [[randomWalks]] whose step t choice
+    * depends on (prev, cur) — candidates x ∈ N(cur) weigh
+    * `wReturn` when x = prev (the 1/p return term), `wCommon` when
+    * x ∈ N(prev) (distance-1, BFS-ish), `wOut` otherwise (distance-2,
+    * DFS-ish 1/q term). Integer weights make the deterministic pick
+    * exact: per (walk, step) the candidate list orders by dst, a
+    * running-weight window assigns each candidate the half-open
+    * interval [cum, cum+w), and the walk's step hash picks
+    * pmod(h, Σw) — with all weights equal this IS [[randomWalks]]'
+    * pmod(h, deg) rank pick (spec-pinned exact equality), so the
+    * uniform walk is the p=q=1 special case, not a separate code
+    * path. Zero-weight candidates get empty intervals (excluded); a
+    * walk whose candidates all weigh 0 terminates.
+    *
+    * Shape per step: frontier × adjacency equi-join (Σdeg(cur)
+    * candidate rows, bare ids), one (prev, x) membership left-join
+    * against the symmetric edge set for the distance-1 class, two
+    * windows sharing the walk_id partitioning. The candidate
+    * explosion is inherent to exact second-order sampling — the
+    * at-scale alternatives (alias tables, KnightKing-style rejection)
+    * trade exactness or determinism for it. */
+  def node2vecWalks(spark: SparkSession, edges: DataFrame, steps: Int = 4,
+      wReturn: Int = 1, wCommon: Int = 2, wOut: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = sym
+      .withColumn("r",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .select(col("src").as("a_src"), col("dst").as("a_dst"),
+        col("r").as("a_r"), col("deg").as("a_deg"))
+      .localCheckpoint(true)
+    val member = adj.select(col("a_src").as("m_src"), col("a_dst").as("m_dst"),
+      lit(1).as("m"))
+    def stepHash(t: Int) = conv(substring(
+      md5(concat(col("walk_id").cast("string"), lit(s":$t"))), 1, 15), 16, 10)
+      .cast("long")
+    // Step 1 is first-order (no prev yet) — identical to randomWalks.
+    var cur = adj.select(col("a_src").as("walk_id")).distinct()
+      .select(col("walk_id"), col("walk_id").as("vertex"))
+      .join(adj, col("vertex") === col("a_src")
+        && col("a_r") === pmod(stepHash(1), col("a_deg")))
+      .select(col("walk_id"), col("vertex").as("prev"), col("a_dst").as("vertex"))
+      .localCheckpoint(true)
+    val perStep = scala.collection.mutable.ArrayBuffer[DataFrame](
+      adj.select(col("a_src").as("walk_id")).distinct()
+        .select(col("walk_id"), lit(0).as("step"), col("walk_id").as("vertex")),
+      cur.select(col("walk_id"), lit(1).as("step"), col("vertex")))
+    for (t <- 2 to steps) {
+      val byWalk = Window.partitionBy(col("walk_id"))
+      val w = when(col("a_dst") === col("prev"), lit(wReturn.toLong))
+        .when(col("m").isNotNull, lit(wCommon.toLong))
+        .otherwise(lit(wOut.toLong))
+      cur = cur
+        .join(adj, col("vertex") === col("a_src"))
+        .join(member, col("prev") === col("m_src")
+          && col("a_dst") === col("m_dst"), "left")
+        .withColumn("w", w)
+        .withColumn("cum", coalesce(sum(col("w")).over(
+          byWalk.orderBy(col("a_dst"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("tot", sum(col("w")).over(byWalk))
+        .filter(col("tot") > 0)
+        .withColumn("pick", pmod(stepHash(t), col("tot")))
+        .filter(col("pick") >= col("cum") && col("pick") < col("cum") + col("w"))
+        .select(col("walk_id"), col("vertex").as("prev"), col("a_dst").as("vertex"))
+        .localCheckpoint(true)
+      perStep += cur.select(col("walk_id"), lit(t).as("step"), col("vertex"))
+    }
+    perStep.reduce(_ unionAll _).orderBy(col("walk_id"), col("step"))
+  }
+
   /** Connected components (GraphX fixpoint). */
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     val g = GraphBuilder.toGraphX(edges)
@@ -1276,6 +1350,48 @@ object GraphOps {
     spark.createDataFrame(assignment.map { case (id, comm) => (id, comm) })
       .toDF("vertex", "community")
   }
+
+  /** Leiden-style connectivity refinement (Traag, Waltman & van Eck
+    * 2019, "From Louvain to Leiden"): Louvain's local-move phase can
+    * strand a community's vertices with NO internal path — the
+    * paper's headline defect — because a vertex that acted as a
+    * bridge may migrate out while the nodes it connected stay behind.
+    * The repair is the core of Leiden's refinement phase: run
+    * connected components on each community's INDUCED subgraph and
+    * split every disconnected community into its components.
+    *
+    * Splitting along a zero-edge cut loses no internal weight while
+    * the Σ(deg_c)² penalty strictly shrinks, so refined modularity is
+    * PROVABLY ≥ the input partition's (strictly > when any split
+    * fires) — the spec pins that inequality on the real graph, not
+    * just planted cases. Refined labels are the induced subgraph's CC
+    * labels (min vertex id per component): globally unique because
+    * component vertex sets are disjoint. Shape: two assignment
+    * equi-joins project the edge list onto intra-community edges (a
+    * narrow (src, dst) stream), one CC run over that smaller graph,
+    * one left join back (community-isolated vertices become their own
+    * refined community). */
+  def refineCommunities(spark: SparkSession, edges: DataFrame,
+      assignment: DataFrame): DataFrame = {
+    val a = assignment.select(col("vertex"), col("community"))
+      .localCheckpoint(true)
+    val intra = edges.select(col("src"), col("dst"))
+      .join(a.select(col("vertex").as("src"), col("community").as("cs")), Seq("src"))
+      .join(a.select(col("vertex").as("dst"), col("community").as("cd")), Seq("dst"))
+      .filter(col("cs") === col("cd"))
+      .select(col("src"), col("dst"), lit(1.0).as("weight"))
+    val cc = connectedComponents(spark, intra)
+    a.join(cc, Seq("vertex"), "left")
+      .select(col("vertex"), col("community").as("community_louvain"),
+        coalesce(col("component"), col("vertex")).as("community"))
+      .orderBy(col("vertex"))
+  }
+
+  /** Louvain + Leiden connectivity repair as one query: the refined
+    * assignment every community of which is guaranteed connected. */
+  def leiden(spark: SparkSession, edges: DataFrame,
+      resolution: Double = 1.0): DataFrame =
+    refineCommunities(spark, edges, louvain(spark, edges, resolution))
 
   /** Per-level Louvain stats: modularity Q (scaled to e6 BIGINT for
     * stable comparison) and community count. */

@@ -46,4 +46,57 @@ class RandomWalksSpec extends AnyFunSuite {
       .map(_.toString).toSeq
     assert(a.nonEmpty && a == b)
   }
+
+  test("node2vec with equal weights IS the uniform walk") {
+    // The weighted-interval pick degenerates to the rank pick when all
+    // classes weigh 1 — one semantics, two parameterizations.
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    val uni = GraphOps.randomWalks(spark, g, steps = 4).collect()
+      .map(_.toString).sorted.toSeq
+    val n2v = GraphOps.node2vecWalks(spark, g, steps = 4,
+      wReturn = 1, wCommon = 1, wOut = 1).collect()
+      .map(_.toString).sorted.toSeq
+    assert(uni == n2v)
+  }
+
+  test("node2vec zero-weight classes force the walk deterministically") {
+    // Only the return class has mass -> the walk must oscillate:
+    // v_t == v_{t-2} for every t >= 2, regardless of the hash draws.
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    val osc = GraphOps.node2vecWalks(spark, path, steps = 5,
+      wReturn = 1, wCommon = 0, wOut = 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    osc.groupBy(_._1).values.foreach { w =>
+      val p = w.sortBy(_._2).map(_._3)
+      assert(p.length == 6)
+      (2 until p.length).foreach(t => assert(p(t) == p(t - 2), p.mkString("→")))
+    }
+    // Only the distance-1 class has mass on a triangle -> never
+    // return, always close: the walk cycles through all three
+    // vertices (period 3), from every start.
+    val tri = edges((1L, 2L), (2L, 3L), (1L, 3L))
+    val cyc = GraphOps.node2vecWalks(spark, tri, steps = 6,
+      wReturn = 0, wCommon = 1, wOut = 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    cyc.groupBy(_._1).values.foreach { w =>
+      val p = w.sortBy(_._2).map(_._3)
+      assert(p.length == 7)
+      (2 until p.length).foreach { t =>
+        assert(p(t) != p(t - 1) && p(t) != p(t - 2), p.mkString("→"))
+      }
+    }
+  }
+
+  test("node2vec with no candidate mass terminates the walk") {
+    // Single edge: from the far end every candidate is the return
+    // vertex; with wReturn=0 the interval is empty and the walk dies
+    // after step 1 instead of emitting an invalid hop.
+    val g = edges((1L, 2L))
+    val rows = GraphOps.node2vecWalks(spark, g, steps = 3,
+      wReturn = 0, wCommon = 0, wOut = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // steps 0 and 1 exist for both walks; steps 2+ are gone
+    assert(rows.count(_._2 == 0) == 2 && rows.count(_._2 == 1) == 2)
+    assert(rows.forall(_._2 <= 1))
+  }
 }
