@@ -238,6 +238,7 @@ object SparkEntry {
     "q_sketch_union" -> ((s, d) => Relational.qSketchUnion(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
+    "q_asof_nearest" -> ((s, d) => Relational.qAsofNearest(s, d)),
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
     "q_lag_delta" -> ((s, d) => Relational.qLagDelta(s, d)),
     "q_collect_set" -> ((s, d) => Relational.qCollectSet(s, d)),
@@ -1494,6 +1495,36 @@ object SparkEntry {
         |  JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |    ON p.user_id = v.user_id AND v.ts <= p.ts) t
         |WHERE rk = 1
+        |ORDER BY p_event_id""".stripMargin,
+    // Single-sort nearest-in-time: identical conditional windows both
+    // sides (IGNORE NULLS running last/first), epoch_us ≡ unix_micros.
+    "q_asof_nearest" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |m AS (SELECT user_id, event_id, us, event_type,
+        |    CASE WHEN event_type = 'view' THEN us END AS v_us,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS v_id
+        |  FROM ev),
+        |wnd AS (SELECT user_id, event_id, us, event_type,
+        |    last_value(v_us IGNORE NULLS) OVER wb AS back_us,
+        |    last_value(v_id IGNORE NULLS) OVER wb AS back_id,
+        |    first_value(v_us IGNORE NULLS) OVER wf AS fwd_us,
+        |    first_value(v_id IGNORE NULLS) OVER wf AS fwd_id
+        |  FROM m
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id AS p_event_id, user_id,
+        |  CASE WHEN back_us IS NOT NULL
+        |      AND (fwd_us IS NULL OR us - back_us <= fwd_us - us)
+        |    THEN back_id ELSE fwd_id END AS nearest_view_id,
+        |  CASE WHEN back_us IS NOT NULL
+        |      AND (fwd_us IS NULL OR us - back_us <= fwd_us - us)
+        |    THEN us - back_us ELSE fwd_us - us END AS delta_us
+        |FROM wnd
+        |WHERE event_type = 'purchase'
+        |  AND (back_us IS NOT NULL OR fwd_us IS NOT NULL)
         |ORDER BY p_event_id""".stripMargin,
     "q_events_sessionize" ->
       """WITH gapped AS (

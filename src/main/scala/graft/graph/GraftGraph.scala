@@ -161,6 +161,18 @@ final class GraftGraph private (
     decode(GraphOps.louvain(spark, edges, resolution), Seq("vertex", "community"))
   def louvainLevels(resolution: Double = 1.0): DataFrame =
     GraphOps.louvainLevels(spark, edges, resolution)
+  /** Louvain + Leiden connectivity repair: every community connected. */
+  def leiden(resolution: Double = 1.0): DataFrame =
+    decode(GraphOps.leiden(spark, edges, resolution),
+      Seq("vertex", "community_louvain", "community"))
+  /** Second-order biased walks; equal weights ≡ [[randomWalks]]. */
+  def node2vecWalks(steps: Int = 4, wReturn: Int = 1, wCommon: Int = 2,
+      wOut: Int = 4): DataFrame =
+    decode(GraphOps.node2vecWalks(spark, edges, steps, wReturn, wCommon, wOut),
+      Seq("walk_id", "vertex"))
+  /** HyperANF neighborhood function + 90% effective diameter. */
+  def anf(lgK: Int = 12, maxRounds: Int = 32): DataFrame =
+    GraphOps.anf(spark, edges, lgK, maxRounds)
   /** Bit-reproducible integer PageRank — identical output under any
     * partitioning (the run-to-run reproducibility contract). */
   def pageRankDeterministic(iters: Int = 10): DataFrame =

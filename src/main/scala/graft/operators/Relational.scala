@@ -253,6 +253,43 @@ object Relational {
       .orderBy(col("p_event_id"))
   }
 
+  /** Nearest-in-time as-of join, both directions — the sensor/label
+    * alignment variant [[qAsofJoin]]'s backward-only rule can't
+    * answer. Deliberately NOT the pair join: interleave both event
+    * kinds into ONE per-user stream ordered by (ts, event_id) and
+    * read the nearest view off two conditional windows (running last
+    * view ≤ here, running first view ≥ here) — a single sort where
+    * the inequality-join shape explodes |purchases|×|views| rows per
+    * user. Ties: equal |Δt| prefers the backward view; views sharing
+    * the purchase's timestamp fall backward/forward by event_id order
+    * (the stream's tiebreak), documented-deterministic. Purchases
+    * with no view at all drop (inner semantics). */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val vUs = when(col("event_type") === "view", col("us"))
+    val vId = when(col("event_type") === "view", col("event_id"))
+    val ob = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wb = ob.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ob.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pickBack = col("back_us").isNotNull &&
+      (col("fwd_us").isNull || col("us") - col("back_us") <= col("fwd_us") - col("us"))
+    ev
+      .withColumn("back_us", last(vUs, ignoreNulls = true).over(wb))
+      .withColumn("back_id", last(vId, ignoreNulls = true).over(wb))
+      .withColumn("fwd_us", first(vUs, ignoreNulls = true).over(wf))
+      .withColumn("fwd_id", first(vId, ignoreNulls = true).over(wf))
+      .filter(col("event_type") === "purchase"
+        && (col("back_us").isNotNull || col("fwd_us").isNotNull))
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        when(pickBack, col("back_id")).otherwise(col("fwd_id")).as("nearest_view_id"),
+        when(pickBack, col("us") - col("back_us"))
+          .otherwise(col("fwd_us") - col("us")).as("delta_us"))
+      .orderBy(col("p_event_id"))
+  }
+
   /** Exact median per group. Restricted to p=0.5 over integer-valued
     * quantities on purpose: both engines' interpolation formulas
     * (`lo + f·(hi−lo)` vs `(1−f)·lo + f·hi`) are bit-exact there,

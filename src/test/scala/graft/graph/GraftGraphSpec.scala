@@ -68,6 +68,27 @@ class GraftGraphSpec extends AnyFunSuite {
     assert(comm("alice") != comm("xavier"))
   }
 
+  test("facade leiden, node2vec and anf decode string labels") {
+    val names = Seq(
+      ("alice", "bob", 1.0), ("bob", "carol", 1.0), ("alice", "carol", 1.0),
+      ("xavier", "yolanda", 1.0), ("yolanda", "zed", 1.0), ("xavier", "zed", 1.0))
+      .toDF("src", "dst", "weight")
+    val g = GraftGraph(spark, names)
+    val le = g.leiden().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(le.map(_._1).toSet ==
+      Set("alice", "bob", "carol", "xavier", "yolanda", "zed"))
+    assert(le.map(_._3).toSet.subsetOf(le.map(_._1).toSet),
+      "refined community labels must be original ids")
+    val walks = g.node2vecWalks(steps = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(walks.map(_._1).toSet.subsetOf(le.map(_._1).toSet))
+    assert(walks.count(_._2 == 0) == 6)
+    // two disjoint triangles: N(r) fixes at 2·(3·3) = 18 after r=1
+    val anf = g.anf().collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(anf.sortBy(_._1).toSeq == Seq((0, 6L), (1, 18L)))
+  }
+
   test("similarity surface decodes string ids: jaccard, adamic-adar, strong ties") {
     // Heavy 5-clique on names + weight-1 filler edges so strongTies
     // keeps the clique; adamic-adar then predicts nothing inside the
