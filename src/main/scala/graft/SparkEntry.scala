@@ -194,6 +194,9 @@ object SparkEntry {
       GraphOps.randomWalks(s, GraphBuilder.supplierCoEdges(s, d))),
     "g_node2vec" -> ((s, d) =>
       GraphOps.node2vecWalks(s, GraphBuilder.supplierCoEdges(s, d))),
+    // Rows-only + spec (planted MSTs; driver-Prim optimality audit).
+    "g_mst" -> ((s, d) =>
+      GraphOps.minimumSpanningForest(s, GraphBuilder.supplierCoEdges(s, d))),
     // End-to-end file ingest: the reference's native input is a
     // delimited edge list — write the co-occurrence edges as TSV once
     // per SF dir, read back through EdgeListSource.readCanonical, and
@@ -454,6 +457,8 @@ object SparkEntry {
     // (commit-marker resolution, asOf reads, idempotent replay).
     "src_time_travel" -> ((s, d) =>
       graft.sources.VersionedTable.qTimeTravel(s, d)),
+    "q_snapshot_diff" -> ((s, d) =>
+      graft.sources.VersionedTable.qSnapshotDiff(s, d)),
     // JSON source under the oracle: documents round-trip through
     // newline-delimited JSON (write once per SF dir), then the same
     // token counts as t_tokens — proving the JSON read path
@@ -1793,6 +1798,40 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM r WHERE rk = 1
         |GROUP BY ver ORDER BY ver""".stripMargin,
+    // Same per-version rank-1 CTE as src_time_travel, with the CDC
+    // classification as a key-grouped union aggregate (mirrors
+    // diffCounts' no-full-outer shape).
+    "q_snapshot_diff" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    o_orderkey % 3 AS bid
+        |  FROM orders),
+        |v AS (SELECT 0 AS ver UNION ALL SELECT 1 UNION ALL SELECT 2),
+        |r AS (SELECT v.ver, b.o_custkey, b.o_orderkey, b.o_totalprice,
+        |    row_number() OVER (PARTITION BY v.ver, b.o_custkey
+        |      ORDER BY b.bid DESC, b.o_orderkey DESC) AS rk
+        |  FROM v JOIN b ON b.bid <= v.ver),
+        |s AS (SELECT ver, o_custkey, o_orderkey, o_totalprice FROM r WHERE rk = 1),
+        |tr AS (SELECT 0 AS from_v UNION ALL SELECT 1),
+        |u AS (SELECT tr.from_v, s.ver, s.o_custkey, s.o_orderkey, s.o_totalprice
+        |  FROM tr JOIN s ON s.ver IN (tr.from_v, tr.from_v + 1)),
+        |g AS (SELECT from_v, o_custkey,
+        |    max(CASE WHEN ver = from_v THEN 1 ELSE 0 END) AS has_old,
+        |    max(CASE WHEN ver = from_v + 1 THEN 1 ELSE 0 END) AS has_new,
+        |    max(CASE WHEN ver = from_v THEN o_orderkey END) AS oa,
+        |    max(CASE WHEN ver = from_v + 1 THEN o_orderkey END) AS ob,
+        |    max(CASE WHEN ver = from_v THEN o_totalprice END) AS pa,
+        |    max(CASE WHEN ver = from_v + 1 THEN o_totalprice END) AS pb
+        |  FROM u GROUP BY from_v, o_custkey)
+        |SELECT CAST(from_v AS BIGINT) AS from_v,
+        |  CAST(from_v + 1 AS BIGINT) AS to_v,
+        |  CAST(sum(CASE WHEN has_old = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN has_old = 1 AND has_new = 1
+        |    AND (oa <> ob OR pa <> pb) THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN has_old = 1 AND has_new = 1
+        |    AND oa = ob AND pa = pb THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        |  CAST(sum(CASE WHEN has_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+        |FROM g GROUP BY from_v
+        |ORDER BY from_v""".stripMargin,
     "src_json_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -807,6 +807,62 @@ object GraphOps {
     perStep.reduce(_ unionAll _).orderBy(col("walk_id"), col("step"))
   }
 
+  /** Minimum spanning forest by Borůvka rounds — THE distributed MST
+    * algorithm (each round every component picks its lightest
+    * outgoing edge, picked edges contract; components at least halve,
+    * so rounds are O(log V) regardless of graph shape). Edge picks
+    * order by the TOTAL order (w, src, dst) — a consistent global
+    * tiebreak is what makes tied weights cycle-free and the forest
+    * deterministic (and a true MSF: some minimum forest always
+    * realizes any consistent tie order). Per round: two label
+    * equi-joins + one min-struct aggregation (map-side combinable,
+    * narrow (w, src, dst) structs) + one CC pass over the PICKED
+    * edges only (≤ one per component — a forest, vastly smaller than
+    * the graph). State is one (vertex, label) row per vertex. */
+  def minimumSpanningForest(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = 32): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w")).localCheckpoint(true)
+    var comp = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct()
+      .withColumn("label", col("vertex")).localCheckpoint(true)
+    var mstAcc = e.limit(0)
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      round += 1
+      val labeled = e
+        .join(comp.select(col("vertex").as("src"), col("label").as("cs")), Seq("src"))
+        .join(comp.select(col("vertex").as("dst"), col("label").as("cd")), Seq("dst"))
+        .filter(col("cs") =!= col("cd"))
+      val pick = struct(col("w"), col("src"), col("dst"))
+      val picked = labeled.select(col("cs").as("c"), pick.as("pick"))
+        .union(labeled.select(col("cd").as("c"), pick.as("pick")))
+        .groupBy(col("c")).agg(min(col("pick")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"), col("p.w").as("w"))
+        .distinct() // both endpoint components may pick the same edge
+        .localCheckpoint(true)
+      if (picked.isEmpty) done = true
+      else {
+        mstAcc = mstAcc.union(picked).localCheckpoint(true)
+        val pe = picked
+          .join(comp.select(col("vertex").as("src"), col("label").as("ls")), Seq("src"))
+          .join(comp.select(col("vertex").as("dst"), col("label").as("ld")), Seq("dst"))
+          .select(col("ls").as("src"), col("ld").as("dst"), lit(1.0).as("weight"))
+        val cc = connectedComponents(spark, pe)
+        val next = comp
+          .join(cc.select(col("vertex").as("label"), col("component")), Seq("label"), "left")
+          .select(col("vertex"), coalesce(col("component"), col("label")).as("label"))
+          .localCheckpoint(true)
+        comp.unpersist(false)
+        comp = next
+      }
+    }
+    comp.unpersist(false)
+    mstAcc.select(col("src"), col("dst"), col("w").as("weight"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** node2vec biased walks (Grover & Leskovec, KDD 2016): the
     * second-order extension of [[randomWalks]] whose step t choice
     * depends on (prev, cur) — candidates x ∈ N(cur) weigh

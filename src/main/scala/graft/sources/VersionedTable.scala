@@ -87,7 +87,11 @@ object VersionedTable {
     * merge, commit-marker resolution and asOf on every run; the
     * fixture is keyed by the source file identity so regenerated
     * testdata rebuilds it instead of serving stale versions. */
-  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared 3-version fixture table (batch id = o_orderkey mod 3,
+    * merged in order), built once per SF dir and keyed by the source
+    * file identity so regenerated testdata rebuilds it instead of
+    * serving stale versions. */
+  private def fixtureDir(spark: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/orders.parquet")
     val key = java.lang.Long.toHexString(src.length() ^ src.lastModified())
     val stem = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -106,11 +110,57 @@ object VersionedTable {
           keys = Seq("o_custkey"), orderCol = "o_orderkey")
       }
     }
+    tdir
+  }
+
+  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tdir = fixtureDir(spark, dir)
     versions(tdir).map { v =>
       asOf(spark, tdir, v)
         .agg(count(lit(1)).as("n_keys"),
           round(sum(col("o_totalprice")), 2).as("sum_price"))
         .select(lit(v).as("ver"), col("n_keys"), col("sum_price"))
     }.reduce(_.unionByName(_)).orderBy(col("ver"))
+  }
+
+  /** Keyed row-level diff of two snapshots — the CDC readout a table
+    * format derives from its transaction log, recovered here by
+    * comparison. NOT a full outer join: both snapshots union into one
+    * stream and a single key-grouped aggregation classifies each key
+    * (added / changed / unchanged / deleted) — one shuffle, narrow
+    * rows, no join-skew surface. `valueCols` compare per column;
+    * a key is changed when ANY compared column differs. */
+  def diffCounts(old: DataFrame, now: DataFrame, keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val proj = (keys ++ valueCols).map(col)
+    val u = old.select(proj: _*).withColumn("__side", lit(0))
+      .unionByName(now.select(proj: _*).withColumn("__side", lit(1)))
+    val aggs = Seq(
+      max(when(col("__side") === 0, lit(1)).otherwise(lit(0))).as("has_old"),
+      max(when(col("__side") === 1, lit(1)).otherwise(lit(0))).as("has_new")) ++
+      valueCols.flatMap(c => Seq(
+        max(when(col("__side") === 0, col(c))).as(s"__o_$c"),
+        max(when(col("__side") === 1, col(c))).as(s"__n_$c")))
+    val g = u.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val same = valueCols.map(c => col(s"__o_$c") === col(s"__n_$c")).reduce(_ && _)
+    val both = col("has_old") === 1 && col("has_new") === 1
+    g.agg(
+      sum(when(col("has_old") === 0, 1L).otherwise(0L)).as("n_added"),
+      sum(when(both && !same, 1L).otherwise(0L)).as("n_changed"),
+      sum(when(both && same, 1L).otherwise(0L)).as("n_unchanged"),
+      sum(when(col("has_new") === 0, 1L).otherwise(0L)).as("n_deleted"))
+  }
+
+  /** Query entry (`q_snapshot_diff`): the CDC classification for each
+    * consecutive version pair of the shared fixture table. Upsert-only
+    * merges mean n_deleted = 0 here; the planted spec covers deletes. */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val tdir = fixtureDir(spark, dir)
+    versions(tdir).sliding(2).collect { case Seq(a, b) =>
+      diffCounts(asOf(spark, tdir, a), asOf(spark, tdir, b),
+        keys = Seq("o_custkey"), valueCols = Seq("o_orderkey", "o_totalprice"))
+        .select(lit(a).as("from_v"), lit(b).as("to_v"), col("n_added"),
+          col("n_changed"), col("n_unchanged"), col("n_deleted"))
+    }.reduce(_.unionByName(_)).orderBy(col("from_v"))
   }
 }

@@ -59,4 +59,21 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(replayed == 1L)
     assert(rowsOf(latest(spark, dir)) == Set((1L, 1L, 1.0), (2L, 2L, 2.0)))
   }
+
+  test("diffCounts classifies added, changed, unchanged and deleted keys") {
+    import spark.implicits._
+    val old = Seq((1L, 10L, 1.0), (2L, 20L, 2.0), (3L, 30L, 3.0), (4L, 40L, 4.0))
+      .toDF("k", "ord", "x")
+    val now = Seq(
+      (1L, 10L, 1.0),   // unchanged
+      (2L, 21L, 2.0),   // changed (first value col)
+      (3L, 30L, 3.5),   // changed (second value col)
+      (5L, 50L, 5.0))   // added; key 4 deleted
+      .toDF("k", "ord", "x")
+    val r = VersionedTable.diffCounts(old, now, Seq("k"), Seq("ord", "x"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == (1L, 2L, 1L, 1L),
+      s"(added, changed, unchanged, deleted) = $r")
+  }
 }
