@@ -64,6 +64,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("top-k windows plan bounded group limits, not full per-group sorts") {
+    // The reason this repo never needed a custom SparkStrategy for
+    // top-k-per-group: Catalyst plans a rank-filter window as
+    // partial + final WindowGroupLimit (a bounded per-group heap on
+    // BOTH sides of the exchange — map-side top-k), and a global
+    // ORDER BY + LIMIT as TakeOrderedAndProject. Pinned so a future
+    // Spark upgrade or plan drift that silently reverts to full
+    // sorts fails here instead of only drifting the bench.
+    val rankPlan = executedPlan(Relational.qWindowRank(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(rankPlan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n${rankPlan.take(1500)}")
+    val topNPlan = executedPlan(Relational.q3TopnJoin(spark, sf))
+    assert(topNPlan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n${topNPlan.take(1500)}")
+  }
+
   test("bottom_k_by_key equals the window formulation and partial-aggregates map-side") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
