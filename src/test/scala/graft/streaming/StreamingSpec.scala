@@ -448,4 +448,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
   }
+
+  test("streaming file source reads mixed parquet vintages under one widened schema") {
+    // Streams REQUIRE a user schema (no inference pass) — the same
+    // explicit-widened-schema discipline src_schema_evolution uses for
+    // batch is therefore the only correct posture for a drifting
+    // stream directory: INT32 ids widen, absent columns null-fill,
+    // per micro-batch, per file.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_svint").toString
+    Seq(1, 2).toDF("id").select(col("id").cast("int").as("id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    Seq((10L, "new"), (11L, "new")).toDF("id", "tag")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val q = spark.readStream
+      .schema("id long, tag string")
+      .option("maxFilesPerTrigger", "1") // one vintage per micro-batch
+      .parquet(s"$dir/in")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("svint").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("svint").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, None), (2L, None),
+      (10L, Some("new")), (11L, Some("new"))))
+  }
 }
