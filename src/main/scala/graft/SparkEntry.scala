@@ -436,6 +436,7 @@ object SparkEntry {
     "t_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     "t_heldout_lm" -> ((s, d) => TextAnalysis.heldoutLm(s, d)),
+    "t_code_detect" -> ((s, d) => TextAnalysis.codeDetect(s, d)),
     "t_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
@@ -1875,6 +1876,21 @@ object SparkEntry {
         |    AS logprob_e4
         |FROM occ JOIN bi USING (bigram) JOIN uni USING (w1)
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // Presence flags as literal list_contains sums; symbol counts from
+    // the same char class; e4 from exact integers.
+    "t_code_detect" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    length(regexp_replace(text, '[^{}\[\]();=<>]', '', 'g')) AS n_symbols
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_symbols AS BIGINT) AS n_symbols,
+        |  CAST(round(n_symbols * 10000.0 / greatest(length(text), 1)) AS BIGINT)
+        |    AS sym_ratio_e4,
+        |  CAST(CASE WHEN list_contains(toks, 'def') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'return') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'import') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'class') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'if') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'else') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'for') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'while') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'var') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'val') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'function') THEN 1 ELSE 0 END AS BIGINT) AS n_kw_kinds,
+        |  (round(n_symbols * 10000.0 / greatest(length(text), 1)) >= 300
+        |    OR CASE WHEN list_contains(toks, 'def') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'return') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'import') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'class') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'if') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'else') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'for') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'while') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'var') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'val') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'function') THEN 1 ELSE 0 END >= 3) AS is_code
+        |FROM d
         |ORDER BY doc_id""".stripMargin,
     // Same split hashes as p_split; per-term e4 rounding before the
     // sum keeps the float path integer-exact across engines. The CROSS

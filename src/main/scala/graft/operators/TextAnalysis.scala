@@ -230,6 +230,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Keywords whose PRESENCE (not frequency) votes for code — kept to
+    * forms whitespace tokenization surfaces intact. Shared with the
+    * oracle as literal list_contains checks. */
+  val CodeKeywords: Seq[String] = Seq("def", "return", "import", "class",
+    "if", "else", "for", "while", "var", "val", "function")
+
+  /** Code-vs-prose routing signal (the corpus-composition classifier a
+    * training pipeline runs before choosing tokenizers / mix weights):
+    * structural-symbol density (`{}[]();=<>` per char, e4-scaled from
+    * exact integer counts) plus presence votes from [[CodeKeywords]].
+    * Pure per-document projection — codegen'd char-class counts and
+    * array_contains flags, no HOF lambdas, pipelines with any upstream
+    * source like the rest of the t_* family. The verdict threshold
+    * (≥ 3% symbols OR ≥ 3 keyword kinds) is a routing heuristic, not
+    * a model — stated in the output so downstream mixes can re-cut. */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame =
+    codeDetectOf(Tables.documents(spark, dir))
+
+  /** [[codeDetect]] over any (doc_id, text) table. */
+  def codeDetectOf(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("long")
+    val nSym = length(regexp_replace(t, "[^{}\\[\\]();=<>]", "")).cast("long")
+    val toks = TF.tokens(t)
+    val kwHits = CodeKeywords.map(k =>
+      when(array_contains(toks, k), 1L).otherwise(0L)).reduce(_ + _)
+    docs
+      .select(col("doc_id"), nSym.as("n_symbols"),
+        round(nSym * lit(1e4) / greatest(nChars, lit(1L))).cast("long")
+          .as("sym_ratio_e4"),
+        kwHits.as("n_kw_kinds"))
+      .withColumn("is_code",
+        col("sym_ratio_e4") >= 300 || col("n_kw_kinds") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Held-out language-model scoring — the quality-filter shape a
     * training pipeline runs at selection time: fit add-one-smoothed
     * bigram probabilities on the TRAIN split (p_split's hash
