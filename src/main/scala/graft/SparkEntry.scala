@@ -484,6 +484,7 @@ object SparkEntry {
     }),
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSampleDf(s, d)),
+    "m_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
     "m_resize" -> ((s, d) => Multimodal.resizeDf(s, d)),
     "m_features" -> ((s, d) => Multimodal.extractFeaturesDf(s, d)),
     "m_near_dup" -> ((s, d) => Multimodal.nearDupPairs(s, d)),
@@ -2311,6 +2312,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(i AS INT) AS frame_idx,
         |  md5(substr(text, CAST(i * 256 + 1 AS INT), 256)) AS frame_hash
         |FROM c ORDER BY doc_id, frame_idx""".stripMargin,
+    // Same stride chunking as m_frame_sample; the per-frame feature is
+    // the hash's leading 15 hex digits, lag-delta'd per video.
+    "m_scene_cuts" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS i
+        |  FROM documents),
+        |f AS (SELECT doc_id, i,
+        |    CAST(('0x' || substr(md5(substr(text, CAST(i * 256 + 1 AS INT), 256)),
+        |      1, 15)) AS BIGINT) AS fv
+        |  FROM c),
+        |l AS (SELECT doc_id, fv,
+        |    lag(fv) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM f)
+        |SELECT doc_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL
+        |    AND abs(fv - prev) > 600000000000000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cuts
+        |FROM l GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "m_resize" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS orig_bytes,

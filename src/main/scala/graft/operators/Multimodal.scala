@@ -128,6 +128,33 @@ object Multimodal {
   def extractFeaturesDf(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, dir).toDF().orderBy(col("doc_id"))
 
+  /** Scene-cut detection over the sampled frame stream — the
+    * video-segmentation composition: frames ([[frameSample]]'s
+    * stride-chunk stub for the real decoder) carry a deterministic
+    * per-frame feature scalar (leading 15 hex digits of the frame
+    * hash — the stub stand-in for a perceptual feature), and a cut
+    * fires where the lag-delta against the previous frame exceeds the
+    * threshold. The Spark-side plumbing is the real thing: one
+    * per-video window over the ordered frame stream (frames of one
+    * video co-partition), counts aggregate map-side — swap the
+    * feature column for a decoded embedding distance and the plan is
+    * unchanged. */
+  def sceneCuts(spark: SparkSession, dir: String, stride: Int = 256,
+      threshold: Long = 600000000000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameSample(spark, dir, stride).toDF()
+      .withColumn("fv",
+        conv(substring(col("frame_hash"), 1, 15), 16, 10).cast("long"))
+      .withColumn("prev", lag(col("fv"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("prev").isNotNull
+          && abs(col("fv") - col("prev")) > lit(threshold), 1L)
+          .otherwise(0L)).as("n_cuts"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reference 64-bit byte-level SimHash — the plain-Scala statement
     * of the fingerprint the native [[graft.functions.PayloadSimHash64]]
     * expression computes (same sliding-window FNV-1a bit votes). The
