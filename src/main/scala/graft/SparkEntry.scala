@@ -367,6 +367,7 @@ object SparkEntry {
           concat(lit("(c) corpus "), col("lang"))).as("text")))
     }),
     "p_temperature" -> ((s, d) => Pipeline.temperatureSample(s, d)),
+    "p_epoch_schedule" -> ((s, d) => Pipeline.epochSchedule(s, d)),
     // Exact-substring span dedup: shared ≥25-token spans planted
     // in-query (append/prepend per doc_id residue — the raw corpus
     // is random token bags where verbatim cross-doc runs cannot
@@ -1916,6 +1917,25 @@ object SparkEntry {
         |    ) * 10000) AS BIGINT)) AS BIGINT) AS logprob2_e4
         |FROM vo LEFT JOIN bi USING (bigram) LEFT JOIN uni USING (w1) CROSS JOIN v
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // Integer rate arithmetic and the 16-bit hash Bernoulli, stated
+    // identically: copies = num//den + [h16*den < (num%den)*65536].
+    "p_epoch_schedule" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch:42'),
+        |      1, 4)) AS BIGINT) AS h16
+        |  FROM documents),
+        |w AS (SELECT source, count(*) AS n,
+        |    CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS w_e6
+        |  FROM docs GROUP BY source),
+        |t AS (SELECT CAST(sum(w_e6) AS BIGINT) AS tot_w,
+        |    CAST(sum(n) AS BIGINT) AS nn FROM w),
+        |r AS (SELECT source, w_e6 * nn * 4 AS num, tot_w * n AS den
+        |  FROM w CROSS JOIN t)
+        |SELECT doc_id, source,
+        |  CAST(num // den + CASE WHEN h16 * den < (num % den) * 65536
+        |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |FROM docs JOIN r USING (source)
         |ORDER BY doc_id""".stripMargin,
     "p_domain_cap" ->
       """WITH ranked AS (

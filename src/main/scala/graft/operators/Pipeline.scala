@@ -415,6 +415,47 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-epoch repetition schedule — [[temperatureSample]]'s
+    * UPSAMPLING sibling (the Llama-style "epochs per dataset" mix):
+    * over `epochs` passes of the total token budget, source s repeats
+    * at rate r_s = epochs · (w_s / Σw) · (N / n_s) copies per doc
+    * (sqrt-temperature weights w_s — rare sources repeat MORE, the
+    * corpus-level budget Σ n_s·r_s = epochs·N is preserved exactly by
+    * construction). Fractional rates resolve per document with a
+    * layout-stable hash Bernoulli: copies = ⌊r_s⌋ + [h16·den <
+    * (num mod den)·65536] — all-integer compares, no float
+    * thresholds, so the schedule is bit-identical across engines and
+    * partitionings. Magnitudes stay in BIGINT through ~1e8 docs per
+    * source; past that lift the products to DECIMAL(38,0), same tree.
+    * Shape: one count aggregation, one broadcast rate join, one
+    * narrow projection — no shuffle of document text ever. */
+  def epochSchedule(spark: SparkSession, dir: String, epochs: Int = 4,
+      seed: Long = 42L): DataFrame =
+    epochScheduleOf(Tables.documents(spark, dir), epochs, seed)
+
+  /** [[epochSchedule]] over any (doc_id, source) table. */
+  def epochScheduleOf(table: DataFrame, epochs: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val docs = table
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(s":epoch:$seed"))), 1, 4), 16, 10).cast("long").as("h16"))
+    val weights = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w_e6", round(sqrt(col("n")) * 1e6).cast("long"))
+    val totals = weights.agg(sum(col("w_e6")).as("tot_w"), sum(col("n")).as("nn"))
+    val rates = weights.crossJoin(broadcast(totals))
+      .select(col("source"),
+        (col("w_e6") * col("nn") * lit(epochs.toLong)).as("num"),
+        (col("tot_w") * col("n")).as("den"))
+    docs.join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (expr("num div den") +
+          when(col("h16") * col("den") < expr("num % den") * lit(65536L), 1L)
+            .otherwise(0L)).as("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keep-threshold for a sampling fraction as an 8-hex-digit string:
     * a row survives iff the first 8 md5 hex chars of its key sort
     * below it. "g" > every hex digit = keep all; "0" = keep none. */

@@ -460,4 +460,41 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 2L, 1L, md5hex("")),                   // blank line + struck line
       (4L, 1L, 0L, md5hex("solo text"))))
   }
+
+  test("epoch schedule: rare sources repeat more, copies bracket the rate") {
+    import spark.implicits._
+    // 96 "web" docs vs 6 "book" docs: sqrt-temperature gives book a
+    // higher per-doc repetition rate than web.
+    val docs = ((0 until 96).map(i => (i.toLong, "web"))
+      ++ (100 until 106).map(i => (i.toLong, "book")))
+      .toDF("doc_id", "source")
+    val epochs = 4
+    val got = Pipeline.epochScheduleOf(docs, epochs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    // exact integer rates this fixture implies
+    val n = Map("web" -> 96L, "book" -> 6L)
+    val w = n.map { case (s, c) => s -> math.round(math.sqrt(c.toDouble) * 1e6) }
+    val totW = w.values.sum
+    val nn = n.values.sum
+    def rate(s: String): (Long, Long) = (w(s) * nn * epochs, totW * n(s))
+    // per-doc copies must bracket the fractional rate
+    got.foreach { case (_, s, c) =>
+      val (num, den) = rate(s)
+      assert(c == num / den || c == num / den + 1, s"$s copies $c vs $num/$den")
+    }
+    // rare source repeats strictly more per doc
+    val (bn, bd) = rate("book"); val (wn, wd) = rate("web")
+    assert(bn * wd > wn * bd)
+    val bookMin = got.filter(_._2 == "book").map(_._3).min
+    val webMax = got.filter(_._2 == "web").map(_._3).max
+    assert(bookMin >= webMax, s"book min $bookMin vs web max $webMax")
+    // fractional path actually exercised: both floor and ceil occur
+    // in at least one source (rates here are non-integer)
+    assert(got.map(_._3).distinct.length >= 2)
+    // deterministic across partitionings
+    val again = Pipeline.epochScheduleOf(docs.repartition(7), epochs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
