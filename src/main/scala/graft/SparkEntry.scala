@@ -420,6 +420,9 @@ object SparkEntry {
     "e_knn_ivf" -> ((s, d) => Similarity.knnIvfWithRecall(s, d)),
     // Rows-only + spec (recall-monotonicity vs the LSH base graph).
     "e_nn_descent" -> ((s, d) => Similarity.knnDescentWithRecall(s, d)),
+    // Rows-only + spec (planted near-duplicate pool: MMR swaps the
+    // redundant second copy for the distinct answer).
+    "e_mmr" -> ((s, d) => Similarity.mmrTopK(s, d)),
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "e_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(s, d)),

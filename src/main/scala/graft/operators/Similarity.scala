@@ -40,6 +40,79 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MMR-diversified top-k (Carbonell & Goldstein, SIGIR 1998) — the
+    * result-list diversity pass plain top-k lacks: when the corpus
+    * holds near-duplicates, top-k returns k copies of one answer;
+    * MMR greedily picks argmax λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s),
+    * trading relevance against redundancy with what's already chosen.
+    * Two stages: (1) the standard bounded-query broadcast scan + one
+    * window builds a poolK-candidate pool per query (the only
+    * corpus-sized work — identical plan shape to [[cosineTopK]]);
+    * (2) the greedy selection is INHERENTLY sequential in k, so it
+    * runs per query group via `flatMapGroups` over the bounded pool
+    * (≤ poolK rows × ~KB each) — the documented last-resort typed
+    * escape, used exactly where a declarative form does not exist.
+    * Deterministic: pool ranked (sim desc, id), score ties break to
+    * the smaller id. */
+  def mmrTopK(spark: SparkSession, dir: String, k: Int = TopK,
+      poolK: Int = 40, lambdaE4: Long = 7000L): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("c").asc)
+    val pool = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("c"),
+        cosine(col("q_emb"), col("embedding")).as("sim"), col("embedding"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= poolK)
+      .select(col("query_id"), col("c"), col("sim"), col("embedding"))
+    val lam = lambdaE4.toDouble / 1e4
+    pool.as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val cands = it.toArray.sortBy(t => (-t._3, t._2))
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
+          while (i < a.length) {
+            dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+            nb += b(i).toDouble * b(i); i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
+        }
+        val selected = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+        val used = scala.collection.mutable.Set[Int]()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Long)]()
+        var r = 1
+        while (r <= k && used.size < cands.length) {
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          cands.indices.foreach { i =>
+            if (!used.contains(i)) {
+              val pen =
+                if (selected.isEmpty) 0.0
+                else selected.iterator.map(s => cos(cands(i)._4, s)).max
+              val sc = lam * cands(i)._3 - (1.0 - lam) * pen
+              if (sc > bestScore + 1e-12
+                || (math.abs(sc - bestScore) <= 1e-12 && bestIdx >= 0
+                  && cands(i)._2 < cands(bestIdx)._2)) {
+                bestScore = sc; bestIdx = i
+              }
+            }
+          }
+          used += bestIdx
+          selected += cands(bestIdx)._4
+          out += ((q, r, cands(bestIdx)._2, math.round(bestScore * 1e4)))
+          r += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "rank", "picked_id", "mmr_e4")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Cosine RANGE search — every neighbor with sim ≥ τ per query,
     * the dual of [[cosineTopK]]: top-k answers "the k best whatever
     * their quality", range search answers "everything above a quality
