@@ -242,6 +242,7 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
     "q_asof_nearest" -> ((s, d) => Relational.qAsofNearest(s, d)),
+    "q_transition_matrix" -> ((s, d) => Relational.qTransitionMatrix(s, d)),
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
     "q_lag_delta" -> ((s, d) => Relational.qLagDelta(s, d)),
     "q_collect_set" -> ((s, d) => Relational.qCollectSet(s, d)),
@@ -464,6 +465,7 @@ object SparkEntry {
       graft.sources.VersionedTable.qTimeTravel(s, d)),
     "q_snapshot_diff" -> ((s, d) =>
       graft.sources.VersionedTable.qSnapshotDiff(s, d)),
+    "q_scd2" -> ((s, d) => graft.sources.VersionedTable.qScd2(s, d)),
     // JSON source under the oracle: documents round-trip through
     // newline-delimited JSON (write once per SF dir), then the same
     // token counts as t_tokens — proving the JSON read path
@@ -1507,6 +1509,41 @@ object SparkEntry {
         |    ON p.user_id = v.user_id AND v.ts <= p.ts) t
         |WHERE rk = 1
         |ORDER BY p_event_id""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |l AS (SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS to_type
+        |  FROM e)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM l WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+    // Change rows via lag over the per-version rank-1 states; validity
+    // closes at the next change or the exclusive version horizon 3.
+    "q_scd2" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    o_orderkey % 3 AS bid
+        |  FROM orders),
+        |v AS (SELECT 0 AS ver UNION ALL SELECT 1 UNION ALL SELECT 2),
+        |r AS (SELECT v.ver, b.o_custkey, b.o_orderkey, b.o_totalprice,
+        |    row_number() OVER (PARTITION BY v.ver, b.o_custkey
+        |      ORDER BY b.bid DESC, b.o_orderkey DESC) AS rk
+        |  FROM v JOIN b ON b.bid <= v.ver),
+        |s AS (SELECT ver, o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM r WHERE rk = 1),
+        |l AS (SELECT ver, o_custkey, o_orderkey, cents,
+        |    lag(o_orderkey) OVER w AS prev_ok, lag(cents) OVER w AS prev_c
+        |  FROM s WINDOW w AS (PARTITION BY o_custkey ORDER BY ver)),
+        |ch AS (SELECT * FROM l
+        |  WHERE prev_ok IS NULL OR o_orderkey <> prev_ok OR cents <> prev_c)
+        |SELECT o_custkey, o_orderkey, cents, CAST(ver AS BIGINT) AS valid_from,
+        |  CAST(coalesce(lead(ver) OVER (PARTITION BY o_custkey ORDER BY ver), 3)
+        |    AS BIGINT) AS valid_to
+        |FROM ch
+        |ORDER BY o_custkey, valid_from""".stripMargin,
     // Single-sort nearest-in-time: identical conditional windows both
     // sides (IGNORE NULLS running last/first), epoch_us ≡ unix_micros.
     "q_asof_nearest" ->

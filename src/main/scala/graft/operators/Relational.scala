@@ -290,6 +290,24 @@ object Relational {
       .orderBy(col("p_event_id"))
   }
 
+  /** Event-flow transition matrix — the Markov-chain readout of user
+    * journeys (what follows what): consecutive event pairs per user
+    * under the deterministic (ts, event_id) stream order, counted per
+    * (from, to). One window on the user partitioning + one map-side
+    * combined count; event-type domains are small so the result is a
+    * bounded matrix at any corpus size. */
+  def qTransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Exact median per group. Restricted to p=0.5 over integer-valued
     * quantities on purpose: both engines' interpolation formulas
     * (`lo + f·(hi−lo)` vs `(1−f)·lo + f·hi`) are bit-exact there,

@@ -151,6 +151,38 @@ object VersionedTable {
       sum(when(col("has_new") === 0, 1L).otherwise(0L)).as("n_deleted"))
   }
 
+  /** SCD Type-2 history derived from the committed snapshots — the
+    * warehouse-dimension shape: one row per (key, value-state) run
+    * with [valid_from, valid_to) version bounds, current rows closed
+    * at the version horizon (exclusive `nVersions`, so bounds stay
+    * integers — no null sentinel in the compare). A key's row opens
+    * at its first version or whenever any tracked column changes
+    * vs the key's previous version; `valid_to` is the NEXT change's
+    * version. One union of the snapshots + two windows on the same
+    * (key, ver) partitioning — no joins. */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tdir = fixtureDir(spark, dir)
+    val vs = versions(tdir)
+    val all = vs.map { v =>
+      asOf(spark, tdir, v).select(lit(v).as("ver"), col("o_custkey"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    }.reduce(_.unionByName(_))
+    val byKey = Window.partitionBy(col("o_custkey")).orderBy(col("ver"))
+    val changed = col("prev_ok").isNull ||
+      col("o_orderkey") =!= col("prev_ok") || col("cents") =!= col("prev_c")
+    all
+      .withColumn("prev_ok", lag(col("o_orderkey"), 1).over(byKey))
+      .withColumn("prev_c", lag(col("cents"), 1).over(byKey))
+      .filter(changed)
+      .withColumn("valid_to",
+        coalesce(lead(col("ver"), 1).over(byKey), lit(vs.size.toLong)))
+      .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+        col("ver").as("valid_from"), col("valid_to"))
+      .orderBy(col("o_custkey"), col("valid_from"))
+  }
+
   /** Query entry (`q_snapshot_diff`): the CDC classification for each
     * consecutive version pair of the shared fixture table. Upsert-only
     * merges mean n_deleted = 0 here; the planted spec covers deletes. */
