@@ -133,6 +133,19 @@ object SparkEntry {
       val edges = GraphBuilder.supplierCoEdges(s, d)
       GraphOps.modularityOf(edges, GraphOps.labelPropagation(s, edges, iters = 4))
     }),
+    // Conductance of the deterministic residue partition label = v % 8:
+    // both the assignment and φ sit fully under the SQL oracle (the
+    // engine's Louvain/Leiden audits reuse the same conductanceOf).
+    "g_conductance" -> ((s, d) => {
+      val edges = GraphBuilder.supplierCoEdges(s, d)
+      val verts = edges.select(col("src").as("vertex"))
+        .unionAll(edges.select(col("dst").as("vertex"))).distinct()
+      GraphOps.conductanceOf(edges,
+        verts.select(col("vertex"),
+          org.apache.spark.sql.functions.pmod(col("vertex"), lit(8L)).as("label")))
+    }),
+    "g_coreness" -> ((s, d) =>
+      GraphOps.coreness(s, GraphBuilder.supplierCoEdges(s, d))),
     "g_pagerank" -> ((s, d) =>
       GraphOps.pageRank(s, GraphBuilder.supplierCoEdges(s, d))
         .orderBy(col("vertex"))),
@@ -369,6 +382,7 @@ object SparkEntry {
     }),
     "p_temperature" -> ((s, d) => Pipeline.temperatureSample(s, d)),
     "p_epoch_schedule" -> ((s, d) => Pipeline.epochSchedule(s, d)),
+    "p_dsir" -> ((s, d) => Pipeline.dsirWeights(s, d)),
     // Exact-substring span dedup: shared ≥25-token spans planted
     // in-query (append/prepend per doc_id residue — the raw corpus
     // is random token bags where verbatim cross-doc runs cannot
@@ -405,6 +419,9 @@ object SparkEntry {
         Similarity.cosineThresholdPairs(emb, minSimE4 = 4000L))
     }),
     "e_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    // Greedy selection unrolled round-for-round in the oracle; every
+    // distance is an e6 integer so both engines agree exactly.
+    "e_kcenter" -> ((s, d) => Similarity.kcenterCoreset(s, d)),
     "e_mips" -> ((s, d) => Similarity.mipsTopK(s, d)),
     "e_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     // The exact all-pairs oracle below holds only while knnGraph takes
@@ -442,6 +459,7 @@ object SparkEntry {
     "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     "t_heldout_lm" -> ((s, d) => TextAnalysis.heldoutLm(s, d)),
     "t_code_detect" -> ((s, d) => TextAnalysis.codeDetect(s, d)),
+    "t_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "t_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
@@ -612,6 +630,60 @@ object SparkEntry {
     * Q = (4m·Σw_in − Σd_c²) / (4m²). HUGEINT accumulation mirrors the
     * Spark side's DECIMAL(38,0); the one final division runs in
     * DOUBLE from identical exact integers on both engines. */
+  /** Greedy k-center unrolled to k SQL rounds: round t's min-distance
+    * table joins the cumulative center CTE, the argmax is an
+    * ORDER BY d DESC, vec_id LIMIT 1, and every distance states
+    * CosineSim's exact list_dot_product tree e6-rounded PER PAIR —
+    * all intermediates are integers, so min/argmax order is
+    * engine-identical. */
+  /** H-index coreness fixpoint unrolled to exactly `rounds` SQL
+    * rounds (identity past convergence — the fixed-round parity
+    * contract): per round, neighbor values rank descending per
+    * vertex and c ← max(least(cn, rk)). */
+  private def corenessOracleSql(rounds: Int = 12): String = {
+    val steps = (0 until rounds).map { r =>
+      s""",
+         |n$r AS (SELECT s.src AS vertex, c.c AS cn
+         |  FROM sym s JOIN c$r c ON c.vertex = s.dst),
+         |r$r AS (SELECT vertex, cn, row_number() OVER (
+         |    PARTITION BY vertex ORDER BY cn DESC) AS rk FROM n$r),
+         |c${r + 1} AS MATERIALIZED (SELECT vertex,
+         |    CAST(max(least(cn, rk)) AS BIGINT) AS c
+         |  FROM r$r GROUP BY vertex)""".stripMargin
+    }.mkString
+    s"""WITH $EdgeCte,
+       |c0 AS MATERIALIZED (SELECT src AS vertex,
+       |  CAST(count(*) AS BIGINT) AS c FROM sym GROUP BY 1)""".stripMargin +
+      steps +
+      s"""
+         |SELECT vertex, c AS coreness FROM c$rounds
+         |ORDER BY vertex""".stripMargin
+  }
+
+  private def kcenterOracleSql(k: Int = 8): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |    FROM embeddings),
+             |cs0 AS (SELECT CAST(0 AS BIGINT) AS round, min(vec_id) AS id,
+             |  CAST(NULL AS BIGINT) AS sep FROM emb)""".stripMargin
+    for (t <- 1 until k) {
+      sb ++= s""",
+         |d$t AS (SELECT e.vec_id,
+         |    min(CAST(round((1.0 - list_dot_product(e.v, c.v)
+         |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.v, c.v))))
+         |      * 1000000) AS BIGINT)) AS d
+         |  FROM emb e JOIN emb c ON c.vec_id IN (SELECT id FROM cs${t - 1})
+         |  GROUP BY e.vec_id),
+         |cs$t AS (SELECT * FROM cs${t - 1} UNION ALL
+         |  SELECT CAST($t AS BIGINT), vec_id, d FROM
+         |    (SELECT vec_id, d FROM d$t ORDER BY d DESC, vec_id LIMIT 1))""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT round, id AS center_id, sep AS sep_e6 FROM cs${k - 1}
+       |ORDER BY round""".stripMargin
+    sb.toString
+  }
+
   private def modularityOfOracleSql(iters: Int): String = {
     val cte = lpaOracleSql(iters)
     val idx = cte.lastIndexOf("\nSELECT")
@@ -951,7 +1023,30 @@ object SparkEntry {
     "g_betweenness" -> betweennessOracleSql(),
     "g_lpa" -> lpaOracleSql(),
     "g_modularity_of" -> modularityOfOracleSql(4),
+    // Integer sufficient statistics + integral divide — no float path,
+    // so the e6 conductance is bit-identical across engines.
+    "g_conductance" ->
+      s"""WITH $EdgeCte,
+         |v AS (SELECT DISTINCT vertex FROM
+         |  (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)),
+         |lab AS (SELECT vertex, vertex % 8 AS label FROM v),
+         |led AS (SELECT e.w, la.label AS ca, lb.label AS cb
+         |  FROM e JOIN lab la ON la.vertex = e.src
+         |         JOIN lab lb ON lb.vertex = e.dst),
+         |vol AS (SELECT label, CAST(sum(w) AS BIGINT) AS vol_w FROM
+         |  (SELECT ca AS label, w FROM led
+         |   UNION ALL SELECT cb, w FROM led) GROUP BY 1),
+         |cut AS (SELECT label, CAST(sum(w) AS BIGINT) AS cut_w FROM
+         |  (SELECT ca AS label, w FROM led WHERE ca <> cb
+         |   UNION ALL SELECT cb, w FROM led WHERE ca <> cb) GROUP BY 1),
+         |tot AS (SELECT 2 * CAST(sum(w) AS BIGINT) AS vol2m FROM e)
+         |SELECT label, vol_w, coalesce(cut_w, 0) AS cut_w,
+         |  (1000000 * coalesce(cut_w, 0))
+         |    // nullif(least(vol_w, vol2m - vol_w), 0) AS phi_e6
+         |FROM vol LEFT JOIN cut USING (label) CROSS JOIN tot
+         |ORDER BY label""".stripMargin,
     "g_kcore" -> kcoreOracleSql(),
+    "g_coreness" -> corenessOracleSql(12),
     "g_ktruss" -> ktrussOracleSql(),
     "g_walks" -> walksOracleSql(),
     "g_node2vec" -> node2vecOracleSql(),
@@ -1934,6 +2029,19 @@ object SparkEntry {
         |    OR CASE WHEN list_contains(toks, 'def') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'return') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'import') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'class') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'if') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'else') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'for') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'while') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'var') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'val') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'function') THEN 1 ELSE 0 END >= 3) AS is_code
         |FROM d
         |ORDER BY doc_id""".stripMargin,
+    // All three counters are exact integers; the single float
+    // expression states the identical tree from the same integers.
+    "t_readability" ->
+      """WITH d AS (SELECT doc_id,
+        |    greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS w,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+        |  CAST(s AS BIGINT) AS n_sentences, CAST(sy AS BIGINT) AS n_syllables,
+        |  CAST(round((206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+        |    - 84.6 * (CAST(sy AS DOUBLE) / w)) * 10000) AS BIGINT) AS flesch_e4
+        |FROM d ORDER BY doc_id""".stripMargin,
     // Same split hashes as p_split; per-term e4 rounding before the
     // sum keeps the float path integer-exact across engines. The CROSS
     // JOIN v is a one-row scalar (vocab size), not a data cross.
@@ -1976,6 +2084,42 @@ object SparkEntry {
         |  CAST(num // den + CASE WHEN h16 * den < (num % den) * 65536
         |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
         |FROM docs JOIN r USING (source)
+        |ORDER BY doc_id""".stripMargin,
+    // Same hashed-n-gram buckets, add-one smoothing, and per-ln e4
+    // rounding as the engine; the per-source top-half rank mirrors
+    // the stratified selection window.
+    "p_dsir" ->
+      """WITH base AS (SELECT doc_id, lang, source,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |uni AS (SELECT doc_id, lang, source, unnest(t) AS gram FROM base),
+        |idx AS (SELECT doc_id, lang, source, t,
+        |    unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS i FROM base),
+        |bi AS (SELECT doc_id, lang, source, t[i] || ' ' || t[i + 1] AS gram
+        |  FROM idx WHERE i + 1 <= len(t)),
+        |occ AS (SELECT doc_id, lang, source,
+        |    CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |raw AS (SELECT b, count(*) AS cr FROM occ GROUP BY 1),
+        |tgt AS (SELECT b, count(*) AS ct FROM occ WHERE lang = 'en' GROUP BY 1),
+        |stats AS (SELECT raw.b, cr, coalesce(ct, 0) AS ct
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |    CAST(sum(ct) AS BIGINT) AS nt FROM stats),
+        |delta AS (SELECT b,
+        |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (nt + 256)) * 10000) AS BIGINT)
+        |      - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / (nr + 256)) * 10000) AS BIGINT)
+        |      AS delta_e4
+        |  FROM stats CROSS JOIN tot),
+        |scored AS (SELECT doc_id, lang, source, count(*) AS n_grams,
+        |    CAST(sum(delta_e4) AS BIGINT) AS score_e4
+        |  FROM occ JOIN delta USING (b)
+        |  GROUP BY doc_id, lang, source),
+        |ns AS (SELECT source, count(*) AS n_src FROM scored GROUP BY 1),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY score_e4 DESC, doc_id) AS rk FROM scored)
+        |SELECT doc_id, lang, source, CAST(n_grams AS BIGINT) AS n_grams,
+        |  score_e4, rk <= n_src // 2 AS selected
+        |FROM ranked JOIN ns USING (source)
         |ORDER BY doc_id""".stripMargin,
     "p_domain_cap" ->
       """WITH ranked AS (
@@ -2140,6 +2284,7 @@ object SparkEntry {
         |FROM h b LEFT JOIN base ON base.h = b.h
         |WHERE b.doc_id >= 250
         |ORDER BY b.doc_id""".stripMargin,
+    "e_kcenter" -> kcenterOracleSql(8),
     "e_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank,
         |  CAST(round(sim * 10000) AS BIGINT) AS sim_e4

@@ -209,6 +209,21 @@ final class GraftGraph private (
     GraphOps.modularityOf(edges,
       encoded.select(col("vertex"), col("label").cast("string").as("label")))
   }
+
+  /** Per-community conductance of an arbitrary (vertex, label)
+    * assignment — [[modularityOf]]'s per-community sibling; same
+    * dictionary translation and string-label normalization. */
+  def conductanceOf(assignment: DataFrame): DataFrame = {
+    val lab = assignment.select(col("vertex"), col("label"))
+    val encoded = dict match {
+      case None => lab
+      case Some(d) =>
+        lab.join(d, lab("vertex") === d("vid"))
+          .select(col("vertex_id").as("vertex"), col("label"))
+    }
+    GraphOps.conductanceOf(edges,
+      encoded.select(col("vertex"), col("label").cast("string").as("label")))
+  }
 }
 
 object GraftGraph {

@@ -707,6 +707,61 @@ object GraphOps {
       .orderBy(col("vertex"))
   }
 
+  /** Full core decomposition — every vertex's coreness number (the
+    * max k with v inside the k-core), where [[kCore]] answers only
+    * one fixed k. H-index fixpoint (Montresor, De Pellegrini &
+    * Miorandi 2011, "Distributed k-Core Decomposition"): c₀(v) =
+    * deg(v); each round c(v) ← H(neighbors' c) = max h such that ≥h
+    * neighbors hold c ≥ h, computed as max(least(cₙ, rank)) over the
+    * descending rank window — monotone non-increasing, converges to
+    * coreness exactly. Per round: one (dst-keyed) label equi-join +
+    * one vertex-keyed rank window + one map-side-combinable max —
+    * E-row narrow rows, nothing wider than two longs shuffles, the
+    * at-scale peel-free shape (global peeling serializes on the
+    * minimum degree; the h-index fixpoint is embarrassingly
+    * vertex-parallel).
+    *
+    * Fixed-round parity contract (the g_betweenness/ktruss rule):
+    * the oracle unrolls EXACTLY `rounds` h-index rounds; the engine
+    * early-stops only at the fixpoint, where further rounds are
+    * identity — measured convergence ≤ 4 rounds on the co-purchase
+    * graphs. Rank ties among equal neighbor values permute ranks
+    * only within runs of one value, so max(least(c, rank)) is
+    * tie-order invariant — deterministic without a composite sort
+    * key. */
+  def coreness(spark: SparkSession, edges: DataFrame,
+      rounds: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var c = sym.groupBy(col("src")).agg(count(lit(1)).as("c"))
+      .select(col("src").as("vertex"), col("c")).localCheckpoint(true)
+    var iter = 0
+    var changed = true
+    while (changed && iter < rounds) {
+      val nbr = sym
+        .join(c.select(col("vertex").as("dst"), col("c").as("cn")), Seq("dst"))
+        .select(col("src").as("vertex"), col("cn"))
+      val next = nbr
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vertex")).orderBy(col("cn").desc)).cast("long"))
+        .select(col("vertex"), least(col("cn"), col("rk")).as("h"))
+        .groupBy(col("vertex")).agg(max(col("h")).as("c"))
+        .localCheckpoint(false)
+      // the diff count is a FULL scan of `next`, so the lazy
+      // checkpoint materializes and truncates lineage in this one
+      // job (the g_scc single-action rule)
+      val nDiff = next
+        .join(c.select(col("vertex"), col("c").as("c_old")), Seq("vertex"))
+        .filter(col("c") =!= col("c_old")).count()
+      changed = nDiff > 0
+      c = next
+      iter += 1
+    }
+    c.select(col("vertex"), col("c").as("coreness")).orderBy(col("vertex"))
+  }
+
   /** k-truss: the maximal subgraph where every edge participates in
     * ≥ k−2 triangles — the cohesion mining step up from [[kCore]]
     * (every k-truss is inside the (k−1)-core, but truss demands the
@@ -1332,6 +1387,52 @@ object GraphOps {
         round((col("a") * lit(4) * col("m") - col("b")).cast("double")
             / (lit(4.0) * col("m") * col("m")) * 1e6)
           .cast("long").as("q_e6"))
+  }
+
+  /** Per-community conductance φ(C) = cut(C) / min(vol(C), 2m−vol(C))
+    * of an ARBITRARY community assignment — [[modularityOf]]'s
+    * per-community sibling and the standard cluster-quality readout
+    * modularity alone hides (a partition can score high Q while one
+    * community leaks half its volume across the cut).
+    *
+    * Exact integer sufficient statistics throughout: vol(C) sums the
+    * incident integral edge weights (both endpoints), cut(C) sums the
+    * weights of edges with exactly ONE endpoint in C (credited to
+    * both sides' communities), and φ is emitted as an integral-divide
+    * `(1e6·cut) div min(vol, 2m−vol)` — truncating exactly, so the
+    * e6 figure is bit-identical across engines and shuffle orders
+    * with no float path at all. A community holding the entire volume
+    * (min = 0) has undefined conductance → null. Shape: two label
+    * equi-joins over the edge stream + two map-side-combinable
+    * aggregations keyed by label; nothing wider than (label, w) ever
+    * shuffles, so the plan is the same at 100 TB.
+    *
+    * @param assignment (vertex, label) rows covering the graph's
+    *                   vertices. */
+  def conductanceOf(edges: DataFrame, assignment: DataFrame): DataFrame = {
+    val wl = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+    val lab = assignment.select(col("vertex"), col("label"))
+    val labeled = wl
+      .join(lab.select(col("vertex").as("src"), col("label").as("ca")), Seq("src"))
+      .join(lab.select(col("vertex").as("dst"), col("label").as("cb")), Seq("dst"))
+    // volume: every edge credits w to both endpoints' communities
+    val vol = labeled.select(col("ca").as("label"), col("w"))
+      .unionAll(labeled.select(col("cb").as("label"), col("w")))
+      .groupBy(col("label")).agg(sum(col("w")).as("vol_w"))
+    // cut: cross-community edges credit w to both sides
+    val cut = labeled.filter(col("ca") =!= col("cb"))
+      .select(col("ca").as("label"), col("w"))
+      .unionAll(labeled.filter(col("ca") =!= col("cb"))
+        .select(col("cb").as("label"), col("w")))
+      .groupBy(col("label")).agg(sum(col("w")).as("cut_w"))
+    val tot = wl.agg((sum(col("w")) * 2L).as("vol2m"))
+    vol.join(cut, Seq("label"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("label"), col("vol_w"),
+        coalesce(col("cut_w"), lit(0L)).as("cut_w"),
+        expr("(1000000 * coalesce(cut_w, 0)) div " +
+          "nullif(least(vol_w, vol2m - vol_w), 0)").as("phi_e6"))
+      .orderBy(col("label"))
   }
 
   // One Louvain run serves both the assignment and the level-stats

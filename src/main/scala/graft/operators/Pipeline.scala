@@ -456,6 +456,81 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed n-gram profile is —
+    * log w(x) = Σ_grams [ln p̂_target(bucket) − ln p̂_raw(bucket)] —
+    * and keep the highest-weight half per source, the data-selection
+    * pass run before a pretraining mix is cut. Here the target
+    * distribution is the `targetLang` slice of the corpus itself
+    * (in production: a Wikipedia/books reference corpus — same plan,
+    * different scan).
+    *
+    * Features are hashed unigrams + bigrams (the paper's bag of
+    * hashed n-grams): bucket = first-8-md5-hex mod `buckets`, a
+    * layout-stable content hash both engines state identically.
+    * Distributions are add-one smoothed over the bucket space; each
+    * ln is e4-rounded BEFORE the subtraction and the per-document
+    * integer sum, so the score is immune to float accumulation order
+    * (the t_bigram_lm contract). Selection ranks within SOURCE
+    * (score desc, doc_id) and keeps the top half — stratified DSIR:
+    * the mix's source balance survives selection, and the rank
+    * window shards by source instead of funnelling the corpus
+    * through one global sort.
+    *
+    * Shape: ONE corpus explode feeds both distributions and the
+    * scoring join (checkpointed occurrence table); bucket stats are
+    * a ≤`buckets`-row aggregate broadcast back; the per-doc score is
+    * one map-side-combinable sum keyed by doc_id. Only (doc_id,
+    * bucket) int pairs ever shuffle — text stays in its scan. */
+  def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 256,
+      targetLang: String = "en"): DataFrame =
+    dsirWeightsOf(Tables.documents(spark, dir), buckets, targetLang)
+
+  /** [[dsirWeights]] over any (doc_id, lang, source, text) table. */
+  def dsirWeightsOf(docs: DataFrame, buckets: Int = 256,
+      targetLang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val uni = base.select(col("doc_id"), col("lang"), col("source"),
+      explode(TF.tokens(col("text"))).as("gram"))
+    // wordShingles' short-doc fallback (whole text, no space) is not a
+    // bigram — the space filter drops it, mirrored by the oracle's
+    // i+1 <= len(t) bound.
+    val bi = base.select(col("doc_id"), col("lang"), col("source"),
+      explode(TF.wordShingles(col("text"), 2)).as("gram"))
+      .filter(col("gram").contains(" "))
+    val occ = uni.unionAll(bi)
+      .select(col("doc_id"), col("lang"), col("source"),
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+      .localCheckpoint(true)
+    val raw = occ.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = occ.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val stats = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = stats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val delta = stats.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (round(log((col("ct") + lit(1L)).cast("double")
+            / (col("nt") + lit(buckets.toLong))) * 1e4).cast("long")
+          - round(log((col("cr") + lit(1L)).cast("double")
+            / (col("nr") + lit(buckets.toLong))) * 1e4).cast("long"))
+          .as("delta_e4"))
+    val scored = occ.join(broadcast(delta), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("delta_e4")).as("score_e4"))
+    val perSource = scored.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("score_e4").desc, col("doc_id"))))
+      .join(broadcast(perSource), Seq("source"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_grams"),
+        col("score_e4"), (col("rk") <= expr("n_src div 2")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keep-threshold for a sampling fraction as an 8-hex-digit string:
     * a row survives iff the first 8 md5 hex chars of its key sort
     * below it. "g" > every hex digit = keep all; "0" = keep none. */

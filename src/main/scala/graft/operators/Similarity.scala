@@ -984,6 +984,50 @@ object Similarity {
       .select(col("vec_id").as("src"), col("nb").as("dst"))
   }
 
+  /** Greedy k-center coreset (Gonzalez 1985) — the diversity-sampling
+    * data-selection shape: k points whose cosine-distance balls cover
+    * the corpus at a 2-approximation of the optimal covering radius,
+    * the classic coreset picked before expensive per-point processing
+    * (labeling, embedding-model distillation) is spent on near-copies.
+    *
+    * Round t computes every point's distance to the ≤t centers chosen
+    * so far — corpus × a broadcast ≤k-row center table, a narrow
+    * explode — and takes one map-side-combinable min + the
+    * deterministic global argmax (max dist, then min id) via a single
+    * struct-max aggregation: no global sort, no rank window, and only
+    * (id, long) pairs ever shuffle. The selection is inherently
+    * sequential in k (each pick conditions the next), so k tiny
+    * driver-coordinated jobs run over one checkpointed embedding
+    * scan; total work k·n distance evaluations. Distances e6-round
+    * PER PAIR before the min, so every intermediate is an exact
+    * integer the oracle restates verbatim (list_dot_product tree).
+    *
+    * Output: (round, center_id, sep_e6) — sep_e6 is the covering
+    * radius of the PREVIOUS center set (what this pick reduced),
+    * null for the seed; non-increasing in t by greedy construction
+    * (spec-pinned). */
+  def kcenterCoreset(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val seed = emb.agg(min(col("vec_id"))).head.getLong(0)
+    var chosen = Vector[(Long, Long, Option[Long])]((0L, seed, None))
+    for (t <- 1 until k) {
+      val centers = broadcast(
+        emb.filter(col("vec_id").isin(chosen.map(_._2): _*))
+          .select(col("embedding").as("c_emb")))
+      val next = emb.crossJoin(centers)
+        .select(col("vec_id"),
+          round((lit(1.0) - cosine(col("embedding"), col("c_emb"))) * 1e6)
+            .cast("long").as("d_e6"))
+        .groupBy(col("vec_id")).agg(min(col("d_e6")).as("d_e6"))
+        .agg(max(struct(col("d_e6"), (-col("vec_id")).as("nid"))).as("m"))
+        .select(col("m.d_e6").as("d"), (-col("m.nid")).as("id")).head()
+      chosen :+= ((t.toLong, next.getLong(1), Some(next.getLong(0))))
+    }
+    chosen.toDF("round", "center_id", "sep_e6").orderBy(col("round"))
+  }
+
   /** Embedding near-duplicate pairs: banded sign-LSH candidates,
     * exact cosine re-check, threshold 0.4. Band-key self-join —
     * near-linear at scale. */
