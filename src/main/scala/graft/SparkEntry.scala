@@ -257,6 +257,7 @@ object SparkEntry {
     "q_asof_nearest" -> ((s, d) => Relational.qAsofNearest(s, d)),
     "q_transition_matrix" -> ((s, d) => Relational.qTransitionMatrix(s, d)),
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
+    "q_cumulative_distinct" -> ((s, d) => Relational.qCumulativeDistinct(s, d)),
     "q_lag_delta" -> ((s, d) => Relational.qLagDelta(s, d)),
     "q_collect_set" -> ((s, d) => Relational.qCollectSet(s, d)),
     "q_ntile" -> ((s, d) => Relational.qNtile(s, d)),
@@ -509,11 +510,13 @@ object SparkEntry {
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSampleDf(s, d)),
     "m_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
+    "m_vad_segments" -> ((s, d) => Multimodal.vadSegments(s, d)),
     "m_resize" -> ((s, d) => Multimodal.resizeDf(s, d)),
     "m_features" -> ((s, d) => Multimodal.extractFeaturesDf(s, d)),
     "m_near_dup" -> ((s, d) => Multimodal.nearDupPairs(s, d)),
     "s_stream_agg" -> ((s, d) => graft.streaming.StreamingOps.streamHourlyAgg(s, d)),
     "s_stream_watermark" -> ((s, d) => graft.streaming.StreamingOps.streamWatermarkedAgg(s, d)),
+    "s_stream_anomaly" -> ((s, d) => graft.streaming.StreamingOps.streamAnomaly(s, d)),
     "s_stream_join" -> ((s, d) => graft.streaming.StreamingOps.streamStreamJoin(s, d)),
     "s_stream_static_join" -> ((s, d) =>
       graft.streaming.StreamingOps.streamStaticJoin(s, d)),
@@ -1683,6 +1686,17 @@ object SparkEntry {
         |FROM gapped
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "q_cumulative_distinct" ->
+      """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ev GROUP BY 1),
+        |fs AS (SELECT day, count(*) AS new_users FROM (
+        |    SELECT user_id, min(day) AS day FROM ev GROUP BY 1) t GROUP BY 1)
+        |SELECT day, dau, coalesce(new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM dau LEFT JOIN fs USING (day)
+        |ORDER BY day""".stripMargin,
     "q_lag_delta" ->
       """SELECT user_id, event_id,
         |  CAST(coalesce(CAST(floor(epoch(ts)) AS BIGINT)
@@ -2536,6 +2550,34 @@ object SparkEntry {
         |    AS n_cuts
         |FROM l GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Same stride chunking + hash energy proxy; islands via the
+    // rn − rn-within-activity identity.
+    "m_vad_segments" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS i
+        |  FROM documents),
+        |f AS (SELECT doc_id, i,
+        |    CAST(('0x' || substr(md5(substr(text, CAST(i * 256 + 1 AS INT), 256)),
+        |      1, 15)) AS BIGINT) AS fv
+        |  FROM c),
+        |a AS (SELECT doc_id, i, fv > 600000000000000000 AS active FROM f),
+        |m AS (SELECT doc_id, i, active,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+        |    row_number() OVER (PARTITION BY doc_id, active ORDER BY i) AS arn
+        |  FROM a),
+        |s AS (SELECT doc_id, rn - arn AS grp, count(*) AS len
+        |  FROM m WHERE active GROUP BY 1, 2),
+        |ps AS (SELECT doc_id, count(*) AS n_segments,
+        |    CAST(max(len) AS BIGINT) AS longest FROM s GROUP BY 1),
+        |t AS (SELECT doc_id, count(*) AS n_frames,
+        |    CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+        |  FROM a GROUP BY 1)
+        |SELECT doc_id, n_frames, n_active,
+        |  coalesce(n_segments, 0) AS n_segments,
+        |  coalesce(longest, 0) AS longest
+        |FROM t LEFT JOIN ps USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "m_resize" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS orig_bytes,
@@ -3022,6 +3064,25 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2)
         |SELECT hour, event_type, n, sum_value FROM agg, wm
         |WHERE epoch_ms(hour) + 3600000 <= wm_ms
+        |ORDER BY hour, event_type""".stripMargin,
+    // Watermark-emitted window set (the s_stream_watermark
+    // arithmetic) + the division-free integer z² > 4 comparison.
+    "s_stream_anomaly" ->
+      """WITH wm AS (
+        |  SELECT epoch_ns(max(ts)) // 1000000 - 3600000 AS wm_ms FROM events),
+        |agg AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |emitted AS (
+        |  SELECT hour, event_type, CAST(n AS BIGINT) AS n FROM agg, wm
+        |  WHERE epoch_ms(hour) + 3600000 <= wm_ms),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
+        |  FROM emitted GROUP BY 1)
+        |SELECT hour, event_type, n,
+        |  (n * k - s) * (n * k - s) > 4 * (k * ss - s * s) AS is_anomaly
+        |FROM emitted JOIN st USING (event_type)
         |ORDER BY hour, event_type""".stripMargin,
     // The stateful streaming sessionizer must agree with the batch
     // sessionization oracle exactly.

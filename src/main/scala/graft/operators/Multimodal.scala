@@ -155,6 +155,45 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** VAD-style activity segmentation over the sampled frame stream —
+    * the audio-segmentation composition (voice-activity detection →
+    * contiguous active segments): each frame carries a deterministic
+    * energy proxy (the frame-hash scalar — the stub stand-in for an
+    * RMS energy, per the multimodal decode contract), frames above
+    * the threshold are "active", and runs of consecutive active
+    * frames group into segments by the classic gaps-and-islands
+    * identity (rn − rn-within-activity is constant per run). All
+    * windows key on doc_id, so one per-document shuffle carries the
+    * whole computation; swap the proxy for a decoded energy column
+    * and the plan is unchanged. Output per doc: frame/active counts,
+    * segment count, longest segment. */
+  def vadSegments(spark: SparkSession, dir: String, stride: Int = 256,
+      threshold: Long = 600000000000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val wa = Window.partitionBy(col("doc_id"), col("active"))
+      .orderBy(col("frame_idx"))
+    val marked = frameSample(spark, dir, stride).toDF()
+      .withColumn("fv",
+        conv(substring(col("frame_hash"), 1, 15), 16, 10).cast("long"))
+      .withColumn("active", col("fv") > lit(threshold))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("arn", row_number().over(wa))
+    val segs = marked.filter(col("active"))
+      .groupBy(col("doc_id"), (col("rn") - col("arn")).as("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"), max(col("len")).as("longest"))
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("active"), 1L).otherwise(0L)).as("n_active"))
+      .join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest"), lit(0L)).as("longest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reference 64-bit byte-level SimHash — the plain-Scala statement
     * of the fingerprint the native [[graft.functions.PayloadSimHash64]]
     * expression computes (same sliding-window FNV-1a bit votes). The

@@ -882,6 +882,32 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Cumulative-distinct growth curve — the standard audience
+    * dashboard (DAU + new users + running total of EVER-seen users
+    * per day) computed without any running count-distinct state: a
+    * user's contribution to the cumulative curve is fully determined
+    * by their FIRST-seen day, so one user-keyed min-agg (map-side
+    * combinable) plus one distinct (day, user) agg reduce the stream
+    * to per-day rows, and the cumulative sum runs over the tiny day
+    * table — the at-scale shape for running-distinct questions
+    * (windowed count-distinct over the raw stream funnels everything
+    * through one reducer and holds per-key sets in state). */
+  def qCumulativeDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val dau = ev.distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    dau.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
   /** Native `session_window` sessionization — Spark's built-in
     * merging session operator (one groupBy, no lag window or custom
     * state): windows extend 30 min past each event and overlapping

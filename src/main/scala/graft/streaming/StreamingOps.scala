@@ -510,6 +510,42 @@ object StreamingOps {
     spark.table(name).orderBy(col("user_id"), col("start_us"))
   }
 
+  /** Streaming anomaly readout — the monitoring composition run on
+    * every event pipeline: the watermarked append-mode hourly
+    * per-type counts ([[watermarkedAggPlan]], finalized windows
+    * only) land in a sink table, and a batch z-score layer flags
+    * hours whose count deviates from that type's mean by more than
+    * 2σ. The z² > 4 comparison is cleared of divisions into EXACT
+    * integer arithmetic — (n·k − Σn)² > 4·(k·Σn² − (Σn)²) — so the
+    * verdict has no float path and is engine-identical. At scale the
+    * streaming agg has already reduced the stream to bounded
+    * (hour, type) rows; the σ layer is a tiny broadcast join. */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val agg = watermarkedAggPlan(spark, dir)
+    val name = "graft_stream_anomaly"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // checkpoint the (tiny) emitted-window table: the σ layer
+    // self-joins it, and a memory-sink View on both sides of a join
+    // trips analyzer reference dedup
+    val w = spark.table(name).select(col("hour"), col("event_type"), col("n"))
+      .localCheckpoint(true)
+    val stats = w.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+    w.join(broadcast(stats), Seq("event_type"))
+      .select(col("hour"), col("event_type"), col("n"),
+        ((col("n") * col("k") - col("s")) * (col("n") * col("k") - col("s"))
+          > lit(4L) * (col("k") * col("ss") - col("s") * col("s")))
+          .as("is_anomaly"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** Tumbling 1-hour window count/sum per event_type, executed as a
     * streaming query. Returns the materialized (batch-equal) result. */
   def streamHourlyAgg(spark: SparkSession, dir: String): DataFrame = {

@@ -97,4 +97,27 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.entropy_e4 > 0 && f.entropy_e4 <= 80000)
     }
   }
+
+  test("VAD segments match a driver-side islands recomputation") {
+    import org.apache.spark.sql.functions.col
+    val thr = 600000000000000000L
+    val frames = Multimodal.frameSampleDf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        java.lang.Long.parseLong(r.getString(2).take(15), 16)))
+      .groupBy(_._1)
+    val expect = frames.map { case (docId, fs) =>
+      val actives = fs.sortBy(_._2).map(_._3 > thr)
+      val runs = actives.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      docId -> ((fs.length.toLong, actives.count(identity).toLong,
+        runs.length.toLong, if (runs.isEmpty) 0L else runs.max.toLong))
+    }
+    val got = Multimodal.vadSegments(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, "vad segments diverge from the reference islands")
+  }
 }

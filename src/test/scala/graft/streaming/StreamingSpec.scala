@@ -475,4 +475,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, None), (2L, None),
       (10L, Some("new")), (11L, Some("new"))))
   }
+
+  test("stream anomaly flags exactly the planted spike hour") {
+    // Type "a": hours 0..9 carry 5 events each except hour 5 with 40
+    // (z = 3 exactly clears the integer z² > 4 gate; the flat hours
+    // sit at z ≈ −0.33). A type-"b" driver event 13 hours in advances
+    // the watermark so all ten "a" windows finalize while its own
+    // window stays open — output is exactly the ten "a" hours.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = 472_222L * 3600L // hour-aligned epoch seconds
+    def ns(h: Long, j: Long): Long = (base + h * 3600L + j * 60L) * 1_000_000_000L
+    val rows = (0L until 10L).flatMap { h =>
+      val n = if (h == 5L) 40L else 5L
+      (0L until n).map(j => (h * 100 + j, h, "a", 1.0, ns(h, j)))
+    } :+ ((9999L, 13L, "b", 1.0, ns(13L, 0L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val got = StreamingOps.streamAnomaly(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1),
+        r.getLong(2), r.getBoolean(3)))
+    assert(got.length == 10 && got.forall(_._2 == "a"))
+    val flagged = got.filter(_._4)
+    assert(flagged.toSeq == Seq(((base + 5 * 3600), "a", 40L, true)),
+      got.mkString(";"))
+  }
 }
