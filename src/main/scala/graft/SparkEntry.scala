@@ -90,10 +90,40 @@ object SparkEntry {
         throw new java.io.IOException(s"rename $stage -> $p failed")
     }
 
+  /** Partitioned lake after a DYNAMIC partition overwrite: the full
+    * events table lands partitioned by event_type, then a second
+    * overwrite-mode write carrying ONLY compacted error rows
+    * (value ≥ 2.5) replaces exactly that partition — Spark's
+    * `partitionOverwriteMode=dynamic` contract. Static overwrite
+    * semantics would wipe the other four partitions and append would
+    * double the error rows; the oracle's
+    * `type <> 'error' OR value >= 2.5` predicate fails either way,
+    * so the partition-replacement semantics are pinned end to end.
+    * Staged + atomic rename like the vintage fixture, so the
+    * _SUCCESS cache guard never sees a torn two-write state. */
+  private def sideOutEventsDynOverwrite(s: SparkSession, d: String): String =
+    cachedSideOutput(d, "events", "eventsdyn") { p =>
+      val stage = new java.io.File(p + ".stage")
+      if (stage.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(stage).deleteRecursively()
+      }
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(stage.getPath)
+      ev.filter(col("event_type") === "error" && col("value") >= 2.5)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(stage.getPath)
+      if (!stage.renameTo(new java.io.File(p)))
+        throw new java.io.IOException(s"rename $stage -> $p failed")
+    }
+
   def prewarmSideOutputs(s: SparkSession, d: String): Unit = {
     sideOutEdgeList(s, d); sideOutEventsPart(s, d); sideOutDocsJson(s, d)
     sideOutDocsBin(s, d); sideOutDocsOrc(s, d); sideOutDocsCsv(s, d)
     sideOutDocsText(s, d); sideOutDocsVintages(s, d)
+    sideOutEventsDynOverwrite(s, d)
   }
 
   /** Flagship: Louvain community detection on the supplier
@@ -354,6 +384,21 @@ object SparkEntry {
     "d_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(s, d)),
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "d_dup_clusters_exact" -> ((s, d) => Dedup.dupClustersExact(s, d)),
+    // Cross-source duplicates planted in-query (the raw corpus has no
+    // exact dups): two doc_id residues share fixed texts across
+    // sources, and the curated tiers (src0-4 > src5-9 > rest) decide
+    // the survivor instead of min-id.
+    "p_priority_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{lit => flit, pmod => fpmod, when => fwhen}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        fwhen(fpmod(col("doc_id"), flit(25L)) === 3, flit("PLANTED DUP ALPHA"))
+          .when(fpmod(col("doc_id"), flit(25L)) === 7, flit("PLANTED DUP BETA"))
+          .otherwise(col("text")).as("text"))
+      Dedup.priorityDedupOf(docs,
+        fwhen(col("source").isin("src0", "src1", "src2", "src3", "src4"), 2L)
+          .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 1L)
+          .otherwise(0L))
+    }),
     "d_containment" -> ((s, d) => Dedup.containment(s, d)),
     // The flagship curation composition under the FULL oracle: gates
     // (langId, token floor, alpha ratio) + one-survivor-per-cluster,
@@ -475,6 +520,14 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(fcount(flit(1)).as("n"), fround(fsum(col("value")), 2).as("sum_value"))
         .orderBy(col("user_id"))
+    }),
+    "src_dynamic_overwrite" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count => fcount, lit => flit, round => fround, sum => fsum}
+      val out = sideOutEventsDynOverwrite(s, d)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(fcount(flit(1)).as("n"), fround(fsum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
     }),
     // Versioned keyed table: three deterministic order-upsert batches
     // MERGEd in sequence, then one time-travel aggregate per
@@ -1937,6 +1990,15 @@ object SparkEntry {
     // per custkey over batches (o_orderkey mod 3) ≤ v, ranked by
     // (batch DESC, o_orderkey DESC) — newer batches win, the unique
     // orderkey breaks in-batch ties, exactly the MERGE's rank.
+    // Dynamic partition overwrite pinned from the lake read-back:
+    // only the error partition is replaced (by its value >= 2.5
+    // compaction); static-overwrite or append semantics both fail
+    // this predicate.
+    "src_dynamic_overwrite" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE event_type <> 'error' OR value >= 2.5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_time_travel" ->
       """WITH b AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |    o_orderkey % 3 AS bid
@@ -2248,6 +2310,26 @@ object SparkEntry {
     // The chain-pair CC verdict must equal the closed form: cluster =
     // min doc_id over each identical-text group (md5 equality is
     // engine-independent, unlike the MinHash/SimHash pair sources).
+    "p_priority_dedup" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 25 = 3 THEN 'PLANTED DUP ALPHA'
+        |         WHEN doc_id % 25 = 7 THEN 'PLANTED DUP BETA'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |h AS (SELECT doc_id, source, md5(text) AS h,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2
+        |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 1
+        |         ELSE 0 END AS prio
+        |  FROM docs),
+        |r AS (SELECT doc_id, source, h,
+        |    row_number() OVER (PARTITION BY h ORDER BY prio DESC, doc_id) AS rk,
+        |    CAST(min(doc_id) OVER (PARTITION BY h) AS BIGINT) AS cluster_id
+        |  FROM h),
+        |s AS (SELECT h, CAST(doc_id AS BIGINT) AS survivor_id FROM r WHERE rk = 1)
+        |SELECT doc_id, source, cluster_id, survivor_id,
+        |  doc_id = survivor_id AS is_survivor
+        |FROM r JOIN s USING (h)
+        |ORDER BY doc_id""".stripMargin,
     "d_dup_clusters_exact" ->
       """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         |c AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS cluster_id

@@ -333,6 +333,38 @@ object Dedup {
       .select(col("prev").as("src"), col("doc_id").as("dst"))
   }
 
+  /** Priority-aware exact-dedup survivor selection — the cross-source
+    * curation rule min-id survivors can't express: when the same
+    * content appears in several sources, KEEP the copy from the most
+    * trusted source (curated beats crawled), falling back to the
+    * smallest doc_id only within a priority tier. One hash-keyed rank
+    * window picks rank 1 per md5 group by (priority desc, doc_id);
+    * cluster_id stays the min-id label so downstream joins are
+    * stable whichever copy survives. Only (id, hash, priority) rows
+    * shuffle — text never leaves its scan.
+    *
+    * @param priority a Column scoring each row's source trust
+    *                 (higher wins). */
+  def priorityDedupOf(docs: DataFrame,
+      priority: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        priority.as("prio"))
+    val byHash = Window.partitionBy(col("h"))
+    val ranked = h
+      .withColumn("rk", row_number().over(
+        byHash.orderBy(col("prio").desc, col("doc_id"))))
+      .withColumn("cluster_id", min(col("doc_id")).over(byHash))
+    val surv = ranked.filter(col("rk") === 1)
+      .select(col("h"), col("doc_id").as("survivor_id"))
+    ranked.join(surv, Seq("h"))
+      .select(col("doc_id"), col("source"), col("cluster_id"),
+        col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental exact dedup — the production shape where a NEW batch
     * lands against an already-deduped corpus. A new document (doc_id
     * >= `splitId`) survives iff its content hash matches neither the

@@ -476,6 +476,33 @@ class StreamingSpec extends AnyFunSuite {
       (10L, Some("new")), (11L, Some("new"))))
   }
 
+  test("file-sink streaming resumes from its checkpoint exactly once") {
+    // The durability contract memory-sink entries can't show: a
+    // parquet-sink query with a checkpointLocation processes batch 1,
+    // stops, and a RESTARTED query picks up from the committed offset
+    // — new files process once, already-committed files never replay.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .coalesce(1).write.mode("append").parquet(in)
+    def run(): Unit = {
+      val q = spark.readStream.schema("id long, tag string").parquet(in)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+    Seq((3L, "c")).toDF("id", "tag")
+      .coalesce(1).write.mode("append").parquet(in)
+    run()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"restart replayed or dropped rows: ${got.mkString(",")}")
+  }
+
   test("stream anomaly flags exactly the planted spike hour") {
     // Type "a": hours 0..9 carry 5 events each except hour 5 with 40
     // (z = 3 exactly clears the integer z² > 4 gate; the flat hours
