@@ -734,28 +734,45 @@ object GraphOps {
     import org.apache.spark.sql.expressions.Window
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint(true)
     var c = sym.groupBy(col("src")).agg(count(lit(1)).as("c"))
       .select(col("src").as("vertex"), col("c")).localCheckpoint(true)
+    // The label table is one (vertex, long) row per vertex — while it
+    // fits the broadcast budget the per-round join costs no shuffle of
+    // sym (measured dispatch, as triangleCount); past it the equi-join
+    // reuses sym's dst partitioning.
+    val vCount = c.count()
+    def joined(lbl: DataFrame) = {
+      val right = lbl.select(col("vertex").as("dst"), col("c").as("cn"))
+      if (vCount <= 4_000_000L) sym.join(broadcast(right), Seq("dst"))
+      else sym.join(right, Seq("dst"))
+    }
+    var prevSum = Long.MaxValue
     var iter = 0
     var changed = true
     while (changed && iter < rounds) {
-      val nbr = sym
-        .join(c.select(col("vertex").as("dst"), col("c").as("cn")), Seq("dst"))
+      // h-index over GROUPED (vertex, value) counts: duplicate
+      // neighbor values collapse before the shuffle (map-side
+      // combine), the cumsum window runs over the collapsed rows, and
+      // max(least(value, cumcount)) is exactly max(least(cn, rank))
+      // on the expanded list
+      val next = joined(c)
         .select(col("src").as("vertex"), col("cn"))
-      val next = nbr
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vertex")).orderBy(col("cn").desc)).cast("long"))
-        .select(col("vertex"), least(col("cn"), col("rk")).as("h"))
+        .groupBy(col("vertex"), col("cn")).agg(count(lit(1)).as("cnt"))
+        .withColumn("k", sum(col("cnt")).over(
+          Window.partitionBy(col("vertex")).orderBy(col("cn").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("vertex"), least(col("cn"), col("k")).as("h"))
         .groupBy(col("vertex")).agg(max(col("h")).as("c"))
         .localCheckpoint(false)
-      // the diff count is a FULL scan of `next`, so the lazy
-      // checkpoint materializes and truncates lineage in this one
-      // job (the g_scc single-action rule)
-      val nDiff = next
-        .join(c.select(col("vertex"), col("c").as("c_old")), Seq("vertex"))
-        .filter(col("c") =!= col("c_old")).count()
-      changed = nDiff > 0
+      // per-vertex h-index is monotone NON-INCREASING, so the total
+      // strictly decreases iff any vertex changed — the fixpoint
+      // check is one full-scan sum (materializing the lazy
+      // checkpoint, the g_scc single-action rule), no diff join
+      val tot = next.agg(sum(col("c"))).head.getLong(0)
+      changed = tot != prevSum
+      prevSum = tot
       c = next
       iter += 1
     }
