@@ -288,6 +288,7 @@ object SparkEntry {
     "q_transition_matrix" -> ((s, d) => Relational.qTransitionMatrix(s, d)),
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
     "q_cumulative_distinct" -> ((s, d) => Relational.qCumulativeDistinct(s, d)),
+    "q_resample" -> ((s, d) => Relational.qResample(s, d)),
     "q_lag_delta" -> ((s, d) => Relational.qLagDelta(s, d)),
     "q_collect_set" -> ((s, d) => Relational.qCollectSet(s, d)),
     "q_ntile" -> ((s, d) => Relational.qNtile(s, d)),
@@ -1739,6 +1740,24 @@ object SparkEntry {
         |FROM gapped
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // Deterministic open/close: the unique-ranked window form (DuckDB
+    // composite argmin can't order by a struct — CLAUDE rule), same
+    // (ts, event_id) total order as the engine's struct min/max.
+    "q_resample" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, ts, event_id,
+        |    value FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY day, event_type
+        |      ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY day, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM e)
+        |SELECT day, event_type, count(*) AS n,
+        |  round(min(value), 2) AS lo, round(max(value), 2) AS hi,
+        |  round(max(CASE WHEN rf = 1 THEN value END), 2) AS open,
+        |  round(max(CASE WHEN rl = 1 THEN value END), 2) AS close
+        |FROM r GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
     "q_cumulative_distinct" ->
       """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |dau AS (SELECT day, count(*) AS dau FROM ev GROUP BY 1),

@@ -908,6 +908,30 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Daily OHLC-style resample — the time-series downsampling shape
+    * (tick stream → bar table): per (day, event_type), count, min and
+    * max, plus deterministic OPEN/CLOSE values picked by the total
+    * (ts, event_id) stream order via struct-ordered min/max — an
+    * associative, map-side-combinable argmin/argmax, no rank window
+    * over the raw stream (the unique event_id tiebreak is the
+    * SURVEY §6 rule: same-timestamp ticks would otherwise make
+    * open/close partition-order-dependent). One shuffle keyed by the
+    * bounded (day, type) grid; money rounds once at the end. */
+  def qResample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+    e.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("lo"),
+        round(max(col("value")), 2).as("hi"),
+        round(min(struct(col("us"), col("event_id"), col("value")))
+          .getField("value"), 2).as("open"),
+        round(max(struct(col("us"), col("event_id"), col("value")))
+          .getField("value"), 2).as("close"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** Native `session_window` sessionization — Spark's built-in
     * merging session operator (one groupBy, no lag window or custom
     * state): windows extend 30 min past each event and overlapping
