@@ -289,6 +289,33 @@ object SparkEntry {
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
     "q_cumulative_distinct" -> ((s, d) => Relational.qCumulativeDistinct(s, d)),
     "q_resample" -> ((s, d) => Relational.qResample(s, d)),
+    "q_cusum" -> ((s, d) => Relational.qCusum(s, d)),
+    // Planted near-dup families (two doc_id residue classes share a
+    // 100-shingle base text, unique small tails): ground truth by
+    // construction, recall/precision of the banded MinHash pairs
+    // measured against it. Rows-only (MinHash = engine hashes) +
+    // recall-bound spec.
+    "d_lsh_quality" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{concat => fconcat, lit => flit, pmod => fpmod, when => fwhen}
+      // DISJOINT base vocabularies per family: cross-family pairs are
+      // genuinely dissimilar, so precision measures real false
+      // positives instead of counting uninvited true near-dups.
+      val baseA = (1 to 100).map(i => s"alpha$i").mkString(" ")
+      val baseB = (1 to 100).map(i => s"beta$i").mkString(" ")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        fwhen(fpmod(col("doc_id"), flit(40L)) === 11,
+          fconcat(flit(baseA), flit(" u"), col("doc_id")))
+          .when(fpmod(col("doc_id"), flit(40L)) === 17,
+            fconcat(flit(baseB), flit(" u"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+      val fam = docs.filter(fpmod(col("doc_id"), flit(40L)).isin(11L, 17L))
+        .select(col("doc_id"), fpmod(col("doc_id"), flit(40L)).as("fam"))
+      val truth = fam.select(col("fam"), col("doc_id").as("src"))
+        .join(fam.select(col("fam"), col("doc_id").as("dst")), Seq("fam"))
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      Dedup.lshQualityOf(docs, truth)
+    }),
     "q_lag_delta" -> ((s, d) => Relational.qLagDelta(s, d)),
     "q_collect_set" -> ((s, d) => Relational.qCollectSet(s, d)),
     "q_ntile" -> ((s, d) => Relational.qNtile(s, d)),
@@ -1740,6 +1767,29 @@ object SparkEntry {
         |FROM gapped
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // Same D-scaled integer CUSUM closed form (cum − running min) and
+    // unique-ranked argmax.
+    "q_cusum" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS dd,
+        |    CAST(sum(x) AS BIGINT) AS sx FROM d GROUP BY 1),
+        |c AS (SELECT day, d.event_type, x, dd, sx,
+        |    CAST(sum(dd * x - sx) OVER w AS BIGINT) AS cum
+        |  FROM d JOIN s USING (event_type)
+        |  WINDOW w AS (PARTITION BY d.event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cs AS (SELECT day, event_type, x, dd,
+        |    cum - min(cum) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cusum DESC, day) AS rk FROM cs)
+        |SELECT event_type, day AS peak_day, x AS peak_x,
+        |  CAST(cusum AS BIGINT) AS peak_cusum_num, dd AS n_days
+        |FROM r WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
     // Deterministic open/close: the unique-ranked window form (DuckDB
     // composite argmin can't order by a struct — CLAUDE rule), same
     // (ts, event_id) total order as the engine's struct min/max.

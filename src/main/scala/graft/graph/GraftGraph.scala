@@ -210,6 +210,12 @@ final class GraftGraph private (
       encoded.select(col("vertex"), col("label").cast("string").as("label")))
   }
 
+  /** Full core decomposition: every vertex's coreness number (h-index
+    * fixpoint), decoded through the dictionary like the other
+    * per-vertex outputs. */
+  def coreness(): DataFrame =
+    decode(GraphOps.coreness(spark, edges), Seq("vertex", "coreness"))
+
   /** Per-community conductance of an arbitrary (vertex, label)
     * assignment — [[modularityOf]]'s per-community sibling; same
     * dictionary translation and string-label normalization. */

@@ -79,6 +79,54 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsRaw(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Blocking-scheme quality report — the evaluation every LSH
+    * deployment runs before trusting it at scale: recall/precision of
+    * the MinHash-banded near-dup pairs against a KNOWN positive set.
+    * `truthPairs` (src < dst) is the ground truth (planted families,
+    * where membership is known by construction — no O(n²) exact
+    * sweep); candidates are [[minhashPairs]]' banded +
+    * estimate-filtered output over the same table; precision comes
+    * from exact-Jaccard VERIFICATION of each candidate (the standard
+    * cheap-blocking → exact-verify ladder), so organic corpus
+    * near-dups outside the planted truth count as the true positives
+    * they are. Ratios are integral e4 divides from exact counts;
+    * empty denominators emit null, not an error. One-row report:
+    * (n_truth, n_candidates, n_hits, n_verified, recall_e4,
+    * precision_e4). */
+  def lshQualityOf(docs: DataFrame, truthPairs: DataFrame,
+      tauE4: Long = 5000L): DataFrame = {
+    val shingled = docs
+      .select(col("doc_id"),
+        array_distinct(TF.wordShingles(col("text"), 3)).as("sh"))
+      .localCheckpoint(true)
+    val sigs = shingled
+      .select(col("doc_id"), TF.minhashSignature(col("sh"), MinhashK).as("sig"))
+      .localCheckpoint(true)
+    val cand = minhashPairsFrom(sigs)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val truth = truthPairs
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      .localCheckpoint(true)
+    // recall against KNOWN positives; precision by exact-Jaccard
+    // verification of the candidates themselves (the corpus may hold
+    // organic near-dups outside the planted truth — verification
+    // counts them as the true positives they are)
+    val hits = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    val verified = cand
+      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .filter(TF.jaccardE4(col("sh_a"), col("sh_b")) >= tauE4)
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        col("n_verified"),
+        expr("(10000 * n_hits) div nullif(n_truth, 0)").as("recall_e4"),
+        expr("(10000 * n_verified) div nullif(n_candidates, 0)")
+          .as("precision_e4"))
+  }
+
   /** 64-bit SimHash fingerprint per document (custom Catalyst
     * expression — bit-vote over token hashes). */
   def simhash(spark: SparkSession, dir: String): DataFrame =

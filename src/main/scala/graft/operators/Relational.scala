@@ -908,6 +908,38 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** CUSUM changepoint location per event type — the retrospective
+    * "when did the level shift" readout (Page 1954), the batch
+    * complement of the streaming per-hour z-flags: CUSUM accumulates
+    * small persistent drifts a pointwise outlier test never sees.
+    * Over the daily count series x_i, S_i = max(0, S_{i-1} + x_i − μ)
+    * has the closed form C_i − min_{j≤i} C_j with C the running sum
+    * of (x_i − μ) — two stacked windows, no recursion. Everything is
+    * scaled by D (= day count) so the statistic stays in exact
+    * integers: y_i = D·x_i − Σx. The most likely changepoint is the
+    * argmax day (peak CUSUM, earliest day on ties, unique-ranked).
+    * Shape: one (day, type) count agg, a broadcast per-type moment
+    * join, and windows over the bounded day grid. */
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("x"))
+    val s = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("dd"), sum(col("x")).as("sx"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = d.join(broadcast(s), Seq("event_type"))
+      .withColumn("cum", sum(col("dd") * col("x") - col("sx")).over(wOrd))
+      .withColumn("cusum", col("cum") - min(col("cum")).over(wOrd))
+    c.withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("cusum").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("peak_day"),
+        col("x").as("peak_x"), col("cusum").as("peak_cusum_num"),
+        col("dd").as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
   /** Daily OHLC-style resample — the time-series downsampling shape
     * (tick stream → bar table): per (day, event_type), count, min and
     * max, plus deterministic OPEN/CLOSE values picked by the total

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.SparkTestSession
+
+/** CUSUM changepoint: a planted level shift peaks exactly where the
+  * hand-computed statistic says; a flat series peaks at zero.
+  */
+class CusumSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(counts: Seq[(String, Int, Int)]) = {
+    // (type, dayIdx, count) -> planted single-file events dir
+    val base = 472222L * 3600L
+    val rows = counts.flatMap { case (t, d, n) =>
+      (0 until n).map(j =>
+        (d * 1000L + j, 1L, t, 1.0, (base + d * 86400L + j) * 1_000_000_000L))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    Relational.qCusum(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+  }
+
+  test("a planted level shift peaks at the end of the raised run") {
+    // type a: days 0-5 at 10/day, days 6-9 at 30/day. D=10, Σx=180;
+    // y = 10x−180 is −80 on flat days, +120 raised. cum runs to 0 at
+    // day 9 with running min −480 at day 5, so CUSUM climbs through
+    // the raised run and peaks at 480 on the last day.
+    val out = run((0 to 5).map(d => ("a", d, 10)) ++ (6 to 9).map(d => ("a", d, 30)))
+    assert(out.length == 1)
+    val (_, _, x, cusum, dd) = out.head
+    assert(dd == 10L && x == 30L)
+    assert(cusum == 480L, s"cusum $cusum")
+  }
+
+  test("a flat series has zero CUSUM everywhere (earliest day wins)") {
+    val out = run((0 to 4).map(d => ("b", d, 7)))
+    assert(out.length == 1 && out.head._4 == 0L)
+  }
+
+  test("two types locate their own independent changepoints") {
+    val out = run(
+      (0 to 3).map(d => ("a", d, 5)) ++ (4 to 7).map(d => ("a", d, 20)) ++
+      (0 to 7).map(d => ("b", d, 9)))
+    val byType = out.map(r => r._1 -> r._4).toMap
+    assert(byType("a") > 0L && byType("b") == 0L)
+  }
+}
