@@ -119,11 +119,36 @@ object SparkEntry {
         throw new java.io.IOException(s"rename $stage -> $p failed")
     }
 
+  /** The docs CSV fixture with five PLANTED malformed rows (non-
+    * numeric doc_id) in their own part file — the dirty-lake
+    * ingestion case every CSV reader meets. The bad file carries its
+    * own header line (the header option swallows one per file). */
+  private def sideOutDocsCsvCorrupt(s: SparkSession, d: String): String =
+    cachedSideOutput(d, "documents", "docscsvbad") { p =>
+      val stage = new java.io.File(p + ".stage")
+      if (stage.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(stage).deleteRecursively()
+      }
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .option("escape", "\"").option("nullValue", "\u0000")
+        .csv(stage.getPath)
+      val w = new java.io.PrintWriter(new java.io.File(stage, "part-bad.csv"))
+      try {
+        w.println("doc_id,text")
+        (1 to 5).foreach(i => w.println(s"""notanumber$i,"bad row $i""""))
+      } finally w.close()
+      if (!stage.renameTo(new java.io.File(p)))
+        throw new java.io.IOException(s"rename $stage -> $p failed")
+    }
+
   def prewarmSideOutputs(s: SparkSession, d: String): Unit = {
     sideOutEdgeList(s, d); sideOutEventsPart(s, d); sideOutDocsJson(s, d)
     sideOutDocsBin(s, d); sideOutDocsOrc(s, d); sideOutDocsCsv(s, d)
     sideOutDocsText(s, d); sideOutDocsVintages(s, d)
-    sideOutEventsDynOverwrite(s, d)
+    sideOutEventsDynOverwrite(s, d); sideOutDocsCsvCorrupt(s, d)
   }
 
   /** Flagship: Louvain community detection on the supplier
@@ -534,6 +559,19 @@ object SparkEntry {
     "t_heldout_lm" -> ((s, d) => TextAnalysis.heldoutLm(s, d)),
     "t_code_detect" -> ((s, d) => TextAnalysis.codeDetect(s, d)),
     "t_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
+    // Markup planted in-query on two doc_id residues (the raw corpus
+    // is markup-free — the code_detect "prose cold" convention).
+    "t_markup_detect" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{concat_ws => fconcatws, lit => flit, pmod => fpmod, trim => ftrim, when => fwhen}
+      TextAnalysis.markupDetectOf(
+        Tables.documents(s, d).select(col("doc_id"),
+          fwhen(fpmod(col("doc_id"), flit(30L)) === 4,
+            fconcatws(" ", flit("<div> <p class=\"x\">"), ftrim(col("text")),
+              flit("</p> </div>")))
+            .when(fpmod(col("doc_id"), flit(30L)) === 9,
+              fconcatws(" ", flit("&amp; &lt; &gt;"), ftrim(col("text"))))
+            .otherwise(col("text")).as("text")))
+    }),
     "t_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
@@ -548,6 +586,24 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(fcount(flit(1)).as("n"), fround(fsum(col("value")), 2).as("sum_value"))
         .orderBy(col("user_id"))
+    }),
+    // PERMISSIVE dirty-CSV ingestion: malformed rows null-fill their
+    // typed columns instead of failing the scan; good rows always
+    // carry a doc_id, so corrupt = null-doc_id exactly.
+    "src_corrupt_records" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum, when => fwhen}
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val out = sideOutDocsCsvCorrupt(s, d)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      s.read.schema(schema)
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"").option("nullValue", "\u0000")
+        .option("mode", "PERMISSIVE")
+        .csv(out)
+        .agg(fcount(flit(1)).as("n_rows"),
+          fsum(fwhen(col("doc_id").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+          fcount(col("doc_id")).as("n_good"))
     }),
     "src_dynamic_overwrite" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count => fcount, lit => flit, round => fround, sum => fsum}
@@ -2059,6 +2115,12 @@ object SparkEntry {
     // per custkey over batches (o_orderkey mod 3) ≤ v, ranked by
     // (batch DESC, o_orderkey DESC) — newer batches win, the unique
     // orderkey breaks in-batch ties, exactly the MERGE's rank.
+    // Five planted malformed rows: PERMISSIVE must keep every good
+    // row AND surface exactly the bad ones as null-typed rows.
+    "src_corrupt_records" ->
+      """SELECT count(*) + 5 AS n_rows, CAST(5 AS BIGINT) AS n_corrupt,
+        |  count(*) AS n_good
+        |FROM documents""".stripMargin,
     // Dynamic partition overwrite pinned from the lake read-back:
     // only the error partition is replaced (by its value >= 2.5
     // compaction); static-overwrite or append semantics both fail
@@ -2174,6 +2236,23 @@ object SparkEntry {
         |    OR CASE WHEN list_contains(toks, 'def') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'return') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'import') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'class') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'if') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'else') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'for') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'while') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'var') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'val') THEN 1 ELSE 0 END + CASE WHEN list_contains(toks, 'function') THEN 1 ELSE 0 END >= 3) AS is_code
         |FROM d
         |ORDER BY doc_id""".stripMargin,
+    // Same planted residues + regexp counts; integral tag density.
+    "t_markup_detect" ->
+      """WITH docs AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 30 = 4 THEN
+        |        '<div> <p class="x"> ' || trim(text) || ' </p> </div>'
+        |      WHEN doc_id % 30 = 9 THEN '&amp; &lt; &gt; ' || trim(text)
+        |      ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '<[^>]+>')) AS BIGINT) AS n_tags,
+        |    CAST(len(regexp_extract_all(text, '&[a-z]+;')) AS BIGINT) AS n_entities,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM docs)
+        |SELECT doc_id, n_tags, n_entities, n_chars,
+        |  (10000 * n_tags) // greatest(n_chars, 1) AS tag_ratio_e4,
+        |  n_tags >= 3 OR n_entities >= 3 AS is_markup
+        |FROM c ORDER BY doc_id""".stripMargin,
     // All three counters are exact integers; the single float
     // expression states the identical tree from the same integers.
     "t_readability" ->

@@ -230,6 +230,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Markup-vs-prose routing signal — [[codeDetect]]'s third sibling
+    * (prose / code / markup), run before extraction pipelines decide
+    * whether a document needs an HTML stripper: tag-run count
+    * (`<...>` spans), HTML entity count (`&name;`), and the
+    * tag-per-character density, all exact integers from codegen'd
+    * regexp_count; the verdict threshold is stated in the output so
+    * downstream mixes can re-cut. Pure per-document projection, no
+    * shuffle at any scale. */
+  def markupDetect(spark: SparkSession, dir: String): DataFrame =
+    markupDetectOf(Tables.documents(spark, dir))
+
+  /** [[markupDetect]] over any (doc_id, text) table. */
+  def markupDetectOf(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nTags = regexp_count(t, lit("<[^>]+>")).cast("long")
+    val nEnts = regexp_count(t, lit("&[a-z]+;")).cast("long")
+    docs.select(col("doc_id"), nTags.as("n_tags"), nEnts.as("n_entities"),
+        (length(t).cast("long")).as("n_chars"))
+      .withColumn("tag_ratio_e4",
+        expr("(10000 * n_tags) div greatest(n_chars, 1)"))
+      .withColumn("is_markup", col("n_tags") >= 3 || col("n_entities") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Flesch reading-ease readability score — the classic
     * text-difficulty quality signal (206.835 − 1.015·words/sentences
     * − 84.6·syllables/words) over cheap deterministic counters:
