@@ -315,6 +315,7 @@ object SparkEntry {
     "q_cumulative_distinct" -> ((s, d) => Relational.qCumulativeDistinct(s, d)),
     "q_resample" -> ((s, d) => Relational.qResample(s, d)),
     "q_cusum" -> ((s, d) => Relational.qCusum(s, d)),
+    "q_funnel_time" -> ((s, d) => Relational.qFunnelTime(s, d)),
     // Planted near-dup families (two doc_id residue classes share a
     // 100-shingle base text, unique small tails): ground truth by
     // construction, recall/precision of the banded MinHash pairs
@@ -1823,6 +1824,24 @@ object SparkEntry {
         |FROM gapped
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // Same first-view / first-purchase-after µs deltas; ordered
+    // selection at rank ceil(p·n) (the q_percentile_select form).
+    "q_funnel_time" ->
+      """WITH v AS (SELECT user_id,
+        |    CAST(min(epoch_ns(ts) // 1000) AS BIGINT) AS v_us
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |d AS (SELECT e.user_id,
+        |    CAST(min(epoch_ns(e.ts) // 1000 - v_us) AS BIGINT) AS delta_us
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) // 1000 > v_us
+        |  GROUP BY e.user_id),
+        |r AS (SELECT delta_us, row_number() OVER (ORDER BY delta_us) AS rk,
+        |    count(*) OVER () AS n FROM d)
+        |SELECT p.pct, round(CAST(r.delta_us AS DOUBLE), 2) AS delta_us,
+        |  n AS n_converts
+        |FROM r, (VALUES (50), (90), (99)) p(pct)
+        |WHERE r.rk = CAST(ceil(p.pct / 100.0 * r.n) AS BIGINT)
+        |ORDER BY p.pct""".stripMargin,
     // Same D-scaled integer CUSUM closed form (cum − running min) and
     // unique-ranked argmax.
     "q_cusum" ->

@@ -908,6 +908,30 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Time-to-convert distribution — the funnel-latency readout next
+    * to the step-count funnels: per user, the first view and the
+    * FIRST purchase strictly after it give an exact µs delta; the
+    * p50/p90/p99 of those deltas come from
+    * [[Selection.exactPercentiles]]' histogram-bisection selection
+    * (no global sort, no collect), the discrete ⌈p·n⌉ convention.
+    * Two user-keyed min-aggs + one equi-join reduce the stream to one
+    * row per converting user before any percentile work. */
+  def qFunnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val deltas = ev.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id"))
+      .filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us") - col("v_us")).as("delta_us"))
+    val n = deltas.agg(count(lit(1)).as("n_converts"))
+    Selection.exactPercentiles(deltas, "delta_us", Seq(50, 90, 99))
+      .crossJoin(broadcast(n))
+      .select(col("pct"), col("value").as("delta_us"), col("n_converts"))
+      .orderBy(col("pct"))
+  }
+
   /** CUSUM changepoint location per event type — the retrospective
     * "when did the level shift" readout (Page 1954), the batch
     * complement of the streaming per-hour z-flags: CUSUM accumulates
