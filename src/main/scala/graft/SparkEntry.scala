@@ -316,6 +316,7 @@ object SparkEntry {
     "q_resample" -> ((s, d) => Relational.qResample(s, d)),
     "q_cusum" -> ((s, d) => Relational.qCusum(s, d)),
     "q_funnel_time" -> ((s, d) => Relational.qFunnelTime(s, d)),
+    "q_skyline" -> ((s, d) => Relational.qSkyline(s, d)),
     // Planted near-dup families (two doc_id residue classes share a
     // 100-shingle base text, unique small tails): ground truth by
     // construction, recall/precision of the banded MinHash pairs
@@ -1824,6 +1825,23 @@ object SparkEntry {
         |FROM gapped
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // Same windowed closed form (the textbook O(n²) NOT-EXISTS is
+    // intractable at the sf0.1 compare — the brute-force equivalence
+    // lives in SkylineSpec at sf0.001 instead).
+    "q_skyline" ->
+      """WITH g AS (SELECT o_totalprice, min(o_orderdate) AS dmin
+        |  FROM orders GROUP BY 1),
+        |s1 AS (SELECT o_totalprice, dmin,
+        |    min(dmin) OVER (ORDER BY o_totalprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+        |  FROM g),
+        |s2 AS (SELECT o_totalprice, rm,
+        |    lag(rm) OVER (ORDER BY o_totalprice) AS prev_rm FROM s1)
+        |SELECT q.o_orderkey, q.o_totalprice, q.o_orderdate
+        |FROM orders q JOIN s2 USING (o_totalprice)
+        |WHERE NOT (coalesce(prev_rm <= o_orderdate, false)
+        |  OR rm < o_orderdate)
+        |ORDER BY o_orderkey""".stripMargin,
     // Same first-view / first-purchase-after µs deltas; ordered
     // selection at rank ceil(p·n) (the q_percentile_select form).
     "q_funnel_time" ->

@@ -908,6 +908,42 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Skyline (Pareto frontier) of orders under (minimize price,
+    * minimize date) — the classic multi-criteria operator (Börzsönyi
+    * et al., ICDE 2001): keep every order no other order beats on
+    * both axes (strictly on at least one). The 2-D closed form needs
+    * no pairwise work: group to per-price min dates (map-side
+    * combinable), one running-min window over the distinct-price
+    * spine, and a broadcast join back — q survives iff no
+    * strictly-cheaper group reaches a date ≤ q's AND no price-≤
+    * group beats q's date strictly. The orders stream is never
+    * self-joined (the textbook NOT-EXISTS is O(n²) — stated instead
+    * by the brute-force spec at sf0.001). The spine is |distinct
+    * prices| rows; where that itself is huge, the 100 TB refinement
+    * is price-range bucketing with per-bucket local skylines merged
+    * through bucket-boundary minima — same algebra, one more level. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")))
+
+  /** [[qSkyline]] over any (key, price, date)-shaped frame (minimize
+    * both value columns). */
+  def skylineOf(o: DataFrame): DataFrame = {
+    val Seq(key, price, date) = o.columns.toSeq
+    val spine = o.groupBy(col(price))
+      .agg(min(col(date)).as("dmin"))
+      .withColumn("rm", min(col("dmin")).over(
+        Window.orderBy(col(price))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_rm", lag(col("rm"), 1).over(Window.orderBy(col(price))))
+      .select(col(price), col("rm"), col("prev_rm"))
+    o.join(broadcast(spine), Seq(price))
+      .filter(!(coalesce(col("prev_rm") <= col(date), lit(false))
+        || col("rm") < col(date)))
+      .select(col(key), col(price), col(date))
+      .orderBy(col(key))
+  }
+
   /** Time-to-convert distribution — the funnel-latency readout next
     * to the step-count funnels: per user, the first view and the
     * FIRST purchase strictly after it give an exact µs delta; the
