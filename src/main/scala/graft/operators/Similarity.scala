@@ -24,9 +24,16 @@ object Similarity {
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val queries = emb
-      .filter(col("vec_id") < QueryLimit)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    cosineTopKOf(emb,
+      emb.filter(col("vec_id") < QueryLimit)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+  }
+
+  /** [[cosineTopK]] for ANY corpus (vec_id, embedding) and bounded
+    * query table (query_id, q_emb) — the query side broadcasts, the
+    * corpus scans once, so the plan is right at any corpus size. */
+  def cosineTopKOf(emb: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -34,7 +41,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("sim") * 1e4).cast("long").as("sim_e4"))
       .orderBy(col("query_id"), col("rank"))
@@ -131,9 +138,15 @@ object Similarity {
   def rangeSearch(spark: SparkSession, dir: String, tauE4: Long = 3000): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val queries = emb
-      .filter(col("vec_id") < QueryLimit)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    rangeSearchOf(emb,
+      emb.filter(col("vec_id") < QueryLimit)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      tauE4)
+  }
+
+  /** [[rangeSearch]] for ANY corpus and bounded query table. */
+  def rangeSearchOf(emb: DataFrame, queries: DataFrame,
+      tauE4: Long = 3000): DataFrame =
     emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -141,7 +154,6 @@ object Similarity {
           .cast("long").as("sim_e4"))
       .filter(col("sim_e4") >= tauE4)
       .orderBy(col("query_id"), col("sim_e4").desc, col("neighbor_id"))
-  }
 
   /** Maximum-inner-product top-k (MIPS) — the retrieval objective of
     * recommendation / reward scoring, where vector MAGNITUDE carries
