@@ -681,6 +681,59 @@ case class PqSdcSim(left: Expression, right: Expression,
       l: Expression, r: Expression): PqSdcSim = copy(left = l, right = r)
 }
 
+/** Count of positions where two long-array MinHash signatures agree —
+  * the MinHash Jaccard estimator's numerator in one native loop.
+  * Replaces the `zip_with`+`aggregate` composition on the candidate-
+  * pair hot path (interpreted closure per element per pair — the
+  * CLAUDE HOF rule); doGenCode keeps the loop inside the enclosing
+  * WholeStageCodegen stage. Positions beyond the shorter signature
+  * are ignored (the compositions' zip_with semantics). */
+case class SigAgreeCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sig_agree_count requires array<bigint> inputs, got " +
+          s"${l.catalogString} / ${r.catalogString}")
+    }
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(c)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)
+         |      && $a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreeCount =
+    copy(left = l, right = r)
+}
+
 object CatalystText {
   import org.apache.spark.sql.graft.shim
   def simhash64(c: Column): Column = shim.column(SimHash64(shim.expression(c)))
@@ -688,6 +741,8 @@ object CatalystText {
     shim.column(PayloadSimHash64(shim.expression(c), n))
   def rolling_hash64(c: Column): Column = shim.column(RollingHash64(shim.expression(c)))
   def minhash_sig(c: Column, k: Int): Column = shim.column(MinHashSig(shim.expression(c), k))
+  def sig_agree_count(a: Column, b: Column): Column =
+    shim.column(SigAgreeCount(shim.expression(a), shim.expression(b)))
   def word_shingles(tokens: Column, n: Int): Column =
     shim.column(WordShingles(shim.expression(tokens), n))
   def cosine_sim(a: Column, b: Column): Column =

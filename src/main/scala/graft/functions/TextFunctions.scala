@@ -53,8 +53,18 @@ object TextFunctions {
   }
 
   /** Signature agreement fraction scaled to e4 — the MinHash Jaccard
-    * estimate. */
+    * estimate, counted by the native [[CatalystText.SigAgreeCount]]
+    * loop (the zip_with+aggregate composition pays an interpreted
+    * closure per element per candidate pair; kept below as the
+    * parity reference for the equality spec). */
   def signatureSimilarityE4(sigA: Column, sigB: Column, k: Int): Column =
+    round(CatalystText.sig_agree_count(sigA, sigB).cast("double")
+      / lit(k.toDouble) * 1e4).cast("long")
+
+  /** The interpreted HOF composition [[signatureSimilarityE4]]
+    * replaced — the parity reference for the equality spec. */
+  private[graft] def signatureSimilarityE4Hof(sigA: Column, sigB: Column,
+      k: Int): Column =
     round(aggregate(
       zip_with(sigA, sigB, (a, b) => when(a === b, 1.0).otherwise(0.0)),
       lit(0.0), (acc, x) => acc + x) / lit(k.toDouble) * 1e4).cast("long")

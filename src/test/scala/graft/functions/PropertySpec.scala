@@ -129,4 +129,31 @@ class PropertySpec extends AnyFunSuite {
       assert(rows(1L)._1 == again)
     }
   }
+
+  test("sig_agree_count: native expression equals the HOF composition it replaced") {
+    import graft.functions.{TextFunctions => TF}
+    // Random word-soup docs: signatures vary from all-agree (identical
+    // text) through partial overlap to disjoint; k = 64 as production.
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta other words", "completely different token stream here",
+      "", "one")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        TF.minhashSignature(array_distinct(TF.wordShingles(col("text"), 3)), 64)
+          .as("sig"))
+      .localCheckpoint(true)
+    val pairs = df.select(col("id").as("a"), col("sig").as("sa"))
+      .crossJoin(df.select(col("id").as("b"), col("sig").as("sb")))
+      .filter(col("a") < col("b"))
+    val got = pairs.select(col("a"), col("b"),
+        TF.signatureSimilarityE4(col("sa"), col("sb"), 64).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = pairs.select(col("a"), col("b"),
+        TF.signatureSimilarityE4Hof(col("sa"), col("sb"), 64).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got((0L, 1L)) == 10000L) // identical docs agree everywhere
+  }
 }
