@@ -539,6 +539,9 @@ object SparkEntry {
     "e_knn_ivf" -> ((s, d) => Similarity.knnIvfWithRecall(s, d)),
     // Rows-only + spec (recall-monotonicity vs the LSH base graph).
     "e_nn_descent" -> ((s, d) => Similarity.knnDescentWithRecall(s, d)),
+    // Rows-only + specs (near-lossless recall after re-rank;
+    // dequantization error bound s_i/2 by construction).
+    "e_sq8" -> ((s, d) => Similarity.knnSq8WithRecall(s, d)),
     // Rows-only + spec (planted near-duplicate pool: MMR swaps the
     // redundant second copy for the distinct answer).
     "e_mmr" -> ((s, d) => Similarity.mmrTopK(s, d)),

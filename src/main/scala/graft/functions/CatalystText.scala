@@ -681,6 +681,108 @@ case class PqSdcSim(left: Expression, right: Expression,
       l: Expression, r: Expression): PqSdcSim = copy(left = l, right = r)
 }
 
+/** Scalar (SQ8) quantization: per-dimension affine encode
+  * code_i = round((x_i − mn_i)/s_i) clamped to [0, 255], with the
+  * per-dimension mins and scales riding the expression as plan
+  * literals (the PqEncode convention). Dequantization error is
+  * bounded by s_i/2 per dimension by construction (spec-pinned).
+  * Runs once per corpus row at index-build time — CodegenFallback
+  * is fine here; the per-pair scoring hot path is [[CodeDot]]. */
+case class Sq8Encode(child: Expression, mins: Array[Double],
+    scales: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sq8_encode requires array<float|double> input, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != mins.length) return null
+    val af = elemIsFloat
+    val codes = new Array[Int](mins.length)
+    var i = 0
+    while (i < mins.length) {
+      if (a.isNullAt(i)) return null
+      val v = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val c =
+        if (scales(i) == 0.0) 0
+        else math.round((v - mins(i)) / scales(i)).toInt
+      codes(i) = math.max(0, math.min(255, c))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+  override protected def withNewChildInternal(c: Expression): Sq8Encode =
+    copy(child = c)
+}
+
+/** Weighted code dot product Σ w_i·code_i — the SQ8 asymmetric
+  * scoring primitive: with per-query weights w_i = q_i·s_i and the
+  * per-query constant Σ q_i·mn_i added outside, this IS q·x̂ for the
+  * dequantized corpus vector, touching only the int codes. Codegen'd
+  * — it runs per candidate pair. */
+case class CodeDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"code_dot requires (array<int>, array<double>), got " +
+          s"${l.catalogString} / ${r.catalogString}")
+    }
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getInt(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |  $acc += $a.getInt($i) * $b.getDouble($i);
+         |}
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CodeDot =
+    copy(left = l, right = r)
+}
+
 /** Count of positions where two long-array MinHash signatures agree —
   * the MinHash Jaccard estimator's numerator in one native loop.
   * Replaces the `zip_with`+`aggregate` composition on the candidate-
@@ -743,6 +845,10 @@ object CatalystText {
   def minhash_sig(c: Column, k: Int): Column = shim.column(MinHashSig(shim.expression(c), k))
   def sig_agree_count(a: Column, b: Column): Column =
     shim.column(SigAgreeCount(shim.expression(a), shim.expression(b)))
+  def sq8_encode(c: Column, mins: Array[Double], scales: Array[Double]): Column =
+    shim.column(Sq8Encode(shim.expression(c), mins, scales))
+  def code_dot(codes: Column, weights: Column): Column =
+    shim.column(CodeDot(shim.expression(codes), shim.expression(weights)))
   def word_shingles(tokens: Column, n: Int): Column =
     shim.column(WordShingles(shim.expression(tokens), n))
   def cosine_sim(a: Column, b: Column): Column =

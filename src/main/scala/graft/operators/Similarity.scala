@@ -1040,6 +1040,66 @@ object Similarity {
     chosen.toDF("round", "center_id", "sep_e6").orderBy(col("round"))
   }
 
+  val Sq8Shortlist = 100
+
+  /** SQ8 scalar-quantized kNN — the third compression point next to
+    * PQ (e_pq_adc/e_knn_ivfpq) on the memory/recall curve: 8 bits
+    * per dimension, per-dimension affine codebooks (min/scale), 4×
+    * smaller than float32 with near-lossless ranking — the FAISS
+    * SQ8 baseline every vector store ships. Fit is one exploded
+    * per-dimension min/max aggregate (map-side combinable); encode
+    * runs the native [[graft.functions.Sq8Encode]] once per corpus
+    * row; scoring decomposes q·x̂ = Σq_i·mn_i + Σ(q_i·s_i)·code_i so
+    * the per-pair hot path is ONE codegen'd int-weighted dot
+    * ([[graft.functions.CodeDot]]) against the broadcast per-query
+    * weight arrays — corpus floats are never touched after encode.
+    * Shortlist of [[Sq8Shortlist]] by approx score, exact cosine
+    * re-rank of the shortlist only (the PQ re-rank contract), and
+    * the standard sampled recall audit rides along. */
+  def knnSq8WithRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    import graft.functions.CatalystText
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val stats = emb.select(posexplode(col("embedding")))
+      .groupBy(col("pos")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val mins = stats.map(_.getFloat(1).toDouble)
+    val scales = stats.map(r => (r.getFloat(2) - r.getFloat(1)).toDouble / 255.0)
+    val codes = emb.select(col("vec_id"),
+        CatalystText.sq8_encode(col("embedding"), mins, scales).as("codes"))
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // per-query weights/constant: tiny broadcast side, HOFs are fine
+    val scalesArr = array(scales.map(lit).toIndexedSeq: _*)
+    val minsArr = array(mins.map(lit).toIndexedSeq: _*)
+    val qPrepped = queries.select(col("query_id"),
+      zip_with(col("qv"), scalesArr, (q, s) => q * s).as("w"),
+      aggregate(zip_with(col("qv"), minsArr, (q, m) => q * m),
+        lit(0.0), (a, x) => a + x).as("qc"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val shortlist = codes.crossJoin(broadcast(qPrepped))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (CatalystText.code_dot(col("codes"), col("w")) + col("qc")).as("approx"))
+      .withColumn("arank", row_number().over(wS))
+      .filter(col("arank") <= Sq8Shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = shortlist
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nemb")), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nemb")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    withRecall(spark, dir,
+      rescored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim") * 1e4).cast("long").as("sim_e4")))
+  }
+
   /** Embedding near-duplicate pairs: banded sign-LSH candidates,
     * exact cosine re-check, threshold 0.4. Band-key self-join —
     * near-linear at scale. */
