@@ -317,6 +317,10 @@ object SparkEntry {
     "q_cusum" -> ((s, d) => Relational.qCusum(s, d)),
     "q_funnel_time" -> ((s, d) => Relational.qFunnelTime(s, d)),
     "q_skyline" -> ((s, d) => Relational.qSkyline(s, d)),
+    "q_attribution" -> ((s, d) => Relational.qAttribution(s, d)),
+    "q_rfm" -> ((s, d) => Relational.qRfm(s, d)),
+    "q_trend" -> ((s, d) => Relational.qTrend(s, d)),
+    "q_mad_outliers" -> ((s, d) => Relational.qMadOutliers(s, d)),
     // Planted near-dup families (two doc_id residue classes share a
     // 100-shingle base text, unique small tails): ground truth by
     // construction, recall/precision of the banded MinHash pairs
@@ -1886,6 +1890,98 @@ object SparkEntry {
         |  CAST(cusum AS BIGINT) AS peak_cusum_num, dd AS n_days
         |FROM r WHERE rk = 1
         |ORDER BY event_type""".stripMargin,
+    // Same rank-window credit split: rk/n under the unique (tus, tid)
+    // order, linear credit by the identical 1e6 floor division.
+    "q_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS tid, event_type AS touch_type,
+        |    epoch_us(ts) AS tus
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.pid, t.touch_type, t.tus, t.tid
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.tus < p.pus AND t.tus >= p.pus - 86400000000),
+        |r AS (SELECT pid, touch_type,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tus, tid) AS rk,
+        |    count(*) OVER (PARTITION BY pid) AS n FROM j)
+        |SELECT touch_type,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_n,
+        |  CAST(sum(CASE WHEN rk = n THEN 1 ELSE 0 END) AS BIGINT) AS last_n,
+        |  CAST(sum(1000000 // n) AS BIGINT) AS linear_e6
+        |FROM r GROUP BY touch_type
+        |ORDER BY touch_type""".stripMargin,
+    // ntile under the identical UNIQUE (metric, custkey) total orders;
+    // both engines use the standard front-loaded bucket fill.
+    "q_rfm" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |a AS (SELECT max(o_orderdate) AS anchor FROM o),
+        |b AS (SELECT o_custkey,
+        |    CAST(date_diff('day', max(o_orderdate), (SELECT anchor FROM a))
+        |      AS BIGINT) AS r_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM o GROUP BY o_custkey),
+        |s AS (SELECT o_custkey, r_days, frequency, monetary_cents,
+        |    CAST(ntile(5) OVER (ORDER BY r_days DESC, o_custkey) AS BIGINT)
+        |      AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT)
+        |      AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS BIGINT)
+        |      AS m_score
+        |  FROM b)
+        |SELECT o_custkey, r_days, frequency, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM s ORDER BY o_custkey""".stripMargin,
+    // Identical integer sufficient statistics and the same two floor
+    // divisions (// ≡ Spark div, both truncate toward zero).
+    "q_trend" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |a AS (SELECT min(day) AS d0 FROM d),
+        |x AS (SELECT event_type,
+        |    CAST(date_diff('day', (SELECT d0 FROM a), day) AS BIGINT) AS x, y
+        |  FROM d),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM x GROUP BY event_type)
+        |SELECT event_type, n AS n_days,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) END
+        |    AS slope_e6,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE (sy * 1000000
+        |      - ((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)) * sx)
+        |      // n END AS intercept_e6
+        |FROM s ORDER BY event_type""".stripMargin,
+    // Lower medians by the identical (nn + 1) // 2 ordered selection
+    // under unique (value, day) orders; the outlier test is exact
+    // integer arithmetic.
+    "q_mad_outliers" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |r1 AS (SELECT event_type, day, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS nn FROM d),
+        |med AS (SELECT event_type, c AS med FROM r1 WHERE rk = (nn + 1) // 2),
+        |dev AS (SELECT d.event_type, d.day, d.c, m.med,
+        |    abs(d.c - m.med) AS a
+        |  FROM d JOIN med m ON d.event_type = m.event_type),
+        |r2 AS (SELECT event_type, day, a,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY a, day) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS nn FROM dev),
+        |mad AS (SELECT event_type, a AS mad FROM r2 WHERE rk = (nn + 1) // 2)
+        |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(max(dev.med) AS BIGINT) AS med,
+        |  CAST(max(mad.mad) AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN dev.a > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |GROUP BY dev.event_type
+        |ORDER BY dev.event_type""".stripMargin,
     // Deterministic open/close: the unique-ranked window form (DuckDB
     // composite argmin can't order by a struct — CLAUDE rule), same
     // (ts, event_id) total order as the engine's struct min/max.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1215,5 +1215,145 @@ object Relational {
         round(sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
           / dbl("n") * 1e4).cast("long").as("stddev_q_e4"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Multi-touch attribution — the marketing-analytics credit split:
+    * for each purchase, the touches are the user's view/click events
+    * strictly before it within a 24 h lookback. Three models in one
+    * pass over the joined stream: FIRST-touch and LAST-touch give the
+    * whole credit to the extremal touch under the total (ts, event_id)
+    * order (the SURVEY §6 unique-sort-key rule — same-µs touches
+    * would otherwise make credit partition-order dependent), LINEAR
+    * splits 1e6 credit units per purchase by integer floor division
+    * (1000000 div n per touch — exact, reduction-order free; the
+    * ≤ n−1 unit remainder is deliberately dropped, documented).
+    * Shape: one user-keyed equi-join with a pushed time-range filter
+    * (never a full time-theta join), one purchase-keyed rank window,
+    * one bounded (|touch types| rows) aggregation. At 100 TB the join
+    * explodes only per-purchase touches inside the 24 h window —
+    * bounded by user activity rate, not corpus size. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("puser"),
+        unix_micros(col("ts")).as("pus"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tuser"), col("event_id").as("tid"),
+        col("event_type").as("touch_type"), unix_micros(col("ts")).as("tus"))
+    val j = p.join(t, col("puser") === col("tuser") &&
+        col("tus") < col("pus") &&
+        col("tus") >= col("pus") - lit(86400000000L))
+      .select(col("pid"), col("touch_type"), col("tus"), col("tid"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("tus"), col("tid"))
+    val wc = Window.partitionBy(col("pid"))
+    j.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy(col("touch_type"))
+      .agg(sum(when(col("rk") === 1, 1L).otherwise(0L)).as("first_n"),
+        sum(when(col("rk") === col("n"), 1L).otherwise(0L)).as("last_n"),
+        sum(expr("1000000 div n")).as("linear_e6"))
+      .orderBy(col("touch_type"))
+  }
+
+  /** RFM customer segmentation — recency (days since last order at
+    * the global max-orderdate anchor), frequency (order count),
+    * monetary (lifetime cents, exact), each scored into quintiles by
+    * `ntile(5)` under a UNIQUE total order (metric, custkey — the §6
+    * tiebreak rule; equal metrics split deterministically). Smaller
+    * recency ⇒ higher R; larger frequency/monetary ⇒ higher F/M;
+    * segment = 100·R + 10·F + M. The global ntile is a single-
+    * partition sort — fine to ~10^7 customers; past that the quintile
+    * cut points come from [[Selection.exactPercentiles]]-style
+    * distributed selection and broadcast-join back (documented, same
+    * scores). One orders scan, one customer-keyed agg, one sort. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+    val base = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"), sum(col("cents")).as("monetary_cents"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_order")).cast("long").as("r_days"),
+        col("frequency"), col("monetary_cents"))
+    base
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("r_days").desc, col("o_custkey"))).cast("long"))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("frequency"), col("o_custkey"))).cast("long"))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("monetary_cents"), col("o_custkey"))).cast("long"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Per-type daily-volume OLS trend — slope/intercept from EXACT
+    * integer sufficient statistics (n, Σx, Σy, Σxy, Σx²) with x the
+    * day offset from the global min day (keeps products tiny) and y
+    * the day's event count. slope_e6 = (nΣxy − ΣxΣy)·1e6 div
+    * (nΣx² − Σx²), intercept_e6 = (Σy·1e6 − slope_e6·Σx) div n —
+    * both single deterministic integer divisions over reduction-
+    * order-free BIGINT sums (the `g_pagerank_det` contract applied
+    * to regression; `regr_slope`'s float accumulation would not
+    * hash-match across engines). One bounded (type, day) agg, one
+    * broadcast anchor, one per-type fold. */
+  def qTrend(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val anchor = d.agg(min(col("day")).as("d0"))
+    d.crossJoin(broadcast(anchor))
+      .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col("event_type"), col("n").as("n_days"),
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(expr("(n * sxy - sx * sy) * 1000000 div den"))
+          .as("slope_e6"),
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "(sy * 1000000 - ((n * sxy - sx * sy) * 1000000 div den) * sx) div n"))
+          .as("intercept_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Median-absolute-deviation outlier summary — the robust batch
+    * anomaly readout next to [[qCusum]] (MAD survives the level
+    * shifts that wreck a mean/stddev z-test). Per event type over the
+    * bounded day grid: med = the LOWER median of daily counts by
+    * ordered selection (row_number = (n+1) div 2 under the unique
+    * (value, day) order — the discrete convention, no interpolation),
+    * mad = the lower median of |count − med|, outlier days flagged by
+    * the exact integer test |count − med| > 3·mad. All-integer end to
+    * end. Two rank windows over the bounded per-type day grid + two
+    * broadcast joins back; the raw stream folds to (type, day) counts
+    * map-side before any window. */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("event_type"))
+    def lowerMedian(df: DataFrame, value: Column, as: String): DataFrame =
+      df.withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(value, col("day"))))
+        .withColumn("nn", count(lit(1)).over(wc))
+        .filter(col("rk") === expr("(nn + 1) div 2"))
+        .select(col("event_type"), value.as(as))
+    val med = lowerMedian(d, col("c"), "med")
+    val dev = d.join(broadcast(med), Seq("event_type"))
+      .withColumn("a", abs(col("c") - col("med")))
+    val mad = lowerMedian(dev, col("a"), "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("a") > lit(3) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
   }
 }
