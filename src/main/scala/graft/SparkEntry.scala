@@ -277,6 +277,10 @@ object SparkEntry {
     }),
     "g_degree_hist" -> ((s, d) =>
       GraphOps.degreeHistogram(GraphBuilder.supplierCoEdges(s, d))),
+    // On the strong-tie subgraph: the raw co-occurrence graph is
+    // near-complete (one uniform degree — a single vacuous spine row).
+    "g_richclub" -> ((s, d) =>
+      GraphOps.richClub(GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
     // Rows-only + spec: HLL estimates aren't portable SQL; the spec
     // pins exact equality with BFS on planted graphs (DataSketches
     // coupon mode is exact at these cardinalities).
@@ -549,6 +553,7 @@ object SparkEntry {
     // Rows-only + spec (planted near-duplicate pool: MMR swaps the
     // redundant second copy for the distinct answer).
     "e_mmr" -> ((s, d) => Similarity.mmrTopK(s, d)),
+    "e_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "e_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(s, d)),
@@ -1636,6 +1641,42 @@ object SparkEntry {
         |deg AS (SELECT vertex, count(*) AS degree FROM ends GROUP BY vertex)
         |SELECT degree, count(*) AS n_vertices
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+    // Same histogram-merge closed form: strictly-above-k totals via
+    // the identical reverse running sums; // ≡ div.
+    "g_richclub" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |ew AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |    CAST(count(*) AS DOUBLE) AS weight
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |thr AS (SELECT quantile_cont(weight, 0.5) * 1.25 AS t FROM ew),
+        |e AS (SELECT src, dst FROM ew, thr WHERE weight >= t),
+        |ends AS (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e),
+        |deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS degree
+        |  FROM ends GROUP BY vertex),
+        |em AS (SELECT least(ds.degree, dd.degree) AS degree FROM e
+        |  JOIN deg ds ON e.src = ds.vertex
+        |  JOIN deg dd ON e.dst = dd.vertex),
+        |vh AS (SELECT degree, CAST(count(*) AS BIGINT) AS nv
+        |  FROM deg GROUP BY degree),
+        |eh AS (SELECT degree, CAST(count(*) AS BIGINT) AS ne
+        |  FROM em GROUP BY degree),
+        |spine AS (SELECT coalesce(vh.degree, eh.degree) AS degree,
+        |    coalesce(nv, 0) AS nv, coalesce(ne, 0) AS ne
+        |  FROM vh FULL OUTER JOIN eh ON vh.degree = eh.degree),
+        |w AS (SELECT degree AS k,
+        |    CAST(coalesce(sum(nv) OVER (ORDER BY degree DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_k,
+        |    CAST(coalesce(sum(ne) OVER (ORDER BY degree DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS e_k
+        |  FROM spine)
+        |SELECT k, n_k, e_k,
+        |  CASE WHEN n_k >= 2
+        |    THEN 2 * e_k * 1000000 // (n_k * (n_k - 1)) END AS phi_e6
+        |FROM w ORDER BY k""".stripMargin,
     "g_triangles" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
@@ -2700,6 +2741,34 @@ object SparkEntry {
     // Range search filters on the e4-rounded integer, so the τ
     // boundary is engine-exact; cosine stated as the native
     // expression's tree (list_dot_product over DOUBLE[] casts).
+    // Identical e16 quantization (float·2^16 in double is exact, floor
+    // is convention-free), truncating integer centroid division and
+    // BIGINT distance algebra — no float summation-order hazard.
+    "e_silhouette" ->
+      """WITH dims AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, t.i AS dim,
+        |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 65536 + 0.5)
+        |      AS BIGINT) AS qd
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t),
+        |cent AS (SELECT label AS clabel, dim,
+        |    CAST(sum(qd) // count(*) AS BIGINT) AS cd
+        |  FROM dims GROUP BY 1, 2),
+        |dist AS (SELECT d.vec_id, d.label, c.clabel,
+        |    CAST(sum((d.qd - c.cd) * (d.qd - c.cd)) AS BIGINT) AS d2
+        |  FROM dims d JOIN cent c ON d.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |own AS (SELECT vec_id, label, d2 AS a FROM dist WHERE label = clabel),
+        |oth AS (SELECT vec_id, min(d2) AS b FROM dist
+        |  WHERE label <> clabel GROUP BY 1),
+        |s AS (SELECT o.label,
+        |    CASE WHEN greatest(a, b) = 0 THEN 0
+        |      ELSE (b - a) * 1000000 // greatest(a, b) END AS s_e6
+        |  FROM own o JOIN oth ON o.vec_id = oth.vec_id)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(sum(s_e6) // count(*) AS BIGINT) AS mean_s_e6,
+        |  CAST(min(s_e6) AS BIGINT) AS min_s_e6,
+        |  CAST(max(s_e6) AS BIGINT) AS max_s_e6
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
     "e_range_search" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |    CAST(embedding AS DOUBLE[]) AS qe

@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph query operators (SURVEY §2 rows 1–8).
@@ -32,6 +33,45 @@ object GraphOps {
       .groupBy(col("degree"))
       .agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("degree"))
+
+  /** Rich-club coefficient φ(k) (Colizza et al. 2006): among the
+    * vertices with degree > k, the realized fraction of possible
+    * edges — the "do hubs preferentially connect to hubs" readout
+    * that assortativity's single Pearson number summarizes away.
+    * NO per-k subgraph passes: an edge survives the deg>k cut iff
+    * min(deg_src, deg_dst) > k, so one vertex-degree histogram and
+    * one per-edge min-endpoint-degree histogram determine every
+    * φ(k) via reverse running sums over the bounded degree spine
+    * (full-outer merge of the two histograms; min-endpoint degrees
+    * are always realized vertex degrees but not vice versa).
+    * φ(k) = 2·E_k·1e6 div (N_k·(N_k−1)) — exact integers end to
+    * end, null below 2 survivors. Two broadcast degree joins on the
+    * edge stream, two histogram aggs, windows over the spine only. */
+  def richClub(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges).select(col("vertex"), col("degree"))
+    val eMin = edges.select(col("src"), col("dst"))
+      .join(broadcast(deg.select(col("vertex").as("src"),
+        col("degree").as("dsrc"))), Seq("src"))
+      .join(broadcast(deg.select(col("vertex").as("dst"),
+        col("degree").as("ddst"))), Seq("dst"))
+      .select(least(col("dsrc"), col("ddst")).as("degree"))
+    val vh = deg.groupBy(col("degree")).agg(count(lit(1)).as("nv"))
+    val eh = eMin.groupBy(col("degree")).agg(count(lit(1)).as("ne"))
+    val spine = vh.join(eh, Seq("degree"), "full_outer")
+      .select(col("degree"), coalesce(col("nv"), lit(0L)).as("nv"),
+        coalesce(col("ne"), lit(0L)).as("ne"))
+    // Reverse running sums: strictly-greater-than-k totals.
+    val wAbove = Window.orderBy(col("degree").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spine
+      .withColumn("n_k", coalesce(sum(col("nv")).over(wAbove), lit(0L)))
+      .withColumn("e_k", coalesce(sum(col("ne")).over(wAbove), lit(0L)))
+      .select(col("degree").as("k"), col("n_k"), col("e_k"),
+        when(col("n_k") >= 2,
+          expr("2 * e_k * 1000000 div (n_k * (n_k - 1))"))
+          .otherwise(lit(null).cast("long")).as("phi_e6"))
+      .orderBy(col("k"))
+  }
 
   /** Global triangle count over a canonical (src<dst) edge list via
     * a 3-way self-join: for edges (a,b),(b,c) probe (a,c). Each

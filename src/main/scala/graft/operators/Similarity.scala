@@ -1122,4 +1122,56 @@ object Similarity {
       .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Exact cluster-quality silhouette over the ground-truth `label`
+    * assignment — the readout that tells you whether an embedding
+    * space actually separates its classes (mean s near 0 = clusters
+    * overlap; near 1e6 = tight and far apart). Centroid-form
+    * silhouette (the Spark-ML convention: distances to centroids,
+    * not all-pairs — O(N·k·d), no N² pair explosion), made
+    * BIT-EXACT end to end by a documented e16 quantization:
+    * qd = floor(x·65536 + 0.5) per dimension (float·2^16 in double
+    * is exact scaling, floor is convention-free), centroid
+    * coordinates cd = Σqd div n (truncating integer division —
+    * DuckDB `//` matches Spark `div` including negatives), squared
+    * distances and the (b−a)·1e6 div max(a,b) score all BIGINT.
+    * The quantized centroid deviates from the true mean by under one
+    * 2^-16 quantum; in exchange every intermediate is
+    * reduction-order free — no float summation-order hazard (the §6
+    * float-oracle rule taken to its endpoint). Shape: one
+    * posexplode pass (N·d rows), one (label, dim) agg, one join of
+    * the dim stream against the broadcast k·d centroid table, one
+    * (vec, candidate) agg — at larger k·d a native expression over
+    * the intact array replaces the explode (same algebra). */
+  def silhouette(spark: SparkSession, dir: String): DataFrame =
+    silhouetteOf(Tables.embeddings(spark, dir))
+
+  def silhouetteOf(emb: DataFrame): DataFrame = {
+    val dims = emb
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(65536d) + lit(0.5d))
+          .cast("long").as("qd"))
+    val cent = dims.groupBy(col("label"), col("dim"))
+      .agg(sum(col("qd")).as("s"), count(lit(1)).as("n"))
+      .select(col("label").as("clabel"), col("dim"), expr("s div n").as("cd"))
+    val dist = dims.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("qd") - col("cd")) * (col("qd") - col("cd"))).as("d2"))
+    val own = dist.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("d2").as("a"))
+    val other = dist.filter(col("label") =!= col("clabel"))
+      .groupBy(col("vec_id")).agg(min(col("d2")).as("b"))
+    own.join(other, Seq("vec_id"))
+      .select(col("label"),
+        when(greatest(col("a"), col("b")) === 0, lit(0L))
+          .otherwise(expr("(b - a) * 1000000 div greatest(a, b)"))
+          .as("s_e6"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+        expr("sum(s_e6) div count(1)").as("mean_s_e6"),
+        min(col("s_e6")).as("min_s_e6"), max(col("s_e6")).as("max_s_e6"))
+      .orderBy(col("label"))
+  }
 }
