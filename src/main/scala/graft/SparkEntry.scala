@@ -561,6 +561,10 @@ object SparkEntry {
     "t_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "t_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // Rows-only + spec: the 10-round merge loop's state evolution is
+    // not SQL-expressible (BpeSpec pins the Sennrich hand-computed
+    // corpus, leftmost-greedy overlap handling, and tie order).
+    "t_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "t_regex_tokens" -> ((s, d) => TextAnalysis.regexTokens(s, d)),
     "t_stopwords" -> ((s, d) => TextAnalysis.stopwordStats(s, d)),
     "t_pii" -> ((s, d) => TextAnalysis.piiScan(s, d)),

@@ -479,4 +479,92 @@ object TextAnalysis {
       .select(col("doc_id"),
         CatalystText.rolling_hash64(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** BPE tokenizer training — the merge-learning phase of byte-pair
+    * encoding (Sennrich et al. 2016), the step that turns a raw
+    * corpus into the subword vocabulary an LLM trains over. State is
+    * the VOCABULARY (distinct lower-cased whitespace words with
+    * corpus frequencies, each a symbol sequence ending in the </w>
+    * word boundary) — corpus-sized input, vocab-sized everything
+    * after, which is what makes BPE training feasible at 100 TB: the
+    * corpus is scanned once for word counts and never again. Each
+    * round: adjacent symbol pairs explode (vocab·avg_len rows),
+    * frequencies sum map-side, the argmax pair under the total
+    * (freq DESC, left, right) order is ONE driver-side row (the
+    * landmark-read class), and every word rewrites its sequence by a
+    * leftmost-greedy non-overlapping fold (aggregate HOF — vocab-
+    * sized, not a corpus hot path). localCheckpoint per round keeps
+    * the 10-round loop's lineage flat. Ties are deterministic by the
+    * (freq DESC, left ASC, right ASC) tiebreak; output is the merge
+    * table itself (rank, left, right, merged, pair_freq) — the
+    * artifact a tokenizer ships. Rows-only + spec (the Sennrich
+    * hand-computed corpus, overlap greediness, tie order). */
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 10): DataFrame =
+    bpeMergesOf(spark, Tables.documents(spark, dir), rounds)
+
+  def bpeMergesOf(spark: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(TF.tokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
+    var state = vocab.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pairs = state
+        .select(col("freq"), explode(transform(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          (s, i) => struct(s.as("left"),
+            element_at(col("syms"), i.cast("int") + 2).as("right"))))
+          .as("p"))
+        .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+        .agg(sum(col("freq")).as("pair_freq"))
+      val top = pairs
+        .orderBy(col("pair_freq").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, a + b, f))
+        val next = state
+          .select(col("freq"), bpeMergeFold(col("syms"), a, b).as("syms"))
+          .localCheckpoint(true)
+        state.unpersist(false)
+        state = next
+        r += 1
+      }
+    }
+    state.unpersist(false)
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_freq")
+      .orderBy(col("rank"))
+  }
+
+  /** Leftmost-greedy non-overlapping pair merge over a symbol array:
+    * fold over positions with (out, skip) state — after emitting a
+    * merged pair the next position is consumed. `sequence(1, n)` is
+    * safe from the descending-sequence quirk: syms always carries at
+    * least (char, </w>). */
+  private def bpeMergeFold(syms: org.apache.spark.sql.Column, a: String, b: String) = {
+    val zero = struct(lit(Array.empty[String]).as("out"), lit(false).as("skip"))
+    aggregate(
+      sequence(lit(1), size(syms)), zero,
+      (acc, i) => {
+        val cur = element_at(syms, i.cast("int"))
+        val nxt = element_at(syms, i.cast("int") + 1)
+        val isPair = i < size(syms) && cur === lit(a) && nxt === lit(b)
+        when(acc.getField("skip"),
+          struct(acc.getField("out").as("out"), lit(false).as("skip")))
+          .when(isPair,
+            struct(concat(acc.getField("out"), array(lit(a + b))).as("out"),
+              lit(true).as("skip")))
+          .otherwise(
+            struct(concat(acc.getField("out"), array(cur)).as("out"),
+              lit(false).as("skip")))
+      },
+      acc => acc.getField("out"))
+  }
 }

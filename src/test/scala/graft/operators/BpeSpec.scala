@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.SparkTestSession
+
+/** BPE merge learning: the Sennrich et al. (2016) hand-computed
+  * corpus, leftmost-greedy overlap handling, and the deterministic
+  * (freq DESC, left, right) tie order.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(text: String, rounds: Int) =
+    TextAnalysis.bpeMergesOf(spark, Seq((1L, text)).toDF("doc_id", "text"), rounds)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .toSeq
+
+  test("Sennrich corpus: first five merges, hand-computed") {
+    // low:5 lower:2 newest:6 widest:3
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val got = run(corpus, 5)
+    // Round 1 is a 9-way tie between (e,s), (s,t), (t,</w>) — the
+    // (left, right) tiebreak must pick (e,s); rounds then cascade.
+    assert(got == Seq(
+      (1L, "e", "s", "es", 9L),
+      (2L, "es", "t", "est", 9L),
+      (3L, "est", "</w>", "est</w>", 9L),
+      (4L, "l", "o", "lo", 7L),
+      (5L, "lo", "w", "low", 7L)))
+  }
+
+  test("leftmost-greedy non-overlapping merge: 'aaa' folds to [aa, a]") {
+    // R1: (a,a) occurs at two overlapping positions -> pair_freq 2,
+    // greedy fold gives [aa, a, </w>] (NOT [a, aa, </w>]).
+    // R2 then sees (aa,a) and (a,</w>) at freq 1 -> the left-asc
+    // tiebreak picks (a,</w>) -- a rightmost fold would have offered
+    // (a,aa) and merged that instead, so the round-2 row pins
+    // greediness through the public output alone.
+    val got = run("aaa", 3)
+    assert(got == Seq(
+      (1L, "a", "a", "aa", 2L),
+      (2L, "a", "</w>", "a</w>", 1L),
+      (3L, "aa", "a</w>", "aaa</w>", 1L)))
+  }
+
+  test("merge loop stops when no pairs remain") {
+    // Single char word: syms [a, </w>] -> one pair, then a single
+    // merged symbol and an empty pair stream ends the loop early.
+    val got = run("a", 10)
+    assert(got == Seq((1L, "a", "</w>", "a</w>", 1L)))
+  }
+
+  test("partitioning-invariant: repartitioned corpus, identical merges") {
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = (1L to 8L).map(i => (i, corpus)).toDF("doc_id", "text")
+    val a = TextAnalysis.bpeMergesOf(spark, docs.repartition(16), 4)
+      .collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.bpeMergesOf(spark, docs.coalesce(1), 4)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
