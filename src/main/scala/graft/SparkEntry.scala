@@ -325,6 +325,10 @@ object SparkEntry {
     "q_rfm" -> ((s, d) => Relational.qRfm(s, d)),
     "q_trend" -> ((s, d) => Relational.qTrend(s, d)),
     "q_mad_outliers" -> ((s, d) => Relational.qMadOutliers(s, d)),
+    "q_assoc_rules" -> ((s, d) => Relational.qAssocRules(s, d)),
+    "q_ab_lift" -> ((s, d) => Relational.qAbLift(s, d)),
+    "q_gini" -> ((s, d) => Relational.qGini(s, d)),
+    "q_benford" -> ((s, d) => Relational.qBenford(s, d)),
     // Planted near-dup families (two doc_id residue classes share a
     // 100-shingle base text, unique small tails): ground truth by
     // construction, recall/precision of the banded MinHash pairs
@@ -2027,6 +2031,85 @@ object SparkEntry {
         |FROM dev JOIN mad ON dev.event_type = mad.event_type
         |GROUP BY dev.event_type
         |ORDER BY dev.event_type""".stripMargin,
+    // Identical integer statistics and e6 floor divisions; the pair
+    // stream is the same within-order self-join.
+    "q_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+        |  FROM items),
+        |ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM items GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(count(*) AS BIGINT) AS cnt_ab
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pa, pb, cnt_ab, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  cnt_ab * 1000000 // n.n AS support_e6,
+        |  cnt_ab * 1000000 // ca.cnt AS conf_e6,
+        |  cnt_ab * n.n * 1000000 // (ca.cnt * cb.cnt) AS lift_e6
+        |FROM p JOIN ic ca ON p.pa = ca.l_partkey
+        |  JOIN ic cb ON p.pb = cb.l_partkey, n
+        |ORDER BY lift_e6 DESC, pa, pb
+        |LIMIT 25""".stripMargin,
+    // Exact integer counts; the z statistic is the one float, stated
+    // through the identical expression tree from identical integers.
+    "q_ab_lift" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT user_id % 2 AS grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN grp = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN grp = 0 THEN c END) AS c_a,
+        |    max(CASE WHEN grp = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN grp = 1 THEN c END) AS c_b
+        |  FROM g)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  CASE WHEN c_b * n_a = 0 THEN NULL
+        |    ELSE (c_a * n_b - c_b * n_a) * 1000000 // (c_b * n_a) END
+        |    AS lift_e6,
+        |  CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+        |    CAST(round(
+        |      (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / sqrt((CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+        |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |        * (1.0 - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+        |            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |      * 10000) AS BIGINT) END AS z_e4
+        |FROM w""".stripMargin,
+    // Sorted closed form with the unique (x, custkey) rank; hugeint
+    // sums mirror the engine's DECIMAL(38,0), one e6 floor division.
+    "q_gini" ->
+      """WITH s AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey)
+        |    AS BIGINT) AS i FROM s),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |    sum(i * x) AS sixy FROM r)
+        |SELECT n, CAST(sx AS BIGINT) AS total_cents,
+        |  CAST((2 * sixy - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+        |    AS gini_e6
+        |FROM f""".stripMargin,
+    // First significant digit of the integral price floor; the
+    // Benford expectation is the same constant expression both sides.
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n, n * 1000000 // total AS freq_e6,
+        |  CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000)
+        |    AS BIGINT) AS benford_e6
+        |FROM c, t ORDER BY digit""".stripMargin,
     // Deterministic open/close: the unique-ranked window form (DuckDB
     // composite argmin can't order by a struct — CLAUDE rule), same
     // (ts, event_id) total order as the engine's struct min/max.

@@ -1356,4 +1356,130 @@ object Relational {
           .as("n_outliers"))
       .orderBy(col("event_type"))
   }
+
+  /** Market-basket association rules over (order, part) baskets —
+    * the classic co-purchase mining surface (support, confidence,
+    * lift), top-25 pairs by lift among those with pair support ≥ 3
+    * orders. All-integer sufficient statistics: item counts, pair
+    * counts, and the basket total N feed e6-scaled floor divisions —
+    * no float path, reduction-order free. The pair stream is the
+    * within-order self-join (Σ per-order-items² rows — the wedge
+    * class): both join inputs carry explicit NUMBERED repartitions on
+    * the basket key (AQE sizes the stage by its tiny inputs and
+    * would serialize the exploded stream — the CLAUDE wedge rule),
+    * and item/pair counts combine map-side before the final bounded
+    * ranking. lift > 1e6 ⇔ parts co-occur more than independence
+    * predicts. */
+  def qAssocRules(spark: SparkSession, dir: String, minSup: Long = 3L,
+      topN: Int = 25): DataFrame = {
+    val shuffleP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint(true)
+    val nOrders = items.select(col("l_orderkey")).distinct().count()
+    val itemCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .repartition(shuffleP, col("l_orderkey"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      .repartition(shuffleP, col("l_orderkey"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= minSup)
+    pairs
+      .join(broadcast(itemCnt.withColumnRenamed("l_partkey", "pa")
+        .withColumnRenamed("cnt", "cnt_a")), Seq("pa"))
+      .join(broadcast(itemCnt.withColumnRenamed("l_partkey", "pb")
+        .withColumnRenamed("cnt", "cnt_b")), Seq("pb"))
+      .withColumn("n", lit(nOrders))
+      .select(col("pa"), col("pb"), col("cnt_ab"), col("cnt_a"), col("cnt_b"),
+        expr("cnt_ab * 1000000 div n").as("support_e6"),
+        expr("cnt_ab * 1000000 div cnt_a").as("conf_e6"),
+        expr("cnt_ab * n * 1000000 div (cnt_a * cnt_b)").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("pa"), col("pb"))
+      .limit(topN)
+  }
+
+  /** Two-sample A/B conversion read-out — users split by the
+    * deterministic user_id parity, conversion = any purchase event.
+    * Exact integer counts; relative lift as an e6 floor division;
+    * the z statistic is the ONLY float, computed from exact integer
+    * inputs through one fixed expression tree (identical doubles on
+    * both engines — the §6 float rule), e4-rounded. One distinct-user
+    * pass + one conversion semi-aggregation + a single-row fold. */
+  def qAbLift(spark: SparkSession, dir: String): DataFrame = {
+    // "Converted" = heavy buyer (≥ 14 purchases): any-purchase is
+    // degenerate on this corpus (every user purchases → p̂ = 1 and the
+    // pooled z denominator is exactly 0); the ≥14 cut sits near the
+    // per-user purchase mean at every SF, so both groups keep real
+    // variance. The degenerate case still guards to NULL.
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 14L).cast("long").as("conv"))
+      .select(pmod(col("user_id"), lit(2L)).as("grp"), col("conv"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val wide = u.groupBy()
+      .agg(max(when(col("grp") === 0, col("n"))).as("n_a"),
+        max(when(col("grp") === 0, col("c"))).as("c_a"),
+        max(when(col("grp") === 1, col("n"))).as("n_b"),
+        max(when(col("grp") === 1, col("c"))).as("c_b"))
+    def d(c: String) = col(c).cast("double")
+    val p = (d("c_a") + d("c_b")) / (d("n_a") + d("n_b"))
+    val z = (d("c_a") / d("n_a") - d("c_b") / d("n_b")) /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / d("n_a") + lit(1.0) / d("n_b")))
+    val cTot = col("c_a") + col("c_b")
+    wide.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      expr("CASE WHEN c_b * n_a = 0 THEN NULL ELSE " +
+        "(c_a * n_b - c_b * n_a) * 1000000 div (c_b * n_a) END").as("lift_e6"),
+      when(cTot > 0 && cTot < col("n_a") + col("n_b"),
+        round(z * 1e4).cast("long")).as("z_e4"))
+  }
+
+  /** Gini coefficient of customer lifetime spend — the inequality
+    * summary (0 = equal, 1e6 = one customer holds everything) via
+    * the sorted closed form G = (2Σi·xᵢ − (n+1)Σx) / (nΣx) with i
+    * the rank under the unique (cents, custkey) order. Equal spends
+    * contribute identically under any tie order (equal x ⇒ same
+    * Σi·x), so the statistic is deterministic; sums ride
+    * DECIMAL(38,0) (Σi·x overflows BIGINT·1e6 at scale) and the
+    * single G division floors to e6. One customer agg, one bounded
+    * rank window, one fold. */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val spend = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("x"))
+    val ranked = spend.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("o_custkey"))).cast("long"))
+    ranked.groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum((col("i") * col("x")).cast(d38)).as("sixy"))
+      .select(col("n"),
+        col("sx").cast("long").as("total_cents"),
+        expr(s"CAST((2 * sixy - (n + 1) * sx) * 1000000 div (n * sx) AS BIGINT)")
+          .as("gini_e6"))
+  }
+
+  /** Benford first-digit audit of order totals — the forensic
+    * distribution check: observed first-significant-digit shares vs
+    * the Benford expectation log10(1+1/d), both e6-scaled integers
+    * (the expectation is a constant expression evaluated identically
+    * on both engines). One scan, one 9-row aggregation. */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = o.agg(sum(col("n")).as("total"))
+    o.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("freq_e6"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) * 1e6)
+          .cast("long").as("benford_e6"))
+      .orderBy(col("digit"))
+  }
 }
