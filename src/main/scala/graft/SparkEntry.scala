@@ -394,6 +394,12 @@ object SparkEntry {
     // recursive-CTE oracle) because the merge is associative.
     "s_stream_cc" -> ((s, d) =>
       graft.streaming.StreamingOps.streamCcIncremental(s, d)),
+    // Spark 4 transformWithState on the RocksDB state store; the
+    // monotone per-user totals make the max-readout batch-equal.
+    "s_stream_tws" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamTwsCounter(s, d)),
+    "s_stream_topk" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamTopK(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "q_interpolate" -> ((s, d) => Relational.qInterpolate(s, d)),
     "q_session_window" -> ((s, d) => Relational.qSessionWindow(s, d)),
@@ -3526,6 +3532,25 @@ object SparkEntry {
         |  SELECT r.v, s.dst FROM reach r JOIN sym s ON s.src = r.u)
         |SELECT v AS vertex, CAST(min(u) AS BIGINT) AS component
         |FROM reach GROUP BY v ORDER BY vertex""".stripMargin,
+    // transformWithState totals are monotone per user, so max over
+    // the update-mode emissions equals the batch aggregate.
+    "s_stream_tws" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    // Epoch-aligned 6 h buckets (Spark window() aligns to the epoch;
+    // 21600000000 µs) and the unique (n DESC, user_id) rank order.
+    "s_stream_topk" ->
+      """WITH c AS (SELECT epoch_us(ts) // 21600000000 * 21600000000
+        |    AS w_start_us, user_id FROM events),
+        |g AS (SELECT w_start_us, user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY w_start_us
+        |    ORDER BY n DESC, user_id) AS BIGINT) AS rk FROM g)
+        |SELECT w_start_us, rk, user_id, n FROM r WHERE rk <= 3
+        |ORDER BY w_start_us, rk""".stripMargin,
     // CDC snapshot: latest event per user under the UNIQUE
     // (ts, event_id) ranking — the micro-batched merge is associative,
     // so the streamed snapshot equals this batch closed form exactly.

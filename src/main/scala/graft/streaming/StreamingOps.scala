@@ -782,4 +782,127 @@ object StreamingOps {
         sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy(col("lang"))
   }
+
+  case class TwsTotals(events: Long, purchases: Long)
+  case class TwsUpdate(user_id: Long, n_events: Long, n_purchases: Long)
+
+  /** [[org.apache.spark.sql.streaming.StatefulProcessor]] for
+    * [[streamTwsCounter]]: one ValueState row per user holding
+    * (event, purchase) running totals; each micro-batch folds its
+    * rows into the state and emits ONE cumulative update per (user,
+    * batch). State is two longs per key — RocksDB-backed, so the
+    * keyspace can exceed executor memory at scale; totals are
+    * monotone, which is what makes the sink readout (max per user)
+    * batch-equal. */
+  class TwsTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), TwsUpdate] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[TwsTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TwsTotals]("totals",
+        org.apache.spark.sql.Encoders.product[TwsTotals], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[TwsUpdate] = {
+      val cur = if (state.exists()) state.get() else TwsTotals(0L, 0L)
+      var e = cur.events
+      var p = cur.purchases
+      rows.foreach { r => e += 1; p += r._2 }
+      state.update(TwsTotals(e, p))
+      Iterator.single(TwsUpdate(key, e, p))
+    }
+  }
+
+  /** Spark 4 `transformWithState` arbitrary-state processor — the
+    * successor API to `flatMapGroupsWithState` (typed state
+    * variables, timers, TTL) on the RocksDB state store provider,
+    * which is what bounds state by DISK rather than executor heap at
+    * 100 TB keyspaces. Per-user running (events, purchases) totals
+    * over the 4-file re-sharded events source
+    * (`maxFilesPerTrigger=1` → a genuinely multi-batch stream);
+    * update-mode emissions land in a memory sink and the readout
+    * takes each user's max — equal to the batch per-user aggregate
+    * BECAUSE the totals are monotone and every user's last batch
+    * emits its final count (the associative-fold contract the CDC
+    * and CC streams established). */
+  def streamTwsCounter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val src = new java.io.File(s"$dir/events.parquet")
+    val key = java.lang.Long.toHexString(src.length() ^ src.lastModified())
+    val stem = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val srcDir = s"/tmp/graft_cdcsrc_${stem}_$key"
+    if (!new java.io.File(s"$srcDir/_SUCCESS").exists()) {
+      graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(srcDir)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val typed = stream
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .as[(Long, Long)]
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = typed.groupByKey(_._1)
+        .transformWithState(new TwsTotalsProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val name = "graft_stream_tws"
+      val q = out.toDF().writeStream
+        .outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("n_purchases")).as("n_purchases"))
+        .orderBy(col("user_id"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
+  /** Streaming windowed heavy hitters: per 6-hour event-time window,
+    * the top-3 users by event count — the live "who is hammering the
+    * system right now" dashboard. The streaming side is ONLY the
+    * windowed (window, user) count (incrementally maintained,
+    * map-side combinable); the rank runs on the memory-sink readout
+    * over the bounded (windows × active users) aggregate — ranking
+    * inside the stream would funnel every update through a global
+    * sort. Deterministic under the (n DESC, user_id) unique order. */
+  def streamTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
+    val raw = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", graft.Tables.eventsTsCol(rawSchema))
+    val agg = raw
+      .groupBy(window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("user_id"), col("n"))
+    val name = "graft_stream_topk"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w_start")).orderBy(col("n").desc, col("user_id"))
+    spark.table(name)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(unix_micros(col("w_start")).as("w_start_us"), col("rk").cast("long").as("rk"),
+        col("user_id"), col("n"))
+      .orderBy(col("w_start_us"), col("rk"))
+  }
 }
