@@ -672,6 +672,21 @@ object SparkEntry {
           org.apache.spark.sql.functions.md5(col("payload")).as("payload_md5"))
         .orderBy(col("doc_id"))
     }),
+    // Hidden `_metadata` columns on a file source — the lineage
+    // primitive (which physical file did this row come from) that
+    // incremental reprocessing and bad-file quarantine build on.
+    // Per-file row counts + per-file event_id span over the events
+    // parquet; file_name via `_metadata.file_name`.
+    "src_file_metadata" -> ((s, d) => {
+      val raw = graft.Tables.eventsRawSchema(s, d)
+      s.read.schema(raw).parquet(s"$d/events.parquet")
+        .select(col("_metadata.file_name").as("file_name"), col("event_id"))
+        .groupBy(col("file_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          org.apache.spark.sql.functions.min(col("event_id")).as("min_id"),
+          org.apache.spark.sql.functions.max(col("event_id")).as("max_id"))
+        .orderBy(col("file_name"))
+    }),
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSampleDf(s, d)),
     "m_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
@@ -3174,6 +3189,16 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The events table is one physical parquet file per SF dir (the
+    // TESTDATA layout), so the leaf name the engine's
+    // _metadata.file_name must surface is the constant
+    // 'events.parquet'; counts/spans pin the rows-per-file accounting.
+    "src_file_metadata" ->
+      """SELECT 'events.parquet' AS file_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(event_id) AS BIGINT) AS min_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events""".stripMargin,
     "src_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
