@@ -262,6 +262,8 @@ object SparkEntry {
       GraphOps.randomWalks(s, GraphBuilder.supplierCoEdges(s, d))),
     "g_node2vec" -> ((s, d) =>
       GraphOps.node2vecWalks(s, GraphBuilder.supplierCoEdges(s, d))),
+    "g_walk_pmi" -> ((s, d) =>
+      GraphOps.walkPmi(s, GraphBuilder.supplierCoEdges(s, d))),
     // Rows-only + spec (planted MSTs; driver-Prim optimality audit).
     "g_mst" -> ((s, d) =>
       GraphOps.minimumSpanningForest(s, GraphBuilder.supplierCoEdges(s, d))),
@@ -963,7 +965,10 @@ object SparkEntry {
       s"\nSELECT walk_id, step, vertex FROM ($unions) u ORDER BY walk_id, step"
   }
 
-  private def walksOracleSql(steps: Int = 4): String = {
+  /** The walk-corpus CTE chain (adjacency ranking + unrolled hash
+    * hops + a `walks` union CTE) shared by the g_walks and g_walk_pmi
+    * oracles. */
+  private def walksCteSql(steps: Int = 4): String = {
     val hops = (1 to steps).map { t =>
       s""",
          |w$t AS MATERIALIZED (SELECT w.walk_id, a.dst AS vertex
@@ -973,7 +978,7 @@ object SparkEntry {
     }.mkString
     val unions = (0 to steps)
       .map(t => s"SELECT walk_id, $t AS step, vertex FROM w$t")
-      .mkString("\n", "\nUNION ALL ", "")
+      .mkString("\nUNION ALL ")
     s"""WITH $EdgeCte,
        |adj AS MATERIALIZED (SELECT src, dst,
        |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
@@ -982,8 +987,31 @@ object SparkEntry {
        |w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS vertex
        |  FROM sym)""".stripMargin +
       hops +
-      s"\nSELECT walk_id, step, vertex FROM ($unions) u ORDER BY walk_id, step"
+      s",\nwalks AS MATERIALIZED (\n$unions)"
   }
+
+  private def walksOracleSql(steps: Int = 4): String =
+    walksCteSql(steps) +
+      "\nSELECT walk_id, step, vertex FROM walks ORDER BY walk_id, step"
+
+  /** Skip-gram pair counts + the exact integer independence ratio —
+    * identical window arithmetic to GraphOps.walkPmi (no log: the §6
+    * float rule; // ≡ div). */
+  private def walkPmiOracleSql(steps: Int = 4, window: Int = 2): String =
+    walksCteSql(steps) +
+      s""",
+         |p AS (SELECT a.vertex AS center, b.vertex AS context
+         |  FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+         |    AND a.step <> b.step AND abs(a.step - b.step) <= $window),
+         |g AS (SELECT center, context, CAST(count(*) AS BIGINT) AS n_cc
+         |  FROM p GROUP BY 1, 2),
+         |m AS (SELECT center, context, n_cc,
+         |    sum(n_cc) OVER (PARTITION BY center) AS n_c,
+         |    sum(n_cc) OVER (PARTITION BY context) AS n_x,
+         |    (SELECT sum(n_cc) FROM g) AS t FROM g)
+         |SELECT center, context, n_cc,
+         |  CAST(n_cc * t * 1000000 // (n_c * n_x) AS BIGINT) AS pmi_ratio_e6
+         |FROM m ORDER BY center, context""".stripMargin
 
   private def kcoreOracleSql(k: Int = 10, rounds: Int = 20): String = {
     val peels = (0 until rounds).map { r =>
@@ -1232,6 +1260,7 @@ object SparkEntry {
     "g_coreness" -> corenessOracleSql(12),
     "g_ktruss" -> ktrussOracleSql(),
     "g_walks" -> walksOracleSql(),
+    "g_walk_pmi" -> walkPmiOracleSql(),
     "g_node2vec" -> node2vecOracleSql(),
     "g_pagerank_det" -> pagerankDetOracleSql(),
     "g_ppr" -> pprOracleSql(),

@@ -34,6 +34,45 @@ object GraphOps {
       .agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("degree"))
 
+  /** Skip-gram co-occurrence statistics over the deterministic walk
+    * corpus — the sufficient statistics a DeepWalk/node2vec embedding
+    * factorizes (NetMF, Qiu et al. WSDM'18 shows DeepWalk ≈ shifted
+    * PMI matrix factorization): for every ordered (center, context)
+    * pair within ±`window` positions of a walk, the pair count, the
+    * marginals, and the independence ratio n_cc·T / (n_c·n_ctx) —
+    * PMI's argument — as an EXACT e6 integer (log is monotone, so
+    * ranking/thresholding on the ratio is ranking on PMI, and
+    * emitting the ratio instead of the log keeps the whole operator
+    * float-free: libm `log` differs in the last ulp across engines,
+    * the §6 e4-flip hazard). The pair stream is walks·len·2window
+    * rows (corpus-sized, not graph-sized); marginals ride two window
+    * sums over the grouped pair table, no second corpus pass. */
+  def walkPmi(spark: SparkSession, edges: DataFrame, steps: Int = 4,
+      window: Int = 2): DataFrame = {
+    val walks = randomWalks(spark, edges, steps).localCheckpoint(true)
+    val a = walks.select(col("walk_id"), col("step").as("s1"),
+      col("vertex").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("s2"),
+      col("vertex").as("context"))
+    val pairs = a.join(b, Seq("walk_id"))
+      .filter(col("s1") =!= col("s2") &&
+        abs(col("s1") - col("s2")) <= window)
+      .groupBy(col("center"), col("context")).agg(count(lit(1)).as("n_cc"))
+    val wC = Window.partitionBy(col("center"))
+    val wX = Window.partitionBy(col("context"))
+    // The corpus total is a broadcast scalar, NOT a global window —
+    // an unpartitioned window would funnel every pair through one
+    // task at scale.
+    val tot = pairs.agg(sum(col("n_cc")).as("t"))
+    pairs
+      .withColumn("n_c", sum(col("n_cc")).over(wC))
+      .withColumn("n_x", sum(col("n_cc")).over(wX))
+      .crossJoin(broadcast(tot))
+      .select(col("center"), col("context"), col("n_cc"),
+        expr("n_cc * t * 1000000 div (n_c * n_x)").as("pmi_ratio_e6"))
+      .orderBy(col("center"), col("context"))
+  }
+
   /** Rich-club coefficient φ(k) (Colizza et al. 2006): among the
     * vertices with degree > k, the realized fraction of possible
     * edges — the "do hubs preferentially connect to hubs" readout
