@@ -331,6 +331,7 @@ object SparkEntry {
     "q_ab_lift" -> ((s, d) => Relational.qAbLift(s, d)),
     "q_gini" -> ((s, d) => Relational.qGini(s, d)),
     "q_benford" -> ((s, d) => Relational.qBenford(s, d)),
+    "q_pareto" -> ((s, d) => Relational.qPareto(s, d)),
     // Planted near-dup families (two doc_id residue classes share a
     // 100-shingle base text, unique small tails): ground truth by
     // construction, recall/precision of the banded MinHash pairs
@@ -577,6 +578,10 @@ object SparkEntry {
     // not SQL-expressible (BpeSpec pins the Sennrich hand-computed
     // corpus, leftmost-greedy overlap handling, and tie order).
     "t_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    // Rows-only + spec (BpeSpec pins the Sennrich encoded vocabulary
+    // exactly): the frequency table of the ENCODED corpus — what the
+    // learned merges exist for.
+    "t_bpe_vocab" -> ((s, d) => TextAnalysis.bpeVocab(s, d)),
     "t_regex_tokens" -> ((s, d) => TextAnalysis.regexTokens(s, d)),
     "t_stopwords" -> ((s, d) => TextAnalysis.stopwordStats(s, d)),
     "t_pii" -> ((s, d) => TextAnalysis.piiScan(s, d)),
@@ -2148,6 +2153,25 @@ object SparkEntry {
         |  CAST((2 * sixy - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
         |    AS gini_e6
         |FROM f""".stripMargin,
+    // Identical decile target ranks (decile·n // 10) and cumulative
+    // window under the unique (x DESC, custkey) order; hugeint sums
+    // mirror the engine's DECIMAL(38,0) path.
+    "q_pareto" ->
+      """WITH s AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS total FROM s),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY x DESC, o_custkey)
+        |      AS BIGINT) AS rk,
+        |    sum(x) OVER (ORDER BY x DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s),
+        |d AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS decile)
+        |SELECT d.decile, r.rk AS n_top,
+        |  CAST(r.cum * 1000000 // t.total AS BIGINT) AS share_e6
+        |FROM d CROSS JOIN t JOIN r ON r.rk = d.decile * t.n // 10
+        |ORDER BY d.decile""".stripMargin,
     // First significant digit of the integral price floor; the
     // Benford expectation is the same constant expression both sides.
     "q_benford" ->

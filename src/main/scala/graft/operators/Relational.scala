@@ -1482,4 +1482,38 @@ object Relational {
           .cast("long").as("benford_e6"))
       .orderBy(col("digit"))
   }
+
+  /** Revenue concentration (Pareto) curve — at each spend decile of
+    * the customer base, the cumulative share of total revenue the
+    * top-ranked customers hold ("do 20% of customers drive 80% of
+    * revenue"), `q_gini`'s pointwise sibling. Unique (cents DESC,
+    * custkey) rank; cumulative sums ride DECIMAL(38,0) before the e6
+    * floor division (cum·1e6 brushes BIGINT range past sf1 — the
+    * qStats/qGini overflow rule); the 10-row decile spine equi-joins
+    * the ranked table on the target rank, so only 10 rows leave the
+    * window stage. The global rank window is the documented
+    * single-sort shape (the q_rfm note): past ~10^7 customers the
+    * decile boundary ranks come from distributed selection instead | */
+  def qPareto(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("x"))
+    val w = Window.orderBy(col("x").desc, col("o_custkey"))
+    val ranked = spend
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rk"), col("cum"))
+    val tot = spend.agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
+    val targets = spark.range(1, 11)
+      .select(col("id").as("decile"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), expr("decile * n div 10").as("rk"), col("total"))
+    targets.join(ranked, Seq("rk"))
+      .select(col("decile"), col("rk").as("n_top"),
+        expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000" +
+          " div CAST(total AS DECIMAL(38,0)) AS BIGINT)").as("share_e6"))
+      .orderBy(col("decile"))
+  }
 }

@@ -504,6 +504,38 @@ object TextAnalysis {
 
   def bpeMergesOf(spark: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
     import spark.implicits._
+    val (merges, state) = bpeCore(spark, docs, rounds)
+    state.unpersist(false)
+    merges.toDF("rank", "left", "right", "merged", "pair_freq")
+      .orderBy(col("rank"))
+  }
+
+  /** The encoded-corpus token frequency table — the artifact the
+    * learned merges exist FOR: every word's final symbol sequence
+    * under the merge table, exploded and frequency-weighted. This is
+    * the subword vocabulary + counts an embedding matrix initializes
+    * from. Top-30 under the unique (freq DESC, symbol) order; all
+    * work is vocab-sized (the corpus was scanned once, in
+    * [[bpeCore]]). */
+  def bpeVocab(spark: SparkSession, dir: String, rounds: Int = 10,
+      topN: Int = 30): DataFrame =
+    bpeVocabOf(spark, Tables.documents(spark, dir), rounds, topN)
+
+  def bpeVocabOf(spark: SparkSession, docs: DataFrame, rounds: Int,
+      topN: Int = 30): DataFrame = {
+    val (_, state) = bpeCore(spark, docs, rounds)
+    val out = state
+      .select(col("freq"), explode(col("syms")).as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("freq")).as("freq"))
+      .orderBy(col("freq").desc, col("symbol"))
+      .limit(topN)
+      .localCheckpoint(true)
+    state.unpersist(false)
+    out
+  }
+
+  private def bpeCore(spark: SparkSession, docs: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val vocab = docs
       .select(explode(TF.tokens(lower(col("text")))).as("w"))
       .filter(length(col("w")) > 0)
@@ -538,9 +570,7 @@ object TextAnalysis {
         r += 1
       }
     }
-    state.unpersist(false)
-    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_freq")
-      .orderBy(col("rank"))
+    (merges.toSeq, state)
   }
 
   /** Leftmost-greedy non-overlapping pair merge over a symbol array:

@@ -48,6 +48,20 @@ class BpeSpec extends AnyFunSuite {
       (3L, "aa", "a</w>", "aaa</w>", 1L)))
   }
 
+  test("Sennrich corpus: encoded vocabulary frequencies, hand-computed") {
+    // After the five merges: low -> [low, </w>], lower ->
+    // [low, e, r, </w>], newest -> [n, e, w, est</w>],
+    // widest -> [w, i, d, est</w>]; frequencies weight by word counts.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val got = TextAnalysis
+      .bpeVocabOf(spark, Seq((1L, corpus)).toDF("doc_id", "text"), 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(
+      ("est</w>", 9L), ("w", 9L), ("e", 8L), ("</w>", 7L), ("low", 7L),
+      ("n", 6L), ("d", 3L), ("i", 3L), ("r", 2L)))
+  }
+
   test("merge loop stops when no pairs remain") {
     // Single char word: syms [a, </w>] -> one pair, then a single
     // merged symbol and an empty pair stream ends the loop early.
