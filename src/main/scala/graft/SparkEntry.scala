@@ -567,6 +567,7 @@ object SparkEntry {
     // redundant second copy for the distinct answer).
     "e_mmr" -> ((s, d) => Similarity.mmrTopK(s, d)),
     "e_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
+    "e_outliers" -> ((s, d) => Similarity.embOutliers(s, d)),
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "e_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(s, d)),
@@ -2902,6 +2903,46 @@ object SparkEntry {
     // Range search filters on the e4-rounded integer, so the τ
     // boundary is engine-exact; cosine stated as the native
     // expression's tree (list_dot_product over DOUBLE[] casts).
+    // Same e16 quantization and own-centroid integer distances; lower
+    // medians by (nn + 1) // 2 ordered selection, farthest point via
+    // the unique-ranked window (struct argmax - CLAUDE rule).
+    "e_outliers" ->
+      """WITH dims AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, t.i AS dim,
+        |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 65536 + 0.5)
+        |      AS BIGINT) AS qd
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t),
+        |cent AS (SELECT label, dim,
+        |    CAST(sum(qd) // count(*) AS BIGINT) AS cd
+        |  FROM dims GROUP BY 1, 2),
+        |own AS (SELECT d.vec_id, d.label,
+        |    CAST(sum((d.qd - c.cd) * (d.qd - c.cd)) AS BIGINT) AS d2
+        |  FROM dims d JOIN cent c ON d.dim = c.dim AND d.label = c.label
+        |  GROUP BY 1, 2),
+        |r1 AS (SELECT label, d2,
+        |    row_number() OVER (PARTITION BY label ORDER BY d2, vec_id) AS rk,
+        |    count(*) OVER (PARTITION BY label) AS nn FROM own),
+        |med AS (SELECT label, d2 AS med_d2 FROM r1 WHERE rk = (nn + 1) // 2),
+        |dev AS (SELECT o.vec_id, o.label, o.d2, m.med_d2,
+        |    abs(o.d2 - m.med_d2) AS ad
+        |  FROM own o JOIN med m ON o.label = m.label),
+        |r2 AS (SELECT label, ad,
+        |    row_number() OVER (PARTITION BY label ORDER BY ad, vec_id) AS rk,
+        |    count(*) OVER (PARTITION BY label) AS nn FROM dev),
+        |mad AS (SELECT label, ad AS mad_d2 FROM r2 WHERE rk = (nn + 1) // 2),
+        |fr AS (SELECT label, vec_id AS far_id FROM (
+        |    SELECT label, vec_id, row_number() OVER (PARTITION BY label
+        |      ORDER BY d2 DESC, vec_id DESC) AS rk FROM own) t WHERE rk = 1)
+        |SELECT dev.label, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(max(dev.med_d2) AS BIGINT) AS med_d2,
+        |  CAST(max(mad.mad_d2) AS BIGINT) AS mad_d2,
+        |  CAST(sum(CASE WHEN dev.d2 > dev.med_d2 + 3 * mad.mad_d2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(max(fr.far_id) AS BIGINT) AS far_id
+        |FROM dev JOIN mad ON dev.label = mad.label
+        |  JOIN fr ON dev.label = fr.label
+        |GROUP BY dev.label
+        |ORDER BY dev.label""".stripMargin,
     // Identical e16 quantization (float·2^16 in double is exact, floor
     // is convention-free), truncating integer centroid division and
     // BIGINT distance algebra — no float summation-order hazard.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1172,6 +1172,55 @@ object Similarity {
       .agg(count(lit(1)).as("n_points"),
         expr("sum(s_e6) div count(1)").as("mean_s_e6"),
         min(col("s_e6")).as("min_s_e6"), max(col("s_e6")).as("max_s_e6"))
+      .orderBy(col("label"))
+  }
+
+  /** Embedding-space outlier audit per label — the data-cleaning
+    * sibling of [[silhouetteOf]]: points far from their OWN class
+    * centroid are mislabeled/corrupt candidates (the "prune by
+    * distance-to-centroid" gate SemDeDup-style pipelines run before
+    * training). Same e16 quantization contract (exact BIGINT
+    * distances, truncating centroid division); the robust threshold
+    * is the `q_mad_outliers` machinery applied per label: lower
+    * medians by ordered selection under unique (d2, vec_id) orders,
+    * outlier = d2 > med + 3·mad exact integer test; farthest point
+    * per label by struct-ordered argmax (associative, no rank window
+    * over the raw stream). Own-centroid distances only — no ×k
+    * candidate join; one posexplode pass, one (label, dim) agg, one
+    * broadcast centroid join. */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame =
+    embOutliersOf(Tables.embeddings(spark, dir))
+
+  def embOutliersOf(emb: DataFrame): DataFrame = {
+    val dims = emb
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(65536d) + lit(0.5d))
+          .cast("long").as("qd"))
+    val cent = dims.groupBy(col("label"), col("dim"))
+      .agg(sum(col("qd")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("s div n").as("cd"))
+    val own = dims.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("qd") - col("cd")) * (col("qd") - col("cd"))).as("d2"))
+    def lowerMedian(df: DataFrame, value: Column, as: String): DataFrame =
+      df.withColumn("rk", row_number().over(
+          Window.partitionBy(col("label")).orderBy(value, col("vec_id"))))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("label"))))
+        .filter(col("rk") === expr("(nn + 1) div 2"))
+        .select(col("label"), value.as(as))
+    val med = lowerMedian(own, col("d2"), "med_d2")
+    val dev = own.join(broadcast(med), Seq("label"))
+      .withColumn("ad", abs(col("d2") - col("med_d2")))
+    val mad = lowerMedian(dev, col("ad"), "mad_d2")
+    dev.join(broadcast(mad), Seq("label"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+        max(col("med_d2")).as("med_d2"), max(col("mad_d2")).as("mad_d2"),
+        sum(when(col("d2") > col("med_d2") + lit(3) * col("mad_d2"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(struct(col("d2"), col("vec_id"))).getField("vec_id").as("far_id"))
       .orderBy(col("label"))
   }
 }
