@@ -403,6 +403,10 @@ object SparkEntry {
       graft.streaming.StreamingOps.streamTwsCounter(s, d)),
     "s_stream_topk" -> ((s, d) =>
       graft.streaming.StreamingOps.streamTopK(s, d)),
+    // Rows-only + spec: progress-API state metrics (the spec pins
+    // complete-mode state_rows to the batch (window, type) grid).
+    "s_stream_progress" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamProgressStats(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "q_interpolate" -> ((s, d) => Relational.qInterpolate(s, d)),
     "q_session_window" -> ((s, d) => Relational.qSessionWindow(s, d)),
@@ -578,6 +582,7 @@ object SparkEntry {
     // Rows-only + spec: the 10-round merge loop's state evolution is
     // not SQL-expressible (BpeSpec pins the Sennrich hand-computed
     // corpus, leftmost-greedy overlap handling, and tie order).
+    "t_novelty" -> ((s, d) => TextAnalysis.novelty(s, d)),
     "t_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     // Rows-only + spec (BpeSpec pins the Sennrich encoded vocabulary
     // exactly): the frequency table of the ENCODED corpus — what the
@@ -3506,6 +3511,23 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // Word 8-gram shingles with whole-text fallback for short docs —
     // identical construction to the Spark side's wordShingles(n=8).
+    // Same 8-gram CTE as d_crossdoc_ngram; first-seen owner is the
+    // deterministic min doc_id per hash.
+    "t_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[i:i+7], ' ')) AS h FROM idx),
+        |f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |    * 10000 // count(*) AS BIGINT) AS novelty_e4
+        |FROM sh JOIN f USING (h)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     "d_crossdoc_ngram" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

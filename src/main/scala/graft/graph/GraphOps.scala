@@ -49,7 +49,7 @@ object GraphOps {
     * sums over the grouped pair table, no second corpus pass. */
   def walkPmi(spark: SparkSession, edges: DataFrame, steps: Int = 4,
       window: Int = 2): DataFrame = {
-    val walks = randomWalks(spark, edges, steps).localCheckpoint(true)
+    val walks = randomWalks(spark, edges, steps) // memoized, checkpointed
     val a = walks.select(col("walk_id"), col("step").as("s1"),
       col("vertex").as("center"))
     val b = walks.select(col("walk_id"), col("step").as("s2"),
@@ -944,8 +944,46 @@ object GraphOps {
     * of graph size, no adjacency arrays, no per-vertex collect.
     * Steps unroll a fixed count (`steps` joins), the
     * fixed-round-oracle contract. */
+  // Memoized walk corpus per (session, edges identity, steps): the
+  // corpus generator (g_walks) and every consumer of the corpus
+  // (g_walk_pmi's skip-gram statistics) share ONE checkpointed build —
+  // the persist-once contract of the canonical-edges/signature memos.
+  // Eviction invalidation contract: keys carry the edges plan's
+  // semanticHash + per-file (path, mtime, length), so an in-place
+  // regeneration is a memo MISS; the bounded map evicts wholesale
+  // past 4 entries; checkpoint blocks are declared in retainedRddIds.
+  private val walkCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, String, Int), (DataFrame, Set[Int])]
+
+  private[graft] def walkCacheRddIds: Set[Int] =
+    walkCache.values.flatMap(_._2).toSet
+
+  private[graft] def clearWalkMemos(spark: SparkSession): Unit = {
+    val ctx = System.identityHashCode(spark).toString
+    val sc = spark.sparkContext
+    walkCache.foreach { case (k, (_, ids)) =>
+      if (k._1 == ctx)
+        ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    walkCache.clear()
+  }
+
   def randomWalks(spark: SparkSession, edges: DataFrame,
       steps: Int = 4): DataFrame = {
+    val key = (System.identityHashCode(spark).toString,
+      edges.queryExecution.analyzed.semanticHash(), dataKey(edges), steps)
+    val sc = spark.sparkContext
+    if (walkCache.size > 4) clearWalkMemos(spark)
+    walkCache.getOrElseUpdate(key, {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val built = randomWalksUncached(spark, edges, steps).localCheckpoint(true)
+      val ids = sc.getPersistentRDDs.keySet.toSet -- before
+      (built, ids)
+    })._1
+  }
+
+  private def randomWalksUncached(spark: SparkSession, edges: DataFrame,
+      steps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -1550,9 +1588,11 @@ object GraphOps {
     * cross-query state. */
   def retainedRddIds: Set[Int] =
     louvainCache.values.map(_._1.id).toSet ++
+      walkCacheRddIds ++
       GraphBuilder.retainedRddIds ++
       graft.operators.Dedup.retainedRddIds ++
-      graft.operators.Similarity.retainedRddIds
+      graft.operators.Similarity.retainedRddIds ++
+      graft.operators.TextAnalysis.retainedRddIds
 
   /** Release EVERY cross-query memo owned by `spark` (Louvain
     * assignments, canonical edges, dedup signatures/n-grams, kNN
@@ -1567,9 +1607,11 @@ object GraphOps {
       if (k._1 == ctx) rdd.unpersist(blocking = false)
     }
     louvainCache.clear()
+    clearWalkMemos(spark)
     GraphBuilder.clearMemos(spark)
     graft.operators.Dedup.clearMemos(spark)
     graft.operators.Similarity.clearMemos(spark)
+    graft.operators.TextAnalysis.clearMemos(spark)
   }
 
   /** Identity of the data behind a DataFrame's file sources: sorted

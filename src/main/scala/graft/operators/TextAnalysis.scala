@@ -504,8 +504,7 @@ object TextAnalysis {
 
   def bpeMergesOf(spark: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
     import spark.implicits._
-    val (merges, state) = bpeCore(spark, docs, rounds)
-    state.unpersist(false)
+    val (merges, _) = bpeCore(spark, docs, rounds)
     merges.toDF("rank", "left", "right", "merged", "pair_freq")
       .orderBy(col("rank"))
   }
@@ -524,17 +523,64 @@ object TextAnalysis {
   def bpeVocabOf(spark: SparkSession, docs: DataFrame, rounds: Int,
       topN: Int = 30): DataFrame = {
     val (_, state) = bpeCore(spark, docs, rounds)
-    val out = state
+    state
       .select(col("freq"), explode(col("syms")).as("symbol"))
       .groupBy(col("symbol")).agg(sum(col("freq")).as("freq"))
       .orderBy(col("freq").desc, col("symbol"))
       .limit(topN)
-      .localCheckpoint(true)
-    state.unpersist(false)
-    out
+  }
+
+  // Memoized BPE run per (session, docs identity, rounds): the merge
+  // table (t_bpe_merges) and the encoded vocabulary (t_bpe_vocab)
+  // share ONE 10-round training loop. Same invalidation contract as
+  // the walk/signature memos: semanticHash + per-file (path, mtime,
+  // length) keys make in-place regeneration a miss; bounded map;
+  // final-state checkpoint blocks declared in retainedRddIds.
+  private val bpeCache = scala.collection.concurrent.TrieMap.empty[
+    (String, Int, String, Int),
+    (Seq[(Long, String, String, String, Long)], DataFrame, Set[Int])]
+
+  def retainedRddIds: Set[Int] = bpeCache.values.flatMap(_._3).toSet
+
+  private[graft] def clearMemos(spark: SparkSession): Unit = {
+    val ctx = System.identityHashCode(spark).toString
+    val sc = spark.sparkContext
+    bpeCache.foreach { case (k, (_, _, ids)) =>
+      if (k._1 == ctx)
+        ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    bpeCache.clear()
+  }
+
+  private def docsKey(docs: DataFrame): String = {
+    val files = docs.inputFiles
+    if (files.isEmpty) ""
+    else {
+      val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+      files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f:${st.getModificationTime}:${st.getLen}"
+      }.mkString("|")
+    }
   }
 
   private def bpeCore(spark: SparkSession, docs: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    val key = (System.identityHashCode(spark).toString,
+      docs.queryExecution.analyzed.semanticHash(), docsKey(docs), rounds)
+    val sc = spark.sparkContext
+    if (bpeCache.size > 4) clearMemos(spark)
+    val (m, st, _) = bpeCache.getOrElseUpdate(key, {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val (merges, state) = bpeCoreUncached(spark, docs, rounds)
+      val ids = sc.getPersistentRDDs.keySet.toSet -- before
+      (merges, state, ids)
+    })
+    (m, st)
+  }
+
+  private def bpeCoreUncached(spark: SparkSession, docs: DataFrame, rounds: Int)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val vocab = docs
       .select(explode(TF.tokens(lower(col("text")))).as("w"))
@@ -596,5 +642,28 @@ object TextAnalysis {
               lit(false).as("skip")))
       },
       acc => acc.getField("out"))
+  }
+
+  /** Corpus-order n-gram novelty curve — for each document (in
+    * doc_id ingest order), the fraction of its distinct word 8-grams
+    * the corpus has NOT seen in any earlier document. The curation
+    * readout behind "is this source still adding information or just
+    * repeating the crawl": novelty decays as a corpus saturates, and
+    * per-source novelty ranks feeds mix weights. Rides the memoized
+    * corpus (doc_id, md5(8-gram)) table (one scan serves
+    * containment / decontamination / cross-doc df / this); first-seen
+    * owner = min(doc_id) per hash (deterministic), one fixed-width
+    * hash-keyed shuffle, counts collapse map-side. */
+  def novelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val ng = Dedup.ngramHashes(spark, dir, n)
+    val first = ng.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    ng.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+        expr("n_novel * 10000 div n_ngrams").as("novelty_e4"))
+      .orderBy(col("doc_id"))
   }
 }

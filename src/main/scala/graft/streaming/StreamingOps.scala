@@ -905,4 +905,39 @@ object StreamingOps {
         col("user_id"), col("n"))
       .orderBy(col("w_start_us"), col("rk"))
   }
+
+  /** Streaming state observability — the StreamingQueryProgress
+    * readout an operator dashboard is built from: per stateful
+    * operator, the max total state rows and the sum of updated rows
+    * across the run's micro-batches. State size is the quantity that
+    * decides whether a streaming job survives at 100 TB (it bounds
+    * the store's disk/memory and the per-batch commit time), and the
+    * progress API is how it's watched without touching the state
+    * store itself. The query is the hourly windowed aggregate;
+    * complete-mode total state rows = the bounded (window x type)
+    * grid, which the spec pins to the batch group count. */
+  def streamProgressStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
+    val raw = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", graft.Tables.eventsTsCol(rawSchema))
+    val agg = raw
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = "graft_stream_progress"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val perOp = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq)
+      .groupBy(_.operatorName)
+      .map { case (op, sos) =>
+        (op, sos.map(_.numRowsTotal).max, sos.map(_.numRowsUpdated).sum)
+      }.toSeq.sortBy(_._1)
+    perOp.toDF("operator", "state_rows", "rows_updated")
+  }
 }

@@ -377,6 +377,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(n2 == 2L)
   }
 
+  test("walk memo refreshes when a file is regenerated at the same path") {
+    import java.nio.file.{Files, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_walk_memo")
+    val stable = dir.resolve("edges.parquet")
+    def writeAs(df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = dir.resolve("stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, stable, StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeAs(Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight"))
+    val w1 = GraphOps.randomWalks(spark, spark.read.parquet(stable.toString))
+      .select("walk_id").distinct().count()
+    assert(w1 == 2L)
+    Thread.sleep(20)
+    // Same path, different graph: the memo must miss, not replay the
+    // 2-vertex walk corpus.
+    writeAs(Seq((0L, 1L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "weight"))
+    val w2 = GraphOps.randomWalks(spark, spark.read.parquet(stable.toString))
+      .select("walk_id").distinct().count()
+    assert(w2 == 4L)
+  }
+
   test("triad census separates feed-forward from cyclic triangles") {
     import spark.implicits._
     // 1→2→3 with shortcut 1→3: one feed-forward, no cycle.

@@ -69,6 +69,30 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", "</w>", "a</w>", 1L)))
   }
 
+  test("BPE memo refreshes when a file is regenerated at the same path") {
+    import java.nio.file.{Files, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_bpe_memo")
+    val stable = dir.resolve("docs.parquet")
+    def writeAs(text: String): Unit = {
+      val tmp = dir.resolve("stage").toString
+      Seq((1L, text)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, stable, StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeAs("ab ab")
+    def firstMerge() = TextAnalysis
+      .bpeMergesOf(spark, spark.read.parquet(stable.toString), 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).head
+    assert(firstMerge() == (("a", "b")))
+    Thread.sleep(20)
+    // Same path, different corpus: the memo must miss (mtime/length
+    // key), not serve the stale merge table.
+    writeAs("cd cd cd")
+    assert(firstMerge() == (("c", "d")))
+  }
+
   test("partitioning-invariant: repartitioned corpus, identical merges") {
     val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
