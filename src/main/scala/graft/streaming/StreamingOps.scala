@@ -850,6 +850,13 @@ object StreamingOps {
     val prior = spark.conf.getOption(confKey)
     spark.conf.set(confKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // State partitions sized to the keyspace, not the core count (the
+    // stream-stream-join lesson): every micro-batch pays a RocksDB
+    // commit/snapshot PER PARTITION — 32 stores for ~1.5k hot users
+    // is 4x wasted commit latency. Fixed by the first batch's
+    // checkpoint; restored after start.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val out = typed.groupByKey(_._1)
         .transformWithState(new TwsTotalsProcessor,
@@ -865,6 +872,7 @@ object StreamingOps {
           max(col("n_purchases")).as("n_purchases"))
         .orderBy(col("user_id"))
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prior match {
         case Some(v) => spark.conf.set(confKey, v)
         case None => spark.conf.unset(confKey)
