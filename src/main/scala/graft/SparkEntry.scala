@@ -332,6 +332,7 @@ object SparkEntry {
     "q_gini" -> ((s, d) => Relational.qGini(s, d)),
     "q_benford" -> ((s, d) => Relational.qBenford(s, d)),
     "q_pareto" -> ((s, d) => Relational.qPareto(s, d)),
+    "q_funnel_paths" -> ((s, d) => Relational.qFunnelPaths(s, d)),
     // Planted near-dup families (two doc_id residue classes share a
     // 100-shingle base text, unique small tails): ground truth by
     // construction, recall/precision of the banded MinHash pairs
@@ -572,6 +573,9 @@ object SparkEntry {
     "e_mmr" -> ((s, d) => Similarity.mmrTopK(s, d)),
     "e_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
     "e_outliers" -> ((s, d) => Similarity.embOutliers(s, d)),
+    // Rows-only + specs (planted axis recovery, partitioning
+    // invariance of the exact integer Gram, driver power iteration).
+    "e_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "e_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(s, d)),
@@ -2159,6 +2163,19 @@ object SparkEntry {
         |  CAST((2 * sixy - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
         |    AS gini_e6
         |FROM f""".stripMargin,
+    // Same (ts, event_id) rank order; string_agg ORDER BY rk is the
+    // sorted-struct concat's SQL form.
+    "q_funnel_paths" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    event_id FROM events),
+        |r AS (SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS rk FROM e),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rk)
+        |    AS path FROM r WHERE rk <= 3 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path
+        |LIMIT 10""".stripMargin,
     // Identical decile target ranks (decile·n // 10) and cumulative
     // window under the unique (x DESC, custkey) order; hugeint sums
     // mirror the engine's DECIMAL(38,0) path.

@@ -1516,4 +1516,29 @@ object Relational {
           " div CAST(total AS DECIMAL(38,0)) AS BIGINT)").as("share_e6"))
       .orderBy(col("decile"))
   }
+
+  /** Top user-journey prefixes — the product-analytics "what are the
+    * most common first-3-event paths" readout (`q_transition_matrix`
+    * gives the one-step Markov view; this keeps short full paths):
+    * per user, the first three events under the deterministic
+    * (ts, event_id) stream order concatenate into a path string;
+    * top-10 paths by (count DESC, path). One user-keyed rank window
+    * over a 3-row-per-user stream + one bounded (≤ |types|³) count
+    * aggregation. Users with fewer than 3 events report their full
+    * shorter path (documented). */
+  def qFunnelPaths(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">", array_sort(
+        collect_list(struct(col("rk"), col("event_type"))))
+        .getField("event_type")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
 }

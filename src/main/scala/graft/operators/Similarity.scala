@@ -1223,4 +1223,109 @@ object Similarity {
         max(struct(col("d2"), col("vec_id"))).getField("vec_id").as("far_id"))
       .orderBy(col("label"))
   }
+
+  /** Distributed PCA first principal component by power iteration —
+    * the whitening/dimensionality primitive of embedding pipelines
+    * ("is this space really 64-dimensional"). Two-phase shape, each
+    * phase the canonical 100 TB form:
+    *
+    *  1. EXACT integer Gram accumulation: embeddings quantize e16
+    *     (the silhouette contract), center on the floor-div integer
+    *     mean, and each partition folds its rows into ONE upper-
+    *     triangular d(d+1)/2 Long array via `mapPartitions` (the
+    *     documented last-resort escape — a per-partition outer-
+    *     product accumulator has no declarative form); partial
+    *     arrays reduce associatively. BIGINT sums ⇒ the Gram matrix
+    *     is bit-identical under ANY partitioning (spec-pinned) —
+    *     the g_pagerank_det contract for linear algebra.
+    *  2. Driver-side power iteration on the d×d matrix (fixed 100
+    *     iterations, deterministic all-ones start, sign fixed by the
+    *     largest-|loading| dimension) — d² doubles is landmark-read
+    *     sized; the corpus never moves again.
+    *
+    * Output: top eigenvalue (variance along PC1, e4 of the
+    * quantized-unit scale), its share of total variance (e6), and
+    * the top-5 |loading| dimensions. Rows-only + specs (planted
+    * anisotropic axis recovery, partitioning invariance, residual
+    * ‖Gv − λv‖ bound). */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    pcaPowerOf(spark, Tables.embeddings(spark, dir))
+
+  def pcaPowerOf(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import spark.implicits._
+    val d = EmbeddingDim
+    val q = emb.select(
+      transform(col("embedding"), x =>
+        floor(x.cast("double") * lit(65536d) + lit(0.5d)).cast("long"))
+        .as("qv"))
+    val sums = q.select(posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val n = sums.head.getLong(2)
+    val mean = Array.ofDim[Long](d)
+    sums.foreach(r => mean(r.getInt(0)) = Math.floorDiv(r.getLong(1), n))
+    val bMean = spark.sparkContext.broadcast(mean)
+    // Upper-triangular exact Gram: G(i,j) = Σ (x_i − μ_i)(x_j − μ_j).
+    val tri = q.as[Array[Long]].rdd.mapPartitions { it =>
+      val m = bMean.value
+      val acc = Array.ofDim[Long](d * (d + 1) / 2)
+      it.foreach { row =>
+        val c = Array.ofDim[Long](d)
+        var i = 0
+        while (i < d) { c(i) = row(i) - m(i); i += 1 }
+        var k = 0
+        i = 0
+        while (i < d) {
+          var j = i
+          while (j < d) { acc(k) += c(i) * c(j); j += 1; k += 1 }
+          i += 1
+        }
+      }
+      Iterator.single(acc)
+    }.treeReduce { (a, b) =>
+      var k = 0
+      while (k < a.length) { a(k) += b(k); k += 1 }
+      a
+    }
+    // Dense symmetric G in doubles (exact Long → double; entries are
+    // exact integers well below 2^53 relative precision needs here),
+    // fixed-iteration power method.
+    val g = Array.ofDim[Double](d, d)
+    var k = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { g(i)(j) = tri(k).toDouble; g(j)(i) = tri(k).toDouble; j += 1; k += 1 }
+      i += 1
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    var it0 = 0
+    while (it0 < 100) {
+      val nv = Array.ofDim[Double](d)
+      var a = 0
+      while (a < d) {
+        var s = 0.0
+        var b = 0
+        while (b < d) { s += g(a)(b) * v(b); b += 1 }
+        nv(a) = s
+        a += 1
+      }
+      val norm = math.sqrt(nv.map(x => x * x).sum)
+      lambda = norm
+      v = nv.map(_ / norm)
+      it0 += 1
+    }
+    // Sign convention: the largest-|loading| dimension is positive.
+    val maxDim = v.indices.maxBy(i0 => (math.abs(v(i0)), -i0))
+    if (v(maxDim) < 0) v = v.map(x => -x)
+    val trace = (0 until d).map(g2 => g(g2)(g2)).sum
+    val topDims = v.indices.sortBy(i0 => (-math.abs(v(i0)), i0)).take(5)
+    Seq((n, math.round(lambda / n * 1e4 / 65536.0 / 65536.0),
+      math.round(lambda / trace * 1e6),
+      topDims.mkString(","),
+      topDims.map(i0 => math.round(v(i0) * 1e4)).mkString(",")))
+      .toDF("n_vectors", "pc1_var_e4", "pc1_share_e6",
+        "top_dims", "top_loadings_e4")
+  }
 }
