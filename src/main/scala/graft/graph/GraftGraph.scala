@@ -143,6 +143,14 @@ final class GraftGraph private (
     decode(GraphOps.kTruss(spark, edges, k), Seq("src", "dst"))
   def randomWalks(steps: Int = 4): DataFrame =
     decode(GraphOps.randomWalks(spark, edges, steps), Seq("walk_id", "vertex"))
+  /** Skip-gram (center, context) co-occurrence statistics over the
+    * walk corpus — the PMI sufficient statistics a DeepWalk embedding
+    * factorizes. */
+  def walkPmi(steps: Int = 4, window: Int = 2): DataFrame =
+    decode(GraphOps.walkPmi(spark, edges, steps, window),
+      Seq("center", "context"))
+  /** Rich-club coefficient φ(k) over the bounded degree spine. */
+  def richClub(): DataFrame = GraphOps.richClub(edges)
   def pageRankWeighted(iters: Int = 10): DataFrame =
     decode(GraphOps.pageRankWeighted(spark, edges, iters), Seq("vertex"))
   def connectedComponents(): DataFrame =

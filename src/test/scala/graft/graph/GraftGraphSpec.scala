@@ -89,6 +89,27 @@ class GraftGraphSpec extends AnyFunSuite {
     assert(anf.sortBy(_._1).toSeq == Seq((0, 6L), (1, 18L)))
   }
 
+  test("facade walkPmi and richClub decode string labels") {
+    val names = Seq(
+      ("alice", "bob", 1.0), ("bob", "carol", 1.0), ("alice", "carol", 1.0),
+      ("carol", "dave", 1.0))
+      .toDF("src", "dst", "weight")
+    val g = GraftGraph(spark, names)
+    val pmi = g.walkPmi(steps = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ids = Set("alice", "bob", "carol", "dave")
+    assert(pmi.nonEmpty)
+    assert(pmi.map(_._1).toSet.subsetOf(ids) && pmi.map(_._2).toSet.subsetOf(ids))
+    assert(pmi.forall(_._4 > 0))
+    val rc = g.richClub().collect()
+    // Degrees 2,2,3,1: spine has 3 distinct degrees; only k=1 keeps
+    // >=2 survivors (the three degree>=2 vertices form a triangle).
+    assert(rc.length == 3)
+    val k1 = rc.find(_.getLong(0) == 1L).get
+    assert(k1.getLong(1) == 3L && k1.getLong(2) == 3L
+      && k1.getLong(3) == 1000000L)
+  }
+
   test("similarity surface decodes string ids: jaccard, adamic-adar, strong ties") {
     // Heavy 5-clique on names + weight-1 filler edges so strongTies
     // keeps the clique; adamic-adar then predicts nothing inside the
