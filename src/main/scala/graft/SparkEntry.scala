@@ -283,6 +283,11 @@ object SparkEntry {
     // near-complete (one uniform degree — a single vacuous spine row).
     "g_richclub" -> ((s, d) =>
       GraphOps.richClub(GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
+    // Strong ties for the same reason: the raw graph's densest
+    // subgraph is trivially itself.
+    "g_densest" -> ((s, d) =>
+      GraphOps.densestSubgraph(s,
+        GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
     // Rows-only + spec: HLL estimates aren't portable SQL; the spec
     // pins exact equality with BFS on planted graphs (DataSketches
     // coupon mode is exact at these cardinalities).
@@ -1028,6 +1033,45 @@ object SparkEntry {
          |  CAST(n_cc * t * 1000000 // (n_c * n_x) AS BIGINT) AS pmi_ratio_e6
          |FROM m ORDER BY center, context""".stripMargin
 
+  /** Bahmani peeling unrolled — identical integer average-degree cut
+    * (deg·V·10 > 2·E·11) per round over the strong-tie subgraph; the
+    * densest round picks by (density DESC, round) like the engine's
+    * driver-side argmax. */
+  private def densestOracleSql(rounds: Int = 12): String = {
+    val steps = (0 until rounds).map { r =>
+      s""",
+         |vs$r AS (SELECT src AS v FROM e$r UNION ALL SELECT dst FROM e$r),
+         |s$r AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ec,
+         |  (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM vs$r) AS vc
+         |  FROM e$r),
+         |k$r AS MATERIALIZED (SELECT v FROM (
+         |    SELECT v, CAST(count(*) AS BIGINT) AS deg FROM vs$r GROUP BY v) d,
+         |  s$r WHERE d.deg * s$r.vc * 10 > 2 * s$r.ec * 11),
+         |e${r + 1} AS MATERIALIZED (SELECT ed.src, ed.dst FROM e$r ed
+         |  JOIN k$r a ON a.v = ed.src JOIN k$r b ON b.v = ed.dst)""".stripMargin
+    }.mkString
+    val unions = (0 until rounds)
+      .map(r => s"SELECT $r AS round, vc, ec FROM s$r WHERE ec > 0")
+      .mkString("\nUNION ALL ")
+    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |ew AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+       |    CAST(count(*) AS DOUBLE) AS weight
+       |  FROM os a JOIN os b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2),
+       |thr AS (SELECT quantile_cont(weight, 0.5) * 1.25 AS t FROM ew),
+       |e0 AS MATERIALIZED (SELECT src, dst FROM ew, thr WHERE weight >= t)"""
+      .stripMargin +
+      steps +
+      s""",
+         |stats AS ($unions)
+         |SELECT round AS best_round, vc AS n_vertices, ec AS n_edges,
+         |  ec * 1000000 // vc AS density_e6
+         |FROM stats
+         |ORDER BY ec * 1000000 // vc DESC, round
+         |LIMIT 1""".stripMargin
+  }
+
   private def kcoreOracleSql(k: Int = 10, rounds: Int = 20): String = {
     val peels = (0 until rounds).map { r =>
       s""",
@@ -1276,6 +1320,7 @@ object SparkEntry {
     "g_ktruss" -> ktrussOracleSql(),
     "g_walks" -> walksOracleSql(),
     "g_walk_pmi" -> walkPmiOracleSql(),
+    "g_densest" -> densestOracleSql(),
     "g_node2vec" -> node2vecOracleSql(),
     "g_pagerank_det" -> pagerankDetOracleSql(),
     "g_ppr" -> pprOracleSql(),

@@ -34,6 +34,55 @@ object GraphOps {
       .agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("degree"))
 
+  /** Densest-subgraph by distributed batch peeling (Bahmani, Kumar,
+    * Vassilvitskii VLDB'12) — THE MapReduce densest-subgraph shape:
+    * each round removes EVERY vertex whose degree is at most
+    * 2(1+ε)·E/V (the average-degree cut, ε = 0.1 as an exact integer
+    * test deg·V·10 > 2·E·11 — no floats), so the graph shrinks by a
+    * constant factor per round and O(log V) rounds suffice where
+    * Charikar's sequential min-vertex peel needs V; the best
+    * intermediate density is a 2(1+ε)-approximation. Per round: one
+    * degree aggregation + two semi-joins + localCheckpoint; the
+    * per-round (V, E) scalars are landmark reads, density picks run
+    * on the driver over ≤ maxRounds rows. Output one row: the
+    * densest round's subgraph stats, ties to the earliest round. */
+  def densestSubgraph(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = 12): DataFrame = {
+    import spark.implicits._
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var r = 0
+    var done = false
+    while (r < maxRounds && !done) {
+      val ends = e.select(col("src").as("v"))
+        .unionAll(e.select(col("dst").as("v")))
+      val vCnt = ends.distinct().count()
+      val eCnt = e.count()
+      if (eCnt == 0L) done = true
+      else {
+        stats += ((r.toLong, vCnt, eCnt))
+        val keep = ends.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") * lit(vCnt) * 10 > lit(2L * eCnt * 11L))
+          .select(col("v"))
+        val next = e
+          .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        e.unpersist(false)
+        e = next
+        r += 1
+      }
+    }
+    e.unpersist(false)
+    if (stats.isEmpty)
+      return Seq((0L, 0L, 0L, 0L))
+        .toDF("best_round", "n_vertices", "n_edges", "density_e6")
+    val best = stats.maxBy { case (rd, v, ec) => (ec * 1000000L / v, -rd) }
+    Seq((best._1, best._2, best._3, best._3 * 1000000L / best._2))
+      .toDF("best_round", "n_vertices", "n_edges", "density_e6")
+  }
+
   /** Skip-gram co-occurrence statistics over the deterministic walk
     * corpus — the sufficient statistics a DeepWalk/node2vec embedding
     * factorizes (NetMF, Qiu et al. WSDM'18 shows DeepWalk ≈ shifted

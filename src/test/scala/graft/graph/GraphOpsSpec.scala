@@ -401,6 +401,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(w2 == 4L)
   }
 
+  test("densest-subgraph peel isolates a planted clique from its halo") {
+    // K6 (density 15/6 = 2.5) bridged to a 20-vertex path halo
+    // (density ~1): round 0 sees the mixed graph, the average-degree
+    // cut peels the path, round 1 is the bare clique — the best
+    // density must be the clique's, found at round 1.
+    val k6 = for { a <- 0L to 5L; b <- 0L to 5L if a < b } yield (a, b)
+    val path = (100L until 119L).map(i => (i, i + 1))
+    val bridge = Seq((5L, 100L))
+    val e = (k6 ++ path ++ bridge).toDF("src", "dst")
+    val r = GraphOps.densestSubgraph(spark, e).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 6L, 15L, 2500000L)), r.toString)
+  }
+
+  test("densest-subgraph on an empty edge set reports zeros") {
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val r = GraphOps.densestSubgraph(spark, e).collect().head
+    assert(r.getLong(3) == 0L)
+  }
+
   test("triad census separates feed-forward from cyclic triangles") {
     import spark.implicits._
     // 1→2→3 with shortcut 1→3: one feed-forward, no cycle.
