@@ -498,6 +498,7 @@ object SparkEntry {
     "p_chunks" -> ((s, d) => Pipeline.chunkDocs(s, d)),
     "p_pack" -> ((s, d) => Pipeline.packSequences(s, d)),
     "p_source_mix" -> ((s, d) => Pipeline.sourceMix(s, d)),
+    "p_corpus_report" -> ((s, d) => Pipeline.corpusReport(s, d)),
     "p_funnel" -> ((s, d) => Pipeline.curationFunnel(s, d)),
     "p_domain_cap" -> ((s, d) => Pipeline.domainCap(s, d)),
     "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
@@ -581,6 +582,7 @@ object SparkEntry {
     // Rows-only + specs (planted axis recovery, partitioning
     // invariance of the exact integer Gram, driver power iteration).
     "e_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
+    "e_hubness" -> ((s, d) => Similarity.hubness(s, d)),
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "e_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(s, d)),
@@ -2774,6 +2776,20 @@ object SparkEntry {
         |    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 2 >= length(text)
         |    THEN md5(text) END) AS n_distinct_clean
         |FROM documents""".stripMargin,
+    // Exact floor means and e6 shares from the same integer sums.
+    "p_corpus_report" ->
+      """WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      AS BIGINT) AS sum_tokens
+        |  FROM documents GROUP BY source, lang),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g)
+        |SELECT source, lang, n_docs,
+        |  n_docs * 1000000 // total AS share_e6,
+        |  sum_chars * 100 // n_docs AS mean_chars_e2,
+        |  sum_tokens * 100 // n_docs AS mean_tokens_e2
+        |FROM g, t
+        |ORDER BY source, lang""".stripMargin,
     "p_source_mix" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
@@ -3057,6 +3073,40 @@ object SparkEntry {
     // accumulation, dot / (sqrt(na)·sqrt(nb))): DuckDB's builtin
     // list_cosine_similarity differs in the last ulp, which flipped
     // one e4 rounding at a .5 boundary over the full 250k-pair set.
+    // In-degrees over the same exact kNN edge CTE, zero-filled on the
+    // corpus; p99 by the discrete ceil selection, Gini closed form.
+    "e_hubness" ->
+      """WITH p AS (
+        |  SELECT a.vec_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(e.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |            CAST(a.embedding AS DOUBLE[])))
+        |        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |            CAST(e.embedding AS DOUBLE[])))) AS sim
+        |  FROM embeddings a JOIN embeddings e ON e.vec_id <> a.vec_id),
+        |edges AS (SELECT neighbor_id FROM (
+        |    SELECT vec_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC)
+        |      AS rank FROM p) t
+        |  WHERE rank <= 10),
+        |ind AS (SELECT em.vec_id,
+        |    CAST(coalesce(c.indeg, 0) AS BIGINT) AS x
+        |  FROM embeddings em LEFT JOIN (
+        |    SELECT neighbor_id AS vec_id, count(*) AS indeg
+        |    FROM edges GROUP BY 1) c ON em.vec_id = c.vec_id),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, vec_id)
+        |    AS BIGINT) AS i, CAST(count(*) OVER () AS BIGINT) AS nn
+        |  FROM ind)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(max(x) AS BIGINT) AS max_indeg,
+        |  CAST(max(CASE WHEN i = (99 * nn + 99) // 100 THEN x END)
+        |    AS BIGINT) AS p99_indeg,
+        |  CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_antihubs,
+        |  CAST((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000
+        |    // (count(*) * sum(x)) AS BIGINT) AS gini_e6
+        |FROM r""".stripMargin,
     "e_knn_graph" ->
       """WITH p AS (
         |  SELECT a.vec_id, e.vec_id AS neighbor_id,

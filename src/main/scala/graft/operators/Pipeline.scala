@@ -588,4 +588,28 @@ object Pipeline {
         col("lang"), lit(s":$seed"))), 1, 8) < thr)
       .orderBy(col("doc_id"))
   }
+
+  /** Corpus composition report — the per-(source, lang) health
+    * dashboard a curation run starts and ends with: document counts,
+    * share of the corpus (e6), and exact-integer mean lengths
+    * (chars, whitespace tokens, e2-scaled floor means — no float
+    * averages, the bit-stable-compare rule). One scan, one bounded
+    * (|sources|·|langs|) aggregation with a broadcast total. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("sum_chars"),
+        sum(col("toks")).as("sum_tokens"))
+    val tot = d.agg(sum(col("n_docs")).as("total"))
+    d.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"),
+        expr("n_docs * 1000000 div total").as("share_e6"),
+        expr("sum_chars * 100 div n_docs").as("mean_chars_e2"),
+        expr("sum_tokens * 100 div n_docs").as("mean_tokens_e2"))
+      .orderBy(col("source"), col("lang"))
+  }
 }

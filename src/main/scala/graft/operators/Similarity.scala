@@ -1328,4 +1328,39 @@ object Similarity {
       .toDF("n_vectors", "pc1_var_e4", "pc1_share_e6",
         "top_dims", "top_loadings_e4")
   }
+
+  /** kNN hubness audit — the known high-dimensional pathology where a
+    * few "hub" vectors appear in everyone's neighbor list (skewed
+    * in-degree) while anti-hubs appear in none: hub-heavy spaces
+    * degrade dedup/retrieval quality and the fix (normalization,
+    * re-ranking) starts from this readout. Rides the memoized kNN
+    * edge table; in-degrees (zero-filled via a left join on the
+    * corpus) summarize to one row: max, p99 by the discrete
+    * ⌈0.99·n⌉ ordered selection, anti-hub count, and the in-degree
+    * Gini (q_gini's closed form — 0 = uniform, →1e6 = all edges on
+    * one hub). All-integer end to end. */
+  def hubness(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val edges = knnGraph(spark, dir, k)
+    val indeg = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(edges.groupBy(col("neighbor_id").as("vec_id"))
+        .agg(count(lit(1)).as("indeg")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("indeg"), lit(0L)).as("x"))
+    val w = Window.orderBy(col("x"), col("vec_id"))
+    val ranked = indeg
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("nn", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    ranked.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("sixy"),
+        max(col("x")).as("max_indeg"),
+        sum(when(col("x") === 0, 1L).otherwise(0L)).as("n_antihubs"),
+        max(when(col("i") === expr("(99 * nn + 99) div 100"),
+          col("x"))).as("p99_indeg"))
+      .select(col("n").as("n_vectors"), col("max_indeg"),
+        col("p99_indeg"), col("n_antihubs"),
+        expr("(2 * sixy - (n + 1) * sx) * 1000000 div (n * sx)")
+          .as("gini_e6"))
+  }
 }
