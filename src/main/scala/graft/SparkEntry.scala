@@ -38,6 +38,10 @@ object SparkEntry {
     cachedSideOutput(d, "documents", "docsjson")(p =>
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .write.mode("overwrite").json(p))
+  private def sideOutDocsJsonGz(s: SparkSession, d: String): String =
+    cachedSideOutput(d, "documents", "docsjsongz")(p =>
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").option("compression", "gzip").json(p))
   private def sideOutDocsBin(s: SparkSession, d: String): String =
     cachedSideOutput(d, "documents", "docsbin")(p =>
       graft.sources.BinaryFileSource.writePayloadFiles(
@@ -681,6 +685,19 @@ object SparkEntry {
     "src_json_tokens" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val out = sideOutDocsJson(s, d)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      TextAnalysis.tokenCountsOf(s.read.schema(schema).json(out))
+    }),
+    // Compressed-text ingestion: gzip JSONL read transparently by
+    // codec inference from the .gz extension — the wire format most
+    // crawl dumps actually arrive in. Gzip is NOT splittable: one
+    // task per file regardless of size, so the side output shards the
+    // corpus into many files at write time — the at-scale mitigation
+    // (or zstd/bzip2 for splittable codecs).
+    "src_gzip_tokens" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val out = sideOutDocsJsonGz(s, d)
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType)))
       TextAnalysis.tokenCountsOf(s.read.schema(schema).json(out))
@@ -3410,6 +3427,13 @@ object SparkEntry {
         |  CAST(min(event_id) AS BIGINT) AS min_id,
         |  CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events""".stripMargin,
+    // Same equivalence contract as src_json_tokens: the compressed
+    // round-trip must be value-invisible.
+    "src_gzip_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "src_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
