@@ -287,6 +287,11 @@ object SparkEntry {
     // near-complete (one uniform degree — a single vacuous spine row).
     "g_richclub" -> ((s, d) =>
       GraphOps.richClub(GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
+    // Strong ties: on the near-complete raw graph every neighborhood
+    // summary is the same row.
+    "g_neighbor_agg" -> ((s, d) =>
+      GraphOps.neighborDegreeStats(
+        GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
     // Strong ties for the same reason: the raw graph's densest
     // subgraph is trivially itself.
     "g_densest" -> ((s, d) =>
@@ -322,6 +327,7 @@ object SparkEntry {
     // Persisted per-day HLL sketches unioned at query time — the
     // incremental-analytics artifact shape; 5%-verdict oracle.
     "q_sketch_union" -> ((s, d) => Relational.qSketchUnion(s, d)),
+    "q_sketch_running" -> ((s, d) => Relational.qSketchRunning(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
     "q_asof_nearest" -> ((s, d) => Relational.qAsofNearest(s, d)),
@@ -1340,6 +1346,26 @@ object SparkEntry {
     "g_walks" -> walksOracleSql(),
     "g_walk_pmi" -> walkPmiOracleSql(),
     "g_densest" -> densestOracleSql(),
+    // Identical two-way degree join over the strong-tie sym stream.
+    "g_neighbor_agg" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |ew AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |    CAST(count(*) AS DOUBLE) AS weight
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |thr AS (SELECT quantile_cont(weight, 0.5) * 1.25 AS t FROM ew),
+        |e AS (SELECT src, dst FROM ew, thr WHERE weight >= t),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT src AS vertex, CAST(count(*) AS BIGINT) AS degree
+        |  FROM sym GROUP BY 1)
+        |SELECT s.src AS vertex, CAST(max(od.degree) AS BIGINT) AS degree,
+        |  CAST(max(nd.degree) AS BIGINT) AS max_nbr_degree,
+        |  CAST(sum(CASE WHEN nd.degree > od.degree THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_stronger
+        |FROM sym s JOIN deg od ON od.vertex = s.src
+        |  JOIN deg nd ON nd.vertex = s.dst
+        |GROUP BY s.src ORDER BY vertex""".stripMargin,
     "g_node2vec" -> node2vecOracleSql(),
     "g_pagerank_det" -> pagerankDetOracleSql(),
     "g_ppr" -> pprOracleSql(),
@@ -2300,6 +2326,22 @@ object SparkEntry {
         |    AS cum_users
         |FROM dau LEFT JOIN fs USING (day)
         |ORDER BY day""".stripMargin,
+    // Sketch-quality verdict convention: exact cumulative under the
+    // hash compare, the 5% HLL bound pinned true.
+    "q_sketch_running" ->
+      """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |fs AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+        |nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM fs GROUP BY 1),
+        |days AS (SELECT DISTINCT day FROM ev)
+        |SELECT d.day,
+        |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS exact_cum,
+        |  true AS approx_ok
+        |FROM days d LEFT JOIN nu ON d.day = nu.day
+        |ORDER BY d.day""".stripMargin,
     "q_lag_delta" ->
       """SELECT user_id, event_id,
         |  CAST(coalesce(CAST(floor(epoch(ts)) AS BIGINT)

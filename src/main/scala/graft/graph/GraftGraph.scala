@@ -151,6 +151,13 @@ final class GraftGraph private (
       Seq("center", "context"))
   /** Rich-club coefficient φ(k) over the bounded degree spine. */
   def richClub(): DataFrame = GraphOps.richClub(edges)
+  /** One-hop neighborhood summary (the aggregateMessages primitive,
+    * stated declaratively). */
+  def neighborDegreeStats(): DataFrame =
+    decode(GraphOps.neighborDegreeStats(edges), Seq("vertex"))
+  /** Densest-subgraph stats by Bahmani batch peeling. */
+  def densestSubgraph(maxRounds: Int = 12): DataFrame =
+    GraphOps.densestSubgraph(spark, edges, maxRounds)
   def pageRankWeighted(iters: Int = 10): DataFrame =
     decode(GraphOps.pageRankWeighted(spark, edges, iters), Seq("vertex"))
   def connectedComponents(): DataFrame =

@@ -34,6 +34,32 @@ object GraphOps {
       .agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("degree"))
 
+  /** Neighborhood aggregation — the `aggregateMessages` primitive
+    * stated declaratively (edge join + vertex-keyed agg, which is
+    * all aggregateMessages IS when messages don't need Pregel
+    * iteration): per vertex, its degree, the max neighbor degree,
+    * and how many neighbors out-rank it ("am I the local hub") — the
+    * one-hop structural summary feeding hub/authority heuristics.
+    * Degree table joins the symmetric edge stream twice (broadcast —
+    * V rows); counts combine map-side. */
+  def neighborDegreeStats(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges).select(col("vertex"), col("degree"))
+      .localCheckpoint(true)
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    sym
+      .join(broadcast(deg.select(col("vertex").as("src"),
+        col("degree").as("odeg"))), Seq("src"))
+      .join(broadcast(deg.select(col("vertex").as("dst"),
+        col("degree").as("ndeg"))), Seq("dst"))
+      .groupBy(col("src").as("vertex"))
+      .agg(max(col("odeg")).as("degree"),
+        max(col("ndeg")).as("max_nbr_degree"),
+        sum(when(col("ndeg") > col("odeg"), 1L).otherwise(0L))
+          .as("n_stronger"))
+      .orderBy(col("vertex"))
+  }
+
   /** Densest-subgraph by distributed batch peeling (Bahmani, Kumar,
     * Vassilvitskii VLDB'12) — THE MapReduce densest-subgraph shape:
     * each round removes EVERY vertex whose degree is at most

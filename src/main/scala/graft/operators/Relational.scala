@@ -1541,4 +1541,42 @@ object Relational {
       .orderBy(col("n_users").desc, col("path"))
       .limit(k)
   }
+
+  /** Running distinct-user curve via WINDOWED sketch union — the
+    * at-scale form of [[qCumulativeDistinct]]'s ever-seen total when
+    * the stream can't be re-folded from first-seen days (late data,
+    * multiple sources): per-day HLL sketches union over the
+    * cumulative day window (`hll_union_agg` as a window aggregate —
+    * sketch union is associative, so the running estimate needs no
+    * running SET state, just ~2^lgK bytes per day row), audited
+    * against the exact cumulative distinct with the 5% verdict
+    * convention (sketch bits aren't cross-engine-portable; the
+    * guarantee is). The window runs over the bounded day grid —
+    * never the raw stream. */
+  def qSketchRunning(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val approx = daily
+      .withColumn("approx_cum", hll_sketch_estimate(
+        hll_union_agg(col("sk"), lit(false)).over(w)))
+      .select(col("day"), col("approx_cum"))
+    val exact = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val exactCum = daily.select(col("day"))
+      .join(exact, Seq("day"), "left")
+      .withColumn("exact_cum",
+        sum(coalesce(col("new_users"), lit(0L))).over(w))
+      .select(col("day"), col("exact_cum"))
+    exactCum.join(approx, Seq("day"))
+      .select(col("day"), col("exact_cum"),
+        (abs(col("approx_cum") - col("exact_cum"))
+          <= col("exact_cum") * lit(0.05)).as("approx_ok"))
+      .orderBy(col("day"))
+  }
 }
