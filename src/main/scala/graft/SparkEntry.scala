@@ -38,6 +38,15 @@ object SparkEntry {
     cachedSideOutput(d, "documents", "docsjson")(p =>
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .write.mode("overwrite").json(p))
+  private def sideOutDocsNested(s: SparkSession, d: String): String =
+    cachedSideOutput(d, "documents", "docsnested") { p =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").json(s"$p/even/part")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .write.mode("overwrite").json(s"$p/odd/deep/part")
+      new java.io.File(s"$p/_SUCCESS").createNewFile(): Unit
+    }
   private def sideOutDocsJsonGz(s: SparkSession, d: String): String =
     cachedSideOutput(d, "documents", "docsjsongz")(p =>
       Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -334,6 +343,8 @@ object SparkEntry {
     "q_transition_matrix" -> ((s, d) => Relational.qTransitionMatrix(s, d)),
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
     "q_cumulative_distinct" -> ((s, d) => Relational.qCumulativeDistinct(s, d)),
+    "q_new_vs_returning" -> ((s, d) => Relational.qNewVsReturning(s, d)),
+    "q_cohort_ltv" -> ((s, d) => Relational.qCohortLtv(s, d)),
     "q_resample" -> ((s, d) => Relational.qResample(s, d)),
     "q_cusum" -> ((s, d) => Relational.qCusum(s, d)),
     "q_funnel_time" -> ((s, d) => Relational.qFunnelTime(s, d)),
@@ -694,6 +705,19 @@ object SparkEntry {
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType)))
       TextAnalysis.tokenCountsOf(s.read.schema(schema).json(out))
+    }),
+    // Recursive file lookup over a NESTED lake layout (the crawl-dump
+    // directory-tree reality partition discovery doesn't cover):
+    // documents sharded into uneven subdirectory depths, one
+    // recursiveFileLookup read — same equivalence contract as
+    // src_json_tokens.
+    "src_recursive_lookup" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val out = sideOutDocsNested(s, d)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      TextAnalysis.tokenCountsOf(s.read.schema(schema)
+        .option("recursiveFileLookup", "true").json(out))
     }),
     // Compressed-text ingestion: gzip JSONL read transparently by
     // codec inference from the .gz extension — the wire format most
@@ -2342,6 +2366,41 @@ object SparkEntry {
         |  true AS approx_ok
         |FROM days d LEFT JOIN nu ON d.day = nu.day
         |ORDER BY d.day""".stripMargin,
+    // First-seen-day classification; returning-rate by // div.
+    "q_new_vs_returning" ->
+      """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS fday FROM ev GROUP BY 1)
+        |SELECT day, CAST(count(*) AS BIGINT) AS dau,
+        |  CAST(sum(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(sum(CASE WHEN day <> fday THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS returning_users,
+        |  CAST(sum(CASE WHEN day <> fday THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS returning_e4
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin,
+    // Per-event cent quantization BEFORE any sum (the §6 float rule);
+    // bounded (cohort, age) grid + per-cohort cumulative window.
+    "q_cohort_ltv" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id, event_type,
+        |    value FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
+        |a AS (SELECT min(cohort) AS day0 FROM f),
+        |p AS (SELECT f.cohort,
+        |    date_diff('day', f.cohort, ev.day) AS age,
+        |    CAST(sum(CAST(round(ev.value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM ev JOIN f USING (user_id) CROSS JOIN a
+        |  WHERE ev.event_type = 'purchase'
+        |    AND date_diff('day', a.day0, f.cohort) < 7
+        |    AND date_diff('day', f.cohort, ev.day) < 14
+        |  GROUP BY 1, 2)
+        |SELECT cohort, CAST(age AS BIGINT) AS age, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents
+        |FROM p ORDER BY cohort, age""".stripMargin,
     "q_lag_delta" ->
       """SELECT user_id, event_id,
         |  CAST(coalesce(CAST(floor(epoch(ts)) AS BIGINT)
@@ -3469,6 +3528,12 @@ object SparkEntry {
         |  CAST(min(event_id) AS BIGINT) AS min_id,
         |  CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events""".stripMargin,
+    // Nested-layout recursive lookup: same equivalence contract.
+    "src_recursive_lookup" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Same equivalence contract as src_json_tokens: the compressed
     // round-trip must be value-invisible.
     "src_gzip_tokens" ->

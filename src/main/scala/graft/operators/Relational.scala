@@ -1579,4 +1579,58 @@ object Relational {
           <= col("exact_cum") * lit(0.05)).as("approx_ok"))
       .orderBy(col("day"))
   }
+
+  /** Daily new-vs-returning split — the audience dashboard's second
+    * panel next to [[qCumulativeDistinct]]: per day, how many active
+    * users are seen for the first time vs returning. Same
+    * no-running-set shape: a user's classification on a day is fully
+    * determined by their first-seen day, so one user-keyed min-agg +
+    * one distinct (day, user) agg answer every day. Returning-rate
+    * e4 from exact integers. */
+  def qNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+    ev.join(broadcast(first), Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("fday"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("day") =!= col("fday"), 1L).otherwise(0L))
+          .as("returning_users"))
+      .withColumn("returning_e4",
+        expr("returning_users * 10000 div dau"))
+      .orderBy(col("day"))
+  }
+
+  /** Cohort lifetime-value curve — cumulative purchase revenue per
+    * signup cohort (first-seen day) by account age in days, the
+    * "when does a cohort pay back" readout next to
+    * [[qRetentionCohort]]'s activity matrix. Purchases key by
+    * (cohort, age) — a bounded grid — then one cumulative window per
+    * cohort; revenue stays integer cents until the final /100
+    * display rounding. Cohorts limited to the first 7 days and ages
+    * to 0..13 to keep the output a stable bounded matrix. */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        col("event_type"), col("value"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val anchor = first.agg(min(col("cohort")).as("day0"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(first), Seq("user_id"))
+      .crossJoin(broadcast(anchor))
+      .filter(datediff(col("cohort"), col("day0")) < 7)
+      .withColumn("age", datediff(col("day"), col("cohort")))
+      .filter(col("age") < 14)
+      // Per-EVENT cent quantization before any sum — the §6 rule
+      // (a float sum's order could flip the last cent; integers
+      // can't).
+      .groupBy(col("cohort"), col("age"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn("cum_cents", sum(col("cents")).over(w))
+      .select(col("cohort"), col("age"), col("cents"), col("cum_cents"))
+      .orderBy(col("cohort"), col("age"))
+  }
 }
