@@ -292,6 +292,8 @@ object SparkEntry {
     }),
     "g_degree_hist" -> ((s, d) =>
       GraphOps.degreeHistogram(GraphBuilder.supplierCoEdges(s, d))),
+    "g_summary" -> ((s, d) =>
+      GraphOps.graphSummary(GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
     // On the strong-tie subgraph: the raw co-occurrence graph is
     // near-complete (one uniform degree — a single vacuous spine row).
     "g_richclub" -> ((s, d) =>
@@ -344,6 +346,7 @@ object SparkEntry {
     "q_events_sessionize" -> ((s, d) => Relational.qEventsSessionize(s, d)),
     "q_cumulative_distinct" -> ((s, d) => Relational.qCumulativeDistinct(s, d)),
     "q_new_vs_returning" -> ((s, d) => Relational.qNewVsReturning(s, d)),
+    "q_stickiness" -> ((s, d) => Relational.qStickiness(s, d)),
     "q_cohort_ltv" -> ((s, d) => Relational.qCohortLtv(s, d)),
     "q_resample" -> ((s, d) => Relational.qResample(s, d)),
     "q_cusum" -> ((s, d) => Relational.qCusum(s, d)),
@@ -1828,6 +1831,28 @@ object SparkEntry {
         |deg AS (SELECT vertex, count(*) AS degree FROM ends GROUP BY vertex)
         |SELECT degree, count(*) AS n_vertices
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+    // Two bounded aggregations over the strong-tie degree table.
+    "g_summary" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |ew AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |    CAST(count(*) AS DOUBLE) AS weight
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |thr AS (SELECT quantile_cont(weight, 0.5) * 1.25 AS t FROM ew),
+        |e AS (SELECT src, dst FROM ew, thr WHERE weight >= t),
+        |ends AS (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e),
+        |deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS degree
+        |  FROM ends GROUP BY 1),
+        |ec AS (SELECT CAST(count(*) AS BIGINT) AS ne FROM e)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vertices, ec.ne AS n_edges,
+        |  CAST(min(degree) AS BIGINT) AS min_degree,
+        |  CAST(max(degree) AS BIGINT) AS max_degree,
+        |  CAST(sum(degree) * 100 // count(*) AS BIGINT) AS mean_degree_e2,
+        |  CAST(CASE WHEN count(*) >= 2 THEN
+        |    2 * ec.ne * 1000000 // (count(*) * (count(*) - 1)) END
+        |    AS BIGINT) AS density_e6
+        |FROM deg, ec GROUP BY ec.ne""".stripMargin,
     // Same histogram-merge closed form: strictly-above-k totals via
     // the identical reverse running sums; // ≡ div.
     "g_richclub" ->
@@ -2366,6 +2391,23 @@ object SparkEntry {
         |  true AS approx_ok
         |FROM days d LEFT JOIN nu ON d.day = nu.day
         |ORDER BY d.day""".stripMargin,
+    // Exact sliding-window distinct on the bounded day grid; same
+    // 30-day trailing range and // div.
+    "q_stickiness" ->
+      """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |grid AS (SELECT DISTINCT day AS gday FROM ev),
+        |mau AS (SELECT g.gday, CAST(count(DISTINCT e.user_id) AS BIGINT)
+        |    AS mau
+        |  FROM grid g JOIN ev e ON e.day <= g.gday
+        |    AND e.day >= g.gday - INTERVAL 29 DAY
+        |  GROUP BY 1),
+        |dau AS (SELECT day AS gday, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ev GROUP BY 1)
+        |SELECT d.gday AS day, d.dau, m.mau,
+        |  d.dau * 10000 // m.mau AS stickiness_e4
+        |FROM dau d JOIN mau m ON d.gday = m.gday
+        |ORDER BY day""".stripMargin,
     // First-seen-day classification; returning-rate by // div.
     "q_new_vs_returning" ->
       """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id

@@ -151,6 +151,8 @@ final class GraftGraph private (
       Seq("center", "context"))
   /** Rich-club coefficient φ(k) over the bounded degree spine. */
   def richClub(): DataFrame = GraphOps.richClub(edges)
+  /** One-row graph profile (V, E, degree extremes, density). */
+  def summary(): DataFrame = GraphOps.graphSummary(edges)
   /** One-hop neighborhood summary (the aggregateMessages primitive,
     * stated declaratively). */
   def neighborDegreeStats(): DataFrame =

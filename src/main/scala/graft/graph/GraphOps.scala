@@ -34,6 +34,26 @@ object GraphOps {
       .agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("degree"))
 
+  /** One-row graph profile — the "first look" summary before any
+    * algorithm choice (V, E, degree extremes, e2 mean degree, e6
+    * density): every value from two bounded aggregations over the
+    * degree table; exact integer ratios. */
+  def graphSummary(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges).select(col("degree"))
+    val e = edges.count()
+    deg.agg(count(lit(1)).as("n_vertices"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"),
+        sum(col("degree")).as("sdeg"))
+      .select(col("n_vertices"), lit(e).as("n_edges"),
+        col("min_degree"), col("max_degree"),
+        expr("sdeg * 100 div n_vertices").as("mean_degree_e2"),
+        expr("CASE WHEN n_vertices >= 2 THEN " +
+          s"2 * CAST($e AS BIGINT) * 1000000 div " +
+          "(n_vertices * (n_vertices - 1)) END")
+          .as("density_e6"))
+  }
+
   /** Neighborhood aggregation — the `aggregateMessages` primitive
     * stated declaratively (edge join + vertex-keyed agg, which is
     * all aggregateMessages IS when messages don't need Pregel

@@ -1633,4 +1633,28 @@ object Relational {
       .select(col("cohort"), col("age"), col("cents"), col("cum_cents"))
       .orderBy(col("cohort"), col("age"))
   }
+
+  /** DAU/MAU stickiness — per day, daily actives over trailing-30-day
+    * monthly actives (the engagement ratio every consumer dashboard
+    * leads with). Exact sliding-window distinct via the bounded day
+    * grid: distinct (user, day) pairs range-join the grid (≤ 30 grid
+    * rows per pair), then two distinct counts per day — right for a
+    * bounded grid; at corpus scale the sliding distinct moves to
+    * per-day HLL sketches unioned over the window
+    * ([[qSketchRunning]]'s shape), same query surface. */
+  def qStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .localCheckpoint(true)
+    val grid = ev.select(col("day").as("gday")).distinct()
+    val mau = ev.join(broadcast(grid),
+        col("day") <= col("gday") && col("day") >= date_sub(col("gday"), 29))
+      .groupBy(col("gday")).agg(countDistinct(col("user_id")).as("mau"))
+    val dau = ev.groupBy(col("day").as("gday"))
+      .agg(count(lit(1)).as("dau"))
+    dau.join(mau, Seq("gday"))
+      .select(col("gday").as("day"), col("dau"), col("mau"),
+        expr("dau * 10000 div mau").as("stickiness_e4"))
+      .orderBy(col("day"))
+  }
 }
