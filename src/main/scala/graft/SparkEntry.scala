@@ -347,6 +347,7 @@ object SparkEntry {
     "q_cumulative_distinct" -> ((s, d) => Relational.qCumulativeDistinct(s, d)),
     "q_new_vs_returning" -> ((s, d) => Relational.qNewVsReturning(s, d)),
     "q_stickiness" -> ((s, d) => Relational.qStickiness(s, d)),
+    "q_holt_forecast" -> ((s, d) => Relational.qHoltForecast(s, d)),
     "q_cohort_ltv" -> ((s, d) => Relational.qCohortLtv(s, d)),
     "q_resample" -> ((s, d) => Relational.qResample(s, d)),
     "q_cusum" -> ((s, d) => Relational.qCusum(s, d)),
@@ -1124,6 +1125,40 @@ object SparkEntry {
          |LIMIT 1""".stripMargin
   }
 
+  /** Holt recursion unrolled — identical e6 integer state updates
+    * (// ≡ Scala Long division, truncation toward zero) with
+    * carry-forward no-ops past each type's last day. */
+  private def holtOracleSql(rounds: Int = 30): String = {
+    val steps = (2 to rounds).map { t =>
+      val lNew = s"(3 * r.x * 1000000 + 7 * (s.l + s.b)) // 10"
+      s""",
+         |s$t AS MATERIALIZED (SELECT s.event_type,
+         |  CASE WHEN r.x IS NULL THEN s.l ELSE $lNew END AS l,
+         |  CASE WHEN r.x IS NULL THEN s.b
+         |    ELSE ($lNew - s.l + 9 * s.b) // 10 END AS b
+         |  FROM s${t - 1} s LEFT JOIN r
+         |    ON r.event_type = s.event_type AND r.rk = $t)""".stripMargin
+    }.mkString
+    s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk
+       |  FROM d),
+       |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+       |  FROM d GROUP BY 1),
+       |s1 AS (SELECT event_type, x * 1000000 AS l, CAST(0 AS BIGINT) AS b
+       |  FROM r WHERE rk = 1)""".stripMargin +
+      steps +
+      s"""
+         |SELECT s.event_type, n.n_days, CAST(s.l AS BIGINT) AS level_e6,
+         |  CAST(s.b AS BIGINT) AS trend_e6,
+         |  CAST(s.l + s.b AS BIGINT) AS f1_e6,
+         |  CAST(s.l + 2 * s.b AS BIGINT) AS f2_e6,
+         |  CAST(s.l + 3 * s.b AS BIGINT) AS f3_e6
+         |FROM s$rounds s JOIN n ON n.event_type = s.event_type
+         |ORDER BY s.event_type""".stripMargin
+  }
+
   private def kcoreOracleSql(k: Int = 10, rounds: Int = 20): String = {
     val peels = (0 until rounds).map { r =>
       s""",
@@ -1373,6 +1408,7 @@ object SparkEntry {
     "g_walks" -> walksOracleSql(),
     "g_walk_pmi" -> walkPmiOracleSql(),
     "g_densest" -> densestOracleSql(),
+    "q_holt_forecast" -> holtOracleSql(),
     // Identical two-way degree join over the strong-tie sym stream.
     "g_neighbor_agg" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),

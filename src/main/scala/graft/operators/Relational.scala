@@ -1657,4 +1657,40 @@ object Relational {
         expr("dau * 10000 div mau").as("stickiness_e4"))
       .orderBy(col("day"))
   }
+
+  /** Holt linear exponential smoothing per event type — the
+    * level+trend forecaster one step up from a moving average
+    * (α = 0.3, β = 0.1 as exact rationals): all state is e6-scaled
+    * BIGINT with truncating division per update, so the fit is
+    * bit-identical across engines and the oracle can unroll the
+    * recursion exactly (the g_pagerank_det contract applied to time
+    * series; float EWMA would diverge in the last ulp). The daily
+    * count grid is BOUNDED (|types|·|days|), so the sequential
+    * recursion runs on the driver over one landmark read — the same
+    * class as pcaPower's d×d eigen step; the corpus folds to the
+    * grid map-side. Output per type: final level/trend and the
+    * 1/2/3-day-ahead forecasts. */
+  def qHoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+      .orderBy(col("event_type"), col("day"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val out = grid.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val xs = rows.map(_._2)
+      var l = xs.head * 1000000L
+      var b = 0L
+      xs.tail.foreach { x =>
+        val lPrev = l
+        l = (3L * x * 1000000L + 7L * (l + b)) / 10L
+        b = (1L * (l - lPrev) + 9L * b) / 10L
+      }
+      (t, xs.length.toLong, l, b,
+        l + 1L * b, l + 2L * b, l + 3L * b)
+    }
+    out.toDF("event_type", "n_days", "level_e6", "trend_e6",
+      "f1_e6", "f2_e6", "f3_e6").orderBy(col("event_type"))
+  }
 }
