@@ -614,6 +614,28 @@ object SparkEntry {
     "t_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "t_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "t_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
+    // Declared vs predicted language agreement — the metadata-trust
+    // audit (mislabeled lang fields poison mix weights).
+    "t_lang_confusion" -> ((s, d) => {
+      val pred = TextAnalysis.langId(s, d)
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(pred, Seq("doc_id"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+    "d_dup_by_source" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{expr => fexpr, sum => fsum, when => fwhen}
+      val verdicts = Dedup.dupClustersExact(s, d)
+        .select(col("doc_id"), col("is_survivor"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(verdicts, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          fsum(fwhen(col("is_survivor"), 0L).otherwise(1L)).as("n_dups"))
+        .withColumn("dup_rate_e4", fexpr("n_dups * 10000 div n_docs"))
+        .orderBy(col("source"))
+    }),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // Rows-only + spec: the 10-round merge loop's state evolution is
     // not SQL-expressible (BpeSpec pins the Sennrich hand-computed
@@ -848,6 +870,28 @@ object SparkEntry {
 
   /** Canonical supplier co-occurrence edge list as a DuckDB CTE —
     * the shared base of every generated graph oracle. */
+  /** Shared langId oracle SQL (t_langid and the confusion matrix
+    * both state the identical heuristic). */
+  private val LangIdSql = """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is','that','it','for'])) AS en,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','zu','auf'])) AS de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','dans','un','une','pour','que'])) AS fr,
+        |    len(list_intersect(toks, ['el','los','y','es','en','un','una','por','con','para'])) AS es
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |    WHEN es = greatest(en, de, fr, es) THEN 'es'
+        |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |    ELSE 'fr' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin
+
   private val EdgeCte =
     """os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
       |e AS MATERIALIZED (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
@@ -3450,26 +3494,27 @@ object SparkEntry {
     // Stub language-id replicated in SQL: CJK script check, stopword
     // hit counts per language, fixed priority tiebreak — same lists
     // and order as TextFunctions.langId.
-    "t_langid" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, text,
-        |    len(list_intersect(toks, ['the','a','of','and','to','in','is','that','it','for'])) AS en,
-        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','zu','auf'])) AS de,
-        |    len(list_intersect(toks, ['le','la','les','et','est','dans','un','une','pour','que'])) AS fr,
-        |    len(list_intersect(toks, ['el','los','y','es','en','un','una','por','con','para'])) AS es
-        |  FROM t)
-        |SELECT doc_id,
-        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        |    WHEN greatest(en, de, fr, es) = 0 THEN 'und'
-        |    WHEN en = greatest(en, de, fr, es) THEN 'en'
-        |    WHEN es = greatest(en, de, fr, es) THEN 'es'
-        |    WHEN de = greatest(en, de, fr, es) THEN 'de'
-        |    ELSE 'fr' END AS pred_lang
-        |FROM s ORDER BY doc_id""".stripMargin,
+    "t_langid" -> LangIdSql,
+    "t_lang_confusion" ->
+      ("WITH pred AS (" + LangIdSql + """)
+        |SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+        |FROM documents d JOIN pred p USING (doc_id)
+        |GROUP BY d.lang, p.pred_lang
+        |ORDER BY d.lang, p.pred_lang""".stripMargin),
+    // Exact-dup verdicts re-keyed by source metadata.
+    "d_dup_by_source" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |c AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS cluster_id
+        |      FROM h GROUP BY h),
+        |v AS (SELECT doc_id, doc_id = cluster_id AS is_survivor
+        |  FROM h JOIN c USING (h))
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN v.is_survivor THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dups,
+        |  CAST(sum(CASE WHEN v.is_survivor THEN 0 ELSE 1 END) * 10000
+        |    // count(*) AS BIGINT) AS dup_rate_e4
+        |FROM documents d JOIN v USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // Multimodal stub oracles: md5 content hashes over byte slices;
     // DuckDB's char slicing equals the byte slicing because the
     // corpus is ASCII (checked — see Multimodal scaladoc).
