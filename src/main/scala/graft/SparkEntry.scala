@@ -348,6 +348,7 @@ object SparkEntry {
     "q_new_vs_returning" -> ((s, d) => Relational.qNewVsReturning(s, d)),
     "q_stickiness" -> ((s, d) => Relational.qStickiness(s, d)),
     "q_holt_forecast" -> ((s, d) => Relational.qHoltForecast(s, d)),
+    "q_top_movers" -> ((s, d) => Relational.qTopMovers(s, d)),
     "q_cohort_ltv" -> ((s, d) => Relational.qCohortLtv(s, d)),
     "q_resample" -> ((s, d) => Relational.qResample(s, d)),
     "q_cusum" -> ((s, d) => Relational.qCusum(s, d)),
@@ -2471,6 +2472,25 @@ object SparkEntry {
         |  true AS approx_ok
         |FROM days d LEFT JOIN nu ON d.day = nu.day
         |ORDER BY d.day""".stripMargin,
+    // Identical midpoint split and // div, guarded denominator.
+    "q_top_movers" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |a AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |h AS (SELECT event_type,
+        |    CASE WHEN date_diff('day', a.d0, day) * 2
+        |      <= date_diff('day', a.d0, a.d1) THEN 1 ELSE 2 END AS half
+        |  FROM ev CROSS JOIN a),
+        |g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_first,
+        |    CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_second
+        |  FROM h GROUP BY event_type)
+        |SELECT event_type, n_first, n_second,
+        |  n_second - n_first AS delta,
+        |  CASE WHEN n_first > 0
+        |    THEN (n_second - n_first) * 10000 // n_first END AS pct_e4
+        |FROM g ORDER BY event_type""".stripMargin,
     // Exact sliding-window distinct on the bounded day grid; same
     // 30-day trailing range and // div.
     "q_stickiness" ->

@@ -1693,4 +1693,28 @@ object Relational {
     out.toDF("event_type", "n_days", "level_e6", "trend_e6",
       "f1_e6", "f2_e6", "f3_e6").orderBy(col("event_type"))
   }
+
+  /** Period-over-period movers — first-half vs second-half event
+    * volumes per type with exact integer deltas and e4 relative
+    * change (the "what changed this period" BI readout). The split
+    * point is the midpoint of the observed day span (data-derived,
+    * deterministic); one bounded aggregation, a broadcast anchor,
+    * zero-denominator guarded. */
+  def qTopMovers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val anchor = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("half",
+        when(datediff(col("day"), col("d0")) * 2
+          <= datediff(col("d1"), col("d0")), lit(1)).otherwise(lit(2)))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("n_second"))
+      .select(col("event_type"), col("n_first"), col("n_second"),
+        (col("n_second") - col("n_first")).as("delta"),
+        when(col("n_first") > 0,
+          expr("(n_second - n_first) * 10000 div n_first")).as("pct_e4"))
+      .orderBy(col("event_type"))
+  }
 }
