@@ -303,6 +303,11 @@ object SparkEntry {
     "g_neighbor_agg" -> ((s, d) =>
       GraphOps.neighborDegreeStats(
         GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
+    // Strong ties: spectral structure is invisible on the
+    // near-complete raw graph.
+    "g_spectral_cut" -> ((s, d) =>
+      GraphOps.spectralCut(s,
+        GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
     // Strong ties for the same reason: the raw graph's densest
     // subgraph is trivially itself.
     "g_densest" -> ((s, d) =>
@@ -1204,6 +1209,53 @@ object SparkEntry {
          |ORDER BY s.event_type""".stripMargin
   }
 
+  /** Shifted-Laplacian power iteration unrolled — identical integer
+    * matvec, mean deflation and max-renormalization per round over
+    * the strong-tie subgraph (// ≡ div, both truncate). */
+  private def spectralOracleSql(rounds: Int = 15): String = {
+    val steps = (1 to rounds).map { r =>
+      s""",
+         |nb$r AS MATERIALIZED (SELECT s.src AS vertex,
+         |    CAST(sum(x.s) AS BIGINT) AS s_sum
+         |  FROM sym s JOIN x${r - 1} x ON x.vertex = s.dst GROUP BY 1),
+         |y$r AS MATERIALIZED (SELECT d.vertex,
+         |    CAST((cc.c - d.deg) * x.s + coalesce(nb.s_sum, 0) AS BIGINT)
+         |      AS y
+         |  FROM deg d JOIN x${r - 1} x USING (vertex) CROSS JOIN cc
+         |  LEFT JOIN nb$r nb ON nb.vertex = d.vertex),
+         |m$r AS (SELECT CAST(sum(y) AS BIGINT)
+         |    // CAST(count(*) AS BIGINT) AS mean FROM y$r),
+         |z$r AS MATERIALIZED (SELECT vertex, y - m.mean AS z
+         |  FROM y$r CROSS JOIN m$r m),
+         |w$r AS (SELECT CAST(max(abs(z)) AS BIGINT) AS mx FROM z$r),
+         |x$r AS MATERIALIZED (SELECT vertex,
+         |    CAST(CASE WHEN w.mx = 0 THEN 0
+         |      ELSE z * 1000000 // w.mx END AS BIGINT) AS s
+         |  FROM z$r CROSS JOIN w$r w)""".stripMargin
+    }.mkString
+    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |ew AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+       |    CAST(count(*) AS DOUBLE) AS weight
+       |  FROM os a JOIN os b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2),
+       |thr AS (SELECT quantile_cont(weight, 0.5) * 1.25 AS t FROM ew),
+       |e AS (SELECT src, dst FROM ew, thr WHERE weight >= t),
+       |sym AS MATERIALIZED (SELECT src, dst FROM e
+       |  UNION ALL SELECT dst, src FROM e),
+       |deg AS MATERIALIZED (SELECT src AS vertex,
+       |    CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+       |cc AS (SELECT 2 * max(deg) AS c FROM deg),
+       |x0 AS MATERIALIZED (SELECT vertex,
+       |  CAST(CAST(('0x' || substr(md5(CAST(vertex AS VARCHAR)), 1, 15))
+       |    AS BIGINT) % 2000001 - 1000000 AS BIGINT) AS s FROM deg)"""
+      .stripMargin +
+      steps +
+      s"""
+         |SELECT vertex, s AS score_e6, s >= 0 AS side
+         |FROM x$rounds ORDER BY vertex""".stripMargin
+  }
+
   private def kcoreOracleSql(k: Int = 10, rounds: Int = 20): String = {
     val peels = (0 until rounds).map { r =>
       s""",
@@ -1454,6 +1506,7 @@ object SparkEntry {
     "g_walk_pmi" -> walkPmiOracleSql(),
     "g_densest" -> densestOracleSql(),
     "q_holt_forecast" -> holtOracleSql(),
+    "g_spectral_cut" -> spectralOracleSql(),
     // Identical two-way degree join over the strong-tie sym stream.
     "g_neighbor_agg" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),

@@ -153,6 +153,10 @@ final class GraftGraph private (
   def richClub(): DataFrame = GraphOps.richClub(edges)
   /** One-row graph profile (V, E, degree extremes, density). */
   def summary(): DataFrame = GraphOps.graphSummary(edges)
+  /** Spectral bisection scores (Fiedler direction, integer power
+    * iteration). */
+  def spectralCut(rounds: Int = 15): DataFrame =
+    decode(GraphOps.spectralCut(spark, edges, rounds), Seq("vertex"))
   /** One-hop neighborhood summary (the aggregateMessages primitive,
     * stated declaratively). */
   def neighborDegreeStats(): DataFrame =

@@ -34,6 +34,65 @@ object GraphOps {
       .agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("degree"))
 
+  /** Spectral bisection scores — the Fiedler-direction readout
+    * (algebraic-connectivity eigenvector sign = the classic
+    * two-way graph partition) by power iteration on the shifted
+    * Laplacian M = cI − L (c = 2·max degree ≥ λmax, so the smallest
+    * L-eigenvalues become the largest M-eigenvalues), deflating the
+    * constant vector (L's λ=0 eigenvector) every round by mean
+    * subtraction. EVERY operation is integer: e6-scaled scores,
+    * matvec y_v = (c − deg_v)·x_v + Σ_{u∼v} x_u over BIGINTs
+    * (reduction-order free), mean deflation and max-|·|
+    * renormalization by truncating division — the `g_pagerank_det`
+    * bit-reproducibility contract applied to spectral methods, which
+    * is what lets a 15-round unrolled SQL oracle match EXACTLY.
+    * Per round: one equi-join + one vertex-keyed agg + two scalar
+    * folds; state is one (vertex, score) row per vertex. Fixed
+    * rounds (partial convergence is fine — the contract is the
+    * deterministic recursion, the SPEC pins that a planted
+    * two-community graph bisects correctly). */
+  def spectralCut(spark: SparkSession, edges: DataFrame,
+      rounds: Int = 15): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val c = 2L * deg.agg(max(col("deg"))).first().getLong(0)
+    // Pseudo-random start via the cross-engine md5-hex hash (the
+    // g_walks trick): a structured start (e.g. vertex parity) can be
+    // exactly orthogonal to the Fiedler direction on symmetric
+    // graphs — planted-bisection spec caught it — while a hash
+    // start has overlap with every direction almost surely.
+    var x = deg.select(col("vertex"),
+      (pmod(conv(substring(md5(col("vertex").cast("string")), 1, 15),
+        16, 10).cast("long"), lit(2000001L)) - 1000000L).as("s"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nb = sym.join(x.withColumnRenamed("vertex", "dst"), Seq("dst"))
+        .groupBy(col("src").as("vertex")).agg(sum(col("s")).as("s_sum"))
+      val y = deg.join(x, Seq("vertex"))
+        .join(nb, Seq("vertex"), "left")
+        .select(col("vertex"),
+          ((lit(c) - col("deg")) * col("s")
+            + coalesce(col("s_sum"), lit(0L))).as("y"))
+        .localCheckpoint(true)
+      val r = y.agg(sum(col("y")).as("sy"), count(lit(1)).as("n")).first()
+      val mean = r.getLong(0) / r.getLong(1)
+      val z = y.select(col("vertex"), (col("y") - lit(mean)).as("z"))
+      val mx = z.agg(max(abs(col("z")))).first().getLong(0)
+      val next = z.select(col("vertex"),
+        (if (mx == 0L) lit(0L)
+         else expr(s"z * 1000000 div ${mx}L")).as("s"))
+        .localCheckpoint(true)
+      x.unpersist(false)
+      x = next
+    }
+    x.select(col("vertex"), col("s").as("score_e6"),
+        (col("s") >= 0).as("side"))
+      .orderBy(col("vertex"))
+  }
+
   /** One-row graph profile — the "first look" summary before any
     * algorithm choice (V, E, degree extremes, e2 mean degree, e6
     * density): every value from two bounded aggregations over the

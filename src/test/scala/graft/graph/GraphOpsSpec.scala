@@ -401,6 +401,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(w2 == 4L)
   }
 
+  test("spectral cut bisects two bridged cliques along the bridge") {
+    // Two K5s joined by one bridge edge: the Fiedler direction
+    // separates the cliques — every vertex of one clique lands on
+    // one side, every vertex of the other on the other side.
+    val k5a = for { a <- 0L to 4L; b <- 0L to 4L if a < b } yield (a, b)
+    val k5b = for { a <- 10L to 14L; b <- 10L to 14L if a < b } yield (a, b)
+    val e = (k5a ++ k5b ++ Seq((4L, 10L))).toDF("src", "dst")
+    val r = GraphOps.spectralCut(spark, e).collect()
+      .map(x => (x.getLong(0), x.getBoolean(2))).toMap
+    val sideA = (0L to 4L).map(r)
+    val sideB = (10L to 14L).map(r)
+    assert(sideA.toSet.size == 1, s"clique A split: $sideA")
+    assert(sideB.toSet.size == 1, s"clique B split: $sideB")
+    assert(sideA.head != sideB.head, "cliques must land on opposite sides")
+  }
+
+  test("spectral cut is partitioning-invariant (integer recursion)") {
+    val k5a = for { a <- 0L to 4L; b <- 0L to 4L if a < b } yield (a, b)
+    val k5b = for { a <- 10L to 14L; b <- 10L to 14L if a < b } yield (a, b)
+    val e = (k5a ++ k5b ++ Seq((4L, 10L))).toDF("src", "dst")
+    val a = GraphOps.spectralCut(spark, e.repartition(16))
+      .collect().map(_.toSeq).toSeq
+    val b = GraphOps.spectralCut(spark, e.coalesce(1))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("densest-subgraph peel isolates a planted clique from its halo") {
     // K6 (density 15/6 = 2.5) bridged to a 20-vertex path halo
     // (density ~1): round 0 sees the mixed graph, the average-degree
