@@ -354,6 +354,20 @@ object SparkEntry {
     "q_stickiness" -> ((s, d) => Relational.qStickiness(s, d)),
     "q_holt_forecast" -> ((s, d) => Relational.qHoltForecast(s, d)),
     "q_top_movers" -> ((s, d) => Relational.qTopMovers(s, d)),
+    // Diurnal profile: (hour-of-day, type) counts over the bounded
+    // 24 x |types| grid, peak hour flagged by the unique
+    // (n DESC, hour) rank.
+    "q_hourly_profile" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{hour => fhour, row_number => frn, desc => fdesc}
+      import org.apache.spark.sql.expressions.Window
+      val g = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), fhour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(fdesc("n"), col("hr"))
+      g.withColumn("is_peak", frn().over(w) === 1)
+        .orderBy(col("event_type"), col("hr"))
+    }),
     "q_cohort_ltv" -> ((s, d) => Relational.qCohortLtv(s, d)),
     "q_resample" -> ((s, d) => Relational.qResample(s, d)),
     "q_cusum" -> ((s, d) => Relational.qCusum(s, d)),
@@ -629,6 +643,15 @@ object SparkEntry {
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred_lang"))
+    }),
+    // Duplicate-family size histogram — "how big are my copy
+    // families": exact clusters → per-cluster sizes → counts per
+    // size (bounded output).
+    "d_cluster_sizes" -> ((s, d) => {
+      Dedup.dupClustersExact(s, d)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
     }),
     "d_dup_by_source" -> ((s, d) => {
       import org.apache.spark.sql.functions.{expr => fexpr, sum => fsum, when => fwhen}
@@ -2525,6 +2548,16 @@ object SparkEntry {
         |  true AS approx_ok
         |FROM days d LEFT JOIN nu ON d.day = nu.day
         |ORDER BY d.day""".stripMargin,
+    // UTC hour buckets and the unique (n DESC, hour) peak rank.
+    "q_hourly_profile" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hr, n,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, hr) = 1 AS is_peak
+        |FROM g ORDER BY event_type, hr""".stripMargin,
     // Identical midpoint split and // div, guarded denominator.
     "q_top_movers" ->
       """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
@@ -3574,6 +3607,11 @@ object SparkEntry {
         |FROM documents d JOIN pred p USING (doc_id)
         |GROUP BY d.lang, p.pred_lang
         |ORDER BY d.lang, p.pred_lang""".stripMargin),
+    "d_cluster_sizes" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |c AS (SELECT h, CAST(count(*) AS BIGINT) AS sz FROM h GROUP BY h)
+        |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM c GROUP BY sz ORDER BY sz""".stripMargin,
     // Exact-dup verdicts re-keyed by source metadata.
     "d_dup_by_source" ->
       """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
