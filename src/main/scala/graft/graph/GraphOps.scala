@@ -71,20 +71,26 @@ object GraphOps {
     for (_ <- 1 to rounds) {
       val nb = sym.join(x.withColumnRenamed("vertex", "dst"), Seq("dst"))
         .groupBy(col("src").as("vertex")).agg(sum(col("s")).as("s_sum"))
+      // ONE job per round (the g_scc lazy-state fold): the lazy
+      // localCheckpoint materializes under the immediately following
+      // FULL-scan aggregate — safe only because that scan is full —
+      // and the deflation mean and renormalization max come out of
+      // the same pass (max|y − mean| = max(maxY − mean, mean − minY)
+      // since mean is a constant).
       val y = deg.join(x, Seq("vertex"))
         .join(nb, Seq("vertex"), "left")
         .select(col("vertex"),
           ((lit(c) - col("deg")) * col("s")
             + coalesce(col("s_sum"), lit(0L))).as("y"))
-        .localCheckpoint(true)
-      val r = y.agg(sum(col("y")).as("sy"), count(lit(1)).as("n")).first()
+        .localCheckpoint(false)
+      val r = y.agg(sum(col("y")), count(lit(1)),
+        max(col("y")), min(col("y"))).first()
       val mean = r.getLong(0) / r.getLong(1)
-      val z = y.select(col("vertex"), (col("y") - lit(mean)).as("z"))
-      val mx = z.agg(max(abs(col("z")))).first().getLong(0)
-      val next = z.select(col("vertex"),
+      val mx = math.max(r.getLong(2) - mean, mean - r.getLong(3))
+      val next = y.select(col("vertex"),
         (if (mx == 0L) lit(0L)
-         else expr(s"z * 1000000 div ${mx}L")).as("s"))
-        .localCheckpoint(true)
+         else expr(s"(y - ${mean}L) * 1000000 div ${mx}L")).as("s"))
+        .localCheckpoint(false)
       x.unpersist(false)
       x = next
     }
