@@ -927,15 +927,35 @@ object Relational {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")))
 
   /** [[qSkyline]] over any (key, price, date)-shaped frame (minimize
-    * both value columns). */
+    * both value columns). The running-min spine is DISTRIBUTED: the
+    * per-price min dates range-partition on price, each partition
+    * computes its local running min under a pid-partitioned window,
+    * and the cross-partition carry is the exclusive prefix min over
+    * the ≤`shuffle.partitions`-row per-partition minima (a bounded
+    * self-join, never data rows) — `least` lifts local to global
+    * running mins, `lag` + the prefix min gives each row its global
+    * predecessor's value. No unpartitioned window (PlanAuditSpec);
+    * identical algebra to the single-window form. */
   def skylineOf(o: DataFrame): DataFrame = {
     val Seq(key, price, date) = o.columns.toSeq
-    val spine = o.groupBy(col(price))
+    val parts = o.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = o.groupBy(col(price))
       .agg(min(col(date)).as("dmin"))
-      .withColumn("rm", min(col("dmin")).over(
-        Window.orderBy(col(price))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("prev_rm", lag(col("rm"), 1).over(Window.orderBy(col(price))))
+      .repartitionByRange(parts, col(price))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // ≤parts rows: per-partition minima → exclusive prefix min per pid.
+    val pm = ranged.groupBy(col("__pid")).agg(min(col("dmin")).as("m"))
+      .localCheckpoint(true)
+    val prefix = pm.as("a")
+      .join(pm.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid")).agg(min(col("b.m")).as("__pmin"))
+    val wp = Window.partitionBy(col("__pid")).orderBy(col(price))
+    val spine = ranged.join(broadcast(prefix), Seq("__pid"))
+      .withColumn("rm", least(min(col("dmin")).over(
+        wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        col("__pmin")))
+      .withColumn("prev_rm", coalesce(lag(col("rm"), 1).over(wp), col("__pmin")))
       .select(col(price), col("rm"), col("prev_rm"))
     o.join(broadcast(spine), Seq(price))
       .filter(!(coalesce(col("prev_rm") <= col(date), lit(false))
@@ -1261,11 +1281,12 @@ object Relational {
     * `ntile(5)` under a UNIQUE total order (metric, custkey — the §6
     * tiebreak rule; equal metrics split deterministically). Smaller
     * recency ⇒ higher R; larger frequency/monetary ⇒ higher F/M;
-    * segment = 100·R + 10·F + M. The global ntile is a single-
-    * partition sort — fine to ~10^7 customers; past that the quintile
-    * cut points come from [[Selection.exactPercentiles]]-style
-    * distributed selection and broadcast-join back (documented, same
-    * scores). One orders scan, one customer-keyed agg, one sort. */
+    * segment = 100·R + 10·F + M. Each quintile rides
+    * [[Selection.withGlobalRank]]'s range-partitioned distributed
+    * rank + [[Selection.ntileOfRank]]'s closed-form NTILE (same tie
+    * split, bit-identical scores — no single-partition ntile sort;
+    * PlanAuditSpec asserts every window is partitioned). One orders
+    * scan, one customer-keyed agg, three narrow rank passes. */
   def qRfm(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderdate"),
@@ -1278,15 +1299,21 @@ object Relational {
       .select(col("o_custkey"),
         datediff(col("anchor"), col("last_order")).cast("long").as("r_days"),
         col("frequency"), col("monetary_cents"))
-    base
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(col("r_days").desc, col("o_custkey"))).cast("long"))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(col("frequency"), col("o_custkey"))).cast("long"))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("monetary_cents"), col("o_custkey"))).cast("long"))
+      .localCheckpoint(true)
+    val nRow = broadcast(base.agg(count(lit(1)).as("nn")))
+    val ranked = Selection.withGlobalRank(
+      Selection.withGlobalRank(
+        Selection.withGlobalRank(base,
+          Seq(col("r_days").desc, col("o_custkey")), "ri"),
+        Seq(col("frequency"), col("o_custkey")), "fi"),
+      Seq(col("monetary_cents"), col("o_custkey")), "mi")
+    ranked.crossJoin(nRow)
+      .withColumn("r_score", Selection.ntileOfRank("ri", "nn", 5))
+      .withColumn("f_score", Selection.ntileOfRank("fi", "nn", 5))
+      .withColumn("m_score", Selection.ntileOfRank("mi", "nn", 5))
       .withColumn("segment",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .drop("ri", "fi", "mi", "nn")
       .orderBy(col("o_custkey"))
   }
 
@@ -1444,16 +1471,19 @@ object Relational {
     * contribute identically under any tie order (equal x ⇒ same
     * Σi·x), so the statistic is deterministic; sums ride
     * DECIMAL(38,0) (Σi·x overflows BIGINT·1e6 at scale) and the
-    * single G division floors to e6. One customer agg, one bounded
-    * rank window, one fold. */
+    * single G division floors to e6. Ranks come from
+    * [[Selection.withGlobalRank]]'s range-partitioned distributed
+    * rank (no single-reducer window — PlanAuditSpec asserts it), so
+    * the customer base never funnels through one task. One customer
+    * agg, two narrow rank shuffles, one fold. */
   def qGini(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val spend = Tables.orders(spark, dir)
       .select(col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy(col("o_custkey")).agg(sum(col("cents")).as("x"))
-    val ranked = spend.withColumn("i",
-      row_number().over(Window.orderBy(col("x"), col("o_custkey"))).cast("long"))
+    val ranked = Selection.withGlobalRank(spend,
+      Seq(col("x"), col("o_custkey")), "i")
     ranked.groupBy()
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast(d38)).as("sx"),
@@ -1491,19 +1521,18 @@ object Relational {
     * floor division (cum·1e6 brushes BIGINT range past sf1 — the
     * qStats/qGini overflow rule); the 10-row decile spine equi-joins
     * the ranked table on the target rank, so only 10 rows leave the
-    * window stage. The global rank window is the documented
-    * single-sort shape (the q_rfm note): past ~10^7 customers the
-    * decile boundary ranks come from distributed selection instead | */
+    * rank stage. Rank AND running revenue both come from
+    * [[Selection.withGlobalRank]]'s range-partitioned distributed
+    * rank+cumsum (local running sums lifted by per-partition sum
+    * offsets) — no single-reducer window anywhere (PlanAuditSpec). */
   def qPareto(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .select(col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy(col("o_custkey")).agg(sum(col("cents")).as("x"))
-    val w = Window.orderBy(col("x").desc, col("o_custkey"))
-    val ranked = spend
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("x")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = Selection.withGlobalRank(spend,
+      Seq(col("x").desc, col("o_custkey")), "rk",
+      cumSumOf = Some("x"), cumName = "cum")
       .select(col("rk"), col("cum"))
     val tot = spend.agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
     val targets = spark.range(1, 11)

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact distributed selection (k-th order statistic) — the missing
@@ -28,6 +29,70 @@ import org.apache.spark.sql.functions._
   * width 0, answered directly).
   */
 object Selection {
+
+  /** EXACT global row_number (1-indexed under `sortCols`, which must
+    * be a unique total order) WITHOUT a single-reducer window — the
+    * distributed replacement for `row_number().over(Window.orderBy(…))`,
+    * whose empty partition spec funnels every row through one task.
+    *
+    * Shape: range-partition on the sort key (a NUMBERED repartition,
+    * so AQE cannot coalesce it), rank locally per partition under a
+    * pid-partitioned window, and lift local ranks to global ones by
+    * adding per-partition row-count offsets. The offsets come from a
+    * ≤`shuffle.partitions`-row aggregate read on the driver — the
+    * bounded-histogram precedent, never data rows. Rank values are
+    * defined purely by the total order, so they are independent of
+    * where the range sampler happens to place partition boundaries.
+    *
+    * With `cumSumOf = Some(c)` the running sum of BIGINT column `c`
+    * in rank order is appended as `cumName` the same way (local
+    * running sum + per-partition sum offsets).
+    *
+    * 100 TB shape: two narrow shuffles (range + pid hash) over rows
+    * that should already be reduced to (key, metric) width; no stage
+    * sees more than one partition's rows, no executor sorts more
+    * than a partition. */
+  def withGlobalRank(input: DataFrame, sortCols: Seq[Column], rankName: String,
+      cumSumOf: Option[String] = None, cumName: String = "cum"): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = input.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val aggCols = Seq(count(lit(1)).as("c")) ++
+      cumSumOf.map(c => sum(col(c)).as("s"))
+    val stats = ranged.groupBy(col("__pid")).agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (cumSumOf.isDefined) r.getLong(2) else 0L))
+      .sortBy(_._1)
+    var cOff = 0L; var sOff = 0L
+    val offs = stats.toSeq.map { case (p, c, s) =>
+      val row = (p, cOff, sOff); cOff += c; sOff += s; row
+    }
+    val offsets = broadcast(offs.toDF("__pid", "__coff", "__soff"))
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val withRank = ranged.join(offsets, Seq("__pid"))
+      .withColumn(rankName, row_number().over(w).cast("long") + col("__coff"))
+    val out = cumSumOf match {
+      case Some(c) => withRank.withColumn(cumName,
+        sum(col(c)).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) + col("__soff"))
+      case None => withRank
+    }
+    out.drop("__pid", "__coff", "__soff")
+  }
+
+  /** `ntile(t)` of 1-indexed rank column `i` over `n` total rows, in
+    * closed form (SQL NTILE: n mod t front tiles take ⌈n/t⌉ rows,
+    * the rest ⌊n/t⌋) — so the tile assignment composes with
+    * [[withGlobalRank]] instead of needing its own global window.
+    * `i`/`n` are column NAMES of BIGINT columns in scope. */
+  def ntileOfRank(i: String, n: String, t: Int): Column = expr(
+    s"CASE WHEN ($i - 1) < ($n % $t) * ($n div $t + 1) " +
+    s"THEN ($i - 1) div ($n div $t + 1) + 1 " +
+    s"ELSE ($n % $t) + (($i - 1) - ($n % $t) * ($n div $t + 1)) div ($n div $t) + 1 END")
 
   /** Value at ascending rank `k` (1-indexed) of `df`'s single numeric
     * column `x`. */

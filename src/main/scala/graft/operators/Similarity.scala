@@ -1338,19 +1338,20 @@ object Similarity {
     * corpus) summarize to one row: max, p99 by the discrete
     * ⌈0.99·n⌉ ordered selection, anti-hub count, and the in-degree
     * Gini (q_gini's closed form — 0 = uniform, →1e6 = all edges on
-    * one hub). All-integer end to end. */
+    * one hub). All-integer end to end; ranks ride
+    * [[Selection.withGlobalRank]]'s range-partitioned distributed
+    * rank (the corpus never funnels through one window task) and the
+    * row count is a broadcast one-row aggregate, not an unbounded
+    * window. */
   def hubness(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val edges = knnGraph(spark, dir, k)
     val indeg = Tables.embeddings(spark, dir).select(col("vec_id"))
       .join(edges.groupBy(col("neighbor_id").as("vec_id"))
         .agg(count(lit(1)).as("indeg")), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("indeg"), lit(0L)).as("x"))
-    val w = Window.orderBy(col("x"), col("vec_id"))
-    val ranked = indeg
-      .withColumn("i", row_number().over(w).cast("long"))
-      .withColumn("nn", count(lit(1)).over(
-        Window.partitionBy().rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ranked = Selection.withGlobalRank(indeg,
+      Seq(col("x"), col("vec_id")), "i")
+      .crossJoin(broadcast(indeg.agg(count(lit(1)).as("nn"))))
     ranked.groupBy()
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("i") * col("x")).as("sixy"),

@@ -104,6 +104,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no map-side partial for the custom aggregate:\n${plan.take(1500)}")
   }
 
+  test("global-rank family plans no unpartitioned window anywhere") {
+    // The round-10 verdict's one remaining scale-killer class: a
+    // Window with an EMPTY partition spec requires SinglePartition
+    // distribution — the whole input funnels through one task. All
+    // five former offenders now ride Selection.withGlobalRank's
+    // range-partitioned rank; this walks every WindowExec in each
+    // plan (through AQE wrappers) and asserts a nonempty partition
+    // spec, so a regression fails here instead of melting at scale.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val here = p match { case w: WindowExec => Seq(w); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(windows)
+    }
+    for (q <- Seq("q_gini", "q_pareto", "q_rfm", "q_skyline", "e_hubness")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val bad = windows(df.queryExecution.executedPlan)
+        .filter(_.partitionSpec.isEmpty)
+      assert(bad.isEmpty,
+        s"$q plans ${bad.size} unpartitioned window(s):\n${bad.map(_.toString.take(300)).mkString("\n")}")
+    }
+  }
+
   test("salted aggregation partials run on (key, salt) before any exchange") {
     val plan = executedPlan(graft.SparkEntry.queries("q_skew_agg")(spark, sf))
     val firstAgg = plan.linesIterator.toSeq.reverse

@@ -78,6 +78,35 @@ class SelectionSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.selection.maxBisectGroups")
   }
 
+  test("withGlobalRank + ntileOfRank equal the single-window formulation") {
+    // The distributed rank must be BIT-identical to
+    // row_number()/sum().over(Window.orderBy(...)) under the same
+    // unique total order — ranks are defined by the order alone, so
+    // range-boundary placement must not matter. Includes ties in the
+    // primary key (broken by id) and enough rows to span partitions.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 500).map(i => (i.toLong, rnd.nextInt(40).toLong)).toDF("id", "x")
+    val w = Window.orderBy(col("x"), col("id"))
+    val viaWindow = df
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", ntile(7).over(w).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val viaRank = Selection.withGlobalRank(df,
+        Seq(col("x"), col("id")), "i", cumSumOf = Some("x"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("nn"))))
+      .withColumn("t", Selection.ntileOfRank("i", "nn", 7))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("i"),
+        r.getAs[Long]("cum"), r.getAs[Long]("t")))
+      .sortBy(_._1).toSeq
+    assert(viaRank == viaWindow)
+  }
+
   test("exactPercentiles uses the ceil(p*n) discrete convention") {
     // n = 10 values 10..100: p50 → rank 5 → 50; p90 → rank 9 → 90;
     // p99 → rank ceil(9.9) = 10 → 100; p1 → rank ceil(0.1) = 1 → 10.
