@@ -116,6 +116,15 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] artifact write: $e") }
+    // The log capture keeps only the LAST ~2000 chars of stdout, so
+    // the full per-query line above left-truncates and has parsed as
+    // null two rounds running (BENCH_r08/BENCH_r10). Print a compact
+    // summary — total, count, slowest 5 — as the FINAL line so the
+    // tail always carries one complete parseable JSON object.
+    val slow = med.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${med.size},"repeat":$repeat,"warmup_sec":$warmupSec,"slowest5":$slow,"sf":"$sfDir","full":"/tmp/graft_bench.json"}""")
     spark.stop()
   }
 }

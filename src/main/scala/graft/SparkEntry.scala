@@ -1201,7 +1201,8 @@ object SparkEntry {
   /** Holt recursion unrolled — identical e6 integer state updates
     * (// ≡ Scala Long division, truncation toward zero) with
     * carry-forward no-ops past each type's last day. */
-  private def holtOracleSql(rounds: Int = 30): String = {
+  private def holtOracleSql(
+      rounds: Int = operators.Relational.HoltOracleRounds): String = {
     val steps = (2 to rounds).map { t =>
       val lNew = s"(3 * r.x * 1000000 + 7 * (s.l + s.b)) // 10"
       s""",

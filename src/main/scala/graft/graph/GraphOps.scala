@@ -68,6 +68,7 @@ object GraphOps {
       (pmod(conv(substring(md5(col("vertex").cast("string")), 1, 15),
         16, 10).cast("long"), lit(2000001L)) - 1000000L).as("s"))
       .localCheckpoint(true)
+    var prevY: DataFrame = null
     for (_ <- 1 to rounds) {
       val nb = sym.join(x.withColumnRenamed("vertex", "dst"), Seq("dst"))
         .groupBy(col("src").as("vertex")).agg(sum(col("s")).as("s_sum"))
@@ -85,6 +86,12 @@ object GraphOps {
         .localCheckpoint(false)
       val r = y.agg(sum(col("y")), count(lit(1)),
         max(col("y")), min(col("y"))).first()
+      // The r action also materialized this round's x (the join
+      // scanned it), so the PREVIOUS round's y — x's checkpoint
+      // parent — is now safe to free; without this the 15 per-round
+      // y checkpoints sit in the block store until GC.
+      if (prevY != null) prevY.unpersist(false)
+      prevY = y
       val mean = r.getLong(0) / r.getLong(1)
       val mx = math.max(r.getLong(2) - mean, mean - r.getLong(3))
       val next = y.select(col("vertex"),
@@ -117,6 +124,10 @@ object GraphOps {
           s"2 * CAST($e AS BIGINT) * 1000000 div " +
           "(n_vertices * (n_vertices - 1)) END")
           .as("density_e6"))
+      // Empty edge set: the oracle's FROM deg … GROUP BY yields zero
+      // rows while an unguarded global agg yields one null/zero row —
+      // agree on "no graph, no profile" instead of a latent mismatch.
+      .filter(col("n_vertices") > 0)
   }
 
   /** Neighborhood aggregation — the `aggregateMessages` primitive
@@ -229,7 +240,13 @@ object GraphOps {
       .withColumn("n_x", sum(col("n_cc")).over(wX))
       .crossJoin(broadcast(tot))
       .select(col("center"), col("context"), col("n_cc"),
-        expr("n_cc * t * 1000000 div (n_c * n_x)").as("pmi_ratio_e6"))
+        // DECIMAL(38,0) before the multiply: n_cc·t·1e6 exceeds
+        // BIGINT on larger walk corpora and non-ANSI Long math would
+        // silently wrap while DuckDB's window sums promote to
+        // HUGEINT (the qGini/qPareto overflow rule).
+        expr("CAST(CAST(n_cc AS DECIMAL(38,0)) * t * 1000000" +
+          " div (CAST(n_c AS DECIMAL(38,0)) * n_x) AS BIGINT)")
+          .as("pmi_ratio_e6"))
       .orderBy(col("center"), col("context"))
   }
 

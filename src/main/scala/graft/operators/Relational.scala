@@ -15,6 +15,11 @@ import graft.Tables
   */
 object Relational {
 
+  /** Single source of truth for the Holt oracle's unroll depth —
+    * SparkEntry.holtOracleSql generates exactly this many recursion
+    * steps and [[qHoltForecast]] refuses a longer day span. */
+  val HoltOracleRounds = 30
+
   /** TPC-H Q1 family: scan → filter → groupBy → multi-agg.
     * Single shuffle (the groupBy); map-side partial aggregation is
     * automatic for sum/count/avg.
@@ -1422,7 +1427,11 @@ object Relational {
       .select(col("pa"), col("pb"), col("cnt_ab"), col("cnt_a"), col("cnt_b"),
         expr("cnt_ab * 1000000 div n").as("support_e6"),
         expr("cnt_ab * 1000000 div cnt_a").as("conf_e6"),
-        expr("cnt_ab * n * 1000000 div (cnt_a * cnt_b)").as("lift_e6"))
+        // DECIMAL(38,0): cnt_ab·n·1e6 wraps BIGINT at catalog scale
+        // while the DuckDB oracle promotes — the qGini overflow rule.
+        expr("CAST(CAST(cnt_ab AS DECIMAL(38,0)) * n * 1000000" +
+          " div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)")
+          .as("lift_e6"))
       .orderBy(col("lift_e6").desc, col("pa"), col("pb"))
       .limit(topN)
   }
@@ -1459,7 +1468,9 @@ object Relational {
     val cTot = col("c_a") + col("c_b")
     wide.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
       expr("CASE WHEN c_b * n_a = 0 THEN NULL ELSE " +
-        "(c_a * n_b - c_b * n_a) * 1000000 div (c_b * n_a) END").as("lift_e6"),
+        "CAST((CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)" +
+        " * 1000000 div (CAST(c_b AS DECIMAL(38,0)) * n_a) AS BIGINT) END")
+        .as("lift_e6"),
       when(cTot > 0 && cTot < col("n_a") + col("n_b"),
         round(z * 1e4).cast("long")).as("z_e4"))
   }
@@ -1709,6 +1720,15 @@ object Relational {
       .map(r => (r.getString(0), r.getLong(2)))
     val out = grid.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
       val xs = rows.map(_._2)
+      // The DuckDB oracle (SparkEntry.holtOracleSql) unrolls exactly
+      // HoltOracleRounds recursion steps; this fold covers every
+      // observed day. They agree only while the day span fits the
+      // unroll — fail LOUDLY on a longer regenerated lake instead of
+      // letting the oracle silently stop updating at rank 30.
+      require(xs.length <= HoltOracleRounds,
+        s"holt: '$t' spans ${xs.length} days > the oracle's " +
+        s"$HoltOracleRounds unrolled steps — bump Relational." +
+        "HoltOracleRounds (regenerates holtOracleSql to match)")
       var l = xs.head * 1000000L
       var b = 0L
       xs.tail.foreach { x =>
