@@ -631,6 +631,11 @@ object SparkEntry {
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "e_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(s, d)),
+    // Query-time beam search over the memoized kNN graph (HNSW-lite):
+    // IVF-seeded entries, 3 greedy beam expansions, exact re-score.
+    // Rows-only: the iterative beam has no SQL form; BeamSearchSpec
+    // pins planted-geometry exactness and the recall floor vs IVF.
+    "e_beam_search" -> ((s, d) => Similarity.beamSearchTopK(s, d)),
     "t_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "t_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "t_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
