@@ -43,11 +43,39 @@ object VersionedTable {
 
   def latestVersion(dir: String): Option[Long] = versions(dir).lastOption
 
-  /** Time-travel read of committed version `v`. */
+  /** Time-travel read of committed version `v`. Fails loudly for a
+    * vacuumed (or never-committed) version — a silent fallback to
+    * another snapshot would corrupt downstream reprocessing. */
   def asOf(spark: SparkSession, dir: String, v: Long): DataFrame = {
     require(commitMarker(dir, v).exists(),
-      s"version $v of $dir does not exist or was never committed")
+      s"version $v of $dir does not exist: never committed, or expired by vacuum")
     spark.read.parquet(s"$dir/v$v")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Retention: expire every committed version except the newest
+    * `keepLast` (the version-horizon guard — at least the latest
+    * always survives; `keepLast < 1` is refused). Returns the
+    * expired ids. The marker deletes FIRST, then the snapshot
+    * directory — the same torn-write discipline as merge's
+    * commit-after-snapshot: a vacuum interrupted between the two
+    * leaves an orphan snapshot that readers already treat as
+    * nonexistent, never a marker pointing at missing data. After
+    * expiry, `asOf` on an expired version fails loudly ([[asOf]]);
+    * surviving snapshots are untouched bytes on disk. */
+  def vacuum(dir: String, keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1,
+      s"vacuum keepLast=$keepLast would expire the latest version")
+    val expired = versions(dir).dropRight(keepLast)
+    expired.foreach { v =>
+      commitMarker(dir, v).delete(): Unit
+      deleteRecursively(new java.io.File(s"$dir/v$v"))
+    }
+    expired
   }
 
   def latest(spark: SparkSession, dir: String): DataFrame =
@@ -97,11 +125,8 @@ object VersionedTable {
     val stem = dir.replaceAll("[^A-Za-z0-9]", "_")
     val tdir = s"/tmp/graft_vtab_${stem}_$key"
     if (versions(tdir).size != 3) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      if (new java.io.File(tdir).exists()) rm(new java.io.File(tdir))
+      if (new java.io.File(tdir).exists())
+        deleteRecursively(new java.io.File(tdir))
       val orders = graft.Tables.orders(spark, dir)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       (0 to 2).foreach { b =>

@@ -60,6 +60,37 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(rowsOf(latest(spark, dir)) == Set((1L, 1L, 1.0), (2L, 2L, 2.0)))
   }
 
+  test("vacuum expires old versions: expired asOf fails loudly, survivors byte-identical") {
+    import spark.implicits._
+    val dir = tmp()
+    (0 to 2).foreach { b =>
+      merge(spark, dir,
+        Seq((1L, b.toLong * 10, b.toDouble), (2L + b, b.toLong, 0.5)).toDF("k", "ord", "x"),
+        keys = Seq("k"), orderCol = "ord")
+    }
+    val before = rowsOf(latest(spark, dir))
+    val v2Bytes = new java.io.File(s"$dir/v2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sorted.toSeq
+    // Horizon guard: the latest version can never expire.
+    intercept[IllegalArgumentException](vacuum(dir, keepLast = 0))
+    // keepLast beyond history expires nothing.
+    assert(vacuum(dir, keepLast = 5) == Seq.empty)
+    assert(versions(dir) == Seq(0L, 1L, 2L))
+    // Expire all but the newest: v0/v1 gone, loud asOf failure.
+    assert(vacuum(dir, keepLast = 1) == Seq(0L, 1L))
+    assert(versions(dir) == Seq(2L))
+    val e = intercept[IllegalArgumentException](asOf(spark, dir, 0L))
+    assert(e.getMessage.contains("expired by vacuum"))
+    assert(!new java.io.File(s"$dir/v0").exists(),
+      "expired snapshot directory must be removed, not just unmarked")
+    // The survivor is untouched: same rows, same physical bytes.
+    assert(rowsOf(latest(spark, dir)) == before)
+    assert(new java.io.File(s"$dir/v2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sorted.toSeq == v2Bytes)
+    // Idempotent: a second vacuum finds nothing to do.
+    assert(vacuum(dir, keepLast = 1) == Seq.empty)
+  }
+
   test("diffCounts classifies added, changed, unchanged and deleted keys") {
     import spark.implicits._
     val old = Seq((1L, 10L, 1.0), (2L, 20L, 2.0), (3L, 30L, 3.0), (4L, 40L, 4.0))
