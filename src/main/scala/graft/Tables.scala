@@ -68,6 +68,27 @@ object Tables {
     val schema = eventsRawSchema(s, d)
     table(s, d, "events").withColumn("ts", eventsTsCol(schema))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** Vintage normalization for the fingerprinted LLM-pipeline tables
+    * (the generalization of the events.ts lesson BEFORE the next
+    * drift, not after): every reader declares its table's canonical
+    * LOGICAL schema and casts whatever physical vintage the footer
+    * presents into it — INT32 ids widen to BIGINT, float64 embedding
+    * vintages narrow to the float32 contract, and so on. A column
+    * that is already canonical costs nothing (Catalyst eliminates
+    * the trivial cast, so pushdown/pruning are untouched on current
+    * data); a MISSING canonical column fails loudly at analysis
+    * instead of null-filling into silently-wrong results (the
+    * add-column evolution case is its own explicit-schema query,
+    * `src_schema_evolution`). TablesVintageSpec plants drifted
+    * vintages per table and pins value-identical reads. */
+  private def normalized(df: DataFrame, canon: Seq[(String, String)]): DataFrame =
+    df.select(canon.map { case (n, t) => expr(s"`$n`").cast(t).as(n) }: _*)
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    normalized(table(s, d, "documents"), Seq(
+      "doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+      "source" -> "string", "n_chars" -> "bigint"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    normalized(table(s, d, "embeddings"), Seq(
+      "vec_id" -> "bigint", "embedding" -> "array<float>", "label" -> "int"))
 }
