@@ -448,6 +448,15 @@ object SparkEntry {
     // recursive-CTE oracle) because the merge is associative.
     "s_stream_cc" -> ((s, d) =>
       graft.streaming.StreamingOps.streamCcIncremental(s, d)),
+    // Incremental COMMUNITY maintenance: Louvain labels folded over
+    // the same 4-micro-batch stream by contracting each batch
+    // through the current labels and continuing Louvain on the
+    // compressed super-graph. Rows-only self-audit row (streamed-Q
+    // vs batch-Q under the same exact metric); the fold path is not
+    // SQL-expressible. IncrementalLouvainSpec pins cross-batch
+    // merging, replay idempotence and the Q bound.
+    "s_stream_louvain" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamLouvainIncremental(s, d)),
     // Spark 4 transformWithState on the RocksDB state store; the
     // monotone per-user totals make the max-readout batch-equal.
     "s_stream_tws" -> ((s, d) =>

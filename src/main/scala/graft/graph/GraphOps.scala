@@ -1880,6 +1880,33 @@ object GraphOps {
       resolution: Double = 1.0): DataFrame =
     refineCommunities(spark, edges, louvain(spark, edges, resolution))
 
+  /** Louvain over an explicitly weighted SUPER-graph: `sup` rows are
+    * (a, b, w) with a ≤ b, where a == b rows carry a super-vertex's
+    * INTERNAL weight (intra-community edge weight, each original
+    * edge once) and a < b rows the inter-super-vertex weights — the
+    * exact state shape Louvain's own compression step produces, so
+    * running Louvain on it IS continuing the multi-level algorithm
+    * from that compression. Returns (sv, community). Unmemoized: the
+    * streaming maintenance caller owns its state lifecycle. */
+  def louvainOnSuper(spark: SparkSession, sup: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+    val vertRdd = sup
+      .select(explode(array(col("a"), col("b"))).as("sv")).distinct()
+      .join(sup.filter(col("a") === col("b"))
+        .select(col("a").as("sv"), col("w")), Seq("sv"), "left")
+      .select(col("sv").cast("long"), coalesce(col("w"), lit(0.0)).cast("double"))
+      .rdd.map(r => (r.getLong(0), r.getDouble(1)))
+    val edgeRdd = sup.filter(col("a") < col("b"))
+      .select(col("a").cast("long"), col("b").cast("long"),
+        col("w").cast("double"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val g = Graph(vertRdd, edgeRdd, 0.0)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    val (assignment, _) = Louvain.run(g)
+    spark.createDataFrame(assignment.map { case (id, c) => (id, c) })
+      .toDF("sv", "community")
+  }
+
   /** Per-level Louvain stats: modularity Q (scaled to e6 BIGINT for
     * stable comparison) and community count. */
   def louvainLevels(spark: SparkSession, edges: DataFrame,
