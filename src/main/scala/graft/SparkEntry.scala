@@ -761,6 +761,11 @@ object SparkEntry {
     // (commit-marker resolution, asOf reads, idempotent replay).
     "src_time_travel" -> ((s, d) =>
       graft.sources.VersionedTable.qTimeTravel(s, d)),
+    // The bucketed copy-on-write layout under the SAME oracle: only
+    // touched key-buckets rewrite per merge (manifest carries the
+    // rest forward by reference), answers identical.
+    "src_bucketed_merge" -> ((s, d) =>
+      graft.sources.BucketedTable.qBucketedMerge(s, d)),
     "q_snapshot_diff" -> ((s, d) =>
       graft.sources.VersionedTable.qSnapshotDiff(s, d)),
     "q_scd2" -> ((s, d) => graft.sources.VersionedTable.qScd2(s, d)),
@@ -2900,6 +2905,21 @@ object SparkEntry {
         |WHERE event_type <> 'error' OR value >= 2.5
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_time_travel" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    o_orderkey % 3 AS bid
+        |  FROM orders),
+        |v AS (SELECT 0 AS ver UNION ALL SELECT 1 UNION ALL SELECT 2),
+        |r AS (SELECT v.ver, b.o_custkey, b.o_totalprice,
+        |    row_number() OVER (PARTITION BY v.ver, b.o_custkey
+        |      ORDER BY b.bid DESC, b.o_orderkey DESC) AS rk
+        |  FROM v JOIN b ON b.bid <= v.ver)
+        |SELECT CAST(ver AS BIGINT) AS ver, count(*) AS n_keys,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM r WHERE rk = 1
+        |GROUP BY ver ORDER BY ver""".stripMargin,
+    // Identical semantics to src_time_travel (bucketing by key is
+    // merge-invariant), so the identical per-version rank-1 oracle.
+    "src_bucketed_merge" ->
       """WITH b AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |    o_orderkey % 3 AS bid
         |  FROM orders),

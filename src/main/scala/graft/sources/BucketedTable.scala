@@ -1,0 +1,188 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed copy-on-write versioned table — the row-level-MERGE cost
+  * fix for [[VersionedTable]]'s snapshot-granularity rewrite (the
+  * README's documented gap, closed the way table formats close it):
+  * rows hash into `NumBuckets` key-buckets, every committed version
+  * is a MANIFEST mapping bucket → immutable parquet path, and MERGE
+  * rewrites ONLY the buckets its update keys touch — untouched
+  * buckets carry forward BY REFERENCE (their manifest lines point at
+  * the older version's files, byte-untouched on disk). Merge cost is
+  * O(touched-bucket data + batch), not O(table); with keys spread
+  * evenly a point-update batch rewrites 1/NumBuckets of the table.
+  *
+  * Layout: `dir/data/v<N>/__b=<k>/` immutable bucket generations;
+  * `dir/_commit_<N>` the manifest (one `k<TAB>path` line per
+  * bucket), written AFTER the data lands — the [[VersionedTable]]
+  * torn-write discipline: a crash between data and manifest leaves
+  * orphan files readers never see. Readers resolve a version ONLY
+  * through its manifest, so time travel reads exactly the generation
+  * mix that version committed.
+  *
+  * MERGE semantics are [[VersionedTable.merge]]'s exactly (keyed
+  * rank-1, updates win, in-batch ties by `orderCol` DESC) —
+  * spec-pinned equal — because bucketing by key is merge-invariant:
+  * a key's old and new rows always land in the same bucket.
+  *
+  * 100 TB shape: the touched-bucket probe is a ≤NumBuckets-row
+  * bounded driver read (the histogram precedent); per-bucket merge
+  * is a key-shuffled window over one bucket's rows; the manifest is
+  * O(NumBuckets) text. A real deployment raises NumBuckets with
+  * table size (buckets ≈ table/target-file-size) and gets
+  * Iceberg-style file-level copy-on-write from the same layout.
+  */
+object BucketedTable {
+
+  val NumBuckets = 16
+
+  private def bucketCol(keys: Seq[String]): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(NumBuckets.toLong))
+
+  private def commitMarker(dir: String, v: Long) =
+    new java.io.File(s"$dir/_commit_$v")
+
+  def versions(dir: String): Seq[Long] = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(_.getName.startsWith("_commit_"))
+      .map(_.getName.stripPrefix("_commit_").toLong)
+      .sorted
+  }
+
+  def latestVersion(dir: String): Option[Long] = versions(dir).lastOption
+
+  /** bucket → data path map of committed version `v`. */
+  private[sources] def manifest(dir: String, v: Long): Map[Long, String] = {
+    require(commitMarker(dir, v).exists(),
+      s"version $v of $dir does not exist: never committed, or expired by vacuum")
+    val src = scala.io.Source.fromFile(commitMarker(dir, v), "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      val Array(k, path) = line.split("\t", 2)
+      k.toLong -> path
+    }.toMap
+    finally src.close()
+  }
+
+  /** Time-travel read of committed version `v` (manifest-resolved:
+    * exactly the bucket generations that version committed). */
+  def asOf(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val paths = manifest(dir, v).values.toSeq.sorted
+    if (paths.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(paths: _*)
+  }
+
+  def latest(spark: SparkSession, dir: String): DataFrame =
+    asOf(spark, dir, latestVersion(dir).getOrElse(
+      throw new IllegalStateException(s"$dir has no committed versions")))
+
+  /** MERGE `updates`, rewriting only the buckets their keys touch.
+    * Returns the new committed version id. */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+      keys: Seq[String], orderCol: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val prevV = latestVersion(dir)
+    val nextV = prevV.map(_ + 1L).getOrElse(0L)
+    val prevMan = prevV.map(manifest(dir, _)).getOrElse(Map.empty[Long, String])
+    val upd = updates.withColumn("__b", bucketCol(keys))
+    // Bounded probe: at most NumBuckets rows reach the driver.
+    val touched = upd.select(col("__b")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val touchedPrevPaths = touched.flatMap(prevMan.get).toSeq
+    val prevTouched =
+      if (touchedPrevPaths.isEmpty) None
+      else Some(spark.read.parquet(touchedPrevPaths: _*)
+        .withColumn("__b", bucketCol(keys)))
+    val tagged = upd.withColumn("__new", lit(1))
+    val merged = prevTouched match {
+      case None => tagged
+      case Some(p) => p.withColumn("__new", lit(0)).unionByName(tagged)
+    }
+    val w = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col("__new").desc, col(orderCol).desc)
+    if (touched.nonEmpty) {
+      merged.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .drop("__rk", "__new")
+        .write.partitionBy("__b").mode("overwrite")
+        .parquet(s"$dir/data/v$nextV")
+    }
+    // Manifest: touched buckets point at this version's fresh files,
+    // untouched carry the previous generation forward by reference.
+    val newMan = prevMan ++
+      touched.map(k => k -> s"$dir/data/v$nextV/__b=$k").toMap
+    val lines = newMan.toSeq.sortBy(_._1)
+      .map { case (k, p) => s"$k\t$p" }.mkString("\n")
+    // Commit LAST — write to a temp name then move, so a torn commit
+    // never leaves a half-written manifest behind the marker name.
+    val tmp = new java.io.File(s"$dir/_tmp_commit_$nextV")
+    java.nio.file.Files.createDirectories(new java.io.File(dir).toPath)
+    java.nio.file.Files.write(tmp.toPath, lines.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, commitMarker(dir, nextV).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    nextV
+  }
+
+  /** Retention: expire manifests older than the newest `keepLast`
+    * and delete every bucket generation no surviving manifest
+    * references. The latest version always survives. */
+  def vacuum(dir: String, keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1,
+      s"vacuum keepLast=$keepLast would expire the latest version")
+    val vs = versions(dir)
+    val expired = vs.dropRight(keepLast)
+    val survivors = vs.drop(math.max(vs.size - keepLast, 0))
+    val referenced = survivors.flatMap(v => manifest(dir, v).values).toSet
+    expired.foreach(v => commitMarker(dir, v).delete(): Unit)
+    val dataRoot = new java.io.File(s"$dir/data")
+    if (dataRoot.isDirectory) {
+      for {
+        vdir <- dataRoot.listFiles().toSeq if vdir.isDirectory
+        bdir <- vdir.listFiles().toSeq if bdir.isDirectory
+        if !referenced.contains(bdir.getPath)
+      } deleteRecursively(bdir)
+      dataRoot.listFiles().filter(d => d.isDirectory &&
+        d.listFiles().forall(f => f.getName.startsWith("_")))
+        .foreach(deleteRecursively)
+    }
+    expired
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Query entry (`src_bucketed_merge`): the src_time_travel fixture
+    * flow — three deterministic upsert batches (batch id =
+    * o_orderkey mod 3) — through the BUCKETED table, with the same
+    * per-version (n_keys, sum_price) readout and the same SQL
+    * oracle: identical answers from a layout that rewrote only
+    * touched buckets per merge. */
+  def qBucketedMerge(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/orders.parquet")
+    val key = java.lang.Long.toHexString(src.length() ^ src.lastModified())
+    val stem = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tdir = s"/tmp/graft_btab_${stem}_$key"
+    if (versions(tdir).size != 3) {
+      if (new java.io.File(tdir).exists())
+        deleteRecursively(new java.io.File(tdir))
+      val orders = graft.Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      (0 to 2).foreach { b =>
+        merge(spark, tdir,
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === b),
+          keys = Seq("o_custkey"), orderCol = "o_orderkey")
+      }
+    }
+    versions(tdir).map { v =>
+      asOf(spark, tdir, v)
+        .agg(count(lit(1)).as("n_keys"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .select(lit(v).as("ver"), col("n_keys"), col("sum_price"))
+    }.reduce(_.unionByName(_)).orderBy(col("ver"))
+  }
+}

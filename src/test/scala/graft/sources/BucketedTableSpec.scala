@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.SparkTestSession
+
+/** The bucketed COW table's contract: merge semantics identical to
+  * VersionedTable (spec-pinned equal), merge cost proportional to
+  * TOUCHED buckets (untouched generations carry forward by
+  * reference, files byte-untouched), manifest-resolved time travel,
+  * and reference-counted vacuum.
+  */
+class BucketedTableSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_btab_$tag").toString
+
+  private def rowsOf(v: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    v.select(col("k"), col("ord"), col("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("merge semantics equal VersionedTable's on every version") {
+    import spark.implicits._
+    val bd = tmp("sem_b"); val vd = tmp("sem_v")
+    val batches = Seq(
+      Seq((1L, 10L, 1.0), (2L, 11L, 2.0), (60L, 12L, 3.0)),
+      Seq((1L, 5L, 9.0), (3L, 20L, 3.0), (3L, 21L, 4.0)),
+      Seq((60L, 30L, 7.0), (4L, 31L, 8.0)))
+    batches.foreach { b =>
+      val df = b.toDF("k", "ord", "x")
+      BucketedTable.merge(spark, bd, df, keys = Seq("k"), orderCol = "ord")
+      VersionedTable.merge(spark, vd, df, keys = Seq("k"), orderCol = "ord")
+    }
+    for (v <- 0L to 2L)
+      assert(rowsOf(BucketedTable.asOf(spark, bd, v)) ==
+        rowsOf(VersionedTable.asOf(spark, vd, v)), s"version $v")
+  }
+
+  test("merge rewrites only touched buckets; untouched files stay byte-identical") {
+    import spark.implicits._
+    val d = tmp("cow")
+    // 64 keys spread over the 16 buckets.
+    BucketedTable.merge(spark, d,
+      (1L to 64L).map(k => (k, k, k.toDouble)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    val man0 = BucketedTable.manifest(d, 0L)
+    assert(man0.nonEmpty && man0.values.forall(_.contains("/v0/")))
+    def fileState(path: String): Seq[(String, Long, Long)] = {
+      val f = new java.io.File(path)
+      if (!f.isDirectory) Seq.empty
+      else f.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(p => (p.getName, p.length(), p.lastModified())).sorted.toSeq
+    }
+    val before = man0.map { case (k, p) => k -> fileState(p) }
+    // Update ONE key: exactly one bucket rewrites.
+    BucketedTable.merge(spark, d,
+      Seq((7L, 100L, 99.0)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    val man1 = BucketedTable.manifest(d, 1L)
+    val fresh = man1.filter(_._2.contains("/v1/"))
+    assert(fresh.size == 1, s"expected 1 rewritten bucket, got $fresh")
+    val carried = man1.filter(_._2.contains("/v0/"))
+    assert(carried.size == man0.size - 1)
+    // Carried-forward generations are the SAME paths with the SAME
+    // bytes on disk — copy-on-write by reference, not by copy.
+    carried.foreach { case (k, p) =>
+      assert(p == man0(k)); assert(fileState(p) == before(k))
+    }
+    // And the logical content is the point update applied.
+    val got = rowsOf(BucketedTable.latest(spark, d))
+    assert(got == ((1L to 64L).filter(_ != 7L)
+      .map(k => (k, k, k.toDouble)).toSet + ((7L, 100L, 99.0))))
+    // Time travel still reads v0's generation mix.
+    assert(rowsOf(BucketedTable.asOf(spark, d, 0L))
+      .contains((7L, 7L, 7.0)))
+  }
+
+  test("vacuum drops unreferenced generations only; expired asOf fails loudly") {
+    import spark.implicits._
+    val d = tmp("vac")
+    BucketedTable.merge(spark, d,
+      (1L to 64L).map(k => (k, k, k.toDouble)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    BucketedTable.merge(spark, d,
+      Seq((7L, 100L, 99.0)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    val keep = rowsOf(BucketedTable.latest(spark, d))
+    intercept[IllegalArgumentException](BucketedTable.vacuum(d, keepLast = 0))
+    assert(BucketedTable.vacuum(d, keepLast = 1) == Seq(0L))
+    val e = intercept[IllegalArgumentException](
+      BucketedTable.asOf(spark, d, 0L))
+    assert(e.getMessage.contains("expired by vacuum"))
+    // v1's manifest still references v0 generations for the 15
+    // untouched buckets — those MUST survive the vacuum; only the
+    // v0 generation of the rewritten bucket is unreferenced.
+    assert(rowsOf(BucketedTable.latest(spark, d)) == keep)
+    val man1 = BucketedTable.manifest(d, 1L)
+    man1.values.foreach(p =>
+      assert(new java.io.File(p).isDirectory, s"referenced $p deleted"))
+    val v0dirs = new java.io.File(s"$d/data/v0").listFiles()
+      .filter(_.getName.startsWith("__b=")).map(_.getName).toSet
+    assert(v0dirs == man1.values.filter(_.contains("/v0/"))
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet,
+      "exactly the unreferenced v0 generation should be gone")
+  }
+}
