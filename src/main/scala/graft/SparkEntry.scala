@@ -766,6 +766,16 @@ object SparkEntry {
     // rest forward by reference), answers identical.
     "src_bucketed_merge" -> ((s, d) =>
       graft.sources.BucketedTable.qBucketedMerge(s, d)),
+    // File-level data skipping off the write-time stats manifest:
+    // interval predicates prune the file list before any data scan
+    // (pruning is perf-only — the residual filter keeps answers
+    // exact, so the oracle is the plain full-scan filter).
+    "src_minmax_skip" -> ((s, d) =>
+      graft.sources.SkipIndex.qMinmaxSkip(s, d)),
+    // Z-order (Morton) clustering: BOTH box dimensions prune —
+    // the multi-dimensional layout a linear sort cannot give.
+    "src_zorder_skip" -> ((s, d) =>
+      graft.sources.SkipIndex.qZorderSkip(s, d)),
     "q_snapshot_diff" -> ((s, d) =>
       graft.sources.VersionedTable.qSnapshotDiff(s, d)),
     "q_scd2" -> ((s, d) => graft.sources.VersionedTable.qScd2(s, d)),
@@ -2932,6 +2942,24 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM r WHERE rk = 1
         |GROUP BY ver ORDER BY ver""".stripMargin,
+    // Stats-pruned scans answer exactly like full scans — the oracle
+    // is the plain filter; file skipping is asserted by SkipIndexSpec.
+    "src_minmax_skip" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_zorder_skip" ->
+      """SELECT count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND o_custkey BETWEEN 400 AND 599""".stripMargin,
     // Same per-version rank-1 CTE as src_time_travel, with the CDC
     // classification as a key-grouped union aggregate (mirrors
     // diffCounts' no-full-outer shape).
