@@ -776,6 +776,11 @@ object SparkEntry {
     // the multi-dimensional layout a linear sort cannot give.
     "src_zorder_skip" -> ((s, d) =>
       graft.sources.SkipIndex.qZorderSkip(s, d)),
+    // Incremental MV maintenance: three staged landings, each folded
+    // in by an algebraic delta-merge — the readout is the final MV,
+    // oracle-equal to a direct full-table GROUP BY.
+    "q_incremental_mv" -> ((s, d) =>
+      graft.sources.MaterializedView.qIncrementalMv(s, d)),
     "q_snapshot_diff" -> ((s, d) =>
       graft.sources.VersionedTable.qSnapshotDiff(s, d)),
     "q_scd2" -> ((s, d) => graft.sources.VersionedTable.qScd2(s, d)),
@@ -2960,6 +2965,17 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND o_custkey BETWEEN 400 AND 599""".stripMargin,
+    // The MV merged three staged deltas; the oracle is the direct
+    // GROUP BY it must equal. Exact-cents money (the overflow/float
+    // rule): both sides sum BIGINT cents, divide once at readout.
+    "q_incremental_mv" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  count(*) AS n_orders,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+        |    AS sum_price,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // count(*)
+        |    AS BIGINT) AS avg_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same per-version rank-1 CTE as src_time_travel, with the CDC
     // classification as a key-grouped union aggregate (mirrors
     // diffCounts' no-full-outer shape).

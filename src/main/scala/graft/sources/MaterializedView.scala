@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance over an append-only
+  * landing directory — the lakehouse ETL pattern where a small
+  * aggregate stays fresh without ever rescanning history: each
+  * refresh lists the landing's batch directories, diffs against the
+  * processed set recorded in the latest commit, partial-aggregates
+  * ONLY the new batches, and algebraically merges that delta into
+  * the prior MV snapshot (sums/counts merge by key-grouped sum — the
+  * map-side-combine algebra lifted to batch granularity). Commit
+  * markers carry the processed list and are written atomically AFTER
+  * the snapshot (the [[VersionedTable]] torn-write discipline), so a
+  * crashed refresh is invisible and replays are idempotent.
+  *
+  * The incrementality is real, not an optimization note: once a
+  * batch is folded in, its files are never read again — spec-pinned
+  * by DELETING a processed batch and refreshing onward, with the
+  * cumulative MV still exact.
+  *
+  * 100 TB shape: refresh cost is O(new data + MV size); the MV is
+  * keys × aggregates (tiny — here years × 3 counters), so a daily
+  * refresh over a 100 TB table reads one day, not the table. All
+  * merged measures are exact integers (cents, counts) — merge order
+  * can never drift the result (the g_pagerank_det determinism
+  * contract applied to view maintenance). Derived non-algebraic
+  * readouts (averages) are computed FROM the algebraic state at read
+  * time, never maintained directly.
+  */
+object MaterializedView {
+
+  private def commitMarker(dir: String, v: Long) =
+    new java.io.File(s"$dir/_commit_$v")
+
+  def versions(dir: String): Seq[Long] = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(_.getName.startsWith("_commit_"))
+      .map(_.getName.stripPrefix("_commit_").toLong)
+      .sorted
+  }
+
+  /** Batch paths folded into committed version `v`. */
+  def processed(dir: String, v: Long): Set[String] = {
+    val src = scala.io.Source.fromFile(commitMarker(dir, v), "UTF-8")
+    try src.getLines().filter(_.nonEmpty).toSet finally src.close()
+  }
+
+  /** MV snapshot of committed version `v`. */
+  def asOf(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    require(commitMarker(dir, v).exists(),
+      s"MV version $v of $dir was never committed")
+    spark.read.parquet(s"$dir/mv/v$v")
+  }
+
+  def latest(spark: SparkSession, dir: String): DataFrame =
+    asOf(spark, dir, versions(dir).last)
+
+  /** One refresh: fold every not-yet-processed batch directory under
+    * `landing` into the MV. `partial` maps raw batch rows to a
+    * (keyCols, sumCols) partial aggregate; merging is key-grouped
+    * sum over (prior MV ∪ delta). Returns the new version, or None
+    * when nothing is new (idempotent no-op — no version is written).
+    */
+  def refresh(spark: SparkSession, landing: String, mvDir: String,
+      keyCols: Seq[String], sumCols: Seq[String],
+      partial: DataFrame => DataFrame): Option[Long] = {
+    val batches = Option(new java.io.File(landing).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+      .map(_.getPath).sorted.toSeq
+    val prevV = versions(mvDir).lastOption
+    val done = prevV.map(processed(mvDir, _)).getOrElse(Set.empty[String])
+    val fresh = batches.filterNot(done)
+    if (fresh.isEmpty) return None
+    val nextV = prevV.map(_ + 1L).getOrElse(0L)
+    val delta = partial(spark.read.parquet(fresh: _*))
+    val merged = prevV match {
+      case None => delta
+      case Some(v) => asOf(spark, mvDir, v).unionByName(delta)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col(sumCols.head)).as(sumCols.head),
+          sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+    }
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$mvDir/mv/v$nextV")
+    val lines = (done ++ fresh).toSeq.sorted.mkString("\n")
+    val tmp = new java.io.File(s"$mvDir/_tmp_commit_$nextV")
+    java.nio.file.Files.createDirectories(new java.io.File(mvDir).toPath)
+    java.nio.file.Files.write(tmp.toPath, lines.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, commitMarker(mvDir, nextV).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    Some(nextV)
+  }
+
+  /** Per-year orders revenue partial aggregate (exact cents). */
+  private[sources] def ordersPartial(df: DataFrame): DataFrame =
+    df.groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+
+  private val MvKeys = Seq("o_year")
+  private val MvSums = Seq("n_orders", "cents")
+
+  /** Query entry (`q_incremental_mv`): orders land in three staged
+    * batches (o_orderkey mod 3); each landing is followed by one
+    * incremental refresh; the readout is the FINAL MV with the
+    * derived average computed from algebraic state — oracle-equal to
+    * a direct full-table GROUP BY. */
+  def qIncrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/orders.parquet")
+    val key = java.lang.Long.toHexString(src.length() ^ src.lastModified())
+    val stem = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"/tmp/graft_mv_${stem}_$key"
+    val landing = s"$root/landing"
+    val mvDir = s"$root/mv_state"
+    if (versions(mvDir).size != 3) {
+      val rootF = new java.io.File(root)
+      if (rootF.exists()) deleteRecursively(rootF)
+      val orders = graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      (0 to 2).foreach { b =>
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === b)
+          .write.parquet(s"$landing/batch$b")
+        refresh(spark, landing, mvDir, MvKeys, MvSums, ordersPartial)
+      }
+    }
+    latest(spark, mvDir)
+      .select(col("o_year"), col("n_orders"),
+        round(col("cents") / 100.0, 2).as("sum_price"),
+        expr("cents div n_orders").as("avg_cents"))
+      .orderBy(col("o_year"))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}
