@@ -383,6 +383,10 @@ object SparkEntry {
     "q_benford" -> ((s, d) => Relational.qBenford(s, d)),
     "q_pareto" -> ((s, d) => Relational.qPareto(s, d)),
     "q_funnel_paths" -> ((s, d) => Relational.qFunnelPaths(s, d)),
+    // Whole-journey regex classification (MATCH_RECOGNIZE's core):
+    // per-user ordered event letters → one string, k patterns map
+    // over it — no k-way join chains.
+    "q_seq_match" -> ((s, d) => Relational.qSeqMatch(s, d)),
     // Planted near-dup families (two doc_id residue classes share a
     // 100-shingle base text, unique small tails): ground truth by
     // construction, recall/precision of the banded MinHash pairs
@@ -693,6 +697,9 @@ object SparkEntry {
     "t_stopwords" -> ((s, d) => TextAnalysis.stopwordStats(s, d)),
     "t_pii" -> ((s, d) => TextAnalysis.piiScan(s, d)),
     "t_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
+    // Vocab-sizing coverage curve: corpus share of the top 2^k types
+    // at k = 0..14, exact integer ratios, distributed rank+cumsum.
+    "t_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "t_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "t_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
@@ -2507,6 +2514,25 @@ object SparkEntry {
         |FROM p GROUP BY path
         |ORDER BY n_users DESC, path
         |LIMIT 10""".stripMargin,
+    // Same unique (µs, event_id) order and initial-letter alphabet;
+    // regexp_matches ≡ rlike's unanchored find for this POSIX-common
+    // pattern subset.
+    "q_seq_match" ->
+      """WITH s AS (SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY user_id),
+        |p AS (SELECT * FROM (VALUES
+        |    ('error_resolved_by_purchase', 'e[^p]*p'),
+        |    ('purchase_before_signup', 'p.*s'),
+        |    ('signup_first', '^s'),
+        |    ('three_views_running', 'vvv'),
+        |    ('view_purchase_adjacent', 'vp')) AS v(pattern, re))
+        |SELECT p.pattern,
+        |  CAST(count(*) FILTER (WHERE regexp_matches(s.seq, p.re))
+        |    AS BIGINT) AS n_users
+        |FROM p CROSS JOIN s
+        |GROUP BY p.pattern ORDER BY p.pattern""".stripMargin,
     // Identical decile target ranks (decile·n // 10) and cumulative
     // window under the unique (x DESC, custkey) order; hugeint sums
     // mirror the engine's DECIMAL(38,0) path.
@@ -3554,6 +3580,27 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same unique (count DESC, token ASC) order and BIGINT cums both
+    // sides; budgets clamp to vocab via least() in both engines.
+    "t_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM t GROUP BY token),
+        |r AS (SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token ASC) AS rk,
+        |    sum(n) OVER (ORDER BY n DESC, token ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c),
+        |tot AS (SELECT sum(n) AS tot, count(*) AS vocab FROM c),
+        |s AS (SELECT unnest([1,2,4,8,16,32,64,128,256,512,1024,2048,
+        |    4096,8192,16384]) AS rb)
+        |SELECT CAST(s.rb AS BIGINT) AS rank_budget,
+        |  CAST(least(s.rb, tot.vocab) AS BIGINT) AS n_tokens,
+        |  CAST(r.cum AS BIGINT) AS covered,
+        |  CAST(r.cum * 1000000 // tot.tot AS BIGINT) AS coverage_e6
+        |FROM s CROSS JOIN tot
+        |JOIN r ON r.rk = least(s.rb, tot.vocab)
+        |ORDER BY rank_budget""".stripMargin,
     "t_top_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token

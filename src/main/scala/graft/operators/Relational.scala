@@ -1582,6 +1582,40 @@ object Relational {
       .limit(k)
   }
 
+  /** Sequence-pattern match (MATCH_RECOGNIZE's core) — each user's
+    * FULL event history collapses to one compact string (initial
+    * letter per event, ordered by the unique (µs, event_id) key) and
+    * regular expressions classify whole journeys: contiguity ('vvv'),
+    * exclusion-until ('e[^p]*p' — an error resolved by purchase with
+    * no purchase between), anchors ('^s'). The per-user string is the
+    * DFA tape a native MATCH_RECOGNIZE would stream; building it
+    * once and running k patterns over it beats k separate
+    * join-chains, and the shuffle moves (user, letter) pairs — never
+    * event payloads. Histories are user-session-bounded (≤ thousands
+    * of events), so the per-user array never approaches executor
+    * memory; the pattern pass is a broadcast-free map over users. */
+  def qSeqMatch(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.events(spark, dir)
+      .select(col("user_id"), struct(unix_micros(col("ts")).as("us"),
+        col("event_id").as("eid"),
+        substring(col("event_type"), 1, 1).as("c")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("", array_sort(collect_list(col("ev")))
+        .getField("c")).as("seq"))
+      .localCheckpoint(true)
+    val pats = Seq(
+      ("error_resolved_by_purchase", "e[^p]*p"),
+      ("purchase_before_signup", "p.*s"),
+      ("signup_first", "^s"),
+      ("three_views_running", "vvv"),
+      ("view_purchase_adjacent", "vp"))
+    pats.map { case (name, re) =>
+      seqs.filter(col("seq").rlike(re))
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("pattern"), col("n_users"))
+    }.reduce(_.unionByName(_)).orderBy(col("pattern"))
+  }
+
   /** Running distinct-user curve via WINDOWED sketch union — the
     * at-scale form of [[qCumulativeDistinct]]'s ever-seen total when
     * the stream can't be re-folded from first-seen days (late data,

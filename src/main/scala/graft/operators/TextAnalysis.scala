@@ -83,6 +83,38 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Vocabulary coverage curve — the tokenizer-sizing readout ("how
+    * much of the corpus do the top 2^k types cover"): token counts
+    * rank under the unique (count DESC, token ASC) order with the
+    * running covered-token sum, both from [[Selection.withGlobalRank]]'s
+    * range-partitioned rank+cumsum (no single-reducer window — the
+    * corpus-scale discipline; the ranked table is vocab-bounded, far
+    * below corpus size). The 15-row power-of-two budget spine joins
+    * by EQUALITY on the budget's effective rank (clamped to vocab) —
+    * a broadcast equi-join, not a rank-≤ fanout. coverage_e6 is an
+    * exact integer ratio (BIGINT cums — the overflow rule). */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val ranked = Selection.withGlobalRank(counts,
+      Seq(col("n").desc, col("token").asc), "rk",
+      cumSumOf = Some("n"), cumName = "cum")
+    val tot = counts.agg(sum(col("n")).as("tot"),
+      count(lit(1)).as("vocab"))
+    val spine = (0 to 14).map(k => 1L << k).toDF("rank_budget")
+      .crossJoin(tot)
+      .withColumn("target", least(col("rank_budget"), col("vocab")))
+    ranked.join(broadcast(spine), col("rk") === col("target"))
+      .select(col("rank_budget"),
+        col("target").as("n_tokens"),
+        col("cum").as("covered"),
+        expr("cum * 1000000 div tot").as("coverage_e6"))
+      .orderBy(col("rank_budget"))
+  }
+
   /** Count-min-sketch heavy hitters with an in-query exact verdict —
     * the BOUNDED-MEMORY form of [[topTokens]] a 100 TB corpus needs:
     * the sketch pass holds w·d = ⌈e/ε⌉·⌈ln 1/δ⌉ counters regardless
