@@ -640,6 +640,10 @@ object SparkEntry {
     // Rows-only + specs (planted axis recovery, partitioning
     // invariance of the exact integer Gram, driver power iteration).
     "e_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
+    // Supervised twin of e_pca_power: closed-form ridge probe from
+    // one exact-integer sufficient-statistics pass (rows-only; the
+    // planted-recovery + partitioning-invariance specs pin it).
+    "e_linear_probe" -> ((s, d) => Similarity.linearProbe(s, d)),
     "e_hubness" -> ((s, d) => Similarity.hubness(s, d)),
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),

@@ -1468,4 +1468,137 @@ object Similarity {
         expr("(2 * sixy - (n + 1) * sx) * 1000000 div (n * sx)")
           .as("gini_e6"))
   }
+
+  /** Linear probe on the embedding space — the standard "is the
+    * label linearly decodable" representation audit, solved in
+    * CLOSED FORM from one distributed pass: ridge least squares
+    * w = (XᵀX + λI)⁻¹ Xᵀy over the bias-augmented quantized
+    * embeddings. The [[pcaPowerOf]] contract extended to supervised
+    * statistics:
+    *
+    *  1. EXACT integer sufficient statistics: e16-quantized x
+    *     (bias dim fixed at 65536 ≙ 1.0), integer y; each partition
+    *     folds its rows into ONE upper-triangular XᵀX Long array +
+    *     Xᵀy + Σy² via `mapPartitions`; partials reduce
+    *     associatively, so the normal equations are bit-identical
+    *     under ANY partitioning (spec-pinned).
+    *  2. Driver-side solve: (D = d+1 = 65)² doubles, Gaussian
+    *     elimination with partial pivoting, λ = 1e-8·trace/D for
+    *     conditioning. R² comes from the SAME statistics
+    *     (SSE = yᵀy − 2wᵀb + wᵀAw) — no second data pass.
+    *
+    * The corpus is touched once; nothing but the D(D+1)/2 + D + 3
+    * Longs ever moves. (Long accumulators hold to ~2^46 here; a
+    * 10¹²-row corpus promotes the same fold to DECIMAL(38,0) — the
+    * documented overflow rule.) Output: n, d, r2_e6, top-5 |weight|
+    * dims with per-unit weights e4. Rows-only + specs (planted exact
+    * linear recovery, partitioning invariance). */
+  def linearProbe(spark: SparkSession, dir: String): DataFrame =
+    linearProbeOf(spark, Tables.embeddings(spark, dir)
+      .select(col("embedding"), col("label").cast("long").as("y")))
+
+  def linearProbeOf(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import spark.implicits._
+    val d = EmbeddingDim
+    val bigD = d + 1
+    val triLen = bigD * (bigD + 1) / 2
+    val q = emb.select(
+      transform(col("embedding"), x =>
+        floor(x.cast("double") * lit(65536d) + lit(0.5d)).cast("long"))
+        .as("qv"), col("y"))
+    val (tri, b, syy, n) = q.as[(Array[Long], Long)].rdd.mapPartitions { it =>
+      val a = Array.ofDim[Long](triLen)
+      val bb = Array.ofDim[Long](bigD)
+      var syy0 = 0L
+      var n0 = 0L
+      val x = Array.ofDim[Long](bigD)
+      it.foreach { case (row, y) =>
+        var i = 0
+        while (i < d) { x(i) = row(i); i += 1 }
+        x(d) = 65536L
+        var k = 0
+        i = 0
+        while (i < bigD) {
+          var j = i
+          while (j < bigD) { a(k) += x(i) * x(j); j += 1; k += 1 }
+          bb(i) += x(i) * y
+          i += 1
+        }
+        syy0 += y * y
+        n0 += 1L
+      }
+      Iterator.single((a, bb, syy0, n0))
+    }.treeReduce { (p1, p2) =>
+      var k = 0
+      while (k < triLen) { p1._1(k) += p2._1(k); k += 1 }
+      k = 0
+      while (k < bigD) { p1._2(k) += p2._2(k); k += 1 }
+      (p1._1, p1._2, p1._3 + p2._3, p1._4 + p2._4)
+    }
+    // Dense A (+ ridge), then Gaussian elimination w/ partial pivot.
+    val a = Array.ofDim[Double](bigD, bigD)
+    var k = 0
+    var i = 0
+    while (i < bigD) {
+      var j = i
+      while (j < bigD) {
+        a(i)(j) = tri(k).toDouble; a(j)(i) = tri(k).toDouble; j += 1; k += 1
+      }
+      i += 1
+    }
+    val lambda = (0 until bigD).map(i0 => a(i0)(i0)).sum / bigD * 1e-8
+    (0 until bigD).foreach(i0 => a(i0)(i0) += lambda)
+    val w = b.map(_.toDouble)
+    i = 0
+    while (i < bigD) {
+      var p = i
+      var r = i + 1
+      while (r < bigD) { if (math.abs(a(r)(i)) > math.abs(a(p)(i))) p = r; r += 1 }
+      if (p != i) {
+        val t = a(p); a(p) = a(i); a(i) = t
+        val tw = w(p); w(p) = w(i); w(i) = tw
+      }
+      r = i + 1
+      while (r < bigD) {
+        val f = a(r)(i) / a(i)(i)
+        var c = i
+        while (c < bigD) { a(r)(c) -= f * a(i)(c); c += 1 }
+        w(r) -= f * w(i)
+        r += 1
+      }
+      i += 1
+    }
+    i = bigD - 1
+    while (i >= 0) {
+      var c = i + 1
+      var s = w(i)
+      while (c < bigD) { s -= a(i)(c) * w(c); c += 1 }
+      w(i) = s / a(i)(i)
+      i -= 1
+    }
+    // SSE/SST from the same statistics (A pre-ridge is tri).
+    var wAw = 0.0
+    k = 0
+    i = 0
+    while (i < bigD) {
+      var j = i
+      while (j < bigD) {
+        val m = if (i == j) 1.0 else 2.0
+        wAw += m * w(i) * w(j) * tri(k).toDouble
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    val wb = (0 until bigD).map(i0 => w(i0) * b(i0).toDouble).sum
+    val sse = math.max(syy.toDouble - 2.0 * wb + wAw, 0.0)
+    val sy = b(d).toDouble / 65536.0
+    val sst = syy.toDouble - sy * sy / n.toDouble
+    val r2e6 = if (sst <= 0) 0L else math.round((1.0 - sse / sst) * 1e6)
+    val topDims = (0 until d).sortBy(i0 => (-math.abs(w(i0)), i0)).take(5)
+    Seq((n, d,
+      r2e6,
+      topDims.mkString(","),
+      topDims.map(i0 => math.round(w(i0) * 65536.0 * 1e4)).mkString(",")))
+      .toDF("n_rows", "dim", "r2_e6", "top_dims", "top_weights_e4")
+  }
 }
