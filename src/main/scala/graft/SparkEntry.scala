@@ -878,6 +878,11 @@ object SparkEntry {
     "s_stream_clean" -> ((s, d) => graft.streaming.StreamingOps.streamClean(s, d)),
     "s_stream_foreachbatch" -> ((s, d) =>
       graft.streaming.StreamingOps.streamForeachBatchAgg(s, d)),
+    // foreachBatch maintaining the ALGEBRAIC MV (delta-merge per
+    // micro-batch, batch-id exactly-once markers) — only years-sized
+    // deltas hit the sink, never raw rows.
+    "s_stream_mv" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamIncrementalMv(s, d)),
     "s_stream_session_window" -> ((s, d) =>
       graft.streaming.StreamingOps.streamSessionWindow(s, d)),
     // ORC sink/source round-trip under the oracle: documents → ORC
@@ -3882,6 +3887,17 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The streamed MV must equal q_incremental_mv's direct GROUP BY
+    // exactly (same algebraic state, micro-batched instead of
+    // landing-diffed) — so the identical oracle.
+    "s_stream_mv" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  count(*) AS n_orders,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+        |    AS sum_price,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // count(*)
+        |    AS BIGINT) AS avg_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // The events table is one physical parquet file per SF dir (the
     // TESTDATA layout), so the leaf name the engine's
     // _metadata.file_name must surface is the constant

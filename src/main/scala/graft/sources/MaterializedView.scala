@@ -95,14 +95,43 @@ object MaterializedView {
     Some(nextV)
   }
 
+  /** Merge ONE delta into the MV as version `version` — the
+    * streaming `foreachBatch` form of [[refresh]] (version = micro-
+    * batch id). An existing commit marker for `version` makes the
+    * call a no-op and returns false: a replayed batch (restart
+    * mid-write) can never double-merge — the exactly-once discipline
+    * a transactional sink provides, expressed with the same
+    * write-data-then-commit-marker ordering as everything else here.
+    */
+  def mergeDelta(spark: SparkSession, mvDir: String,
+      keyCols: Seq[String], sumCols: Seq[String],
+      delta: DataFrame, version: Long): Boolean = {
+    if (commitMarker(mvDir, version).exists()) return false
+    val prevV = versions(mvDir).lastOption
+    val merged = prevV match {
+      case None => delta
+      case Some(v) => asOf(spark, mvDir, v).unionByName(delta)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col(sumCols.head)).as(sumCols.head),
+          sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+    }
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$mvDir/mv/v$version")
+    val tmp = new java.io.File(s"$mvDir/_tmp_commit_$version")
+    java.nio.file.Files.createDirectories(new java.io.File(mvDir).toPath)
+    java.nio.file.Files.write(tmp.toPath, s"batch $version".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, commitMarker(mvDir, version).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    true
+  }
+
   /** Per-year orders revenue partial aggregate (exact cents). */
-  private[sources] def ordersPartial(df: DataFrame): DataFrame =
+  private[graft] def ordersPartial(df: DataFrame): DataFrame =
     df.groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(count(lit(1)).as("n_orders"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
 
-  private val MvKeys = Seq("o_year")
-  private val MvSums = Seq("n_orders", "cents")
+  private[graft] val MvKeys = Seq("o_year")
+  private[graft] val MvSums = Seq("n_orders", "cents")
 
   /** Query entry (`q_incremental_mv`): orders land in three staged
     * batches (o_orderkey mod 3); each landing is followed by one
