@@ -377,6 +377,11 @@ object SparkEntry {
     "q_rfm" -> ((s, d) => Relational.qRfm(s, d)),
     "q_trend" -> ((s, d) => Relational.qTrend(s, d)),
     "q_mad_outliers" -> ((s, d) => Relational.qMadOutliers(s, d)),
+    // ±3-day exact rolling median over the bounded (type, day) grid.
+    "q_rolling_median" -> ((s, d) => Relational.qRollingMedian(s, d)),
+    // Deterministic Poisson bootstrap: hash-derived replicate
+    // weights, exact integer replicate means, ordered-pick CI.
+    "q_bootstrap_ci" -> ((s, d) => Relational.qBootstrapCi(s, d)),
     "q_assoc_rules" -> ((s, d) => Relational.qAssocRules(s, d)),
     "q_ab_lift" -> ((s, d) => Relational.qAbLift(s, d)),
     "q_gini" -> ((s, d) => Relational.qGini(s, d)),
@@ -865,6 +870,9 @@ object SparkEntry {
     "m_resize" -> ((s, d) => Multimodal.resizeDf(s, d)),
     "m_features" -> ((s, d) => Multimodal.extractFeaturesDf(s, d)),
     "m_near_dup" -> ((s, d) => Multimodal.nearDupPairs(s, d)),
+    // Webdataset-style byte-budget shard manifest (items never
+    // split; shard = starting-offset bucket).
+    "m_shard_pack" -> ((s, d) => Multimodal.shardPack(s, d)),
     "s_stream_agg" -> ((s, d) => graft.streaming.StreamingOps.streamHourlyAgg(s, d)),
     "s_stream_watermark" -> ((s, d) => graft.streaming.StreamingOps.streamWatermarkedAgg(s, d)),
     "s_stream_anomaly" -> ((s, d) => graft.streaming.StreamingOps.streamAnomaly(s, d)),
@@ -2418,6 +2426,33 @@ object SparkEntry {
         |      - ((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)) * sx)
         |      // n END AS intercept_e6
         |FROM s ORDER BY event_type""".stripMargin,
+    // Same ±3-row frame over the per-type day grid; the sorted-list
+    // (len+1)//2 pick is the engine's lower-median expression tree
+    // stated literally (no builtin median — interpolation differs).
+    "q_rolling_median" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cnt,
+        |    list_sort(list(cnt) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |      AS win
+        |  FROM d)
+        |SELECT event_type, day, cnt,
+        |  CAST(win[(len(win) + 1) // 2] AS BIGINT) AS med7
+        |FROM w ORDER BY event_type, day""".stripMargin,
+    // Starting-offset shard assignment off the same unique doc_id
+    // cumsum; strlen = payload bytes (UTF-8 both sides).
+    "m_shard_pack" ->
+      """WITH i AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nbytes
+        |  FROM documents),
+        |c AS (SELECT doc_id, nbytes, sum(nbytes) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM i)
+        |SELECT CAST((cum - nbytes) // 65536 AS BIGINT) AS shard,
+        |  count(*) AS n_items,
+        |  CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
     // Lower medians by the identical (nn + 1) // 2 ordered selection
     // under unique (value, day) orders; the outlier test is exact
     // integer arithmetic.

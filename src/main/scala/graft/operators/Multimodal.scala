@@ -253,4 +253,29 @@ object Multimodal {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
       maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Byte-budget shard packing — the webdataset/tar-shard build step
+    * of a multimodal training pipeline: payloads pack in stable
+    * doc_id order into ~`budget`-byte shards, where an item belongs
+    * to the shard its STARTING offset falls in (shards may overrun
+    * by one item's tail — the tar convention; items never split).
+    * The running byte offset comes from
+    * [[Selection.withGlobalRank]]'s range-partitioned cumsum — the
+    * corpus-scale shape, no single-reducer window, and only
+    * (doc_id, nbytes) ever shuffles, never payload bytes. Readout:
+    * per-shard item/byte totals and id span — exactly the shard
+    * manifest a downstream loader consumes. */
+  def shardPack(spark: SparkSession, dir: String,
+      budget: Long = 65536L): DataFrame = {
+    val items = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("nbytes"))
+    Selection.withGlobalRank(items, Seq(col("doc_id")), "rk",
+      cumSumOf = Some("nbytes"), cumName = "cum")
+      .withColumn("shard", expr(s"(cum - nbytes) div ${budget}L"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_items"), sum(col("nbytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"))
+  }
 }

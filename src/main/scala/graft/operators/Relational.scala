@@ -1582,6 +1582,71 @@ object Relational {
       .limit(k)
   }
 
+  /** Rolling EXACT median of the per-type daily count series (±3-day
+    * window) — the robust smoother next to [[qMadOutliers]]'s level
+    * test: a 7-slot sorted pick per grid cell, lower-median
+    * convention (⌈n/2⌉-th of the sorted window). Runs entirely over
+    * the bounded (type × day) grid — the raw stream reduces FIRST,
+    * the window never sees events — so the per-type window is
+    * partitioned (no global sort) and the collected window array is
+    * ≤7 longs. */
+  def qRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    daily
+      .withColumn("win", sort_array(collect_list(col("cnt")).over(w)))
+      .select(col("event_type"), col("day"), col("cnt"),
+        expr("element_at(win, CAST((size(win) + 1) div 2 AS INT))")
+          .as("med7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Poisson-bootstrap confidence interval for mean order value —
+    * the at-scale resampling shape (one pass, no per-replicate
+    * shuffles of the data): every row fans out to `reps` narrow
+    * (replicate, weight·cents) pairs with a DETERMINISTIC
+    * pseudo-Poisson(1) weight from `xxhash64(key, replicate)`
+    * (inverse-CDF thresholds on the hash's uniform — replayable,
+    * partitioning-independent, no RNG state), replicate means are
+    * exact integer cents, and the 2.5%/97.5% CI is an ordered pick
+    * from the `reps`-length sorted array (driver-bounded by
+    * construction). Exact integers end to end ⇒ the CI is
+    * bit-stable across any cluster layout. Rows-only + specs
+    * (coverage of the point estimate, constant-data degeneracy,
+    * partitioning invariance). */
+  def qBootstrapCi(spark: SparkSession, dir: String, reps: Int = 200): DataFrame =
+    bootstrapCiOf(Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")), reps)
+
+  /** [[qBootstrapCi]] over any (o_orderkey, cents) frame. */
+  def bootstrapCiOf(o: DataFrame, reps: Int): DataFrame = {
+    val point = o.agg(count(lit(1)).as("n_orders"),
+      expr("sum(cents) div count(1)").as("mean_cents"))
+    val u = pmod(xxhash64(col("o_orderkey"), col("rep")), lit(1000000L))
+    val weight = when(u < 367879L, 0L).when(u < 735758L, 1L)
+      .when(u < 919698L, 2L).when(u < 980885L, 3L)
+      .when(u < 996340L, 4L).otherwise(5L)
+    val means = o
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .withColumn("w", weight)
+      .groupBy(col("rep"))
+      .agg(sum(col("w") * col("cents")).as("s"), sum(col("w")).as("nw"))
+      .select(expr("s div nw").as("m"))
+    val lo = math.max((reps * 25 + 999) / 1000, 1) // ceil(0.025·reps)
+    val hi = (reps * 975 + 999) / 1000             // ceil(0.975·reps)
+    means.agg(sort_array(collect_list(col("m"))).as("ms"))
+      .crossJoin(broadcast(point))
+      .select(col("n_orders"), lit(reps.toLong).as("n_reps"),
+        col("mean_cents"),
+        element_at(col("ms"), lo).as("ci_lo_cents"),
+        element_at(col("ms"), hi).as("ci_hi_cents"))
+  }
+
   /** Sequence-pattern match (MATCH_RECOGNIZE's core) — each user's
     * FULL event history collapses to one compact string (initial
     * letter per event, ordered by the unique (µs, event_id) key) and
