@@ -343,6 +343,9 @@ object SparkEntry {
     // Persisted per-day HLL sketches unioned at query time — the
     // incremental-analytics artifact shape; 5%-verdict oracle.
     "q_sketch_union" -> ((s, d) => Relational.qSketchUnion(s, d)),
+    // Audience overlap by sketch inclusion-exclusion (scalar
+    // hll_union algebra over the 5-sketch table) + exact audit.
+    "q_sketch_intersect" -> ((s, d) => Relational.qSketchIntersect(s, d)),
     "q_sketch_running" -> ((s, d) => Relational.qSketchRunning(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
@@ -788,6 +791,10 @@ object SparkEntry {
     // exact, so the oracle is the plain full-scan filter).
     "src_minmax_skip" -> ((s, d) =>
       graft.sources.SkipIndex.qMinmaxSkip(s, d)),
+    // One logical table, two partition specs (year → year/month):
+    // history never rewrites; both layouts dir-prune independently.
+    "src_partition_evolution" -> ((s, d) =>
+      graft.sources.PartitionEvolution.qPartitionEvolution(s, d)),
     // Z-order (Morton) clustering: BOTH box dimensions prune —
     // the multi-dimensional layout a linear sort cannot give.
     "src_zorder_skip" -> ((s, d) =>
@@ -3017,6 +3024,25 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM r WHERE rk = 1
         |GROUP BY ver ORDER BY ver""".stripMargin,
+    // Overlaps from a distinct (type, user) self-join; the sketch
+    // path must agree under the 5% verdict convention (TRUE here —
+    // coupon-mode HLL is exact at this cardinality).
+    "q_sketch_intersect" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |  count(*) AS exact_overlap, TRUE AS approx_ok
+        |FROM tu x JOIN tu y ON x.user_id = y.user_id
+        |  AND x.event_type < y.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Spec evolution is read-path only — the answer must equal the
+    // plain full-scan filter (pruning asserted by the spec).
+    "src_partition_evolution" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE year(o_orderdate) IN (1997, 1998)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Stats-pruned scans answer exactly like full scans — the oracle
     // is the plain filter; file skipping is asserted by SkipIndexSpec.
     "src_minmax_skip" ->

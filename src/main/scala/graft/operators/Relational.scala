@@ -1582,6 +1582,44 @@ object Relational {
       .limit(k)
   }
 
+  /** Audience-overlap matrix via sketch inclusion-exclusion — the
+    * "which segments share users" readout computed WITHOUT an
+    * all-pairs pass over the stream: one distinct (type, user)
+    * reduction feeds (a) per-type HLL sketches whose pairwise
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) needs only the 5×5 sketch
+    * table (`hll_union` is a scalar merge — no data re-scan per
+    * pair), and (b) the exact per-pair overlap for the in-query
+    * audit, under the q_approx_distinct 5% verdict convention. At
+    * 100 TB the sketch path is the product: k segments cost one
+    * scan + k sketches, and every pairwise/3-way overlap estimate
+    * is sketch algebra on KB-sized state. */
+  def qSketchIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(true)
+    val sk = tu.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val est = sk.as("a").join(sk.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        (hll_sketch_estimate(col("a.sk")) +
+          hll_sketch_estimate(col("b.sk")) -
+          hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
+          .as("est_overlap"))
+    val exact = tu.as("x").join(tu.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    exact.join(broadcast(est), Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_overlap"),
+        (abs(col("est_overlap") - col("exact_overlap")) <=
+          greatest(col("exact_overlap") / 20, lit(2L))).as("approx_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Rolling EXACT median of the per-type daily count series (±3-day
     * window) — the robust smoother next to [[qMadOutliers]]'s level
     * test: a 7-slot sorted pick per grid cell, lower-median
