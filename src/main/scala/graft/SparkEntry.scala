@@ -395,6 +395,10 @@ object SparkEntry {
     // per-user ordered event letters → one string, k patterns map
     // over it — no k-way join chains.
     "q_seq_match" -> ((s, d) => Relational.qSeqMatch(s, d)),
+    // Winnowing (MOSS) fingerprint pairs: bounded-density sketch
+    // that can never miss a w+k-1-token match (rows-only; the
+    // guarantee/density/short-doc specs pin it).
+    "d_winnow" -> ((s, d) => Dedup.winnowPairs(s, d)),
     // Planted near-dup families (two doc_id residue classes share a
     // 100-shingle base text, unique small tails): ground truth by
     // construction, recall/precision of the banded MinHash pairs
@@ -440,6 +444,9 @@ object SparkEntry {
     "q_event_funnel" -> ((s, d) => Relational.qEventFunnel(s, d)),
     "q_time_weighted" -> ((s, d) => Relational.qTimeWeighted(s, d)),
     "p_split" -> ((s, d) => Pipeline.trainValTestSplit(s, d)),
+    // Replayable per-epoch global shuffle (md5 total order, no RNG
+    // state); readout probes every 100th shuffled position.
+    "p_shuffle" -> ((s, d) => Pipeline.pShuffle(s, d)),
     "q_argmax" -> ((s, d) => Relational.qArgmax(s, d)),
     "q_stats" -> ((s, d) => Relational.qStats(s, d)),
     "e_pq_adc" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
@@ -473,6 +480,10 @@ object SparkEntry {
     // monotone per-user totals make the max-readout batch-equal.
     "s_stream_tws" -> ((s, d) =>
       graft.streaming.StreamingOps.streamTwsCounter(s, d)),
+    // Exact streamed hourly value percentiles (sorted ordered pick
+    // over mergeable collected state) — bit-equal to batch/oracle.
+    "s_stream_percentile" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamPercentiles(s, d)),
     "s_stream_topk" -> ((s, d) =>
       graft.streaming.StreamingOps.streamTopK(s, d)),
     // Rows-only + spec: progress-API state metrics (the spec pins
@@ -1727,6 +1738,16 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY source, split""".stripMargin,
+    // Same md5 total order (unique doc_id tiebreak) and the same
+    // every-100th probe of the shuffled positions.
+    "p_shuffle" ->
+      """WITH s AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS skey
+        |  FROM documents),
+        |r AS (SELECT doc_id, skey,
+        |    row_number() OVER (ORDER BY skey, doc_id) AS rank FROM s)
+        |SELECT rank, doc_id, skey FROM r
+        |WHERE (rank - 1) % 100 = 0 ORDER BY rank""".stripMargin,
     "q_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |    epoch_ns(ts) // 1000 AS us FROM events),
@@ -4366,6 +4387,21 @@ object SparkEntry {
         |FROM events GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
     // Epoch-aligned 6 h buckets (Spark window() aligns to the epoch;
+    // Exact hourly value percentiles: discrete ⌈p·n⌉ picks are
+    // tie-order-independent value selections, so no unique sort key
+    // is required; e4 integers keep both engines bit-equal.
+    "s_stream_percentile" ->
+      """WITH v AS (SELECT epoch_us(ts) // 3600000000 * 3600000000
+        |    AS hr_us, CAST(round(value * 10000) AS BIGINT) AS v_e4
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT hr_us, v_e4,
+        |    row_number() OVER (PARTITION BY hr_us ORDER BY v_e4) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY hr_us) AS BIGINT) AS n
+        |  FROM v)
+        |SELECT hr_us, max(n) AS n,
+        |  max(CASE WHEN rk = (n + 1) // 2 THEN v_e4 END) AS p50_e4,
+        |  max(CASE WHEN rk = (95 * n + 99) // 100 THEN v_e4 END) AS p95_e4
+        |FROM s GROUP BY hr_us ORDER BY hr_us""".stripMargin,
     // 21600000000 µs) and the unique (n DESC, user_id) rank order.
     "s_stream_topk" ->
       """WITH c AS (SELECT epoch_us(ts) // 21600000000 * 21600000000

@@ -601,4 +601,47 @@ object Dedup {
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
       .orderBy(col("doc_id"))
   }
+  /** Winnowing fingerprint near-dup pairs (Schleimer–Wilkerson–Aiken
+    * 2003, the MOSS algorithm) — the published selection scheme the
+    * d_* family was missing: per document, hash the word k-grams in
+    * POSITION order, slide a w-hash window, select each window's
+    * minimum hash, and dedupe the selections into the document's
+    * fingerprint set. The guarantee (spec-pinned): any shared token
+    * run of length >= w+k-1 puts at least one identical window in
+    * both documents, so its minimum is selected on both sides — a
+    * bounded-density sketch (between n/w and n prints) that can
+    * never miss a long match. Pairs then form by fingerprint-key
+    * equi-join on narrow (doc, hash) rows — the same
+    * score-first/shuffle-narrow shape as every other pair source;
+    * no payload, no all-pairs. The per-doc window is partitioned by
+    * doc_id (never a global sort), and short documents (< w full
+    * windows) legitimately fingerprint to nothing. */
+  def winnowPrints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(TF.wordShingles(col("text"), k)).as(Seq("pos", "ng")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("ng")).as("h"))
+    pos
+      .withColumn("wmin",
+        min(col("h")).over(byDoc.orderBy(col("pos")).rowsBetween(0, w - 1)))
+      .withColumn("nh", count(lit(1)).over(byDoc))
+      .filter(col("pos") <= col("nh") - w) // full windows only
+      .select(col("doc_id"), col("wmin").as("print"))
+      .distinct()
+  }
+
+  def winnowPairs(spark: SparkSession, dir: String,
+      minShared: Long = 8L): DataFrame = {
+    val prints = winnowPrints(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).localCheckpoint(true)
+    prints.as("a").join(prints.as("b"),
+        col("a.print") === col("b.print") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_prints"))
+      .filter(col("shared_prints") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -612,4 +612,27 @@ object Pipeline {
         expr("sum_tokens * 100 div n_docs").as("mean_tokens_e2"))
       .orderBy(col("source"), col("lang"))
   }
+  /** Deterministic global training shuffle — the "shuffle the corpus
+    * per epoch" step of a data loader, done as a total order instead
+    * of an RNG: sort key = md5(doc_id ++ epoch tag). Cryptographic
+    * diffusion makes the order indistinguishable from random while
+    * staying REPLAYABLE (same epoch tag → same order on any cluster,
+    * any partitioning — restartable mid-epoch) and cheap to change
+    * (next epoch = next tag, no state). The global rank rides
+    * [[Selection.withGlobalRank]]'s range-partitioned form — a 100 TB
+    * corpus shuffles with two narrow shuffles and no single-reducer
+    * sort. Readout: every 100th position of the shuffled order, a
+    * direct probe of the order itself. */
+  def pShuffle(spark: SparkSession, dir: String,
+      epochTag: String = "epoch0"): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":" + epochTag)))
+          .as("skey"))
+    Selection.withGlobalRank(keyed,
+      Seq(col("skey"), col("doc_id")), "rank")
+      .filter(pmod(col("rank") - 1, lit(100L)) === 0)
+      .select(col("rank"), col("doc_id"), col("skey"))
+      .orderBy(col("rank"))
+  }
 }

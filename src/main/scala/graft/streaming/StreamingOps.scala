@@ -911,6 +911,51 @@ object StreamingOps {
       .orderBy(col("lang"))
   }
 
+  /** Streaming EXACT hourly percentiles of purchase value — the
+    * latency/price-distribution dashboard readout: complete-mode
+    * windowed aggregation collecting each hour's e4-scaled values
+    * (collect_list is a mergeable streaming aggregate; arrival order
+    * inside the state is irrelevant because the readout SORTS before
+    * the ordered pick), then the discrete ⌈p·n⌉ selection for
+    * p50/p95 — value picks are tie-order-independent, so no unique
+    * sort key is needed. Exact-integer e4 values make the streamed
+    * result equal the batch (and DuckDB-oracle) answer bit-for-bit.
+    * State here is O(rows-per-hour); at 100 TB the same plan swaps
+    * collect_list for a mergeable quantile sketch (the q_approx_pct
+    * machinery) — the windowing, watermarking and readout shape stay
+    * identical. */
+  def streamPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
+    val purchases = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        timestamp_micros(graft.Tables.eventsTsUsCol(rawSchema)).as("ts"),
+        round(col("value") * 10000).cast("long").as("v_e4"))
+    val agged = purchases
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(collect_list(col("v_e4")).as("vs"))
+    val name = "graft_stream_pct"
+    val q = agged.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(unix_micros(col("window.start")).as("hr_us"),
+        sort_array(col("vs")).as("sv"))
+      .withColumn("n", size(col("sv")).cast("long"))
+      .select(col("hr_us"), col("n"),
+        expr("element_at(sv, CAST((n + 1) div 2 AS INT))").as("p50_e4"),
+        expr("element_at(sv, CAST((95 * n + 99) div 100 AS INT))")
+          .as("p95_e4"))
+      .orderBy(col("hr_us"))
+  }
+
   /** Streaming incremental MV — [[graft.sources.MaterializedView]]'s
     * delta-merge driven by `foreachBatch` instead of a landing diff:
     * orders arrive as three single-file micro-batches
