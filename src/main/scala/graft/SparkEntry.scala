@@ -346,6 +346,9 @@ object SparkEntry {
     // Audience overlap by sketch inclusion-exclusion (scalar
     // hll_union algebra over the 5-sketch table) + exact audit.
     "q_sketch_intersect" -> ((s, d) => Relational.qSketchIntersect(s, d)),
+    // ANALYZE-style column profile from one stacked scan (NDV, null
+    // count, modal value by unique composite rank).
+    "q_profile_columns" -> ((s, d) => Relational.qProfileColumns(s, d)),
     "q_sketch_running" -> ((s, d) => Relational.qSketchRunning(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
@@ -806,6 +809,10 @@ object SparkEntry {
     // history never rewrites; both layouts dir-prune independently.
     "src_partition_evolution" -> ((s, d) =>
       graft.sources.PartitionEvolution.qPartitionEvolution(s, d)),
+    // Small-file OPTIMIZE: metadata-planned size bins, one-shuffle
+    // rewrite; layout-only — answers must not move.
+    "src_compaction" -> ((s, d) =>
+      graft.sources.Compaction.qCompaction(s, d)),
     // Z-order (Morton) clustering: BOTH box dimensions prune —
     // the multi-dimensional layout a linear sort cannot give.
     "src_zorder_skip" -> ((s, d) =>
@@ -3055,6 +3062,34 @@ object SparkEntry {
         |FROM tu x JOIN tu y ON x.user_id = y.user_id
         |  AND x.event_type < y.event_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // One stacked scan both sides; modal pick under the unique
+    // (count DESC, value ASC) per-column rank.
+    "q_profile_columns" ->
+      """WITH s AS (
+        |  SELECT 'o_custkey' AS colname, CAST(o_custkey AS VARCHAR) AS val
+        |    FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_year', CAST(year(o_orderdate) AS VARCHAR)
+        |    FROM orders),
+        |c AS (SELECT colname, val, count(*) AS cnt FROM s GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY colname
+        |    ORDER BY cnt DESC, val ASC) AS rk FROM c)
+        |SELECT colname,
+        |  CAST(count(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS ndv,
+        |  CAST(coalesce(sum(CASE WHEN val IS NULL THEN cnt END), 0)
+        |    AS BIGINT) AS n_nulls,
+        |  max(CASE WHEN rk = 1 THEN val END) AS top_value,
+        |  max(CASE WHEN rk = 1 THEN cnt END) AS top_count
+        |FROM r GROUP BY colname ORDER BY colname""".stripMargin,
+    // Compaction is layout-only: the compacted copy must answer
+    // exactly like the original table.
+    "src_compaction" ->
+      """SELECT strftime(o_orderdate, '%Y') AS yr,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Spec evolution is read-path only — the answer must equal the
     // plain full-scan filter (pruning asserted by the spec).
     "src_partition_evolution" ->

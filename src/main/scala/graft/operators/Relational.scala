@@ -1582,6 +1582,40 @@ object Relational {
       .limit(k)
   }
 
+  /** Column profiling (ANALYZE TABLE's readout): per column — NDV,
+    * null count, and the modal value with its count — computed from
+    * ONE scan by stacking the table into narrow (column, value)
+    * pairs and aggregating once; the modal pick is a per-column
+    * ranked window under the unique (count DESC, value ASC) order
+    * (the max_by-composite rule), partitioned by column name — never
+    * global. The NDV here is exact from the stacked counts (the
+    * stacked group-by is vocab-bounded per column); a 100 TB profile
+    * swaps the exact count for the HLL path (q_approx_distinct) with
+    * the same stacked shape. */
+  def qProfileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val stacked = Tables.orders(spark, dir).select(expr(
+      """stack(4,
+        |  'o_custkey', cast(o_custkey as string),
+        |  'o_orderstatus', o_orderstatus,
+        |  'o_orderpriority', o_orderpriority,
+        |  'o_year', cast(year(o_orderdate) as string)
+        |) as (colname, val)""".stripMargin))
+    val counts = stacked
+      .groupBy(col("colname"), col("val"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("colname"))
+      .orderBy(col("cnt").desc, col("val").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("colname"))
+      .agg(sum(when(col("val").isNotNull, 1L).otherwise(0L)).as("ndv"),
+        sum(when(col("val").isNull, col("cnt")).otherwise(0L))
+          .as("n_nulls"),
+        max(when(col("rk") === 1, col("val"))).as("top_value"),
+        max(when(col("rk") === 1, col("cnt"))).as("top_count"))
+      .orderBy(col("colname"))
+  }
+
   /** Audience-overlap matrix via sketch inclusion-exclusion — the
     * "which segments share users" readout computed WITHOUT an
     * all-pairs pass over the stream: one distinct (type, user)
