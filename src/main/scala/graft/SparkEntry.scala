@@ -162,6 +162,15 @@ object SparkEntry {
     sideOutDocsBin(s, d); sideOutDocsOrc(s, d); sideOutDocsCsv(s, d)
     sideOutDocsText(s, d); sideOutDocsVintages(s, d)
     sideOutEventsDynOverwrite(s, d); sideOutDocsCsvCorrupt(s, d)
+    // Round-11 file fixtures (COW/bucketed tables, skip layouts, MV
+    // state, compacted copies, stream landings): building is eager
+    // inside each query's constructor, so one cheap invocation per
+    // fixture here keeps every bench sweep timing the READ path
+    // instead of billing sweep 1 for one-time writes.
+    Seq("src_bucketed_merge", "src_minmax_skip", "src_zorder_skip",
+      "q_incremental_mv", "s_stream_mv", "src_partition_evolution",
+      "src_compaction")
+      .foreach(q => queries(q)(s, d).limit(1).count(): Unit)
   }
 
   /** Flagship: Louvain community detection on the supplier

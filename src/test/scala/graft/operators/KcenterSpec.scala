@@ -25,7 +25,7 @@ class KcenterSpec extends AnyFunSuite {
         (c * 10L + j, vec(c -> 1f, (c + 4) -> (0.01f * j)))
       }
     }
-    rows.toDF("vec_id", "embedding")
+    graft.TestFixtures.canonEmb(rows.toDF("vec_id", "embedding"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }

@@ -29,6 +29,7 @@ class MmrSpec extends AnyFunSuite {
       (102L, vec(0 -> 0.6f, 2 -> 0.8f)),
       (103L, vec(3 -> 1f))
     ).toDF("vec_id", "embedding")
+      .transform(graft.TestFixtures.canonEmb)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
     // plain top-2 by cosine: the two duplicates
@@ -56,6 +57,7 @@ class MmrSpec extends AnyFunSuite {
       (101L, vec(0 -> 1f, 1 -> 0.2f)),
       (102L, vec(0 -> 0.5f, 2 -> 0.9f))
     ).toDF("vec_id", "embedding")
+      .transform(graft.TestFixtures.canonEmb)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val mmr = Similarity.mmrTopK(spark, dir, k = 3, poolK = 3, lambdaE4 = 10000L)
       .filter($"query_id" === 0L).collect()

@@ -19,7 +19,7 @@ class PipelineSpec extends AnyFunSuite {
     // identity key exists to prevent).
     val dir = java.nio.file.Files.createTempDirectory("graft_memo").toString
     def write(rows: Seq[(Long, String)]): Unit = {
-      rows.toDF("doc_id", "text").coalesce(1)
+      graft.TestFixtures.canonDocs(rows.toDF("doc_id", "text")).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       // mtime granularity can be coarse; force a distinct timestamp
       val f = new java.io.File(s"$dir/documents.parquet")
@@ -163,7 +163,7 @@ class PipelineSpec extends AnyFunSuite {
     val docs = Seq((1L, baseA), (2L, baseA), (3L, baseA),
       (4L, baseB), (5L, nd1), (6L, nd2), (7L, uniq)).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_dup").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.TestFixtures.canonDocs(docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = Dedup.dupClusters(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(got.keySet == (1L to 7L).toSet)
@@ -178,7 +178,7 @@ class PipelineSpec extends AnyFunSuite {
     val docs = Seq((1L, base), (2L, base), (3L, base + " x1 x2"),
       (4L, (500 to 560).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_dupov").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.TestFixtures.canonDocs(docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val self = Dedup.dupClusters(spark, dir).collect().map(_.toSeq)
     // The 100 TB contract: compute the pair table once, persist it,
     // and feed the verdict from the precomputed table.
@@ -198,7 +198,7 @@ class PipelineSpec extends AnyFunSuite {
       (2L, ("the cat and the dog are in the house and " * 4).trim))
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.TestFixtures.canonDocs(docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val pairs = Seq((1L, 2L)).toDF("src", "dst")
     val kept = Pipeline.cleanCorpus(spark, dir, precomputedPairs = Some(pairs))
       .collect().map(_.getLong(0))
@@ -211,7 +211,7 @@ class PipelineSpec extends AnyFunSuite {
       (3L, ("it is a good day for all of us here and there " * 4).trim))
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_cleanov").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.TestFixtures.canonDocs(docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val self = Pipeline.cleanCorpus(spark, dir).collect().map(_.toSeq)
     val pairs = Dedup.dupPairs(spark, dir, includeMinhash = false)
     val reused = Pipeline.cleanCorpus(spark, dir, precomputedPairs = Some(pairs))
@@ -233,7 +233,7 @@ class PipelineSpec extends AnyFunSuite {
       (5L, ("12345 67890 " * 20).trim),
       (6L, goodEn2)).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_clean").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.TestFixtures.canonDocs(docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val kept = Pipeline.cleanCorpus(spark, dir).collect().map(_.getLong(0))
     assert(kept.toSeq == Seq(1L, 6L), s"kept: ${kept.mkString(",")}")
   }
@@ -251,7 +251,7 @@ class PipelineSpec extends AnyFunSuite {
       (3L, ("please read the following terms and conditions for it " * 4).trim))
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_semclean").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.TestFixtures.canonDocs(docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val without = Pipeline.cleanCorpus(spark, dir).collect().map(_.getLong(0))
     assert(without.toSeq == Seq(1L, 2L, 3L), s"ungated: ${without.mkString(",")}")
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_id")
@@ -281,7 +281,7 @@ class PipelineSpec extends AnyFunSuite {
       (3L, ("it is a good day for all of us here and there my friend " * 6).trim))
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.TestFixtures.canonDocs(docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val without = Pipeline.cleanCorpus(spark, dir).collect().map(_.getLong(0))
     assert(without.toSeq == Seq(1L, 2L, 3L), s"ungated: ${without.mkString(",")}")
     // Docs 1/2 are >60% shared 8-grams; doc 3 shares none.
@@ -295,7 +295,7 @@ class PipelineSpec extends AnyFunSuite {
       (i, s"doc $i", if (i % 3 == 0) "de" else if (i % 3 == 1) "en" else "fr"))
       .toDF("doc_id", "text", "lang")
     val dir = java.nio.file.Files.createTempDirectory("graft_strat").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.TestFixtures.canonDocs(docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val fr = Map("en" -> 0.5, "de" -> 1.0) // fr absent => fraction 0
     val run1 = Pipeline.stratifiedSample(spark, dir, fr).collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -313,7 +313,7 @@ class PipelineSpec extends AnyFunSuite {
     val docs = Seq((1L, "abcdefghijkl"), (2L, "x"), (3L, "abcde"))
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.TestFixtures.canonDocs(docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = Pipeline.chunkDocs(spark, dir, width = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     // doc 1: 12 chars -> chunks of 5,5,2; doc 2: 1 chunk; doc 3: exactly one width
@@ -330,7 +330,7 @@ class PipelineSpec extends AnyFunSuite {
     val docs = (1L to 40L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_pack").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.TestFixtures.canonDocs(docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = Pipeline.packSequences(spark, dir, budget = 10, shards = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.length == 40, "every doc assigned exactly one sequence")
@@ -357,7 +357,7 @@ class PipelineSpec extends AnyFunSuite {
       (252L, "brand new text"), (253L, "another new text"))
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.TestFixtures.canonDocs(docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val kept = Dedup.incrementalDedup(spark, dir).collect().map(_.getLong(0))
     assert(kept.toSeq == Seq(251L, 253L), s"kept: ${kept.mkString(",")}")
   }
@@ -371,7 +371,7 @@ class PipelineSpec extends AnyFunSuite {
     val docs = Seq((20L, benchText), (21L, leaked), (22L, clean))
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.TestFixtures.canonDocs(docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = Pipeline.decontaminate(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.keySet == Set(21L), s"contaminated set: $got")
@@ -383,7 +383,7 @@ class PipelineSpec extends AnyFunSuite {
       "call +1 (555) 123-4567 now"
     val docs = Seq((1L, text), (2L, "no pii here")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.TestFixtures.canonDocs(docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = TextAnalysis.piiScan(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
     assert(got(0) == ((1L, 2L, 1L, 1L, {

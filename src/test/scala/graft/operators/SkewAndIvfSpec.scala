@@ -61,7 +61,7 @@ class SkewAndIvfSpec extends AnyFunSuite {
       (0 until 64).map(i => if (i == axis) 1f else 0f)
     val dir = java.nio.file.Files.createTempDirectory("graft_knnmemo").toString
     def write(rows: Seq[(Long, Seq[Float])]): Unit = {
-      rows.toDF("vec_id", "embedding").coalesce(1)
+      graft.TestFixtures.canonEmb(rows.toDF("vec_id", "embedding")).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       val f = new java.io.File(s"$dir/embeddings.parquet")
       f.setLastModified(f.lastModified() + 2000)
@@ -102,7 +102,7 @@ class SkewAndIvfSpec extends AnyFunSuite {
       } yield ((c * 10 + j).toLong, vec(c * 20, j))) :+ (99L, vec(63, 0))
     val dir = java.nio.file.Files.createTempDirectory("graft_embclu").toString
     import spark.implicits._
-    rows.toDF("vec_id", "embedding")
+    graft.TestFixtures.canonEmb(rows.toDF("vec_id", "embedding"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val got = Similarity.embedClusters(spark, dir, k = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -126,7 +126,7 @@ class SkewAndIvfSpec extends AnyFunSuite {
         c <- 0 until 3; j <- 0 until 5
       } yield ((c * 10 + j).toLong, vec(c * 20, j))) :+ (99L, vec(63, 0))
     val dir = java.nio.file.Files.createTempDirectory("graft_semdd").toString
-    rows.toDF("vec_id", "embedding")
+    graft.TestFixtures.canonEmb(rows.toDF("vec_id", "embedding"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val got = Similarity.semanticDedup(spark, dir, k = 4).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
@@ -159,7 +159,7 @@ class SkewAndIvfSpec extends AnyFunSuite {
     // and the pairs-driven verdict agrees with the mutual-kNN one on
     // well-separated clusters (both contract to min-id clusters)
     val dir = java.nio.file.Files.createTempDirectory("graft_semex").toString
-    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    graft.TestFixtures.canonEmb(emb).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val viaPairs = Similarity.semanticDedupFrom(spark, dir,
         Similarity.cosineThresholdPairs(emb, 9000L))
       .collect().map(_.toSeq).toSeq
@@ -347,7 +347,7 @@ class SkewAndIvfSpec extends AnyFunSuite {
       (0 until 64).map(i => if (i == axis) 1f else 0f)
     val dir = java.nio.file.Files.createTempDirectory("graft_pqmemo").toString
     def write(rows: Seq[(Long, Seq[Float])]): Unit = {
-      rows.toDF("vec_id", "embedding").coalesce(1)
+      graft.TestFixtures.canonEmb(rows.toDF("vec_id", "embedding")).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       val f = new java.io.File(s"$dir/embeddings.parquet")
       f.setLastModified(f.lastModified() + 2000)
