@@ -358,6 +358,9 @@ object SparkEntry {
     // ANALYZE-style column profile from one stacked scan (NDV, null
     // count, modal value by unique composite rank).
     "q_profile_columns" -> ((s, d) => Relational.qProfileColumns(s, d)),
+    // CBO primitive as a query: exact join-cardinality forecast from
+    // per-key count tables + the top-5 skew keys you would salt.
+    "q_join_heat" -> ((s, d) => Relational.qJoinHeat(s, d)),
     "q_sketch_running" -> ((s, d) => Relational.qSketchRunning(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
@@ -735,6 +738,9 @@ object SparkEntry {
     // Vocab-sizing coverage curve: corpus share of the top 2^k types
     // at k = 0..14, exact integer ratios, distributed rank+cumsum.
     "t_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    // Gopher-style compressibility quality signal (deflate-6 ratio;
+    // rows-only — zlib is not available to the SQL oracle).
+    "t_compress_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
     "t_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "t_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
@@ -3071,6 +3077,20 @@ object SparkEntry {
         |FROM tu x JOIN tu y ON x.user_id = y.user_id
         |  AND x.event_type < y.event_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Exact Σ cnt·cnt product over the joined count tables; top keys
+    // under the unique (est DESC, user_id) order.
+    "q_join_heat" ->
+      """WITH e AS (SELECT user_id, count(*) AS ec FROM events GROUP BY 1),
+        |o AS (SELECT o_custkey AS user_id, count(*) AS oc
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT e.user_id, e.ec * o.oc AS est
+        |  FROM e JOIN o USING (user_id)),
+        |t AS (SELECT CAST(sum(est) AS BIGINT) AS total_est_rows FROM j),
+        |r AS (SELECT user_id, est, CAST(row_number() OVER (
+        |    ORDER BY est DESC, user_id) AS BIGINT) AS rk FROM j)
+        |SELECT rk, user_id, CAST(est AS BIGINT) AS est_pair_rows,
+        |  t.total_est_rows
+        |FROM r CROSS JOIN t WHERE rk <= 5 ORDER BY rk""".stripMargin,
     // One stacked scan both sides; modal pick under the unique
     // (count DESC, value ASC) per-column rank.
     "q_profile_columns" ->

@@ -1582,6 +1582,31 @@ object Relational {
       .limit(k)
   }
 
+  /** Join-cardinality forecast — the cost-based-optimizer primitive
+    * run as a query: |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k), computed
+    * EXACTLY from the two per-key count tables (vocab-sized — the
+    * stream reduces before anything joins), plus the top-5 heaviest
+    * keys, which is precisely the skew-planning readout: a key whose
+    * product dominates the sum is the key you salt. Both inputs
+    * reduce map-side; the count-table join and the
+    * [[Selection.withGlobalRank]] rank never touch raw rows. */
+  def qJoinHeat(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("ec"))
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("user_id")).agg(count(lit(1)).as("oc"))
+    val j = e.join(o, Seq("user_id"))
+      .select(col("user_id"), (col("ec") * col("oc")).as("est"))
+      .localCheckpoint(true)
+    val total = j.agg(sum(col("est")).as("total_est_rows"))
+    Selection.withGlobalRank(j, Seq(col("est").desc, col("user_id")), "rk")
+      .filter(col("rk") <= 5)
+      .crossJoin(broadcast(total))
+      .select(col("rk"), col("user_id"), col("est").as("est_pair_rows"),
+        col("total_est_rows"))
+      .orderBy(col("rk"))
+  }
+
   /** Column profiling (ANALYZE TABLE's readout): per column — NDV,
     * null count, and the modal value with its count — computed from
     * ONE scan by stacking the table into narrow (column, value)

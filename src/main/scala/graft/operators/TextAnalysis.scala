@@ -83,6 +83,49 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Compression-ratio quality signal — the Gopher-family heuristic
+    * the filter stack was missing: highly compressible text (boiler-
+    * plate, repeated fragments, degenerate generation) deflates far
+    * below prose, so deflate(level 6) output size over raw bytes is
+    * a cheap one-pass quality score. The codec is per-row imperative
+    * JVM work with no declarative form — the documented
+    * `mapPartitions` last resort — and everything after it is exact
+    * integer sums, so the readout is bit-identical under any
+    * partitioning (spec-pinned; zlib level-6 output is deterministic
+    * for fixed input). Per source: docs, byte totals, the aggregate
+    * ratio e4, and the count of low-entropy docs (ratio < 0.30). */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame =
+    compressionRatioOf(spark, Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  def compressionRatioOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = docs.as[(Long, String, String)].mapPartitions { it =>
+      val buf = new Array[Byte](8192)
+      it.map { case (id, src, text) =>
+        val raw = text.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(raw)
+        d.finish()
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        d.end()
+        (src, id, raw.length.toLong, n)
+      }
+    }.toDF("source", "doc_id", "raw_bytes", "comp_bytes")
+    rows.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw_bytes")).as("raw_bytes"),
+        sum(col("comp_bytes")).as("comp_bytes"),
+        sum(when(col("comp_bytes") * 10 < col("raw_bytes") * 3, 1L)
+          .otherwise(0L)).as("n_low_entropy"))
+      .select(col("source"), col("n_docs"), col("raw_bytes"),
+        col("comp_bytes"),
+        expr("comp_bytes * 10000 div raw_bytes").as("ratio_e4"),
+        col("n_low_entropy"))
+      .orderBy(col("source"))
+  }
+
   /** Vocabulary coverage curve — the tokenizer-sizing readout ("how
     * much of the corpus do the top 2^k types cover"): token counts
     * rank under the unique (count DESC, token ASC) order with the
