@@ -361,6 +361,11 @@ object SparkEntry {
     // CBO primitive as a query: exact join-cardinality forecast from
     // per-key count tables + the top-5 skew keys you would salt.
     "q_join_heat" -> ((s, d) => Relational.qJoinHeat(s, d)),
+    // Markov removal-effect multi-touch attribution (absorbing-chain
+    // solve over the bounded transition matrix; rows-only + specs).
+    "q_markov_attribution" -> ((s, d) => Relational.qMarkovAttribution(s, d)),
+    // Weekday seasonal offsets against the overall mean, exact e2.
+    "q_seasonal_decompose" -> ((s, d) => Relational.qSeasonalDecompose(s, d)),
     "q_sketch_running" -> ((s, d) => Relational.qSketchRunning(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
@@ -678,6 +683,9 @@ object SparkEntry {
     // one exact-integer sufficient-statistics pass (rows-only; the
     // planted-recovery + partitioning-invariance specs pin it).
     "e_linear_probe" -> ((s, d) => Similarity.linearProbe(s, d)),
+    // Matryoshka truncation audit: recall@k at prefix dim budgets
+    // vs the full-dim exact answer (rows-only + specs).
+    "e_matryoshka" -> ((s, d) => Similarity.matryoshka(s, d)),
     "e_hubness" -> ((s, d) => Similarity.hubness(s, d)),
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -3077,6 +3085,21 @@ object SparkEntry {
         |FROM tu x JOIN tu y ON x.user_id = y.user_id
         |  AND x.event_type < y.event_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same bounded (type × day) grid; ISO weekday (isodow-1 ≡
+    // Spark's weekday()) and identical integer-mean expressions.
+    "q_seasonal_decompose" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |o AS (SELECT event_type, sum(c) * 100 // count(*) AS mean_e2
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT event_type, CAST(isodow(day) - 1 AS BIGINT) AS dow,
+        |    count(*) AS n_days, sum(c) * 100 // count(*) AS dow_mean_e2
+        |  FROM d GROUP BY 1, 2)
+        |SELECT g.event_type, g.dow, g.n_days,
+        |  CAST(g.dow_mean_e2 AS BIGINT) AS dow_mean_e2,
+        |  CAST(g.dow_mean_e2 - o.mean_e2 AS BIGINT) AS offset_e2
+        |FROM g JOIN o USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
     // Exact Σ cnt·cnt product over the joined count tables; top keys
     // under the unique (est DESC, user_id) order.
     "q_join_heat" ->

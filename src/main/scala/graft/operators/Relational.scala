@@ -1582,6 +1582,131 @@ object Relational {
       .limit(k)
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2016) — the
+    * principled multi-touch model beyond first/last-touch
+    * (`qAttribution`): pre-conversion journeys become a first-order
+    * Markov chain (START + channel states, CONV/DROP absorbing), and
+    * a channel's credit is its REMOVAL EFFECT — how much total
+    * conversion probability disappears when every transition into it
+    * is redirected to DROP. The chain is a ≤7×7 transition-count
+    * matrix (bounded — the per-user journey reduction is the only
+    * data-scale work, all window state per-user-partitioned); the
+    * absorbing-chain solves are driver-side 5×5 Gaussian
+    * eliminations over EXACT integer counts, so the whole readout is
+    * deterministic. Rows-only + specs (hand-computed planted chains,
+    * converted-without-journey edge, partitioning invariance). */
+  def qMarkovAttribution(spark: SparkSession, dir: String): DataFrame =
+    markovAttributionOf(spark, Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id")))
+
+  def markovAttributionOf(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    val conv = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("us")).as("conv_us"))
+    val users = ev.select(col("user_id")).distinct()
+      .join(conv, Seq("user_id"), "left")
+    val journey = ev.join(users, Seq("user_id"))
+      .filter(col("conv_us").isNull || col("us") < col("conv_us"))
+      .filter(col("event_type") =!= "purchase")
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val steps = journey
+      .withColumn("prev", lag(col("event_type"), 1).over(wu))
+      .select(coalesce(col("prev"), lit("START")).as("from"),
+        col("event_type").as("to"))
+    val lasts = journey
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("us"), col("event_id"), col("event_type")))
+        .getField("event_type").as("from"))
+      .join(users, Seq("user_id"))
+      .select(col("from"),
+        when(col("conv_us").isNotNull, "CONV").otherwise("DROP").as("to"))
+    val directs = users.join(journey.select(col("user_id")).distinct()
+        .withColumn("has_j", lit(true)), Seq("user_id"), "left")
+      .filter(col("conv_us").isNotNull && col("has_j").isNull)
+      .select(lit("START").as("from"), lit("CONV").as("to"))
+    val counts = steps.unionByName(lasts).unionByName(directs)
+      .groupBy(col("from"), col("to")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = Seq("click", "error", "signup", "view")
+    val transient0 = "START" +: channels
+    def convProb(removed: Option[String]): Double = {
+      val idx = transient0.zipWithIndex.toMap
+      val nT = transient0.size
+      val q = Array.ofDim[Double](nT, nT)
+      val r = Array.ofDim[Double](nT)
+      val rowTot = counts.groupBy(_._1).map { case (f, cs) =>
+        f -> cs.map(_._3).sum.toDouble
+      }
+      for ((f, t, n) <- counts if idx.contains(f)) {
+        val p = n / rowTot(f)
+        val tEff = if (removed.contains(t)) "DROP" else t
+        tEff match {
+          case "CONV" => r(idx(f)) += p
+          case "DROP" => ()
+          case s if idx.contains(s) => q(idx(f))(idx(s)) += p
+          case _ => ()
+        }
+      }
+      // Solve (I − Q) a = r; answer = a(START).
+      val a = Array.ofDim[Double](nT, nT)
+      for (i <- 0 until nT; j <- 0 until nT)
+        a(i)(j) = (if (i == j) 1.0 else 0.0) - q(i)(j)
+      val x = r.clone()
+      for (i <- 0 until nT) {
+        var p = i
+        for (k <- i + 1 until nT) if (math.abs(a(k)(i)) > math.abs(a(p)(i))) p = k
+        if (p != i) { val t = a(p); a(p) = a(i); a(i) = t
+          val tx = x(p); x(p) = x(i); x(i) = tx }
+        for (k <- i + 1 until nT) {
+          val f = a(k)(i) / a(i)(i)
+          for (c <- i until nT) a(k)(c) -= f * a(i)(c)
+          x(k) -= f * x(i)
+        }
+      }
+      for (i <- (nT - 1) to 0 by -1) {
+        var s = x(i)
+        for (c <- i + 1 until nT) s -= a(i)(c) * x(c)
+        x(i) = s / a(i)(i)
+      }
+      x(idx("START"))
+    }
+    val base = convProb(None)
+    val effects = channels.map(c => c -> math.max(base - convProb(Some(c)), 0.0))
+    val totalRe = effects.map(_._2).sum
+    effects.map { case (c, re) =>
+      (c, math.round(base * 1e6), math.round(re * 1e6),
+        if (totalRe <= 0) 0L else math.round(re / totalRe * 1e6))
+    }.toDF("channel", "base_conv_e6", "removal_e6", "attribution_e6")
+      .orderBy(col("channel"))
+  }
+
+  /** Classical weekday decomposition of per-type daily volume — the
+    * seasonality readout beside the OLS trend (`qTrend`): per event
+    * type, each ISO weekday's mean daily count against the overall
+    * mean, exact e2 integers throughout (sum·100 div n — the
+    * deterministic-mean rule), over the bounded (type × day) grid.
+    * The offset column IS the seasonal component a forecaster would
+    * subtract. */
+  def qSeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val overall = d.groupBy(col("event_type"))
+      .agg(expr("sum(c) * 100 div count(1)").as("mean_e2"))
+    d.withColumn("dow", expr("weekday(day)").cast("long"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(c) * 100 div count(1)").as("dow_mean_e2"))
+      .join(broadcast(overall), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        col("dow_mean_e2"),
+        (col("dow_mean_e2") - col("mean_e2")).as("offset_e2"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** Join-cardinality forecast — the cost-based-optimizer primitive
     * run as a query: |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k), computed
     * EXACTLY from the two per-key count tables (vocab-sized — the

@@ -1469,6 +1469,48 @@ object Similarity {
           .as("gini_e6"))
   }
 
+  /** Matryoshka truncation audit — "how many leading dimensions does
+    * retrieval actually need": recall@k of exact cosine top-k under
+    * prefix-truncated embeddings (d, d/2, d/4, d/8) against the
+    * full-dimension exact answer, on the bounded query sample (the
+    * e_cosine_topk convention). Truncation is a `slice` projection —
+    * the corpus scans once per budget with the query side broadcast,
+    * and every top-k uses the unique (sim DESC, id) order, so the
+    * whole audit is deterministic. The readout is the operating
+    * curve for Matryoshka-style embedding serving: pick the smallest
+    * budget whose recall clears the application bar and cut index
+    * memory by that factor. Rows-only + specs (prefix-concentrated
+    * signal → perfect recall at every budget covering it; signal in
+    * the tail → degraded truncated recall; exact integers). */
+  def matryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    matryoshkaOf(emb, emb.filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+  }
+
+  def matryoshkaOf(emb: DataFrame, queries: DataFrame,
+      budgets: Seq[Int] = Seq(EmbeddingDim, EmbeddingDim / 2,
+        EmbeddingDim / 4, EmbeddingDim / 8)): DataFrame = {
+    def topIds(d: Int): DataFrame = {
+      def trunc(c: Column): Column = slice(c, 1, d)
+      cosineTopKOf(
+        emb.select(col("vec_id"), trunc(col("embedding")).as("embedding")),
+        queries.select(col("query_id"), trunc(col("q_emb")).as("q_emb")))
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val truth = topIds(budgets.max).localCheckpoint(true)
+    val denom = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    budgets.sorted(Ordering[Int].reverse).map { d =>
+      topIds(d).join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(denom)
+        .select(lit(d.toLong).as("dim_budget"), col("n_truth"),
+          col("hits"),
+          expr("hits * 1000000 div n_truth").as("recall_e6"))
+    }.reduce(_.unionByName(_)).orderBy(col("dim_budget").desc)
+  }
+
   /** Linear probe on the embedding space — the standard "is the
     * label linearly decodable" representation audit, solved in
     * CLOSED FORM from one distributed pass: ridge least squares
