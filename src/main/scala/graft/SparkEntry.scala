@@ -467,6 +467,9 @@ object SparkEntry {
     // Replayable per-epoch global shuffle (md5 total order, no RNG
     // state); readout probes every 100th shuffled position.
     "p_shuffle" -> ((s, d) => Pipeline.pShuffle(s, d)),
+    // Tokenizer fertility per source off the memoized BPE state
+    // (rows-only + specs: trained ≤ char baseline).
+    "p_fertility" -> ((s, d) => TextAnalysis.fertility(s, d)),
     "q_argmax" -> ((s, d) => Relational.qArgmax(s, d)),
     "q_stats" -> ((s, d) => Relational.qStats(s, d)),
     "e_pq_adc" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
@@ -686,6 +689,9 @@ object SparkEntry {
     // Matryoshka truncation audit: recall@k at prefix dim budgets
     // vs the full-dim exact answer (rows-only + specs).
     "e_matryoshka" -> ((s, d) => Similarity.matryoshka(s, d)),
+    // 1-bit sign signatures + XOR/popcount shortlist + exact re-rank
+    // (rows-only + specs: re-rank ≥ raw Hamming).
+    "e_binary_quant" -> ((s, d) => Similarity.binaryQuant(s, d)),
     "e_hubness" -> ((s, d) => Similarity.hubness(s, d)),
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),

@@ -1469,6 +1469,68 @@ object Similarity {
           .as("gini_e6"))
   }
 
+  /** Binary (1-bit) embedding quantization audit — the vector-DB
+    * memory end-game: each vector compresses to a 64-bit sign
+    * signature (bit i = dim i > 0), candidate ranking is
+    * `bit_count(sig XOR q_sig)` (two codegen'd integer ops — a
+    * 256× memory cut and the cheapest possible scan), and — per the
+    * documented compressed-scoring rule — a Hamming SHORTLIST is
+    * exact-re-ranked with true cosine before the final top-k. The
+    * readout contrasts recall@k of raw Hamming top-k vs
+    * shortlist+re-rank against the exact answer: the audit that
+    * justifies the re-rank stage. All orders unique ((dist ASC, id)
+    * / (sim DESC, id)); queries broadcast; the corpus never joins
+    * itself. Rows-only + specs (re-rank ≥ raw Hamming, planted
+    * sign-separable geometry → perfect re-rank recall). */
+  def binaryQuant(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    binaryQuantOf(emb, emb.filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+  }
+
+  /** 64-bit sign signature of an embedding column. */
+  private def signSig(c: Column): Column =
+    (0 until EmbeddingDim).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(when(element_at(c, i + 1) > 0f, lit(1L << i))
+        .otherwise(lit(0L)))
+    }
+
+  def binaryQuantOf(emb: DataFrame, queries: DataFrame,
+      k: Int = TopK, shortlist: Int = 100): DataFrame = {
+    val truth = cosineTopKOf(emb, queries, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      signSig(col("embedding")).as("sig")).localCheckpoint(true)
+    val qs = broadcast(queries.select(col("query_id"), col("q_emb"),
+      signSig(col("q_emb")).as("q_sig")))
+    val ham = corpus.crossJoin(qs)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"),
+        bit_count(col("sig").bitwiseXOR(col("q_sig"))).as("hd"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hd").asc, col("vec_id").asc)
+    val short = ham.withColumn("hrk", row_number().over(wH))
+      .filter(col("hrk") <= shortlist)
+      .localCheckpoint(true)
+    def recallOf(ranked: DataFrame): DataFrame =
+      ranked.filter(col("rk") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+    val rawHits = recallOf(short.withColumn("rk", col("hrk")))
+    val wSim = Window.partitionBy(col("query_id"))
+      .orderBy(cosine(col("q_emb"), col("embedding")).desc, col("vec_id"))
+    val rerankHits = recallOf(short.withColumn("rk", row_number().over(wSim)))
+    val denom = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    rawHits.select(col("hits").as("h_raw"))
+      .crossJoin(rerankHits.select(col("hits").as("h_rr")))
+      .crossJoin(denom)
+      .select(col("n_truth"),
+        expr("h_raw * 1000000 div n_truth").as("recall_hamming_e6"),
+        expr("h_rr * 1000000 div n_truth").as("recall_rerank_e6"))
+  }
+
   /** Matryoshka truncation audit — "how many leading dimensions does
     * retrieval actually need": recall@k of exact cosine top-k under
     * prefix-truncated embeddings (d, d/2, d/4, d/8) against the

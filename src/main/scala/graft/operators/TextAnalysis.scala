@@ -83,6 +83,43 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Tokenizer fertility — BPE tokens per word, the standard
+    * tokenizer-quality metric ("how many pieces does this vocab cut
+    * a word into"), per source: the corpus's word types re-use the
+    * MEMOIZED 10-round BPE state (one training loop serves
+    * t_bpe_merges, t_bpe_vocab and this), each word's symbol count
+    * joins back to per-source word counts (vocab-sized join — the
+    * corpus reduces to (source, word, n) first), and fertility is an
+    * exact integer ratio. The character baseline (symbols before any
+    * merge = |word|+1 with the </w> mark) rides the same rows, so
+    * the readout shows how much the learned merges actually buy per
+    * source. Rows-only + specs (merges can only shrink fertility:
+    * trained ≤ untrained baseline; bounds; invariance via exact
+    * integers). */
+  def fertility(spark: SparkSession, dir: String, rounds: Int = 10): DataFrame =
+    fertilityOf(spark, Tables.documents(spark, dir), rounds)
+
+  def fertilityOf(spark: SparkSession, docs: DataFrame,
+      rounds: Int): DataFrame = {
+    val (_, state) = bpeCore(spark, docs, rounds)
+    val enc = state.select(
+      regexp_replace(array_join(col("syms"), ""), "</w>$", "").as("w"),
+      size(col("syms")).cast("long").as("n_syms"))
+    val words = docs
+      .select(col("source"), explode(TF.tokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    words.join(enc, Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_syms")).as("n_bpe_tokens"),
+        sum(col("n") * (length(col("w")) + 1)).as("n_char_syms"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 10000 div n_words").as("fertility_e4"),
+        expr("n_char_syms * 10000 div n_words").as("char_baseline_e4"))
+      .orderBy(col("source"))
+  }
+
   /** Compression-ratio quality signal — the Gopher-family heuristic
     * the filter stack was missing: highly compressible text (boiler-
     * plate, repeated fragments, degenerate generation) deflates far
