@@ -240,6 +240,15 @@ object SparkEntry {
     "g_sssp" -> ((s, d) =>
       GraphOps.shortestPaths(s, GraphBuilder.supplierCoEdges(s, d))
         .orderBy(col("vertex"), col("landmark"))),
+    // Time-respecting reachability: earliest-arrival histogram from
+    // the min-id supplier over temporal co-occurrence contacts
+    // (rows-only + hand-computed planted chains).
+    "g_temporal_reach" -> ((s, d) =>
+      GraphOps.temporalReach(s, GraphBuilder.supplierTemporalEdges(s, d))
+        .groupBy(org.apache.spark.sql.functions
+          .coalesce(col("arr"), lit(-1L)).as("arr_day"))
+        .agg(count(lit(1)).as("n_vertices"))
+        .orderBy(col("arr_day"))),
     "g_sssp_w" -> ((s, d) =>
       GraphOps.weightedShortestPaths(s, GraphBuilder.supplierCoEdges(s, d))
         .orderBy(col("vertex"), col("landmark"))),

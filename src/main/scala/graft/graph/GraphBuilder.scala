@@ -77,6 +77,28 @@ object GraphBuilder {
     * This is the engine's standard derived test graph (SURVEY §3).
     * Memoized per (session, data identity) as a localCheckpoint —
     * every graph analytic shares one build, the persist-once shape. */
+  /** TEMPORAL supplier co-occurrence edges: one (src, dst, t) row per
+    * (supplier pair, order day) — the time-stamped sibling of
+    * [[supplierCoEdges]] for time-respecting traversals. t is the
+    * epoch-day offset of the order date; the pair join is the same
+    * one-shuffle shape as the static builder. */
+  def supplierTemporalEdges(spark: SparkSession, dir: String): DataFrame = {
+    val os = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .distinct()
+    val ot = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+          .cast("long").as("t"))
+    val a = os.select(col("l_orderkey"), col("l_suppkey").as("src"))
+    val b = os.select(col("l_orderkey"), col("l_suppkey").as("dst"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+      .join(ot, Seq("l_orderkey"))
+      .select(col("src"), col("dst"), col("t"))
+      .distinct()
+  }
+
   def supplierCoEdges(spark: SparkSession, dir: String): DataFrame = {
     val src = new java.io.File(s"$dir/lineitem.parquet")
     val key = (System.identityHashCode(spark).toString,

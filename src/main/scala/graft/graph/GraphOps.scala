@@ -110,6 +110,58 @@ object GraphOps {
     * algorithm choice (V, E, degree extremes, e2 mean degree, e6
     * density): every value from two bounded aggregations over the
     * degree table; exact integer ratios. */
+  /** Time-respecting (temporal) reachability — earliest-arrival
+    * propagation over (src, dst, t) contact edges: a path may only
+    * traverse an edge whose timestamp is ≥ the arrival time at its
+    * tail (waiting at a vertex is free), so structural connectivity
+    * does NOT imply temporal reachability (spec-pinned on a
+    * descending-time chain). Classic contact-network primitive
+    * (Holme & Saramäki 2012): "who could have been influenced, and
+    * how early". Iterative min-arrival relaxation with the one-job
+    * round shape (lazy localCheckpoint + the improvement-count FULL
+    * scan materializes each round — the g_scc lesson); per round one
+    * equi-join + one key-grouped min, never more. Converges in at
+    * most the temporal diameter; `maxRounds` bounds adversarial
+    * chains. Source = the minimum vertex id; unreachable stays null.
+    */
+  def temporalReach(spark: SparkSession, tEdges: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val sym = tEdges.select(col("src"), col("dst"), col("t"))
+      .unionByName(tEdges.select(col("dst").as("src"),
+        col("src").as("dst"), col("t")))
+      .localCheckpoint(true)
+    val verts = sym.select(col("src").as("vertex")).distinct()
+      .localCheckpoint(true)
+    val source = verts.agg(min(col("vertex"))).first().getLong(0)
+    var arr = verts.select(col("vertex"),
+      when(col("vertex") === source, lit(0L))
+        .otherwise(lit(null).cast("long")).as("arr"))
+      .localCheckpoint(true)
+    var round = 0
+    var improved = 1L
+    while (round < maxRounds && improved > 0) {
+      val relax = sym
+        .join(arr.select(col("vertex").as("src"), col("arr").as("sarr")),
+          Seq("src"))
+        .filter(col("sarr").isNotNull && col("t") >= col("sarr"))
+        .groupBy(col("dst").as("vertex")).agg(min(col("t")).as("cand"))
+      val merged = arr.join(relax, Seq("vertex"), "left")
+        .select(col("vertex"),
+          when(col("cand").isNotNull &&
+              (col("arr").isNull || col("cand") < col("arr")),
+            col("cand")).otherwise(col("arr")).as("arr"),
+          (col("cand").isNotNull &&
+            (col("arr").isNull || col("cand") < col("arr"))).as("imp"))
+        .localCheckpoint(false)
+      improved = merged
+        .agg(sum(when(col("imp"), 1L).otherwise(0L))).first().getLong(0)
+      arr.unpersist(false)
+      arr = merged.select(col("vertex"), col("arr"))
+      round += 1
+    }
+    arr
+  }
+
   def graphSummary(edges: DataFrame): DataFrame = {
     val deg = degrees(edges).select(col("degree"))
     val e = edges.count()
