@@ -51,6 +51,28 @@ object SparkEntry {
     cachedSideOutput(d, "documents", "docsjsongz")(p =>
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .write.mode("overwrite").option("compression", "gzip").json(p))
+  /** One pretty-printed JSON ARRAY file (records spanning many
+    * physical lines) — the config-dump/API-export shape that breaks
+    * a naive line-per-record reader; Spark's `multiLine` mode must
+    * parse it whole-file. Fixture assembly streams the NDJSON part
+    * lines into one array locally (corpus-bounded, fixture-only —
+    * the READ path is the operator). */
+  private def sideOutDocsMultiline(s: SparkSession, d: String): String =
+    cachedSideOutput(d, "documents", "docsmljson") { p =>
+      val nd = s"$p/_nd"
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("overwrite").json(nd)
+      val lines = new java.io.File(nd).listFiles()
+        .filter(_.getName.endsWith(".json")).sorted
+        .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
+        .filter(_.nonEmpty)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$p/data"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$p/data/docs.json"),
+        lines.mkString("[\n", ",\n", "\n]").getBytes("UTF-8"))
+      new java.io.File(s"$p/_SUCCESS").createNewFile(): Unit
+    }
   private def sideOutDocsBin(s: SparkSession, d: String): String =
     cachedSideOutput(d, "documents", "docsbin")(p =>
       graft.sources.BinaryFileSource.writePayloadFiles(
@@ -161,6 +183,7 @@ object SparkEntry {
     sideOutEdgeList(s, d); sideOutEventsPart(s, d); sideOutDocsJson(s, d)
     sideOutDocsBin(s, d); sideOutDocsOrc(s, d); sideOutDocsCsv(s, d)
     sideOutDocsText(s, d); sideOutDocsVintages(s, d)
+    sideOutDocsMultiline(s, d): Unit
     sideOutEventsDynOverwrite(s, d); sideOutDocsCsvCorrupt(s, d)
     // Round-11 file fixtures (COW/bucketed tables, skip layouts, MV
     // state, compacted copies, stream landings): building is eager
@@ -367,6 +390,9 @@ object SparkEntry {
     // ANALYZE-style column profile from one stacked scan (NDV, null
     // count, modal value by unique composite rank).
     "q_profile_columns" -> ((s, d) => Relational.qProfileColumns(s, d)),
+    // The stats other half: 10 equal-row-count buckets with [lo, hi]
+    // boundaries from the distributed rank (selectivity histogram).
+    "q_equidepth_hist" -> ((s, d) => Relational.qEquidepthHist(s, d)),
     // CBO primitive as a query: exact join-cardinality forecast from
     // per-key count tables + the top-5 skew keys you would salt.
     "q_join_heat" -> ((s, d) => Relational.qJoinHeat(s, d)),
@@ -867,6 +893,16 @@ object SparkEntry {
     // newline-delimited JSON (write once per SF dir), then the same
     // token counts as t_tokens — proving the JSON read path
     // value-identical to parquet.
+    // Whole-file JSON-array parse (multiLine mode) under the same
+    // value-equivalence contract as the NDJSON path.
+    "src_multiline_json" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val out = sideOutDocsMultiline(s, d)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      TextAnalysis.tokenCountsOf(s.read.schema(schema)
+        .option("multiLine", "true").json(s"$out/data"))
+    }),
     "src_json_tokens" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val out = sideOutDocsJson(s, d)
@@ -3234,6 +3270,23 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // multiLine JSON-array parse must be value-invisible, same as
+    // every other format round-trip.
+    "src_multiline_json" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same unique (cents, orderkey) rank and closed-form bucket
+    // index both sides.
+    "q_equidepth_hist" ->
+      """WITH s AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS cents, o_orderkey FROM orders),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey)
+        |    AS rk, count(*) OVER () AS nn FROM s)
+        |SELECT CAST((rk - 1) * 10 // nn AS BIGINT) AS bucket,
+        |  count(*) AS n_rows, min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
     "p_chunks" ->
       """WITH c AS (
         |  SELECT doc_id, text,

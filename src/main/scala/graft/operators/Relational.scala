@@ -1582,6 +1582,31 @@ object Relational {
       .limit(k)
   }
 
+  /** Equi-depth histogram — the other half of ANALYZE statistics
+    * beside [[qProfileColumns]]' NDV/modal readout: 10 buckets of
+    * equal ROW count over order value with per-bucket [lo, hi]
+    * boundaries — what a cost model uses for selectivity on skewed
+    * columns where equi-width bins collapse. Bucket assignment is
+    * closed-form from [[Selection.withGlobalRank]]'s distributed
+    * rank under the unique (cents, orderkey) order — no
+    * percentile-function dependence, no single-reducer sort, exact
+    * integers end to end. */
+  def qEquidepthHist(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+    val ranked = Selection.withGlobalRank(o,
+      Seq(col("cents"), col("o_orderkey")), "rk")
+    val n = broadcast(o.agg(count(lit(1)).as("nn")))
+    ranked.crossJoin(n)
+      .withColumn("bucket", expr(s"(rk - 1) * $buckets div nn"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .orderBy(col("bucket"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al. 2016) — the
     * principled multi-touch model beyond first/last-touch
     * (`qAttribution`): pre-conversion journeys become a first-order
