@@ -727,6 +727,9 @@ object SparkEntry {
     // 1-bit sign signatures + XOR/popcount shortlist + exact re-rank
     // (rows-only + specs: re-rank ≥ raw Hamming).
     "e_binary_quant" -> ((s, d) => Similarity.binaryQuant(s, d)),
+    // Same-label fraction per cosine bucket — the calibration curve
+    // that justifies (or refutes) score thresholds.
+    "e_calibration" -> ((s, d) => Similarity.scoreCalibration(s, d)),
     "e_hubness" -> ((s, d) => Similarity.hubness(s, d)),
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -3648,6 +3651,26 @@ object SparkEntry {
         |WHERE b.doc_id >= 250
         |ORDER BY b.doc_id""".stripMargin,
     "e_kcenter" -> kcenterOracleSql(8),
+    // Same e4 rounding then SHIFTED integer division (non-negative ⇒
+    // truncating div ≡ floor //); cosine stated as the engine's
+    // expression tree (list_dot / sqrt·sqrt — the float-oracle rule).
+    "e_calibration" ->
+      """WITH p AS (
+        |  SELECT CAST(round(
+        |      list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(e.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(q.embedding AS DOUBLE[])))
+        |        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(e.embedding AS DOUBLE[])))) * 10000)
+        |      AS BIGINT) AS sim_e4,
+        |    CASE WHEN e.label = q.label THEN 1 ELSE 0 END AS same
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+        |  JOIN embeddings e ON e.vec_id <> q.vec_id)
+        |SELECT (sim_e4 + 10000) // 1000 AS bucket,
+        |  count(*) AS n_pairs, CAST(sum(same) AS BIGINT) AS n_same,
+        |  CAST(sum(same) * 10000 // count(*) AS BIGINT) AS same_frac_e4
+        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
     "e_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank,
         |  CAST(round(sim * 10000) AS BIGINT) AS sim_e4

@@ -1469,6 +1469,36 @@ object Similarity {
           .as("gini_e6"))
   }
 
+  /** Similarity-score calibration — "is cosine a calibrated
+    * predictor of label agreement": over the bounded query sample ×
+    * corpus, pairs bucket by e4-rounded cosine (shifted integer
+    * floor-division — non-negative, so Spark `div` ≡ DuckDB `//`)
+    * and each bucket reports its same-label fraction. A monotone
+    * curve justifies thresholding cosine for label-blind dedup; a
+    * flat one says the space does not encode the label. One corpus
+    * scan, queries broadcast, integer fractions (the e4/verdict
+    * conventions). */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = broadcast(emb.filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label")))
+    emb.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        round(cosine(col("q_emb"), col("embedding")) * 1e4).cast("long")
+          .as("sim_e4"),
+        (col("label") === col("q_label")).cast("long").as("same"))
+      .select(expr("(sim_e4 + 10000) div 1000").as("bucket"),
+        col("same"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("same")).as("n_same"))
+      .select(col("bucket"), col("n_pairs"), col("n_same"),
+        expr("n_same * 10000 div n_pairs").as("same_frac_e4"))
+      .orderBy(col("bucket"))
+  }
+
   /** Binary (1-bit) embedding quantization audit — the vector-DB
     * memory end-game: each vector compresses to a 64-bit sign
     * signature (bit i = dim i > 0), candidate ranking is
