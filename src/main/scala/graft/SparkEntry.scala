@@ -263,6 +263,10 @@ object SparkEntry {
     "g_sssp" -> ((s, d) =>
       GraphOps.shortestPaths(s, GraphBuilder.supplierCoEdges(s, d))
         .orderBy(col("vertex"), col("landmark"))),
+    // HyperBall harmonic centrality: per-vertex Σ 1/d from ANF ball
+    // increments (rows-only + BFS-exact planted spec).
+    "g_harmonic" -> ((s, d) =>
+      GraphOps.harmonicApprox(s, GraphBuilder.supplierCoEdges(s, d))),
     // Time-respecting reachability: earliest-arrival histogram from
     // the min-id supplier over temporal co-occurrence contacts
     // (rows-only + hand-computed planted chains).

@@ -935,6 +935,70 @@ object GraphOps {
     * smallest r whose ball count reaches 90% of the fixpoint count —
     * stamped on every row (the single scalar a caller usually wants).
     */
+  /** HyperBall harmonic centrality (Boldi & Vigna 2014) — [[anf]]'s
+    * per-vertex readout: harmonic(v) = Σ_u 1/d(v,u) accumulates from
+    * the ball-size INCREMENTS each sketch round (|B(v,r)| − |B(v,r−1)|
+    * new vertices at distance exactly r contribute 1/r), so the
+    * centrality every textbook computes with V BFS runs falls out of
+    * the SAME one-join-per-round sketch loop. Spark's
+    * `hll_sketch_estimate` returns whole Longs and coupon-mode
+    * sketches are exact on small graphs, so increments are exact
+    * integers; 1/r accumulates in lcm(1..16)=720720ths — integer end
+    * to end, spec-pinned equal to driver BFS on planted graphs and
+    * deterministic at scale (sketch union is order-independent).
+    * Output: top-100 vertices by (harmonic_e6 DESC, vertex). */
+  def harmonicApprox(spark: SparkSession, edges: DataFrame, lgK: Int = 12,
+      maxRounds: Int = 16, topN: Int = 100): DataFrame = {
+    val L = 720720L // lcm(1..16)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = e.union(e.select(col("dst"), col("src")))
+      .toDF("v", "nbr").localCheckpoint(true)
+    var state = sym.select(col("v")).distinct()
+      .groupBy(col("v")).agg(hll_sketch_agg(col("v"), lit(lgK)).as("sk"))
+      .localCheckpoint(true)
+    var acc = state.select(col("v"), lit(1L).as("prev_est"),
+      lit(0L).as("h_scaled")).localCheckpoint(true)
+    // Same broadcast-vs-shuffle dispatch as [[anf]] (sketch table
+    // under the budget pipelines over the edge list; above it the
+    // shuffle join is the at-scale shape).
+    val nV = state.count()
+    val budget = spark.conf.getOption("graft.anf.broadcastBytes")
+      .map(_.toLong).getOrElse(160L << 20)
+    val smallState = nV * (4L << 10) < budget
+    var r = 1
+    var grew = true
+    while (grew && r <= maxRounds) {
+      val stateAsSv = state.withColumnRenamed("v", "sv")
+      val next = state.select(col("v"), col("sk"))
+        .union(sym.join(if (smallState) broadcast(stateAsSv) else stateAsSv,
+            col("nbr") === col("sv"))
+          .select(col("v"), col("sk")))
+        .groupBy(col("v"))
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+        .localCheckpoint(true)
+      val est = next.select(col("v"),
+        hll_sketch_estimate(col("sk")).as("est"))
+      val merged = acc.join(est, Seq("v"))
+        .select(col("v"), col("est").as("prev_est"),
+          (col("h_scaled") +
+            (col("est") - col("prev_est")) * lit(L / r)).as("h_scaled"),
+          (col("est") > col("prev_est")).as("imp"))
+        .localCheckpoint(false)
+      grew = merged.agg(sum(when(col("imp"), 1L).otherwise(0L)))
+        .first().getLong(0) > 0
+      state.unpersist(false)
+      acc.unpersist(false)
+      state = next
+      acc = merged.select(col("v"), col("prev_est"), col("h_scaled"))
+      r += 1
+    }
+    acc
+      .select(col("v").as("vertex"),
+        expr(s"h_scaled * 1000000 div ${L}L").as("harmonic_e6"))
+      .orderBy(col("harmonic_e6").desc, col("vertex"))
+      .limit(topN)
+  }
+
   def anf(spark: SparkSession, edges: DataFrame, lgK: Int = 12,
       maxRounds: Int = 32): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
