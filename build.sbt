@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's log capture keeps the stdout tail and tries to parse a
+// JSON line from it; sbt's LoggedOutput prefixes every program line
+// with "[info] " and appends a "[success] Total time" trailer, so the
+// Bench summary line never parsed (BENCH_r01..r11 all carry
+// parsed: null). Emit forked-program output RAW and drop the success
+// trailer so the compact summary JSON is the literal last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1815,17 +1815,25 @@ object Relational {
         (hll_sketch_estimate(col("a.sk")) +
           hll_sketch_estimate(col("b.sk")) -
           hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
-          .as("est_overlap"))
+          .as("est_overlap"),
+        hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk")))
+          .as("union_est"))
     val exact = tu.as("x").join(tu.as("y"),
         col("x.user_id") === col("y.user_id") &&
           col("x.event_type") < col("y.event_type"))
       .groupBy(col("x.event_type").as("type_a"),
         col("y.event_type").as("type_b"))
       .agg(count(lit(1)).as("exact_overlap"))
+    // The differenced estimate carries the error of THREE sketch
+    // estimates, each relative to set sizes up to |A∪B| — its error
+    // scales with the UNION, not the overlap. A bound stated against
+    // the overlap alone flips on a regenerated lake with smaller
+    // segment intersections (the round-9 incident class); bound
+    // against 5% of the union estimate plus the absolute floor.
     exact.join(broadcast(est), Seq("type_a", "type_b"))
       .select(col("type_a"), col("type_b"), col("exact_overlap"),
         (abs(col("est_overlap") - col("exact_overlap")) <=
-          greatest(col("exact_overlap") / 20, lit(2L))).as("approx_ok"))
+          greatest(col("union_est") * lit(0.05), lit(2.0))).as("approx_ok"))
       .orderBy(col("type_a"), col("type_b"))
   }
 

@@ -1532,16 +1532,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
     val corpus = emb.select(col("vec_id"), col("embedding"),
       signSig(col("embedding")).as("sig")).localCheckpoint(true)
-    val qs = broadcast(queries.select(col("query_id"), col("q_emb"),
+    val qs = broadcast(queries.select(col("query_id"),
       signSig(col("q_emb")).as("q_sig")))
-    val ham = corpus.crossJoin(qs)
+    // Score first, shuffle (query_id, vec_id, hd) — the Hamming rank
+    // only needs the narrow triple; both embedding arrays re-join
+    // AFTER the ≤|q|·shortlist survivors are known (broadcast-sized),
+    // so no float array ever crosses the per-query window shuffle.
+    val ham = corpus.select(col("vec_id"), col("sig")).crossJoin(qs)
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"),
+      .select(col("query_id"), col("vec_id"),
         bit_count(col("sig").bitwiseXOR(col("q_sig"))).as("hd"))
     val wH = Window.partitionBy(col("query_id"))
       .orderBy(col("hd").asc, col("vec_id").asc)
-    val short = ham.withColumn("hrk", row_number().over(wH))
+    val shortIds = ham.withColumn("hrk", row_number().over(wH))
       .filter(col("hrk") <= shortlist)
+    val short = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortIds), Seq("vec_id"))
+      .join(broadcast(queries.select(col("query_id"), col("q_emb"))),
+        Seq("query_id"))
       .localCheckpoint(true)
     def recallOf(ranked: DataFrame): DataFrame =
       ranked.filter(col("rk") <= k)

@@ -91,6 +91,11 @@ object BucketedTable {
     // Bounded probe: at most NumBuckets rows reach the driver.
     val touched = upd.select(col("__b")).distinct()
       .collect().map(_.getLong(0)).sorted
+    // An empty batch touches nothing: committing would mint a version
+    // whose manifest duplicates the previous one (silent history
+    // inflation). Short-circuit to the existing latest; an empty merge
+    // into an empty table still commits v0 below so latest() resolves.
+    if (touched.isEmpty && prevV.isDefined) return prevV.get
     val touchedPrevPaths = touched.flatMap(prevMan.get).toSeq
     val prevTouched =
       if (touchedPrevPaths.isEmpty) None
@@ -144,8 +149,14 @@ object BucketedTable {
         bdir <- vdir.listFiles().toSeq if bdir.isDirectory
         if !referenced.contains(bdir.getPath)
       } deleteRecursively(bdir)
+      // Sweep a version dir only once NO bucket generation survives in
+      // it. Bucket dirs are named __b=<k> — they start with "_" too, so
+      // the old "all children start with _" test would have deleted
+      // still-referenced generations on a filesystem/committer that
+      // leaves no .crc/._SUCCESS files (it only ever passed by accident
+      // of Hadoop's local-FS checksum files failing the forall).
       dataRoot.listFiles().filter(d => d.isDirectory &&
-        d.listFiles().forall(f => f.getName.startsWith("_")))
+        d.listFiles().forall(f => !f.getName.startsWith("__b=")))
         .foreach(deleteRecursively)
     }
     expired

@@ -50,6 +50,8 @@ object Compaction {
       targetBytes: Long): (Int, Int) = {
     import spark.implicits._
     val bins = planBins(dataDir, targetBytes)
+    require(bins.nonEmpty,
+      s"compact: no *.parquet files under $dataDir — nothing to bin-pack")
     val nBins = bins.values.max + 1
     val binDf = broadcast(bins.toSeq.toDF("__f", "__bin"))
     spark.read.parquet(dataDir)

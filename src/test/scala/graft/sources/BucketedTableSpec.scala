@@ -105,4 +105,49 @@ class BucketedTableSpec extends AnyFunSuite {
       .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet,
       "exactly the unreferenced v0 generation should be gone")
   }
+
+  test("vacuum keeps referenced generations on a checksum-less layout") {
+    import spark.implicits._
+    val d = tmp("vac_nocrc")
+    BucketedTable.merge(spark, d,
+      (1L to 64L).map(k => (k, k, k.toDouble)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    BucketedTable.merge(spark, d,
+      Seq((7L, 100L, 99.0)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    val keep = rowsOf(BucketedTable.latest(spark, d))
+    // Simulate a checksum-less filesystem/committer: strip every
+    // Hadoop local-FS marker (.crc, _SUCCESS) so only __b=<k> bucket
+    // generations and parquet data remain. The old version-dir sweep
+    // ("all children start with _") only ever survived because the
+    // .crc files failed its forall — without them it recursively
+    // deleted v0 with its still-referenced generations inside.
+    def stripMarkers(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(stripMarkers)
+      else if (f.getName.endsWith(".crc") || f.getName == "_SUCCESS")
+        f.delete(): Unit
+    }
+    stripMarkers(new java.io.File(s"$d/data"))
+    BucketedTable.vacuum(d, keepLast = 1)
+    val man1 = BucketedTable.manifest(d, 1L)
+    man1.values.foreach(p =>
+      assert(new java.io.File(p).isDirectory, s"referenced $p deleted"))
+    assert(rowsOf(BucketedTable.latest(spark, d)) == keep)
+  }
+
+  test("empty-updates merge is a no-op, not a duplicate commit") {
+    import spark.implicits._
+    val d = tmp("noop")
+    val v0 = BucketedTable.merge(spark, d,
+      Seq((1L, 10L, 1.0), (2L, 11L, 2.0)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    val before = rowsOf(BucketedTable.latest(spark, d))
+    val got = BucketedTable.merge(spark, d,
+      Seq.empty[(Long, Long, Double)].toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    assert(got == v0, "empty merge must return the existing version")
+    assert(BucketedTable.versions(d) == Seq(0L),
+      "empty merge must not inflate version history")
+    assert(rowsOf(BucketedTable.latest(spark, d)) == before)
+  }
 }

@@ -63,4 +63,12 @@ class CompactionSpec extends AnyFunSuite {
       "p2.parquet" -> 0, "p3.parquet" -> 1, "p4.parquet" -> 1,
       "p5.parquet" -> 2))
   }
+
+  test("compacting a directory with no parquet files fails loudly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_empty").toString
+    val e = intercept[IllegalArgumentException](
+      Compaction.compact(spark, root, s"$root/out", 100L))
+    assert(e.getMessage.contains("nothing to bin-pack"))
+  }
 }
