@@ -405,6 +405,20 @@ object SparkEntry {
     "q_markov_attribution" -> ((s, d) => Relational.qMarkovAttribution(s, d)),
     // Weekday seasonal offsets against the overall mean, exact e2.
     "q_seasonal_decompose" -> ((s, d) => Relational.qSeasonalDecompose(s, d)),
+    // Per-type user-concentration HHI from pure integer sums.
+    "q_hhi" -> ((s, d) => Relational.qHhi(s, d)),
+    // DAU ledger: new/retained/resurrected/churned per day off one
+    // user-partitioned lag/lead window.
+    "q_growth_accounting" -> ((s, d) => Relational.qGrowthAccounting(s, d)),
+    // Empirical lifetime survival curve over the bounded t-grid.
+    "q_survival" -> ((s, d) => Relational.qSurvival(s, d)),
+    // Chi-square type×weekday independence + V² effect size, exact
+    // per-cell e4-floored DECIMAL terms.
+    "q_cramers_v" -> ((s, d) => Relational.qCramersV(s, d)),
+    // Lag-1..7 Pearson autocorrelation of the daily count series.
+    "q_autocorr" -> ((s, d) => Relational.qAutocorr(s, d)),
+    // ABC cumulative-share classes on the distributed global rank.
+    "q_abc" -> ((s, d) => Relational.qAbc(s, d)),
     "q_sketch_running" -> ((s, d) => Relational.qSketchRunning(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
@@ -3143,6 +3157,117 @@ object SparkEntry {
         |FROM tu x JOIN tu y ON x.user_id = y.user_id
         |  AND x.event_type < y.event_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Pure integer HHI/top-share from the (type, user) reduction.
+    "q_hhi" ->
+      """WITH tu AS (SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_users,
+        |  CAST(sum(cnt) AS BIGINT) AS n_events,
+        |  CAST(sum(cnt * cnt) * 1000000 // (sum(cnt) * sum(cnt)) AS BIGINT)
+        |    AS hhi_e6,
+        |  CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top_share_e6
+        |FROM tu GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same user-partitioned lag/lead ledger; churn lands on day+1 and
+    // only activity-grid days survive the left join (both sides).
+    "q_growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |l AS (SELECT user_id, day,
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+        |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+        |  FROM ud),
+        |f AS (SELECT day,
+        |    sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+        |    sum(CASE WHEN day - prev = 1 THEN 1 ELSE 0 END) AS n_retained,
+        |    sum(CASE WHEN prev IS NOT NULL AND day - prev > 1
+        |      THEN 1 ELSE 0 END) AS n_resurrected
+        |  FROM l GROUP BY 1),
+        |c AS (SELECT day + 1 AS day, count(*) AS churned FROM l
+        |  WHERE nxt IS NULL OR nxt - day > 1 GROUP BY 1)
+        |SELECT f.day, CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(n_retained AS BIGINT) AS n_retained,
+        |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        |  CAST(coalesce(c.churned, 0) AS BIGINT) AS n_churned
+        |FROM f LEFT JOIN c ON c.day = f.day
+        |ORDER BY f.day""".stripMargin,
+    // Lifetime histogram joined to the 0..30 grid; exact integers.
+    "q_survival" ->
+      """WITH life AS (SELECT user_id,
+        |    CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS BIGINT)
+        |      AS lt
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM life),
+        |g AS (SELECT CAST(range AS BIGINT) AS t FROM range(0, 31))
+        |SELECT g.t, count(*) AS n_surviving,
+        |  CAST(n_total AS BIGINT) AS n_total,
+        |  CAST(count(*) * 1000000 // n_total AS BIGINT) AS surv_e6
+        |FROM g JOIN life ON life.lt >= g.t CROSS JOIN tot
+        |GROUP BY g.t, tot.n_total ORDER BY g.t""".stripMargin,
+    // Identical per-cell e4-floored χ² rational, HUGEINT in DuckDB ≡
+    // DECIMAL(38,0) in Spark (both exact at this width); isodow-1 ≡
+    // Spark's weekday().
+    "q_cramers_v" ->
+      """WITH o AS (SELECT event_type,
+        |    CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+        |  FROM o GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT dow) AS BIGINT) AS nc FROM o),
+        |t AS (SELECT nn.n, nn.nr, nn.nc,
+        |    CAST((CAST(o.o * nn.n - rt.r * ct.c AS HUGEINT) *
+        |      CAST(o.o * nn.n - rt.r * ct.c AS HUGEINT) * 10000)
+        |      // (CAST(nn.n AS HUGEINT) * rt.r * ct.c) AS BIGINT) AS term_e4
+        |  FROM o JOIN rt USING (event_type) JOIN ct USING (dow)
+        |  CROSS JOIN nn)
+        |SELECT n, CAST(least(nr, nc) - 1 AS BIGINT) AS dof_k,
+        |  CAST(sum(term_e4) AS BIGINT) AS chi2_e4,
+        |  CAST(sum(term_e4) * 10000 // (n * (least(nr, nc) - 1)) AS BIGINT)
+        |    AS v2_e8
+        |FROM t GROUP BY n, nr, nc""".stripMargin,
+    // Integer sufficient sums per lag; ONE double Pearson expression
+    // stated with the identical tree on both sides.
+    "q_autocorr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
+        |p AS (SELECT l.lag, a.c AS x, b.c AS y
+        |  FROM daily a CROSS JOIN l
+        |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)),
+        |s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT lag, n,
+        |  CAST(round((CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 10000) AS BIGINT)
+        |    AS r_e4
+        |FROM s ORDER BY lag""".stripMargin,
+    // Cumulative-share classes under the unique (x DESC, partkey)
+    // order; HUGEINT share ≡ Spark's DECIMAL(38,0) div.
+    "q_abc" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT l_partkey, x,
+        |    sum(x) OVER (ORDER BY x DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev),
+        |tot AS (SELECT CAST(sum(x) AS BIGINT) AS total FROM rev),
+        |cl AS (SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |      WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS cls, x
+        |  FROM r CROSS JOIN tot)
+        |SELECT cls, count(*) AS n_parts,
+        |  CAST(CAST(sum(x) AS HUGEINT) * 1000000 // CAST(total AS HUGEINT)
+        |    AS BIGINT) AS share_e6
+        |FROM cl CROSS JOIN tot GROUP BY cls, total
+        |ORDER BY cls""".stripMargin,
     // Same bounded (type × day) grid; ISO weekday (isodow-1 ≡
     // Spark's weekday()) and identical integer-mean expressions.
     "q_seasonal_decompose" ->

@@ -2120,4 +2120,179 @@ object Relational {
           expr("(n_second - n_first) * 10000 div n_first")).as("pct_e4"))
       .orderBy(col("event_type"))
   }
+
+  /** Herfindahl–Hirschman concentration per event type — "is this
+    * segment's activity dominated by a few users": HHI_e6 =
+    * Σ cnt²·10⁶ / (Σ cnt)² over per-user activity counts, plus the
+    * top user's share. Pure integer sufficient statistics (two
+    * map-side-combinable aggregations, the second over the bounded
+    * (type, user) reduction), so the e6 values are bit-identical
+    * across engines; at lake scale the same sums ride DECIMAL(38)
+    * before the divide. */
+  def qHhi(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cnt")).as("n_events"),
+        sum(col("cnt") * col("cnt")).as("ss"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        expr("ss * 1000000 div (n_events * n_events)").as("hhi_e6"),
+        expr("top_cnt * 1000000 div n_events").as("top_share_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DAU growth accounting — the canonical product-analytics ledger:
+    * each active day splits a user into new (first-ever day),
+    * retained (also active the previous day) or resurrected (gap
+    * > 1 day), and a user active on d-1 but not d churns ON d. One
+    * distinct (user, day) reduction, one user-PARTITIONED window
+    * (no global sort), bounded day-grid joins. Churn on a day with
+    * zero activity at all falls outside the activity grid and is
+    * dropped (documented; the left join keeps the grid stable). */
+  def qGrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val lagged = ud
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("nxt", lead(col("day"), 1).over(w))
+      .localCheckpoint(true)
+    val flags = lagged.groupBy(col("day")).agg(
+      sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(datediff(col("day"), col("prev")) === 1, 1L)
+        .otherwise(0L)).as("n_retained"),
+      sum(when(col("prev").isNotNull &&
+        datediff(col("day"), col("prev")) > 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val churn = lagged
+      .filter(col("nxt").isNull || datediff(col("nxt"), col("day")) > 1)
+      .groupBy(date_add(col("day"), 1).as("day"))
+      .agg(count(lit(1)).as("churned"))
+    flags.join(churn, Seq("day"), "left")
+      .select(col("day"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  /** Empirical survival curve of user lifetimes (days between first
+    * and last activity): S(t) = |lifetime ≥ t| / |users| on the
+    * bounded t = 0..30 grid. The per-user reduction is one
+    * aggregation; the curve reads off a ≤span-sized lifetime
+    * histogram joined to the grid — the raw stream never meets the
+    * grid. Exact integers end to end. */
+  def qSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val life = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(datediff(max(col("day")), min(col("day"))).as("lt"))
+    val hist = life.groupBy(col("lt")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = life.agg(count(lit(1)).as("n_total"))
+    spark.range(0, 31).select(col("id").as("t"))
+      .join(broadcast(hist), col("lt") >= col("t"))
+      .groupBy(col("t")).agg(sum(col("c")).as("n_surviving"))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), col("n_surviving"), col("n_total"),
+        expr("n_surviving * 1000000 div n_total").as("surv_e6"))
+      .orderBy(col("t"))
+  }
+
+  /** Chi-square independence test of event type × ISO weekday, with
+    * the squared Cramér's V effect size — "does activity mix shift
+    * by weekday". The contingency table is the bounded |types|×7
+    * grid; each cell's χ² term is the all-integer rational
+    * (oN − r·c)²/(N·r·c), e4-floored per cell in DECIMAL(38) before
+    * the sum (the documented per-term rounding rule, so distributed
+    * accumulation order cannot flip a digit). V² is emitted e8 as an
+    * exact integer instead of paying a float sqrt. */
+  def qCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.events(spark, dir)
+      .groupBy(col("event_type"), weekday(to_date(col("ts"))).as("dow"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val rt = o.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val ct = o.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+    val nAgg = o.agg(sum(col("o")).as("n"),
+      countDistinct(col("event_type")).as("nr"),
+      countDistinct(col("dow")).as("nc"))
+    o.join(broadcast(rt), Seq("event_type"))
+      .join(broadcast(ct), Seq("dow"))
+      .crossJoin(broadcast(nAgg))
+      .select(col("n"), col("nr"), col("nc"),
+        expr("CAST((CAST(o * n - r * c AS DECIMAL(38,0)) *" +
+          " CAST(o * n - r * c AS DECIMAL(38,0)) * 10000)" +
+          " div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)")
+          .as("term_e4"))
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sum(col("term_e4")).as("chi2_e4"))
+      .select(col("n"), (least(col("nr"), col("nc")) - 1).as("dof_k"),
+        col("chi2_e4"),
+        expr("chi2_e4 * 10000 div (n * (least(nr, nc) - 1))").as("v2_e8"))
+  }
+
+  /** Lag-1..7 autocorrelation of the global daily event-count series
+    * — the seasonality detector feeding [[qSeasonalDecompose]] (a
+    * weekly cycle shows as a lag-7 peak). The series is the bounded
+    * day grid, pairs come from a broadcast self-join at each lag,
+    * and Pearson r is computed from exact integer sufficient sums
+    * with ONE double expression stated identically in the oracle
+    * (same tree → bit-identical, the calibration-curve lesson). */
+  def qAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val lags = spark.range(1, 8).select(col("id").as("lag"))
+    daily.as("a")
+      .crossJoin(lags)
+      .join(broadcast(daily.as("b")),
+        expr("b.day = date_add(a.day, CAST(lag AS INT))"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.c")).as("sx"), sum(col("b.c")).as("sy"),
+        sum(col("a.c") * col("b.c")).as("sxy"),
+        sum(col("a.c") * col("a.c")).as("sxx"),
+        sum(col("b.c") * col("b.c")).as("syy"))
+      .select(col("lag"), col("n"),
+        expr("CAST(round((CAST(n * sxy - sx * sy AS DOUBLE) /" +
+          " (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *" +
+          " sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 10000)" +
+          " AS BIGINT)").as("r_e4"))
+      .orderBy(col("lag"))
+  }
+
+  /** ABC inventory classification of parts by revenue — the
+    * cumulative-share cousin of [[qPareto]]: rank parts by revenue
+    * DESC (unique key tiebreak), split at 80% / 95% cumulative
+    * share, report each class's size and exact e6 share. The global
+    * order rides [[Selection.withGlobalRank]]'s range-partitioned
+    * rank + cumsum (two narrow shuffles over (part, cents) rows —
+    * never a single-reducer window; PlanAuditSpec-pinned), and the
+    * share arithmetic is DECIMAL(38) exact. */
+  def qAbc(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("l_partkey")).agg(sum(col("cents")).as("x"))
+    val ranked = Selection.withGlobalRank(rev,
+      Seq(col("x").desc, col("l_partkey")), "rk",
+      cumSumOf = Some("x"), cumName = "cum")
+    val tot = rev.agg(sum(col("x")).as("total"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("x")).as("cls_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("cls"), col("n_parts"),
+        expr("CAST(CAST(cls_cents AS DECIMAL(38,0)) * 1000000" +
+          " div CAST(total AS DECIMAL(38,0)) AS BIGINT)").as("share_e6"))
+      .orderBy(col("cls"))
+  }
 }
