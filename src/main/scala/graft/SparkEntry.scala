@@ -803,6 +803,18 @@ object SparkEntry {
     "t_bpe_vocab" -> ((s, d) => TextAnalysis.bpeVocab(s, d)),
     "t_regex_tokens" -> ((s, d) => TextAnalysis.regexTokens(s, d)),
     "t_stopwords" -> ((s, d) => TextAnalysis.stopwordStats(s, d)),
+    // Per-source hapax/TTR lexical richness, exact e6 integers.
+    "t_hapax" -> ((s, d) => TextAnalysis.hapaxStats(s, d)),
+    // Zipf rank-frequency top-100 via distributed TakeOrdered; the
+    // rank window only ever sees the ≤100 survivors.
+    "t_zipf" -> ((s, d) => TextAnalysis.zipf(s, d)),
+    // Sentence-terminator runs + exact words/chars-per-sentence.
+    "t_sentences" -> ((s, d) => TextAnalysis.sentenceStats(s, d)),
+    // Per-language non-ASCII share (encoding-health audit).
+    "t_charset" -> ((s, d) => TextAnalysis.charsetProfile(s, d)),
+    // RAKE keywords: stopword-island phrases, deg/freq word scores
+    // e4-floored, distributed top-25.
+    "t_rake" -> ((s, d) => TextAnalysis.rake(s, d)),
     "t_pii" -> ((s, d) => TextAnalysis.piiScan(s, d)),
     "t_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
     // Vocab-sizing coverage curve: corpus share of the top 2^k types
@@ -4051,6 +4063,91 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, n_stopwords,
         |  CAST(round(n_stopwords * 10000.0 / n_tokens) AS BIGINT) AS stop_ratio_e4
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Same lowercased whitespace tokens; integer hapax/TTR ratios.
+    "t_hapax" ->
+      """WITH t AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, count(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT source, count(*) AS vocab,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS hapax_e6,
+        |  CAST(count(*) * 1000000 // sum(n) AS BIGINT) AS ttr_e6
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Unique (n DESC, token) order both sides; rank·n exact.
+    "t_zipf" ->
+      """WITH t AS (SELECT
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
+        |r AS (SELECT token, CAST(n AS BIGINT) AS n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rk
+        |  FROM c)
+        |SELECT rk, token, n, CAST(rk * n AS BIGINT) AS rk_x_n
+        |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin,
+    // Terminator-run regex [.!?]+ is Java/RE2-identical; zero-sentence
+    // docs guarded by greatest(…, 1) on both sides.
+    "t_sentences" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |    AS n_sentences,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) * 100
+        |    // greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |    AS BIGINT) AS wps_e2,
+        |  CAST(length(text) * 100
+        |    // greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |    AS BIGINT) AS cps_e2
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // [^\x20-\x7E\s] is Java/RE2-identical; DuckDB regexp_replace
+    // needs the explicit 'g' flag to strip every match.
+    "t_charset" ->
+      """WITH d AS (SELECT lang, CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[^\x20-\x7E\s]', '', 'g')) AS BIGINT) AS na
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(na) AS BIGINT) AS n_nonascii,
+        |  CAST(sum(na) * 1000000 // greatest(sum(nc), 1) AS BIGINT)
+        |    AS nonascii_e6
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same stopword-island segmentation (cumsum of stop flags per
+    // doc), same ≤4-word cap, same e4-floored deg/freq word scores.
+    "t_rake" ->
+      """WITH tk AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM (SELECT doc_id,
+        |      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |    FROM documents)),
+        |m AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN list_contains(
+        |      ['the','a','an','and','or','but','of','to','in','on','at',
+        |       'for','with','by','from','as','is','are','was','were','be',
+        |       'it','this','that','not'], tok) THEN 1 ELSE 0 END AS stp
+        |  FROM tk),
+        |i AS (SELECT doc_id, pos, tok, stp,
+        |    sum(stp) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM m),
+        |ph AS (SELECT doc_id, isl,
+        |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    count(*) AS plen
+        |  FROM i WHERE stp = 0 GROUP BY doc_id, isl),
+        |p4 AS (SELECT phrase, plen FROM ph WHERE plen <= 4),
+        |ws AS (SELECT w, CAST(sum(plen) * 10000 // count(*) AS BIGINT)
+        |    AS wscore_e4
+        |  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, plen
+        |    FROM p4) GROUP BY 1),
+        |dp AS (SELECT phrase, count(*) AS n_occ FROM p4 GROUP BY 1),
+        |pw AS (SELECT phrase, n_occ,
+        |    unnest(string_split(phrase, ' ')) AS w FROM dp)
+        |SELECT pw.phrase, CAST(pw.n_occ AS BIGINT) AS n_occ,
+        |  CAST(sum(ws.wscore_e4) AS BIGINT) AS score_e4
+        |FROM pw JOIN ws ON ws.w = pw.w
+        |GROUP BY 1, 2 ORDER BY score_e4 DESC, phrase
+        |LIMIT 25""".stripMargin,
     // Same BPE-ish pattern as TextAnalysis.BpeTokenPattern — kept to
     // constructs Java regex and RE2 read identically. The leading
     // quote is SQL-doubled.

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{CatalystText, TextFunctions => TF}
 
@@ -777,5 +778,127 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
         expr("n_novel * 10000 div n_ngrams").as("novelty_e4"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-source lexical-richness profile: vocabulary size, hapax
+    * legomena (tokens seen exactly once in the source), hapax share
+    * of the vocabulary and the type-token ratio — the corpus-health
+    * readout behind "is this source natural text or boilerplate"
+    * (natural language sits near 50% hapax; templated text
+    * collapses). One explode + two map-side-combinable aggregations;
+    * all-integer e6 ratios. */
+  def hapaxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TF.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("n")).as("n_tokens"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("vocab"), col("n_tokens"), col("n_hapax"),
+        expr("n_hapax * 1000000 div vocab").as("hapax_e6"),
+        expr("vocab * 1000000 div n_tokens").as("ttr_e6"))
+      .orderBy(col("source"))
+
+  /** Zipf rank-frequency table: the corpus's top-`k` tokens with
+    * their global rank and the rank·frequency product (≈constant
+    * under Zipf's law — the sanity plot of every corpus paper). The
+    * top-k is a distributed TakeOrdered over map-side-combined token
+    * counts (never a global window over the vocabulary); the rank
+    * window runs over the ≤k survivors only. */
+  def zipf(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(explode(TF.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+    val w = Window.orderBy(col("n").desc, col("token"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("token"), col("n"),
+        (col("rk") * col("n")).as("rk_x_n"))
+      .orderBy(col("rk"))
+  }
+
+  /** Sentence-terminator runs — the regex both Java and RE2 read
+    * identically (no lookaround). */
+  val SentencePattern: String = "[.!?]+"
+
+  /** Per-doc sentence segmentation stats: terminator-run count,
+    * tokens, and exact e2 words/chars-per-sentence — the
+    * readability-adjacent signal quality filters threshold on
+    * (run-on text and fragment soup both stand out). One codegen'd
+    * regex projection, no shuffle; zero-sentence docs guarded. */
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(SentencePattern)).cast("long")
+          .as("n_sentences"),
+        size(TF.tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .select(col("doc_id"), col("n_sentences"), col("n_tokens"),
+        expr("n_tokens * 100 div greatest(n_sentences, 1)").as("wps_e2"),
+        expr("n_chars * 100 div greatest(n_sentences, 1)").as("cps_e2"))
+      .orderBy(col("doc_id"))
+
+  /** Per-language charset profile: docs, chars, and the share of
+    * characters outside printable ASCII — the encoding-health audit
+    * (mojibake and wrong-charset crawls spike non-ASCII inside
+    * nominally-ASCII languages). The ASCII class [\x20-\x7E\s] is
+    * read identically by Java regex and RE2. */
+  def charsetProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), length(col("text")).cast("long").as("nc"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^\\x20-\\x7E\\s]", "")))
+          .cast("long").as("na"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("na")).as("n_nonascii"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_nonascii"),
+        expr("n_nonascii * 1000000 div greatest(n_chars, 1)")
+          .as("nonascii_e6"))
+      .orderBy(col("lang"))
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs (capped at 4 words), each
+    * word scores deg/freq — deg sums the lengths of the phrases it
+    * appears in, freq counts appearances — and a phrase scores the
+    * sum of its words' scores. Word scores are e4-floored integers
+    * (the per-term rounding rule), so the whole pipeline is exact.
+    * The run segmentation is a per-doc cumsum-of-stopwords island
+    * id (the gaps-and-islands shape, doc-partitioned — no global
+    * window); word stats collapse map-side; the final top-k is a
+    * distributed TakeOrdered. */
+  def rake(spark: SparkSession, dir: String, k: Int = 25,
+      maxLen: Int = 4): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TF.tokens(lower(col("text")))).as(Seq("pos", "tok")))
+      .withColumn("stp",
+        when(col("tok").isInCollection(EnglishStopwords), 1L).otherwise(0L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val phrases = toks
+      .withColumn("isl", sum(col("stp")).over(w))
+      .filter(col("stp") === 0)
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+      .filter(col("plen") <= maxLen)
+      .localCheckpoint(true)
+    val wstats = phrases
+      .select(explode(split(col("phrase"), " ")).as("w"), col("plen"))
+      .groupBy(col("w"))
+      .agg(expr("sum(plen) * 10000 div count(1)").as("wscore_e4"))
+    phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+      .select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wstats, Seq("w"))
+      .groupBy(col("phrase"), col("n_occ"))
+      .agg(sum(col("wscore_e4")).as("score_e4"))
+      .orderBy(col("score_e4").desc, col("phrase"))
+      .limit(k)
   }
 }
