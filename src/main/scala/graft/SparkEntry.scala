@@ -731,6 +731,16 @@ object SparkEntry {
     // redundant second copy for the distinct answer).
     "e_mmr" -> ((s, d) => Similarity.mmrTopK(s, d)),
     "e_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
+    // Per-label norm distribution; per-row e4 rounding before the
+    // integer mean (accumulation-order immune).
+    "e_norm_stats" -> ((s, d) => Similarity.normStats(s, d)),
+    // Best same/diff-label cosine per bounded query + margin verdict.
+    "e_triplet" -> ((s, d) => Similarity.tripletAudit(s, d)),
+    // Mean-vector dominance share, exact e16-quantized integers.
+    "e_isotropy" -> ((s, d) => Similarity.isotropy(s, d)),
+    // Rows-only + spec: recall@k curve of the IVF candidates vs the
+    // exact answer on the bounded sample.
+    "e_recall_curve" -> ((s, d) => Similarity.recallCurve(s, d)),
     "e_outliers" -> ((s, d) => Similarity.embOutliers(s, d)),
     // Rows-only + specs (planted axis recovery, partitioning
     // invariance of the exact integer Gram, driver power iteration).
@@ -3748,6 +3758,53 @@ object SparkEntry {
         |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_survivor
         |FROM h JOIN c USING (h)
         |ORDER BY doc_id""".stripMargin,
+    // Norms stated as the native self-dot tree; e4 per row BEFORE
+    // the integer mean so engine sum order is irrelevant.
+    "e_norm_stats" ->
+      """WITH d AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) * 10000) AS BIGINT) AS norm_e4
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  min(norm_e4) AS min_norm_e4, max(norm_e4) AS max_norm_e4,
+        |  CAST(sum(norm_e4) // count(*) AS BIGINT) AS mean_norm_e4
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CosineSim's exact tree (dot / (nrm·nrm)), e4 per pair, exact
+    // integer max per class, 500-e4 margin both sides.
+    "e_triplet" ->
+      """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS de,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, de AS qe,
+        |    nrm AS qn FROM n WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, q.q_label, e.label = q.q_label AS same,
+        |    CAST(round(list_dot_product(e.de, q.qe) / (e.nrm * q.qn)
+        |      * 10000) AS BIGINT) AS sim_e4
+        |  FROM n e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, q_label,
+        |  max(CASE WHEN same THEN sim_e4 END) AS best_same_e4,
+        |  max(CASE WHEN NOT same THEN sim_e4 END) AS best_diff_e4,
+        |  max(CASE WHEN same THEN sim_e4 END) >=
+        |    max(CASE WHEN NOT same THEN sim_e4 END) + 500 AS margin_ok
+        |FROM s GROUP BY 1, 2 ORDER BY query_id""".stripMargin,
+    // Same e16 quantization + s // n centroid as e_outliers; HUGEINT
+    // ratio ≡ Spark's DECIMAL(38,0) div.
+    "e_isotropy" ->
+      """WITH dims AS (SELECT vec_id, t.i AS dim,
+        |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 65536 + 0.5)
+        |      AS BIGINT) AS qd
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t),
+        |mu AS (SELECT CAST(sum(cd * cd) AS BIGINT) AS mu_norm2_q,
+        |    CAST(max(n) AS BIGINT) AS n_vecs
+        |  FROM (SELECT dim, CAST(sum(qd) // count(*) AS BIGINT) AS cd,
+        |      count(*) AS n FROM dims GROUP BY 1)),
+        |sq AS (SELECT CAST(sum(qd * qd) AS BIGINT) AS sum_norm2_q FROM dims)
+        |SELECT n_vecs, mu_norm2_q, sum_norm2_q,
+        |  CAST(CAST(mu_norm2_q AS HUGEINT) * n_vecs * 1000000
+        |    // CAST(sum_norm2_q AS HUGEINT) AS BIGINT) AS common_dir_e6
+        |FROM mu CROSS JOIN sq""".stripMargin,
     // Semantic verdict in closed form: cosine-threshold pairs (same
     // exact expression tree as CosineSim — DuckDB's builtin differs in
     // the last ulp, see e_knn_graph) → recursive-CTE connected

@@ -1743,4 +1743,124 @@ object Similarity {
       topDims.map(i0 => math.round(w(i0) * 65536.0 * 1e4)).mkString(",")))
       .toDF("n_rows", "dim", "r2_e6", "top_dims", "top_weights_e4")
   }
+
+  /** Per-label embedding-norm distribution — the first audit run on
+    * any new embedding dump ("did some shard come out unnormalized /
+    * zeroed"): norms e4-round PER ROW before the integer mean (the
+    * per-term rule — distributed sum order cannot flip a digit),
+    * min/max exact. The norm is the native [[graft.functions
+    * .CatalystText.InnerProduct]] self-dot, stated in the oracle as
+    * the identical list_dot_product tree. One scan, map-side
+    * combine. */
+  def normStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        round(sqrt(innerProduct(col("embedding"), col("embedding"))) * 1e4)
+          .cast("long").as("norm_e4"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("norm_e4")).as("min_norm_e4"),
+        max(col("norm_e4")).as("max_norm_e4"),
+        expr("sum(norm_e4) div count(1)").as("mean_norm_e4"))
+      .orderBy(col("label"))
+
+  /** Triplet-margin audit on the bounded query sample: for each
+    * query, the best same-label and best different-label cosine
+    * (e4-rounded per pair, then exact integer max per class) and
+    * whether the margin holds — the metric-learning health check
+    * ("do labels separate in this space"). One broadcast query scan;
+    * only (query, label, sim_e4) rows aggregate. */
+  def tripletAudit(spark: SparkSession, dir: String,
+      marginE4: Long = 500L): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = broadcast(emb.filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label")))
+    emb.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label").cast("long").as("q_label"),
+        (col("label") === col("q_label")).as("same"),
+        round(cosine(col("q_emb"), col("embedding")) * 1e4).cast("long")
+          .as("sim_e4"))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(max(when(col("same"), col("sim_e4"))).as("best_same_e4"),
+        max(when(!col("same"), col("sim_e4"))).as("best_diff_e4"))
+      .select(col("query_id"), col("q_label"), col("best_same_e4"),
+        col("best_diff_e4"),
+        (col("best_same_e4") >= col("best_diff_e4") + lit(marginE4))
+          .as("margin_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Isotropy / common-direction audit: how much of the corpus's
+    * second moment the mean vector explains — ‖μ‖²·n·10⁶ / Σ‖x‖²
+    * (anisotropic embedding dumps share a dominant direction, which
+    * wrecks cosine retrieval; the fix is mean-centering, and this is
+    * the audit that says whether it's needed). Exact end to end: the
+    * e16 per-dim quantization and `s div n` centroid of the
+    * [[embOutliersOf]] oracle convention, DECIMAL(38) for the final
+    * ratio. Two map-side-combinable aggregations over (dim, value)
+    * rows. */
+  def isotropy(spark: SparkSession, dir: String): DataFrame =
+    isotropyOf(Tables.embeddings(spark, dir))
+
+  def isotropyOf(emb: DataFrame): DataFrame = {
+    val dims = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x").cast("double") * lit(65536d) + lit(0.5d))
+          .cast("long").as("qd"))
+      .localCheckpoint(true)
+    val mu2 = dims.groupBy(col("dim"))
+      .agg(sum(col("qd")).as("s"), count(lit(1)).as("n"))
+      .select(expr("s div n").as("cd"), col("n"))
+      .agg(sum(col("cd") * col("cd")).as("mu_norm2_q"), max(col("n")).as("n_vecs"))
+    val sq = dims.agg(sum(col("qd") * col("qd")).as("sum_norm2_q"))
+    mu2.crossJoin(broadcast(sq))
+      .select(col("n_vecs"), col("mu_norm2_q"), col("sum_norm2_q"),
+        expr("CAST(CAST(mu_norm2_q AS DECIMAL(38,0)) * n_vecs * 1000000" +
+          " div CAST(sum_norm2_q AS DECIMAL(38,0)) AS BIGINT)")
+          .as("common_dir_e6"))
+  }
+
+  /** Recall@k curve of a blocking scheme against the exact answer on
+    * the bounded query sample, k ∈ `ks` — the operating curve behind
+    * a single-point recall audit (pick the smallest k whose recall
+    * clears the bar). Truth and approximate ranks come from the SAME
+    * ks.max-deep tables; per-k recall is one bounded join. */
+  def recallCurveOf(emb: DataFrame, cands: DataFrame,
+      ks: Seq[Int] = Seq(1, 2, 5, 10)): DataFrame = {
+    val kMax = ks.max
+    val queries = emb.filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val truth = cosineTopKOf(emb, queries, kMax)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("t_rank"))
+      .localCheckpoint(true)
+    val approx = knnGraphFrom(emb, cands, kMax)
+      .join(broadcast(queries.select(col("query_id").as("vec_id"))), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("neighbor_id"),
+        col("rank").as("a_rank"))
+      .localCheckpoint(true)
+    val nq = truth.select(col("query_id")).distinct().count()
+    val joined = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .localCheckpoint(true)
+    ks.map { k =>
+      joined.filter(col("t_rank") <= k && col("a_rank") <= k)
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(k.toLong).as("k"), col("hits"),
+          lit(nq * k).as("n_truth"),
+          expr(s"hits * 1000000 div ${nq * k}").as("recall_e6"))
+    }.reduce(_.unionByName(_)).orderBy(col("k"))
+  }
+
+  /** [[recallCurveOf]] over the IVF multi-probe candidates — the
+    * production blocking scheme's curve. Rows-only + spec
+    * (complete candidates → perfect curve; cluster-restricted
+    * candidates can only lose recall). */
+  def recallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    recallCurveOf(emb, ivfCandidatePairs(spark, emb, fitIvfCentroids(spark, dir)))
+  }
 }

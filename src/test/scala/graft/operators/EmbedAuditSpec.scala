@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.SparkTestSession
+
+/** Contracts of the round-12 embedding audits:
+  *  - recall curve: complete candidates reproduce the exact answer at
+  *    every k; cluster-restricted candidates stay perfect while truth
+  *    is in-cluster and can only lose recall past it.
+  *  - isotropy: identical vectors → the mean explains ~everything;
+  *    a symmetric ±v corpus → the mean explains ~nothing.
+  */
+class EmbedAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val D = Similarity.EmbeddingDim
+
+  private def frame(rows: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+  }
+
+  // Three tight clusters (ids c*10+j): unit direction along dim c,
+  // member-unique tiny jitter — in-cluster cosine ≈ 1, cross ≈ 0.
+  private def clustered: Seq[(Long, Array[Float])] =
+    for (c <- 0 until 3; j <- 0 until 10) yield {
+      val v = Array.fill(D)(0.0f)
+      v(c) = 1.0f
+      v(10 + j) = 0.05f * (j + 1)
+      ((c * 10 + j).toLong, v)
+    }
+
+  test("recall curve: complete candidates give exact recall at every k") {
+    val emb = frame(clustered)
+    val all = emb.select(col("vec_id"))
+      .crossJoin(emb.select(col("vec_id").as("candidate_id")))
+      .filter(col("vec_id") =!= col("candidate_id"))
+    val out = Similarity.recallCurveOf(emb, all, ks = Seq(1, 5, 9))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 1000000L, 5L -> 1000000L, 9L -> 1000000L), out)
+  }
+
+  test("recall curve: cluster-blocked candidates perfect in-cluster, lossy past it") {
+    val emb = frame(clustered)
+    val withC = emb.select(col("vec_id"), (col("vec_id") / 10).cast("int").as("c"))
+    val blocked = withC.join(
+        withC.select(col("vec_id").as("candidate_id"), col("c")), Seq("c"))
+      .filter(col("vec_id") =!= col("candidate_id"))
+      .select(col("vec_id"), col("candidate_id"))
+    val out = Similarity.recallCurveOf(emb, blocked, ks = Seq(5, 9, 10))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // 9 in-cluster neighbors and in-cluster cosine dominates: truth
+    // top-9 is exactly the cluster, so blocking is lossless to k=9.
+    assert(out(5L) == 1000000L, out)
+    assert(out(9L) == 1000000L, out)
+    // The 10th truth neighbor is cross-cluster — unreachable.
+    assert(out(10L) < 1000000L, out)
+  }
+
+  test("isotropy: identical vectors → mean explains ~all; ±v corpus → ~none") {
+    val one = Array.fill(D)(0.0f); one(0) = 1.0f; one(1) = 0.5f
+    val same = frame((0L until 8L).map(i => (i, one)))
+    val hi = Similarity.isotropyOf(same).collect().head.getLong(3)
+    assert(hi > 999000L && hi <= 1000000L, hi)
+    val neg = one.map(x => -x)
+    val sym = frame((0L until 8L).map(i => (i, if (i % 2 == 0) one else neg)))
+    val lo = Similarity.isotropyOf(sym).collect().head.getLong(3)
+    assert(lo < 1000L, lo)
+  }
+}
