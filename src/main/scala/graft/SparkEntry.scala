@@ -667,6 +667,18 @@ object SparkEntry {
           concat(lit("(c) corpus "), col("lang"))).as("text")))
     }),
     "p_temperature" -> ((s, d) => Pipeline.temperatureSample(s, d)),
+    // Greedy 25%-token-budget fill by lexical diversity on the
+    // distributed rank+cumsum (PlanAuditSpec-pinned).
+    "p_token_budget" -> ((s, d) => Pipeline.tokenBudget(s, d)),
+    // Threshold-yield curve off the bounded score histogram.
+    "p_quality_sweep" -> ((s, d) => Pipeline.qualitySweep(s, d)),
+    // Language mix shares + 2x-fair-share caps.
+    "p_lang_mix" -> ((s, d) => Pipeline.langMix(s, d)),
+    // Round-robin source interleave: first 500 global positions.
+    "p_interleave" -> ((s, d) => Pipeline.interleave(s, d)),
+    // Rows-only + spec: MinHash-estimate threshold sweep (native
+    // signatures aren't portable SQL).
+    "d_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
     "p_epoch_schedule" -> ((s, d) => Pipeline.epochSchedule(s, d)),
     "p_dsir" -> ((s, d) => Pipeline.dsirWeights(s, d)),
     // Exact-substring span dedup: shared ≥25-token spans planted
@@ -4708,6 +4720,83 @@ object SparkEntry {
         |    / count(*)) AS BIGINT) AS shared_e4
         |FROM sh JOIN df USING (h)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    // Same whitespace tokens, same unique (div DESC, doc_id) order,
+    // same prefix-inclusive budget rule.
+    "p_token_budget" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |      * 10000 // len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) AS div_e4
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY div_e4 DESC, doc_id) AS BIGINT)
+        |      AS rk,
+        |    CAST(sum(n_tokens) OVER (ORDER BY div_e4 DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM d),
+        |t AS (SELECT CAST(sum(n_tokens) // 4 AS BIGINT) AS budget FROM d)
+        |SELECT doc_id, n_tokens, rk, cum FROM r CROSS JOIN t
+        |WHERE cum <= budget ORDER BY rk""".stripMargin,
+    // Bounded score histogram first, grid join second — same shape.
+    "p_quality_sweep" ->
+      """WITH d AS (SELECT
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |      * 10000 // len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) AS div_e4
+        |  FROM documents),
+        |h AS (SELECT div_e4, count(*) AS nd, CAST(sum(n_tokens) AS BIGINT)
+        |    AS nt FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(nd) AS BIGINT) AS tot_docs,
+        |    CAST(sum(nt) AS BIGINT) AS tot_tokens FROM h),
+        |g AS (SELECT CAST(range * 1000 AS BIGINT) AS thr_e4 FROM range(0, 10))
+        |SELECT g.thr_e4,
+        |  CAST(coalesce(sum(h.nd), 0) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(h.nt), 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(h.nd), 0) * 1000000 // tot_docs AS BIGINT)
+        |    AS doc_share_e6,
+        |  CAST(coalesce(sum(h.nt), 0) * 1000000 // tot_tokens AS BIGINT)
+        |    AS token_share_e6
+        |FROM g LEFT JOIN h ON h.div_e4 >= g.thr_e4 CROSS JOIN t
+        |GROUP BY g.thr_e4, t.tot_docs, t.tot_tokens
+        |ORDER BY g.thr_e4""".stripMargin,
+    // Bounded language table; identical integer shares and caps.
+    "p_lang_mix" ->
+      """WITH b AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |    count(*) AS n_langs FROM b)
+        |SELECT lang, n_docs, n_tokens,
+        |  CAST(n_docs * 1000000 // tot_docs AS BIGINT) AS doc_share_e6,
+        |  CAST(n_tokens * 1000000 // tot_tokens AS BIGINT)
+        |    AS token_share_e6,
+        |  CAST(least(n_docs, tot_docs * 2 // n_langs) AS BIGINT)
+        |    AS capped_docs
+        |FROM b CROSS JOIN t ORDER BY lang""".stripMargin,
+    // Same hash order within source, alphabetical source index, same
+    // pos arithmetic (gaps from exhausted sources are part of the
+    // contract on both sides).
+    "p_interleave" ->
+      """WITH s AS (SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT count(*) AS n_src FROM s),
+        |r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 16),
+        |        doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT (r.rk - 1) * n.n_src + s.sidx - 1 AS pos,
+        |  r.doc_id, r.source
+        |FROM r JOIN s USING (source) CROSS JOIN n
+        |ORDER BY pos LIMIT 500""".stripMargin,
     "p_temperature" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         |w AS (SELECT source, n,

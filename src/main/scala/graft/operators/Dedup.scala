@@ -644,4 +644,33 @@ object Dedup {
       .filter(col("shared_prints") >= minShared)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Dedup-threshold operating curve — "how many pairs does each
+    * Jaccard bar keep": banded MinHash candidates scored once (the
+    * [[minhashPairs]] machinery WITHOUT its ≥0.5 production filter),
+    * reduced to a ≤21-bucket estimate histogram, then a bounded grid
+    * join reads off pairs-surviving-≥t for t = 0, 0.05 … 1.0. The
+    * audit run before choosing the cluster threshold: one banded
+    * shuffle, the corpus never rescans per threshold. Rows-only +
+    * spec (monotone non-increasing; t=0 equals the candidate count;
+    * the 0.5 point equals minhashPairs' count). */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir).localCheckpoint(true)
+    val scored = candidatePairs(sigs)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .select(TF.signatureSimilarityE4(col("sig_a"), col("sig_b"), MinhashK)
+        .as("j_e4"))
+    val hist = scored
+      .groupBy(expr("j_e4 div 500").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    spark.range(0, 21).select((col("id") * 500).as("thr_e4"))
+      .join(broadcast(hist), col("b") * 500 >= col("thr_e4"), "left")
+      .groupBy(col("thr_e4"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_pairs_ge"))
+      .orderBy(col("thr_e4"))
+  }
 }

@@ -635,4 +635,109 @@ object Pipeline {
       .select(col("rank"), col("doc_id"), col("skey"))
       .orderBy(col("rank"))
   }
+
+  /** Greedy token-budget selection — "fill a 25%-of-corpus token
+    * budget with the most lexically diverse documents": global
+    * (diversity DESC, doc_id) order + running token sum via
+    * [[Selection.withGlobalRank]] (range-partitioned rank+cumsum,
+    * PlanAuditSpec-pinned — never a single-reducer window), keep the
+    * prefix whose cumulative tokens fit. The data-mixing primitive
+    * behind "best N tokens under the compute budget". */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TF.tokens(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(TF.tokens(col("text")))).cast("long")
+          .as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("n_distinct * 10000 div n_tokens").as("div_e4"))
+    val ranked = Selection.withGlobalRank(d,
+      Seq(col("div_e4").desc, col("doc_id")), "rk",
+      cumSumOf = Some("n_tokens"), cumName = "cum")
+    val tot = d.agg(expr("sum(n_tokens) div 4").as("budget"))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("cum") <= col("budget"))
+      .select(col("doc_id"), col("n_tokens"), col("rk"), col("cum"))
+      .orderBy(col("rk"))
+  }
+
+  /** Quality-threshold yield curve — "what do we keep at each bar":
+    * docs and tokens surviving diversity ≥ t for t = 0..9000 e4, with
+    * exact e6 shares. The corpus reduces to the ≤10001-value
+    * (div_e4 → docs, tokens) table FIRST; the curve is a bounded
+    * grid join over it — the sweep never rescans the corpus per
+    * threshold. */
+  def qualitySweep(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(size(TF.tokens(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(TF.tokens(col("text")))).cast("long")
+          .as("n_distinct"))
+      .select(col("n_tokens"),
+        expr("n_distinct * 10000 div n_tokens").as("div_e4"))
+      .groupBy(col("div_e4"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+      .localCheckpoint(true)
+    val tot = d.agg(sum(col("nd")).as("tot_docs"), sum(col("nt")).as("tot_tokens"))
+    spark.range(0, 10).select((col("id") * 1000).as("thr_e4"))
+      .join(broadcast(d), col("div_e4") >= col("thr_e4"), "left")
+      .groupBy(col("thr_e4"))
+      .agg(coalesce(sum(col("nd")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("nt")), lit(0L)).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("thr_e4"), col("n_docs"), col("n_tokens"),
+        expr("n_docs * 1000000 div tot_docs").as("doc_share_e6"),
+        expr("n_tokens * 1000000 div tot_tokens").as("token_share_e6"))
+      .orderBy(col("thr_e4"))
+  }
+
+  /** Language-mix report + capped sampling plan: per language, doc
+    * and token counts, exact e6 shares, and the 2×-fair-share quota
+    * a balanced mix would cap it to ([[domainCap]]'s policy applied
+    * to languages). Two map-side-combinable aggregations over the
+    * bounded language table. */
+  def langMix(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    val byLang = Tables.documents(spark, dir)
+      .select(col("lang"), size(toks).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val tot = byLang.agg(sum(col("n_docs")).as("tot_docs"),
+      sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_langs"))
+    byLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("n_docs * 1000000 div tot_docs").as("doc_share_e6"),
+        expr("n_tokens * 1000000 div tot_tokens").as("token_share_e6"),
+        expr("least(n_docs, tot_docs * 2 div n_langs)").as("capped_docs"))
+      .orderBy(col("lang"))
+  }
+
+  /** Deterministic round-robin source interleave — the "don't feed
+    * the model a source block" training-order primitive: sources get
+    * a stable index (alphabetical), documents get a within-source
+    * hash order (the [[temperatureSample]] key), and global position
+    * pos = (rk−1)·n_src + sidx−1 interleaves them 1:1:…:1 (exhausted
+    * sources leave gaps — positions stay a strict total order, which
+    * is all a loader consumes). Per-source windows only; the readout
+    * is the first 500 positions. */
+  def interleave(spark: SparkSession, dir: String, limit: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        substring(md5(concat(col("doc_id").cast("string"), lit(":42"))),
+          1, 16).as("hk"))
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("sidx", row_number().over(Window.orderBy(col("source")))
+        .cast("long"))
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+    val rk = docs.withColumn("rk",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("hk"), col("doc_id"))).cast("long"))
+    rk.join(broadcast(srcIdx), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .select(((col("rk") - 1) * col("n_src") + col("sidx") - 1).as("pos"),
+        col("doc_id"), col("source"))
+      .orderBy(col("pos"))
+      .limit(limit)
+  }
 }

@@ -127,7 +127,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // distributed form — pinned here the day they were born.
     for (q <- Seq("q_gini", "q_pareto", "q_rfm", "q_skyline", "e_hubness",
         "t_vocab_coverage", "q_join_heat", "m_shard_pack", "p_shuffle",
-        "q_equidepth_hist", "q_abc")) {
+        "q_equidepth_hist", "q_abc", "p_token_budget")) {
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val bad = windows(df.queryExecution.executedPlan)
         .filter(_.partitionSpec.isEmpty)
