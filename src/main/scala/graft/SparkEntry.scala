@@ -258,6 +258,16 @@ object SparkEntry {
       GraphOps.pageRankInteger(s, GraphBuilder.supplierCoEdges(s, d))),
     "g_ppr" -> ((s, d) =>
       GraphOps.personalizedPageRank(s, GraphBuilder.supplierCoEdges(s, d))),
+    // Katz truncated-walk centrality, integer rounds (div 256).
+    "g_katz" -> ((s, d) =>
+      GraphOps.katzCentrality(s, GraphBuilder.supplierCoEdges(s, d))),
+    // Directed-edge mutuality on the supplier hand-off chain.
+    "g_reciprocity" -> ((s, d) =>
+      GraphOps.reciprocity(s, GraphBuilder.supplierChainEdges(s, d))),
+    // Customer co-purchase projection of the bipartite purchase graph
+    // (numbered-repartition wedge join).
+    "g_bipartite_proj" -> ((s, d) =>
+      GraphOps.bipartiteProjection(s, GraphBuilder.purchaseEdges(s, d))),
     "g_clustering" -> ((s, d) =>
       GraphOps.clusteringCoefficients(GraphBuilder.supplierCoEdges(s, d))),
     "g_sssp" -> ((s, d) =>
@@ -1554,6 +1564,26 @@ object SparkEntry {
       s"\nSELECT vertex, rank AS rank_e6 FROM r$iters ORDER BY vertex"
   }
 
+  /** Katz centrality unrolled to `iters` rounds of integer SQL —
+    * mirrors [[graft.graph.GraphOps.katzCentrality]] term by term:
+    * x ← 1e6 + Σ (x·w) div 256 over the symmetric weighted edges. */
+  private def katzOracleSql(iters: Int = 8): String = {
+    val steps = (0 until iters).map { i =>
+      s""",
+         |kc$i AS MATERIALIZED (SELECT s.dst AS vertex,
+         |    CAST(sum((x.katz * s.w) // 256) AS BIGINT) AS csum
+         |  FROM sym s JOIN x$i x ON x.vertex = s.src GROUP BY 1),
+         |x${i + 1} AS MATERIALIZED (SELECT x.vertex,
+         |  CAST(1000000 + coalesce(c.csum, 0) AS BIGINT) AS katz
+         |  FROM x$i x LEFT JOIN kc$i c ON c.vertex = x.vertex)""".stripMargin
+    }.mkString
+    s"""WITH $EdgeCte,
+       |x0 AS MATERIALIZED (SELECT DISTINCT src AS vertex,
+       |  CAST(1000000 AS BIGINT) AS katz FROM sym)""".stripMargin +
+      steps +
+      s"\nSELECT vertex, katz AS katz_e6 FROM x$iters ORDER BY vertex"
+  }
+
   /** Personalized PageRank unrolled to `iters` SQL iterations —
     * identical integer arithmetic to GraphOps.personalizedPageRank
     * (seeds = 3 smallest vertex ids, unnormalized 150000 restart per
@@ -1765,6 +1795,35 @@ object SparkEntry {
         |GROUP BY s.src ORDER BY vertex""".stripMargin,
     "g_node2vec" -> node2vecOracleSql(),
     "g_pagerank_det" -> pagerankDetOracleSql(),
+    "g_katz" -> katzOracleSql(),
+    // Same hand-off chain CTE as g_scc; reciprocity is one self-join
+    // on the distinct directed edge set + exact e6 ratio.
+    "g_reciprocity" ->
+      """WITH os AS (SELECT l_orderkey, l_suppkey,
+        |    CAST(sum(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |ch AS (SELECT l_suppkey AS src, lead(l_suppkey) OVER
+        |    (PARTITION BY l_orderkey ORDER BY q, l_suppkey) AS dst FROM os),
+        |e AS (SELECT DISTINCT src, dst FROM ch
+        |  WHERE dst IS NOT NULL AND src <> dst),
+        |t AS (SELECT count(*) AS n_edges FROM e),
+        |r AS (SELECT count(*) AS n_recip
+        |  FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src)
+        |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(n_recip AS BIGINT) AS n_recip,
+        |  CAST(n_recip * 1000000 // n_edges AS BIGINT) AS recip_e6
+        |FROM t, r""".stripMargin,
+    // Shared-supplier co-purchase pairs; unique (shared DESC, c1, c2)
+    // order both sides.
+    "g_bipartite_proj" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |p AS (SELECT a.c AS c1, b.c AS c2, count(*) AS shared
+        |  FROM e a JOIN e b ON a.s = b.s AND a.c < b.c
+        |  GROUP BY 1, 2)
+        |SELECT c1, c2, CAST(shared AS BIGINT) AS shared
+        |FROM p WHERE shared >= 3
+        |ORDER BY shared DESC, c1, c2 LIMIT 100""".stripMargin,
     "g_ppr" -> pprOracleSql(),
     // Adamic–Adar over the strong-tie subgraph: wedge join + anti-join
     // against existing edges; per-common-neighbor 1/ln(deg) terms are
