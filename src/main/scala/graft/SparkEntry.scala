@@ -264,10 +264,13 @@ object SparkEntry {
     // Directed-edge mutuality on the supplier hand-off chain.
     "g_reciprocity" -> ((s, d) =>
       GraphOps.reciprocity(s, GraphBuilder.supplierChainEdges(s, d))),
-    // Customer co-purchase projection of the bipartite purchase graph
-    // (numbered-repartition wedge join).
+    // Customer co-purchase projection of the RECURRENT (≥2-order)
+    // bipartite purchase graph — the cut is the scale path: the raw
+    // graph's Σdeg² wedge stream is quadratic in SF (345M rows at
+    // sf0.1), the recurrent graph's is ~2300× smaller and linear.
+    // Wedge join AQE-pinned with post-checkpoint numbered repartitions.
     "g_bipartite_proj" -> ((s, d) =>
-      GraphOps.bipartiteProjection(s, GraphBuilder.purchaseEdges(s, d))),
+      GraphOps.bipartiteProjection(s, GraphBuilder.recurrentPurchaseEdges(s, d))),
     "g_clustering" -> ((s, d) =>
       GraphOps.clusteringCoefficients(GraphBuilder.supplierCoEdges(s, d))),
     "g_sssp" -> ((s, d) =>
@@ -1564,6 +1567,13 @@ object SparkEntry {
       s"\nSELECT vertex, rank AS rank_e6 FROM r$iters ORDER BY vertex"
   }
 
+  /** One source of truth for the bounded embedding query sample: the
+    * e_triplet/e_cosine_topk/e_mips/e_range_search oracles
+    * interpolate this (the katzOracleSql generated-oracle pattern)
+    * so a [[graft.operators.Similarity.QueryLimit]] change can never
+    * silently desync Spark from the DuckDB side. */
+  private val QL: Int = graft.operators.Similarity.QueryLimit
+
   /** Katz centrality unrolled to `iters` rounds of integer SQL —
     * mirrors [[graft.graph.GraphOps.katzCentrality]] term by term:
     * x ← 1e6 + Σ (x·w) div 256 over the symmetric weighted edges. */
@@ -1815,14 +1825,19 @@ object SparkEntry {
         |FROM t, r""".stripMargin,
     // Shared-supplier co-purchase pairs; unique (shared DESC, c1, c2)
     // order both sides.
+    // Recurrent (≥2 distinct orders) ties only — the scale cut; the
+    // projection itself keeps every pair (minShared=1) under the
+    // unique (shared DESC, c1, c2) top-100 order.
     "g_bipartite_proj" ->
-      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      """WITH t AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s,
+        |    o.o_orderkey AS ok
         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT c, s FROM t GROUP BY c, s HAVING count(*) >= 2),
         |p AS (SELECT a.c AS c1, b.c AS c2, count(*) AS shared
         |  FROM e a JOIN e b ON a.s = b.s AND a.c < b.c
         |  GROUP BY 1, 2)
         |SELECT c1, c2, CAST(shared AS BIGINT) AS shared
-        |FROM p WHERE shared >= 3
+        |FROM p WHERE shared >= 1
         |ORDER BY shared DESC, c1, c2 LIMIT 100""".stripMargin,
     "g_ppr" -> pprOracleSql(),
     // Adamic–Adar over the strong-tie subgraph: wedge join + anti-join
@@ -3843,13 +3858,13 @@ object SparkEntry {
     // CosineSim's exact tree (dot / (nrm·nrm)), e4 per pair, exact
     // integer max per class, 500-e4 margin both sides.
     "e_triplet" ->
-      """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      s"""WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |    CAST(embedding AS DOUBLE[]) AS de,
         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |      CAST(embedding AS DOUBLE[]))) AS nrm
         |  FROM embeddings),
         |q AS (SELECT vec_id AS query_id, label AS q_label, de AS qe,
-        |    nrm AS qn FROM n WHERE vec_id < 20),
+        |    nrm AS qn FROM n WHERE vec_id < $QL),
         |s AS (SELECT q.query_id, q.q_label, e.label = q.q_label AS same,
         |    CAST(round(list_dot_product(e.de, q.qe) / (e.nrm * q.qn)
         |      * 10000) AS BIGINT) AS sim_e4
@@ -3924,7 +3939,7 @@ object SparkEntry {
     // truncating div ≡ floor //); cosine stated as the engine's
     // expression tree (list_dot / sqrt·sqrt — the float-oracle rule).
     "e_calibration" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT CAST(round(
         |      list_dot_product(CAST(q.embedding AS DOUBLE[]),
         |        CAST(e.embedding AS DOUBLE[]))
@@ -3934,14 +3949,14 @@ object SparkEntry {
         |          CAST(e.embedding AS DOUBLE[])))) * 10000)
         |      AS BIGINT) AS sim_e4,
         |    CASE WHEN e.label = q.label THEN 1 ELSE 0 END AS same
-        |  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < $QL) q
         |  JOIN embeddings e ON e.vec_id <> q.vec_id)
         |SELECT (sim_e4 + 10000) // 1000 AS bucket,
         |  count(*) AS n_pairs, CAST(sum(same) AS BIGINT) AS n_same,
         |  CAST(sum(same) * 10000 // count(*) AS BIGINT) AS same_frac_e4
         |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
     "e_cosine_topk" ->
-      """SELECT query_id, neighbor_id, rank,
+      s"""SELECT query_id, neighbor_id, rank,
         |  CAST(round(sim * 10000) AS BIGINT) AS sim_e4
         |FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -3949,7 +3964,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
         |        e.vec_id ASC) AS rank
-        |  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < $QL) q
         |  JOIN embeddings e ON e.vec_id <> q.vec_id) t
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
@@ -3957,9 +3972,9 @@ object SparkEntry {
     // list_dot_product over DOUBLE[] casts — the InnerProduct
     // expression's exact tree; ranking on the e4 integer both sides.
     "e_mips" ->
-      """WITH q AS (SELECT vec_id AS query_id,
+      s"""WITH q AS (SELECT vec_id AS query_id,
         |    CAST(embedding AS DOUBLE[]) AS qe
-        |  FROM embeddings WHERE vec_id < 20),
+        |  FROM embeddings WHERE vec_id < $QL),
         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
         |    CAST(round((1.0 + (e.vec_id % 7) / 4.0)
         |      * list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
@@ -4044,9 +4059,9 @@ object SparkEntry {
         |  CAST(max(s_e6) AS BIGINT) AS max_s_e6
         |FROM s GROUP BY label ORDER BY label""".stripMargin,
     "e_range_search" ->
-      """WITH q AS (SELECT vec_id AS query_id,
+      s"""WITH q AS (SELECT vec_id AS query_id,
         |    CAST(embedding AS DOUBLE[]) AS qe
-        |  FROM embeddings WHERE vec_id < 20),
+        |  FROM embeddings WHERE vec_id < $QL),
         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
         |    CAST(round(
         |      list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
@@ -4232,10 +4247,12 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // [^\x20-\x7E\s] is Java/RE2-identical; DuckDB regexp_replace
     // needs the explicit 'g' flag to strip every match.
+    // Whitespace spelled out on both sides (Java \s has \x0B, RE2's
+    // doesn't — TextAnalysis.charsetProfile's divergence note).
     "t_charset" ->
       """WITH d AS (SELECT lang, CAST(length(text) AS BIGINT) AS nc,
         |    CAST(length(text) - length(regexp_replace(text,
-        |      '[^\x20-\x7E\s]', '', 'g')) AS BIGINT) AS na
+        |      '[^\x20-\x7E\t\n\x0B\f\r]', '', 'g')) AS BIGINT) AS na
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS n_chars,
         |  CAST(sum(na) AS BIGINT) AS n_nonascii,

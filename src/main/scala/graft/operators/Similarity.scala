@@ -1842,15 +1842,22 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("neighbor_id"),
         col("rank").as("a_rank"))
       .localCheckpoint(true)
-    val nq = truth.select(col("query_id")).distinct().count()
+    // Truth denominator from the ACTUAL truth rows at each k, not
+    // nq·k — on a corpus with fewer than kMax+1 vectors a query has
+    // fewer than k truth neighbors, and the nq·k denominator would
+    // report recall < 1 for perfect candidates. One bounded driver
+    // read of the (≤ nq·kMax row) rank histogram covers every k.
+    val rankHist = truth.groupBy(col("t_rank")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
     val joined = truth.join(approx, Seq("query_id", "neighbor_id"))
       .localCheckpoint(true)
     ks.map { k =>
+      val nTruth = rankHist.filter(_._1 <= k).values.sum
       joined.filter(col("t_rank") <= k && col("a_rank") <= k)
         .agg(count(lit(1)).as("hits"))
         .select(lit(k.toLong).as("k"), col("hits"),
-          lit(nq * k).as("n_truth"),
-          expr(s"hits * 1000000 div ${nq * k}").as("recall_e6"))
+          lit(nTruth).as("n_truth"),
+          expr(s"hits * 1000000 div ${math.max(nTruth, 1L)}").as("recall_e6"))
     }.reduce(_.unionByName(_)).orderBy(col("k"))
   }
 

@@ -844,13 +844,20 @@ object TextAnalysis {
   /** Per-language charset profile: docs, chars, and the share of
     * characters outside printable ASCII — the encoding-health audit
     * (mojibake and wrong-charset crawls spike non-ASCII inside
-    * nominally-ASCII languages). The ASCII class [\x20-\x7E\s] is
-    * read identically by Java regex and RE2. */
+    * nominally-ASCII languages). The ASCII class spells its
+    * whitespace members out CHARACTER BY CHARACTER instead of using
+    * \s: Java's \s includes \x0B (vertical tab) while RE2's does not,
+    * so `[^\x20-\x7E\s]` silently diverges between Spark and the
+    * DuckDB oracle on any document containing U+000B. The explicit
+    * class [\x20-\x7E\t\n\x0B\f\r] is read identically by both
+    * engines; TextHeuristicsSpec plants a \x0B fixture pinning that
+    * it counts as ASCII whitespace. */
   def charsetProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("lang"), length(col("text")).cast("long").as("nc"),
         (length(col("text")) -
-          length(regexp_replace(col("text"), "[^\\x20-\\x7E\\s]", "")))
+          length(regexp_replace(col("text"),
+            "[^\\x20-\\x7E\\t\\n\\x0B\\f\\r]", "")))
           .cast("long").as("na"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),

@@ -782,9 +782,11 @@ object StreamingOps {
     * the state. On graphs with real community structure the gap is
     * small (spec-bounded ≤ 0.05 Q); on near-community-free graphs
     * (the co-occurrence corpus: batch Q ≈ 0.015) it shows as
-    * over-merging. A production deployment bounds the drift with a
-    * periodic full recompute — which this same state layout makes a
-    * drop-in (replace v<id> wholesale). */
+    * over-merging. The drift is BOUNDED, not just reported (round
+    * 13): [[mergeLouvainAudited]] is the in-stream periodic
+    * full-refresh cadence, and [[streamLouvainIncremental]] applies
+    * the same replace-v<id>-wholesale drop-in at its end-of-stream
+    * self-audit. */
   private[graft] def mergeLouvain(sink: String)(df: DataFrame, id: Long): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -831,6 +833,72 @@ object StreamingOps {
     sup2.write.mode("overwrite").parquet(s"$sink/v$id/super")
   }
 
+  /** Contract a raw weighted edge list through a (vertex, community)
+    * assignment into the (a, b, w) super-graph state [[mergeLouvain]]
+    * maintains (a == b rows carry internal weight) — the one
+    * definition both the in-stream audited refresh and the
+    * end-of-stream refresh write through, so the refreshed state is
+    * bit-compatible with what Louvain's own compression emits. */
+  private[graft] def contractThrough(edges: DataFrame,
+      labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("vertex").as("src"), col("community").as("ls")),
+        Seq("src"))
+      .join(labels.select(col("vertex").as("dst"), col("community").as("ld")),
+        Seq("dst"))
+      .select(least(col("ls"), col("ld")).as("a"),
+        greatest(col("ls"), col("ld")).as("b"),
+        col("weight").cast("double").as("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+
+  /** Periodic full-refresh wrapper around [[mergeLouvain]] — the
+    * production bound on the fold's monotone over-coarsening drift
+    * (the "honest limitation" above, now acted on instead of only
+    * reported). Every batch also LANDS idempotently to
+    * `accumDir/b<id>` (the [[landBatch]] pattern), so the audit has
+    * an accumulated raw-edge view keyed by batch id; on audit batches
+    * ((id+1) % auditEvery == 0) it computes the self-audit Q-gap —
+    * batch Louvain over the accumulated edges vs the streamed labels,
+    * both under the same exact-integer modularity — and when the gap
+    * exceeds `gapThresholdE6` REPLACES v<id> wholesale on the SAME
+    * (labels + super) state layout: labels = the fresh batch
+    * assignment, super = the accumulated edges contracted through it
+    * (exactly what Louvain's own compression emits), so later
+    * incremental folds continue from the refreshed state unchanged.
+    * Below-threshold audits leave the fold state untouched — the
+    * stream stays incremental unless drift is real. Replay keeps the
+    * [[landBatch]] idempotence: re-running an audited batch id
+    * rewrites b<id> and v<id> to the same state (only b≤id is read,
+    * so later-landed batches never leak into a replayed audit).
+    * IncrementalLouvainSpec pins recovery + replay. */
+  private[graft] def mergeLouvainAudited(sink: String, accumDir: String,
+      gapThresholdE6: Long = 50000L, auditEvery: Int = 4)(
+      df: DataFrame, id: Long): Unit = {
+    val spark = df.sparkSession
+    df.select(col("src"), col("dst"), col("weight").cast("double"))
+      .write.mode("overwrite").parquet(s"$accumDir/b$id")
+    mergeLouvain(sink)(df, id)
+    if ((id + 1) % auditEvery == 0) {
+      val landed = (0L to id).map(j => s"$accumDir/b$j")
+        .filter(p => new java.io.File(p).exists())
+      val accum = spark.read.parquet(landed: _*)
+        .select(col("src"), col("dst"), col("weight"))
+        .localCheckpoint(true)
+      def qE6(assign: DataFrame): Long = graft.graph.GraphOps
+        .modularityOf(accum, assign.select(col("vertex"),
+          col("community").as("label")))
+        .select(col("q_e6")).collect().head.getLong(0)
+      val streamedQ = qE6(spark.read.parquet(s"$sink/v$id/labels"))
+      val fresh = graft.graph.GraphOps.louvain(spark, accum)
+        .localCheckpoint(true)
+      if (qE6(fresh) - streamedQ > gapThresholdE6) {
+        val supFresh = contractThrough(accum, fresh).localCheckpoint(true)
+        fresh.write.mode("overwrite").parquet(s"$sink/v$id/labels")
+        supFresh.write.mode("overwrite").parquet(s"$sink/v$id/super")
+      }
+    }
+  }
+
   /** Incremental Louvain label maintenance over a streamed weighted
     * edge list — [[streamCcIncremental]]'s community-structure
     * sibling. The supplier co-occurrence edges (weights included)
@@ -864,21 +932,43 @@ object StreamingOps {
     finally q.stop()
     val last = new java.io.File(sink).listFiles()
       .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong).max
-    val streamed = spark.read.parquet(s"$sink/v$last/labels")
+    // End-of-stream self-audit + the round-13 refresh drop-in: when
+    // the fold's monotone over-coarsening has cost more than 0.05
+    // modularity vs the batch reference, REPLACE v<last> wholesale on
+    // the same (labels + super) layout and report refreshed = 1. The
+    // reference assignment here is the memoized full-graph Louvain
+    // the audit row needs anyway, so a no-drift run pays nothing
+    // extra; mid-stream cadence (audits between checkpoints without
+    // any full-graph view) is [[mergeLouvainAudited]], which lands
+    // batches for exactly that purpose and is spec-pinned on a
+    // planted over-coarsened fold.
     val edges = graft.graph.GraphBuilder.supplierCoEdges(spark, dir)
     val batchLab = graft.graph.GraphOps.louvain(spark, edges)
-    def q6(assign: DataFrame) = graft.graph.GraphOps
-      .modularityOf(edges, assign.select(col("vertex"),
-        col("community").as("label")))
-      .select(col("n_communities"), col("q_e6"))
-    q6(streamed).select(col("n_communities").as("n_comm_streamed"),
-        col("q_e6").as("q_e6_streamed"))
-      .crossJoin(broadcast(q6(batchLab)
-        .select(col("n_communities").as("n_comm_batch"),
-          col("q_e6").as("q_e6_batch"))))
-      .select(col("n_comm_streamed"), col("q_e6_streamed"),
-        col("n_comm_batch"), col("q_e6_batch"),
-        (col("q_e6_batch") - col("q_e6_streamed")).as("gap_e6"))
+      .localCheckpoint(true)
+    def q6(assign: DataFrame): (Long, Long) = {
+      val r = graft.graph.GraphOps
+        .modularityOf(edges, assign.select(col("vertex"),
+          col("community").as("label")))
+        .select(col("n_communities"), col("q_e6")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (ncS, qS) = q6(spark.read.parquet(s"$sink/v$last/labels"))
+    val (ncB, qB) = q6(batchLab)
+    val refreshed = qB - qS > 50000L
+    val (ncOut, qOut) =
+      if (!refreshed) (ncS, qS)
+      else {
+        val supFresh = contractThrough(
+          edges.select(col("src"), col("dst"), col("weight")), batchLab)
+          .localCheckpoint(true)
+        batchLab.write.mode("overwrite").parquet(s"$sink/v$last/labels")
+        supFresh.write.mode("overwrite").parquet(s"$sink/v$last/super")
+        (ncB, qB)
+      }
+    import spark.implicits._
+    Seq((ncOut, qOut, ncB, qB, qB - qOut, if (refreshed) 1L else 0L))
+      .toDF("n_comm_streamed", "q_e6_streamed", "n_comm_batch",
+        "q_e6_batch", "gap_e6", "refreshed")
   }
 
   /** `foreachBatch` parquet sink — the production pattern for landing

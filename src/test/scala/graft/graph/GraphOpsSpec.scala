@@ -546,6 +546,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(run(6) == run(7))
   }
 
+  test("katz overflow guard: a huge-weight pair fails loudly, not wrongly") {
+    // weight 2^40: round 1 is exact (1e6·2^40/256 ≈ 4.3e15), but
+    // round 2's product would wrap BIGINT — Spark (non-ANSI) wraps
+    // SILENTLY where the DuckDB oracle errors, so the guard must
+    // throw before the series corrupts.
+    val w = math.pow(2, 40)
+    val e = edgesDf((1L, 2L, w))
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.katzCentrality(spark, e).collect()
+    }
+    assert(ex.getMessage.contains("katzCentrality"), ex.getMessage)
+    // and a sane graph still computes: path 1-2-3, unit weights,
+    // 1 round: ends get 1e6 + 1e6/256 = 1003906, middle 1007812.
+    val ok = GraphOps.katzCentrality(spark,
+      edgesDf((1L, 2L, 1.0), (2L, 3L, 1.0)), iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ok == Map(1L -> 1003906L, 2L -> 1007812L, 3L -> 1003906L))
+  }
+
   test("canonicalEdges dedupes direction and sums weights") {
     val raw = Seq((2L, 1L, 1.0), (1L, 2L, 2.0), (3L, 3L, 9.0), (1L, 3L, 1.0))
       .toDF("a", "b", "w")

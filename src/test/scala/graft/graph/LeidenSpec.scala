@@ -46,6 +46,29 @@ class LeidenSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L)))
   }
 
+  test("screen: certified, suspect-connected and suspect-split communities compose") {
+    // Community 50: a triangle — star-certified (maxdeg = n−1), takes
+    // the CC-skip path. Community 60: a 4-path — connected but NOT
+    // certified (maxdeg 2 < 3), so it runs through CC and must come
+    // out WHOLE (the screen's soundness edge: a suspect is a
+    // maybe, never a verdict). Community 70: two disconnected pairs —
+    // suspect AND actually split. All three flavors in one assignment
+    // pins that the certified/suspect unionByName recomposes the full
+    // vertex set with the same labels the unscreened CC would give.
+    val e = edgesDf((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (22L, 23L))
+    val a = Seq((1L, 50L), (2L, 50L), (3L, 50L),
+      (10L, 60L), (11L, 60L), (12L, 60L), (13L, 60L),
+      (20L, 70L), (21L, 70L), (22L, 70L), (23L, 70L))
+      .toDF("vertex", "community")
+    val got = GraphOps.refineCommunities(spark, e, a).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (13L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 22L), (23L, 22L)))
+  }
+
   test("g_leiden on the real graph: connected, border-respecting, Q-monotone") {
     val e = GraphBuilder.supplierCoEdges(spark, "/root/testdata/sf0.001")
       .localCheckpoint(true)

@@ -42,6 +42,21 @@ class EmbedAuditSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1000000L, 5L -> 1000000L, 9L -> 1000000L), out)
   }
 
+  test("recall curve: tiny corpus (< kMax+1 vectors) still reports perfect recall") {
+    // 5 vectors → every query has only 4 truth neighbors at k = 10;
+    // the denominator must come from the ACTUAL truth rows (4), not
+    // nq·k (10), or perfect candidates would read as recall 0.4.
+    val emb = frame(clustered.take(5))
+    val all = emb.select(col("vec_id"))
+      .crossJoin(emb.select(col("vec_id").as("candidate_id")))
+      .filter(col("vec_id") =!= col("candidate_id"))
+    val out = Similarity.recallCurveOf(emb, all, ks = Seq(1, 4, 10))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // n_truth caps at 4 per query past k = 4; recall perfect at all k.
+    assert(out == Seq((1L, 5L, 1000000L), (4L, 20L, 1000000L),
+      (10L, 20L, 1000000L)), out)
+  }
+
   test("recall curve: cluster-blocked candidates perfect in-cluster, lossy past it") {
     val emb = frame(clustered)
     val withC = emb.select(col("vec_id"), (col("vec_id") / 10).cast("int").as("c"))

@@ -38,4 +38,25 @@ class TextHeuristicsSpec extends AnyFunSuite {
     val got = detect((1L, "the quick brown fox jumps over the lazy dog"))
     assert(got(1L) == ((0L, 0L, 0L, false)))
   }
+
+  test("charset: \\x0B is ASCII whitespace on BOTH regex engines (planted)") {
+    // Java's \s includes \x0B, RE2's does not — the t_charset class
+    // therefore spells its whitespace out explicitly. This fixture
+    // pins the intended semantics: vertical tab and the other four
+    // whitespace members count as ASCII; real non-ASCII letters
+    // count once per char.
+    val vt = 11.toChar // literal \x0B in source trips binary-file grep
+    val dir = java.nio.file.Files.createTempDirectory("graft_charset").toString
+    graft.TestFixtures.canonDocs(Seq(
+      (1L, s"ab${vt}cd\tx\n \f\r"), // all five whitespace flavors: na = 0
+      (2L, "café è!"))        // two non-ASCII letters: na = 2
+      .toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.charsetProfile(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("n_nonascii") == 2L,
+      s"expected only the 2 accented letters non-ASCII, got ${r.getAs[Long]("n_nonascii")}")
+  }
 }

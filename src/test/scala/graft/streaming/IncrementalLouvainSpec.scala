@@ -65,6 +65,46 @@ class IncrementalLouvainSpec extends AnyFunSuite {
     assert(sup.map { case (a, b, w) => (a == b, w) } == Set((true, 6.0)))
   }
 
+  test("audited refresh: a planted over-coarsened state recovers batch Louvain Q") {
+    import spark.implicits._
+    val s = sink()
+    val accum = sink()
+    // Batch 0: K8 over {0-3} ∪ {10-13}, all weight 1 — on this view
+    // one merged community is optimal, so the fold coarsens everything
+    // into a single super-vertex. Batch 1: intra-clique reinforcement
+    // (weight 10 on each clique edge) — on the UNION two communities
+    // are clearly optimal (intra 11×6 vs 16 cross edges at weight 1),
+    // but the monotone fold cannot split its super-vertex: the exact
+    // over-coarsening the docstring warns about. The id-1 audit sees
+    // the Q-gap (~0.39 > 0.05), triggers the full refresh, and the
+    // state recovers the two-clique partition on the same layout.
+    val all8 = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L)
+    val b0 = (for { a <- all8; b <- all8 if a < b } yield (a, b, 1.0))
+      .toDF("src", "dst", "weight")
+    val b1 = (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)))
+      .map { case (a, b, _) => (a, b, 10.0) }.toDF("src", "dst", "weight")
+    val merge = StreamingOps.mergeLouvainAudited(s, accum,
+      gapThresholdE6 = 50000L, auditEvery = 2) _
+    merge(b0, 0L)
+    // pre-refresh sanity: the fold really is over-coarsened
+    assert(partition(labelsOf(s, 0L)) == Set(all8.toSet))
+    merge(b1, 1L)
+    val refreshed = partition(labelsOf(s, 1L))
+    assert(refreshed == Set(Set(0L, 1L, 2L, 3L), Set(10L, 11L, 12L, 13L)),
+      s"refresh did not recover the batch partition: $refreshed")
+    // the refreshed super-graph is the accum contraction through the
+    // fresh labels: two self-loops (6 edges × 11) + one cross row
+    // (16 bridges × 1) — later folds continue from it unchanged.
+    val sup = spark.read.parquet(s"$s/v1/super").collect()
+      .map(r => (r.getLong(0) == r.getLong(1), r.getDouble(2))).toSet
+    assert(sup == Set((true, 66.0), (false, 16.0)), s"super: $sup")
+    // replay idempotence through the audited path: re-running the
+    // audited batch id (recovery semantics — only b<=1 is read)
+    // rewrites to the identical state.
+    merge(b1, 1L)
+    assert(partition(labelsOf(s, 1L)) == refreshed)
+  }
+
   test("corpus fold: streamed labels' Q within tolerance of batch Louvain Q") {
     // sf0.01: the sf0.001 co-occurrence graph is complete (K10), so
     // both sides correctly report Q = 0 and prove nothing.
@@ -72,8 +112,12 @@ class IncrementalLouvainSpec extends AnyFunSuite {
       .collect().head
     val qs = row.getAs[Long]("q_e6_streamed")
     val qb = row.getAs[Long]("q_e6_batch")
-    // The fold may even beat one batch run (both are heuristics);
-    // bound the GAP, not the sign: within 0.05 modularity.
+    // Since round 13 this is a SYSTEM contract, not a hope: either
+    // the fold stayed within 0.05 modularity (refreshed = 0), or the
+    // end-of-stream refresh replaced the state and the reported
+    // labels ARE the batch reference (refreshed = 1, gap 0).
     assert(qb - qs <= 50000L, s"streamed Q $qs vs batch $qb")
+    if (row.getAs[Long]("refreshed") == 0L)
+      assert(row.getAs[Long]("gap_e6") == qb - qs)
   }
 }
