@@ -931,6 +931,11 @@ object SparkEntry {
     // rest forward by reference), answers identical.
     "src_bucketed_merge" -> ((s, d) =>
       graft.sources.BucketedTable.qBucketedMerge(s, d)),
+    // Row-level (deletion-vector-style) merge: same batches, same
+    // answers, but commits land O(batch) delta generations resolved
+    // at read time instead of rewriting touched buckets.
+    "src_dv_merge" -> ((s, d) =>
+      graft.sources.BucketedTable.qDvMerge(s, d)),
     // File-level data skipping off the write-time stats manifest:
     // interval predicates prune the file list before any data scan
     // (pruning is perf-only — the residual filter keeps answers
@@ -3243,6 +3248,21 @@ object SparkEntry {
     // Identical semantics to src_time_travel (bucketing by key is
     // merge-invariant), so the identical per-version rank-1 oracle.
     "src_bucketed_merge" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    o_orderkey % 3 AS bid
+        |  FROM orders),
+        |v AS (SELECT 0 AS ver UNION ALL SELECT 1 UNION ALL SELECT 2),
+        |r AS (SELECT v.ver, b.o_custkey, b.o_totalprice,
+        |    row_number() OVER (PARTITION BY v.ver, b.o_custkey
+        |      ORDER BY b.bid DESC, b.o_orderkey DESC) AS rk
+        |  FROM v JOIN b ON b.bid <= v.ver)
+        |SELECT CAST(ver AS BIGINT) AS ver, count(*) AS n_keys,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM r WHERE rk = 1
+        |GROUP BY ver ORDER BY ver""".stripMargin,
+    // Row-level merge must answer IDENTICALLY to the bucket-rewrite
+    // path (same batches, same rank-1 semantics) — same oracle.
+    "src_dv_merge" ->
       """WITH b AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |    o_orderkey % 3 AS bid
         |  FROM orders),

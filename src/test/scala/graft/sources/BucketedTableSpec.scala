@@ -135,6 +135,110 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(rowsOf(BucketedTable.latest(spark, d)) == keep)
   }
 
+  test("row-level merge: answers equal the bucket-rewrite path on every version") {
+    import spark.implicits._
+    val bd = tmp("dv_b"); val rd = tmp("dv_r")
+    val batches = Seq(
+      Seq((1L, 10L, 1.0), (2L, 11L, 2.0), (60L, 12L, 3.0)),
+      Seq((1L, 5L, 9.0), (3L, 20L, 3.0), (3L, 21L, 4.0)),
+      Seq((60L, 30L, 7.0), (4L, 31L, 8.0)))
+    batches.foreach { b =>
+      val df = b.toDF("k", "ord", "x")
+      BucketedTable.merge(spark, bd, df, keys = Seq("k"), orderCol = "ord")
+      BucketedTable.mergeRowLevel(spark, rd, df, keys = Seq("k"), orderCol = "ord")
+    }
+    for (v <- 0L to 2L)
+      assert(rowsOf(BucketedTable.asOf(spark, rd, v)) ==
+        rowsOf(BucketedTable.asOf(spark, bd, v)), s"version $v")
+    // and the cross-version updates-win check explicitly: key 1's
+    // batch-1 row (ord 5 < ord 10) still supersedes batch 0's.
+    assert(rowsOf(BucketedTable.latest(spark, rd)).contains((1L, 5L, 9.0)))
+  }
+
+  test("row-level merge commits O(batch) bytes: bases stay byte-untouched") {
+    import spark.implicits._
+    val d = tmp("dv_cost")
+    BucketedTable.merge(spark, d,
+      (1L to 64L).map(k => (k, k, k.toDouble)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    val man0 = BucketedTable.manifest(d, 0L)
+    def fileState(path: String): Seq[(String, Long, Long)] = {
+      val f = new java.io.File(path)
+      if (!f.isDirectory) Seq.empty
+      else f.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(p => (p.getName, p.length(), p.lastModified())).sorted.toSeq
+    }
+    val before = man0.map { case (k, p) => k -> fileState(p) }
+    BucketedTable.mergeRowLevel(spark, d,
+      Seq((7L, 100L, 99.0)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    // EVERY base generation carries forward by reference — the commit
+    // wrote only the one-row delta (vs merge(), which rewrites the
+    // touched bucket wholesale).
+    val man1 = BucketedTable.manifest(d, 1L)
+    assert(man1 == man0, "row-level merge must not move any base path")
+    man0.foreach { case (k, p) => assert(fileState(p) == before(k)) }
+    val deltaRows = spark.read.parquet(s"$d/data/v1/__delta").count()
+    assert(deltaRows == 1L, s"delta generation should hold only the batch")
+    // read resolution: point update applied, history intact
+    assert(rowsOf(BucketedTable.latest(spark, d))
+      == ((1L to 64L).filter(_ != 7L)
+        .map(k => (k, k, k.toDouble)).toSet + ((7L, 100L, 99.0))))
+    assert(rowsOf(BucketedTable.asOf(spark, d, 0L)).contains((7L, 7L, 7.0)))
+  }
+
+  test("bucket rewrite compacts the delta chain; vacuum keeps live deltas") {
+    import spark.implicits._
+    val d = tmp("dv_compact")
+    BucketedTable.merge(spark, d,
+      (1L to 64L).map(k => (k, k, k.toDouble)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    BucketedTable.mergeRowLevel(spark, d,
+      Seq((7L, 100L, 99.0)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    BucketedTable.mergeRowLevel(spark, d,
+      Seq((9L, 101L, 77.0)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    val keep = rowsOf(BucketedTable.latest(spark, d))
+    // vacuum to the live manifest only: v0 bases referenced by v2's
+    // manifest AND both delta generations must all survive.
+    BucketedTable.vacuum(d, keepLast = 1)
+    assert(rowsOf(BucketedTable.latest(spark, d)) == keep,
+      "vacuum must keep bases and live delta generations")
+    // a bucket rewrite folds the chains it touches: update key 7
+    // through the rewrite path and its bucket's chain resets.
+    BucketedTable.merge(spark, d,
+      Seq((7L, 200L, 55.0)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    val manF = BucketedTable.manifestFull(d, 3L)
+    val b7 = manF.buckets.values.filter(_._1.contains("/v3/"))
+    assert(b7.size == 1 && b7.head._2.isEmpty,
+      s"rewritten bucket must carry no delta chain: $b7")
+    assert(rowsOf(BucketedTable.latest(spark, d))
+      == (keep - ((7L, 100L, 99.0)) + ((7L, 200L, 55.0))))
+  }
+
+  test("over-long chains compact inline at MaxDeltaChain") {
+    import spark.implicits._
+    val d = tmp("dv_chain")
+    // All updates hit ONE key → one bucket's chain grows each commit.
+    BucketedTable.mergeRowLevel(spark, d,
+      Seq((1L, 0L, 0.0)).toDF("k", "ord", "x"),
+      keys = Seq("k"), orderCol = "ord")
+    for (i <- 1 to BucketedTable.MaxDeltaChain + 2)
+      BucketedTable.mergeRowLevel(spark, d,
+        Seq((1L, i.toLong, i.toDouble)).toDF("k", "ord", "x"),
+        keys = Seq("k"), orderCol = "ord")
+    val vs = BucketedTable.versions(d)
+    val chains = vs.map(v => BucketedTable.manifestFull(d, v)
+      .buckets.values.map(_._2.size).max)
+    assert(chains.max <= BucketedTable.MaxDeltaChain,
+      s"chain lengths per version: $chains")
+    assert(chains.exists(_ > 0), "chains should stack before compaction")
+    val n = (BucketedTable.MaxDeltaChain + 2).toLong
+    assert(rowsOf(BucketedTable.latest(spark, d)) == Set((1L, n, n.toDouble)))
+  }
+
   test("empty-updates merge is a no-op, not a duplicate commit") {
     import spark.implicits._
     val d = tmp("noop")
