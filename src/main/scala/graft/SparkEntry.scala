@@ -880,6 +880,23 @@ object SparkEntry {
             .otherwise(col("text")).as("text")))
     }),
     "t_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
+    // Retrieval pack (round 13): sparse BM25 through the inverted-
+    // index join, hybrid RRF fusion with the dense cosine list,
+    // ranking-quality eval, and contrastive hard-negative mining.
+    "r_bm25" -> ((s, d) => graft.operators.Retrieval.bm25TopK(s, d)),
+    "r_rrf" -> ((s, d) => graft.operators.Retrieval.rrfFusion(s, d)),
+    "r_eval" -> ((s, d) => graft.operators.Retrieval.retrievalEval(s, d)),
+    "r_hard_neg" -> ((s, d) => graft.operators.Retrieval.hardNegatives(s, d)),
+    "r_prf" -> ((s, d) => graft.operators.Retrieval.prfTopK(s, d)),
+    // Count-min-sketch heavy-hitter accuracy audit (md5-bucket
+    // parity makes the sketch integer-exact under a full oracle).
+    "t_cms_topk" -> ((s, d) => TextAnalysis.cmsTopK(s, d)),
+    // Streaming PSI drift monitor — the online sibling of q_psi.
+    "s_stream_drift" -> ((s, d) => graft.streaming.StreamingOps.streamDrift(s, d)),
+    // Drift monitoring (round 13): PSI between corpus/cohort
+    // snapshots — vocabulary shift and spend-distribution shift.
+    "t_drift" -> ((s, d) => TextAnalysis.tokenDrift(s, d)),
+    "q_psi" -> ((s, d) => Relational.qPsiDrift(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
     // SF dir), the query filters one partition — the scan must show
@@ -1578,6 +1595,83 @@ object SparkEntry {
     * so a [[graft.operators.Similarity.QueryLimit]] change can never
     * silently desync Spark from the DuckDB side. */
   private val QL: Int = graft.operators.Similarity.QueryLimit
+
+  /** Shared BM25 CTE chain for the r_* retrieval oracles — mirrors
+    * [[graft.operators.Retrieval.bm25Scores]] term by term, with the
+    * query-sample size, terms-per-query and k1/b constants
+    * interpolated from the one Scala source of truth (the
+    * katzOracleSql generated-oracle pattern). Ends with `bm25` =
+    * (query_id, doc_id, bm25_e4). */
+  private def bm25OracleCte: String = {
+    val qd = graft.operators.Retrieval.QueryDocs
+    val qt = graft.operators.Retrieval.QueryTerms
+    val k1 = graft.operators.Retrieval.K1
+    val b = graft.operators.Retrieval.B
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS totdl FROM dl),
+       |qterms AS (SELECT doc_id AS query_id, token FROM (
+       |    SELECT tf.doc_id, tf.token,
+       |      row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+       |        CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 10000) AS BIGINT)
+       |          DESC, tf.token ASC) AS rk
+       |    FROM tf JOIN dfreq USING (token), nn
+       |    WHERE tf.doc_id < $qd) WHERE rk <= $qt),
+       |bs AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(round(ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+       |      * (tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl
+       |      / (CAST(totdl AS DOUBLE) / n))) * 10000) AS BIGINT) AS s_e4
+       |  FROM tf JOIN qterms q USING (token)
+       |    JOIN dfreq USING (token) JOIN dl ON dl.doc_id = tf.doc_id, nn, tot
+       |  WHERE tf.doc_id <> q.query_id),
+       |bm25 AS (SELECT query_id, doc_id, CAST(sum(s_e4) AS BIGINT) AS bm25_e4
+       |  FROM bs GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Generated oracle for `s_stream_drift` — mirrors
+    * [[graft.streaming.StreamingOps.streamDrift]] term by term: the
+    * s_stream_watermark emitted-window arithmetic, fixed width-10
+    * value bins, and one add-one-smoothed PSI term per bin e6-rounded
+    * before the integer sum (the per-term rounding rule). The
+    * reference counts the Scala side bakes in as driver-collected
+    * literals are computed here in the `g` CTE — identical integers,
+    * identical division/ln tree. */
+  private def streamDriftOracleSql: String = {
+    val bins = 10
+    val binCols = (0 until bins).map(i =>
+      s"CAST(sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS BIGINT) AS c$i")
+      .mkString(",\n|    ")
+    val gCols = (0 until bins).map(i =>
+      s"CAST(sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS BIGINT) AS g$i")
+      .mkString(",\n|    ")
+    val terms = (0 until bins).map(i =>
+      s"CAST(round((CAST(c$i + 1 AS DOUBLE) / (n + $bins)" +
+        s" - CAST(g$i + 1 AS DOUBLE) / (gn + $bins))" +
+        s" * ln((CAST(c$i + 1 AS DOUBLE) / (n + $bins))" +
+        s" / (CAST(g$i + 1 AS DOUBLE) / (gn + $bins))) * 1000000) AS BIGINT)")
+      .mkString("\n|  + ")
+    s"""WITH wm AS (
+      |  SELECT epoch_ns(max(ts)) // 1000000 - 3600000 AS wm_ms FROM events),
+      |b AS (SELECT date_trunc('hour', ts) AS hour,
+      |    CAST(greatest(least(floor(value / 10.0), 9), 0) AS BIGINT) AS bin
+      |  FROM events),
+      |w AS (SELECT hour, CAST(count(*) AS BIGINT) AS n,
+      |    $binCols
+      |  FROM b GROUP BY 1),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+      |    $gCols
+      |  FROM b)
+      |SELECT hour, n,
+      |  $terms AS psi_e6
+      |FROM w, g, wm
+      |WHERE epoch_ms(hour) + 3600000 <= wm_ms
+      |ORDER BY hour""".stripMargin
+  }
 
   /** Katz centrality unrolled to `iters` rounds of integer SQL —
     * mirrors [[graft.graph.GraphOps.katzCentrality]] term by term:
@@ -4210,6 +4304,214 @@ object SparkEntry {
         |  JOIN c1 USING (w1) JOIN c2 USING (w2)
         |ORDER BY pmi_e4 DESC, bigram ASC
         |LIMIT 25""".stripMargin,
+    // Retrieval pack: the shared generated BM25 CTE mirrors
+    // Retrieval.bm25Scores term by term (per-term e4 rounding before
+    // the integer sum; identical ln/division trees).
+    "r_bm25" ->
+      s"""$bm25OracleCte,
+        |ranked AS (SELECT query_id, doc_id, bm25_e4,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_e4 DESC, doc_id ASC) AS INT) AS rank
+        |  FROM bm25)
+        |SELECT query_id, doc_id, bm25_e4, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // RRF over the sparse top-10 and the dense cosine top-10 (the
+    // explicit list_dot/sqrt·sqrt tree — the CosineSim ulp lesson);
+    // contributions are exact 1e6 div (60+rank) integers.
+    "r_rrf" ->
+      s"""$bm25OracleCte,
+        |st AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_e4 DESC, doc_id ASC) AS INT) AS rank
+        |  FROM bm25),
+        |sparse AS (SELECT query_id, doc_id,
+        |    CAST(1000000 // (60 + rank) AS BIGINT) AS c_sparse
+        |  FROM st WHERE rank <= 10),
+        |dq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < ${graft.operators.Retrieval.QueryDocs}),
+        |ds AS (SELECT dq.query_id, e.vec_id AS doc_id,
+        |    CAST(round(list_dot_product(dq.qe, CAST(e.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(dq.qe, dq.qe))
+        |        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |            CAST(e.embedding AS DOUBLE[])))) * 10000) AS BIGINT) AS sim_e4
+        |  FROM embeddings e, dq WHERE e.vec_id <> dq.query_id),
+        |dt AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim_e4 DESC, doc_id ASC) AS INT) AS rank FROM ds),
+        |dense AS (SELECT query_id, doc_id,
+        |    CAST(1000000 // (60 + rank) AS BIGINT) AS c_dense
+        |  FROM dt WHERE rank <= 10),
+        |f AS (SELECT coalesce(s.query_id, d.query_id) AS query_id,
+        |    coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |    CAST(coalesce(s.c_sparse, 0) + coalesce(d.c_dense, 0) AS BIGINT)
+        |      AS rrf_e6
+        |  FROM sparse s FULL OUTER JOIN dense d
+        |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+        |r AS (SELECT query_id, doc_id, rrf_e6,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_e6 DESC, doc_id ASC) AS INT) AS rank FROM f)
+        |SELECT query_id, doc_id, rrf_e6, rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Relevance proxy = same (source, lang); binary-gain NDCG with
+    // each 1/log2 term e4-rounded before the integer sums.
+    "r_eval" ->
+      s"""$bm25OracleCte,
+        |run AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_e4 DESC, doc_id ASC) AS INT) AS rank
+        |  FROM bm25),
+        |top AS (SELECT r.query_id, r.rank,
+        |    CASE WHEN dm.source = qm.source AND dm.lang = qm.lang
+        |      THEN 1 ELSE 0 END AS rel,
+        |    CAST(round(10000 / log2(r.rank + 1)) AS BIGINT) AS dcg_term_e4
+        |  FROM run r JOIN documents qm ON qm.doc_id = r.query_id
+        |    JOIN documents dm ON dm.doc_id = r.doc_id
+        |  WHERE r.rank <= 10),
+        |top2 AS (SELECT *, CAST(sum(rel) OVER (PARTITION BY query_id)
+        |    AS BIGINT) AS n_rel FROM top),
+        |agg AS (SELECT query_id, max(n_rel) AS n_relevant,
+        |    min(CASE WHEN rel = 1 THEN rank END) AS fr,
+        |    CAST(sum(rel * dcg_term_e4) AS BIGINT) AS dcg_e4,
+        |    CAST(sum(CASE WHEN rank <= n_rel THEN dcg_term_e4 ELSE 0 END)
+        |      AS BIGINT) AS idcg_e4
+        |  FROM top2 GROUP BY 1)
+        |SELECT query_id, n_relevant,
+        |  CAST(CASE WHEN fr IS NULL THEN 0
+        |    ELSE 1000000 // fr END AS BIGINT) AS rr_e6,
+        |  CAST(CASE WHEN idcg_e4 = 0 THEN 0
+        |    ELSE dcg_e4 * 1000000 // idcg_e4 END AS BIGINT) AS ndcg_e6
+        |FROM agg ORDER BY query_id""".stripMargin,
+    // PSI with add-one smoothing over the top-50 combined-count
+    // tokens; only the division/ln tree is float and it is stated
+    // identically (integer numerators/denominators exact).
+    "t_drift" ->
+      """WITH t AS (SELECT doc_id % 2 AS par,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token,
+        |    CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |    CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+        |  FROM t GROUP BY 1),
+        |top AS (SELECT * FROM c ORDER BY c_ref + c_cur DESC, token ASC LIMIT 50),
+        |tot AS (SELECT CAST(sum(c_ref) + 50 AS BIGINT) AS den_r,
+        |    CAST(sum(c_cur) + 50 AS BIGINT) AS den_c FROM top)
+        |SELECT token, c_ref, c_cur,
+        |  CAST(round((CAST(c_ref + 1 AS DOUBLE) / den_r
+        |    - CAST(c_cur + 1 AS DOUBLE) / den_c)
+        |    * ln((CAST(c_ref + 1 AS DOUBLE) / den_r)
+        |    / (CAST(c_cur + 1 AS DOUBLE) / den_c))
+        |    * 1000000) AS BIGINT) AS psi_e6
+        |FROM top, tot
+        |ORDER BY psi_e6 DESC, token ASC""".stripMargin,
+    // Fixed calendar cohorts + fixed 50k price bins on a 10-row
+    // spine (never data-dependent); same smoothing and tree.
+    "q_psi" ->
+      """WITH o AS (SELECT
+        |    CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bin,
+        |    CASE WHEN year(o_orderdate) < 1998 THEN 0 ELSE 1 END AS coh
+        |  FROM orders),
+        |c AS (SELECT bin,
+        |    CAST(sum(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM o GROUP BY 1),
+        |spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)),
+        |f AS (SELECT s.bin, coalesce(c.cr, 0) AS c_ref,
+        |    coalesce(c.cc, 0) AS c_cur
+        |  FROM spine s LEFT JOIN c ON c.bin = s.bin),
+        |tot AS (SELECT CAST(sum(c_ref) + 10 AS BIGINT) AS den_r,
+        |    CAST(sum(c_cur) + 10 AS BIGINT) AS den_c FROM f)
+        |SELECT bin, c_ref, c_cur,
+        |  CAST(round((CAST(c_ref + 1 AS DOUBLE) / den_r
+        |    - CAST(c_cur + 1 AS DOUBLE) / den_c)
+        |    * ln((CAST(c_ref + 1 AS DOUBLE) / den_r)
+        |    / (CAST(c_cur + 1 AS DOUBLE) / den_c))
+        |    * 1000000) AS BIGINT) AS psi_e6
+        |FROM f, tot
+        |ORDER BY bin""".stripMargin,
+    // Hard negatives: highest-BM25 candidates that are NOT relevant.
+    "r_hard_neg" ->
+      s"""$bm25OracleCte,
+        |hn AS (SELECT b.query_id, b.doc_id, b.bm25_e4,
+        |    CAST(row_number() OVER (PARTITION BY b.query_id
+        |      ORDER BY b.bm25_e4 DESC, b.doc_id ASC) AS INT) AS rank
+        |  FROM bm25 b JOIN documents qm ON qm.doc_id = b.query_id
+        |    JOIN documents dm ON dm.doc_id = b.doc_id
+        |  WHERE dm.source <> qm.source OR dm.lang <> qm.lang)
+        |SELECT query_id, doc_id, bm25_e4, rank FROM hn
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // RM3-lite pseudo-relevance feedback: top-3 feedback docs from
+    // the base run, top-2 expansion terms by summed per-doc
+    // e4-rounded tf·idf (original terms excluded), re-score with
+    // integer interpolation weights 2 (original) and 1 (expansion)
+    // multiplying the already-e4-rounded per-term score. Constants
+    // interpolated from the Scala source of truth.
+    "r_prf" -> {
+      val fd = graft.operators.Retrieval.FeedbackDocs
+      val et = graft.operators.Retrieval.ExpandTerms
+      val k1 = graft.operators.Retrieval.K1
+      val b = graft.operators.Retrieval.B
+      s"""$bm25OracleCte,
+        |fd AS (SELECT query_id, doc_id FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_e4 DESC, doc_id ASC) AS rk FROM bm25) WHERE rk <= $fd),
+        |ex AS (SELECT query_id, token, CAST(sum(tfidf_e4) AS BIGINT) AS exp_e4
+        |  FROM (SELECT fd.query_id, tf.token,
+        |      CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 10000) AS BIGINT)
+        |        AS tfidf_e4
+        |    FROM tf JOIN fd ON fd.doc_id = tf.doc_id
+        |      JOIN dfreq USING (token), nn)
+        |  GROUP BY 1, 2),
+        |ex2 AS (SELECT e.query_id, e.token, e.exp_e4 FROM ex e
+        |  LEFT JOIN qterms q ON q.query_id = e.query_id AND q.token = e.token
+        |  WHERE q.token IS NULL),
+        |et AS (SELECT query_id, token FROM (
+        |    SELECT query_id, token, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY exp_e4 DESC, token ASC) AS rk FROM ex2) WHERE rk <= $et),
+        |qt2 AS (SELECT query_id, token, 2 AS w FROM qterms
+        |  UNION ALL SELECT query_id, token, 1 AS w FROM et),
+        |bs2 AS (SELECT q.query_id, tf.doc_id,
+        |    CAST(q.w * CAST(round(ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl
+        |      / (CAST(totdl AS DOUBLE) / n))) * 10000) AS BIGINT) AS BIGINT) AS s_e4
+        |  FROM tf JOIN qt2 q USING (token)
+        |    JOIN dfreq USING (token) JOIN dl ON dl.doc_id = tf.doc_id, nn, tot
+        |  WHERE tf.doc_id <> q.query_id),
+        |pm AS (SELECT query_id, doc_id, CAST(sum(s_e4) AS BIGINT) AS bm25_e4
+        |  FROM bs2 GROUP BY 1, 2),
+        |pr AS (SELECT query_id, doc_id, bm25_e4,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_e4 DESC, doc_id ASC) AS INT) AS rank FROM pm)
+        |SELECT query_id, doc_id, bm25_e4, rank FROM pr
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+    // Count-min sketch audit: the md5-hex bucket hash is stated
+    // identically on both engines, so cells, estimates and the
+    // one-sided overestimate are integer-exact.
+    "t_cms_topk" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        |s AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+        |h AS (SELECT c.token, c.c, s.seed,
+        |    CAST(concat('0x', substr(md5(concat('cms',
+        |      CAST(s.seed AS VARCHAR), c.token)), 1, 8)) AS BIGINT) % 16 AS bucket
+        |  FROM c, s),
+        |cells AS (SELECT seed, bucket, CAST(sum(c) AS BIGINT) AS cell
+        |  FROM h GROUP BY 1, 2),
+        |top AS (SELECT token, c FROM c ORDER BY c DESC, token ASC LIMIT 20),
+        |th AS (SELECT t.token, t.c, s.seed,
+        |    CAST(concat('0x', substr(md5(concat('cms',
+        |      CAST(s.seed AS VARCHAR), t.token)), 1, 8)) AS BIGINT) % 16 AS bucket
+        |  FROM top t, s)
+        |SELECT th.token, max(th.c) AS true_count, min(cells.cell) AS cms_est,
+        |  CAST(min(cells.cell) - max(th.c) AS BIGINT) AS overestimate
+        |FROM th JOIN cells USING (seed, bucket)
+        |GROUP BY th.token
+        |ORDER BY true_count DESC, token ASC""".stripMargin,
+    // Streaming PSI drift: the s_stream_watermark emitted-set
+    // arithmetic + the q_psi smoothing/tree over fixed width-10
+    // value bins; per-bin terms e6-rounded before the integer sum.
+    "s_stream_drift" -> streamDriftOracleSql,
     "t_stopwords" ->
       """WITH t AS (
         |  SELECT doc_id,

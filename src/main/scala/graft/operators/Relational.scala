@@ -2295,4 +2295,42 @@ object Relational {
           " div CAST(total AS DECIMAL(38,0)) AS BIGINT)").as("share_e6"))
       .orderBy(col("cls"))
   }
+
+  /** Numeric-distribution drift (round 13) — the Population
+    * Stability Index between two order cohorts, the monitoring
+    * readout a feature store computes before every model refresh
+    * ("did the spend distribution move"). Cohorts are the calendar
+    * halves (orderdate year < 1998 = reference, >= 1998 = current —
+    * a fixed split, never data-dependent); spend bins are fixed
+    * 50k-wide price buckets capped at bin 9, stated as the identical
+    * floor tree both sides so edge values bin identically. A 10-row
+    * bin spine left-joins the counts (empty bins emit 0, add-one
+    * smoothing keeps their PSI term finite); per-bin PSI term
+    * (p-q)*ln(p/q) e6-rounded from the identically-stated tree. One
+    * aggregation over orders + 10-row math; totals are a 1-row
+    * driver read. */
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bins = 10
+    val binned = Tables.orders(spark, dir)
+      .select(
+        expr("CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT)").as("bin"),
+        when(year(col("o_orderdate")) < 1998, lit(0L)).otherwise(lit(1L)).as("coh"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("coh") === 0L, 1L).otherwise(0L)).as("cr"),
+        sum(when(col("coh") === 1L, 1L).otherwise(0L)).as("cc"))
+    val spine = spark.range(0, bins).select(col("id").as("bin"))
+    val full = spine.join(binned, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("cr"), lit(0L)).as("c_ref"),
+        coalesce(col("cc"), lit(0L)).as("c_cur"))
+      .localCheckpoint(true)
+    val tots = full.agg(sum(col("c_ref")), sum(col("c_cur"))).collect().head
+    val (denR, denC) = (tots.getLong(0) + bins, tots.getLong(1) + bins)
+    full.select(col("bin"), col("c_ref"), col("c_cur"),
+      expr(s"CAST(round((CAST(c_ref + 1 AS DOUBLE) / $denR" +
+        s" - CAST(c_cur + 1 AS DOUBLE) / $denC)" +
+        s" * ln((CAST(c_ref + 1 AS DOUBLE) / $denR)" +
+        s" / (CAST(c_cur + 1 AS DOUBLE) / $denC))" +
+        " * 1000000) AS BIGINT)").as("psi_e6"))
+      .orderBy(col("bin"))
+  }
 }

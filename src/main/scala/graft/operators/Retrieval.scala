@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import graft.functions.VectorFunctions.cosine
+
+/** Sparse retrieval over the documents table — the missing retrieval
+  * half of the LLM-data-pipeline story (the dense half is the e_*
+  * similarity family): BM25 ranking through an inverted-index join,
+  * rank fusion with the dense ranking, ranking-quality evaluation,
+  * and hard-negative mining for contrastive training data.
+  *
+  * Shared conventions: whitespace tokenization ([[TF.tokens]] ↔ the
+  * oracle's `regexp_split_to_array(trim(text), '\s+')`), every float
+  * term e4-rounded BEFORE its integer sum (the per-term rounding rule
+  * — reduction-order-free across engines), ln/division trees stated
+  * IDENTICALLY on both sides (the float-oracle rule), and every
+  * window/top-k ordered by a unique composite.
+  *
+  * Scale shape: scoring is an equi-join on the term (the inverted
+  * index — candidates are only the docs CONTAINING a query term,
+  * never all pairs); df/dl are map-side-combinable aggregates; the
+  * query set is bounded ([[QueryDocs]]), so per-query state is a
+  * broadcast. At 100 TB the same plan holds with the df table
+  * becoming a broadcast dictionary and the tf table pre-bucketed by
+  * term.
+  */
+object Retrieval {
+
+  /** Bounded query-doc sample: doc_id < QueryDocs are the queries. */
+  val QueryDocs = 10
+
+  /** Terms per query: the query doc's top TF-IDF tokens. */
+  val QueryTerms = 3
+
+  /** BM25 parameters (the Robertson defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** (doc_id, token, tf) + per-doc length dl — one corpus scan. */
+  private def tfTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The per-query relevance-feedback depth and expansion width of
+    * the RM3-lite pseudo-relevance-feedback pass ([[prfTopK]]). */
+  val FeedbackDocs = 3
+  val ExpandTerms = 2
+
+  /** The corpus-level BM25 state: the (doc_id, token, tf) postings,
+    * doc lengths, document frequencies and the two scalar totals —
+    * one corpus scan, checkpointed so every consumer (base scoring,
+    * query-term selection, feedback expansion) rides the same
+    * materialized postings. */
+  private case class BmCorpus(tf: DataFrame, dl: DataFrame,
+      dfreq: DataFrame, n: Long, totdl: Long)
+
+  private def bmCorpus(spark: SparkSession, dir: String): BmCorpus = {
+    val tf = tfTable(spark, dir).localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val totals = dl.agg(sum(col("dl")).as("totdl"), count(lit(1)).as("n"))
+      .collect().head
+    BmCorpus(tf, dl, dfreq, n = totals.getLong(1), totdl = totals.getLong(0))
+  }
+
+  /** Query terms: top TF-IDF tokens of the bounded query sample —
+    * the standard keyword-query stand-in (deterministic, no external
+    * query log needed). Same scored/ranked pipeline as t_tfidf.
+    * Returns (query_id, token). */
+  private def queryTerms(c: BmCorpus): DataFrame = {
+    val scoredTf = c.tf.join(c.dfreq, Seq("token"))
+      .withColumn("tfidf_e4",
+        round(col("tf") * log(lit(c.n.toDouble) / col("df")) * 1e4).cast("long"))
+    val wq = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_e4").desc, col("token").asc)
+    scoredTf.filter(col("doc_id") < QueryDocs)
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= QueryTerms)
+      .select(col("doc_id").as("query_id"), col("token"))
+  }
+
+  /** Inverted-index BM25 scoring of a (query_id, token, w) term set:
+    * candidates are only the docs CONTAINING a query term; the
+    * per-(query, doc, term) score is e4-rounded BEFORE the integer
+    * weight multiply and per-pair sum — the exact textual tree the
+    * oracle states. Returns (query_id, doc_id, bm25_e4). */
+  private def scoreTermSet(c: BmCorpus, terms: DataFrame): DataFrame =
+    c.tf.join(broadcast(terms), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(c.dfreq, Seq("token"))
+      .join(c.dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("w") * expr(s"CAST(round(ln(1 + (CAST(${c.n} AS DOUBLE) - df + 0.5)" +
+          s" / (df + 0.5)) * (tf * ${K1 + 1.0}) / (tf + $K1 * (${1.0 - B} + $B * dl" +
+          s" / (CAST(${c.totdl} AS DOUBLE) / ${c.n}))) * 10000) AS BIGINT)"))
+          .as("s_e4"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s_e4")).as("bm25_e4"))
+
+  /** BM25 scores of every (query, candidate) pair reachable through
+    * the inverted index: query terms are each query doc's top
+    * [[QueryTerms]] TF-IDF tokens, candidates every OTHER doc
+    * containing at least one of them. Per-(query, doc, term) score
+    * e4-rounded before the integer per-pair sum:
+    * idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)) — the exact textual tree the
+    * oracle states. Returns (query_id, doc_id, bm25_e4). */
+  private[operators] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    val c = bmCorpus(spark, dir)
+    scoreTermSet(c, queryTerms(c).withColumn("w", lit(1L)))
+  }
+
+  /** `r_prf`: RM3-lite pseudo-relevance-feedback retrieval (Abdul-
+    * Jaleel et al. 2004's RM3 with integer interpolation weights) —
+    * the query-expansion pass every sparse-retrieval stack layers on
+    * BM25: run the base query, harvest expansion terms from the top
+    * [[FeedbackDocs]] feedback docs (top [[ExpandTerms]] by summed
+    * tf·idf over the feedback set, e4-rounded per doc before the
+    * integer sum, original terms excluded), then re-score with the
+    * original terms at weight 2 and expansion terms at weight 1 —
+    * the λ=2/3 interpolation cleared of floats. The weight multiplies
+    * the ALREADY-e4-rounded per-term score, so the fused sum is
+    * integer-exact and engine-identical. Same inverted-index shape as
+    * [[bm25TopK]] — the expanded term set is still bounded (≤5 terms
+    * per query, broadcast). Top-10 under (score DESC, doc_id). */
+  def prfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val c = bmCorpus(spark, dir)
+    val qTerms = queryTerms(c).localCheckpoint(true)
+    val base = scoreTermSet(c, qTerms.withColumn("w", lit(1L)))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_e4").desc, col("doc_id").asc)
+    val fdocs = base.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= FeedbackDocs)
+      .select(col("query_id"), col("doc_id"))
+    // Expansion terms: summed per-doc e4-rounded tf·idf over the
+    // feedback docs (the same tfidf tree queryTerms ranks by),
+    // original query terms excluded, top ExpandTerms per query.
+    val expScores = c.tf.join(broadcast(fdocs), Seq("doc_id"))
+      .join(c.dfreq, Seq("token"))
+      .select(col("query_id"), col("token"),
+        round(col("tf") * log(lit(c.n.toDouble) / col("df")) * 1e4)
+          .cast("long").as("tfidf_e4"))
+      .groupBy(col("query_id"), col("token"))
+      .agg(sum(col("tfidf_e4")).as("exp_e4"))
+      .join(qTerms, Seq("query_id", "token"), "left_anti")
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("exp_e4").desc, col("token").asc)
+    val expTerms = expScores.withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= ExpandTerms)
+      .select(col("query_id"), col("token"))
+    val expanded = qTerms.withColumn("w", lit(2L))
+      .unionByName(expTerms.withColumn("w", lit(1L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_e4").desc, col("doc_id").asc)
+    scoreTermSet(c, expanded)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25_e4"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** `r_bm25`: BM25 top-k per query under the unique
+    * (score DESC, doc_id) order. */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_e4").desc, col("doc_id").asc)
+    bm25Scores(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25_e4"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Dense top-k for the same query sample: exact cosine over the
+    * embeddings that exist (doc_id ≡ vec_id where both tables carry
+    * the id) — [[Similarity.cosineTopKOf]]'s expression tree. */
+  private def denseTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < QueryDocs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_e4").desc, col("doc_id").asc)
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(cosine(col("qe"), col("embedding")) * 1e4)
+          .cast("long").as("sim_e4"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+  }
+
+  /** `r_rrf`: reciprocal-rank fusion of the sparse (BM25) and dense
+    * (cosine) top-10 lists — the standard hybrid-retrieval combiner
+    * (Cormack, Clarke & Buettcher 2009): score = Σ 1e6 div (60 +
+    * rank) over the lists that contain the doc, integer-exact. Docs
+    * in only one list get that list's contribution (the embeddings
+    * table covers a subset of docs at some SFs — the outer fuse is
+    * the semantics, not an accident). Top-10 fused per query under
+    * the unique (rrf DESC, doc_id) order. */
+  def rrfFusion(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val sparse = bm25TopK(spark, dir, k)
+      .select(col("query_id"), col("doc_id"),
+        expr("1000000 div (60 + rank)").as("c_sparse"))
+    val dense = denseTopK(spark, dir, k)
+      .select(col("query_id"), col("doc_id"),
+        expr("1000000 div (60 + rank)").as("c_dense"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("c_sparse"), lit(0L)) +
+          coalesce(col("c_dense"), lit(0L))).as("rrf_e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** `r_eval`: ranking-quality evaluation of the BM25 run against the
+    * corpus's own relevance proxy (a doc is relevant to a query doc
+    * iff it shares BOTH source and lang — the duplicate-domain
+    * retrieval check a decontamination pipeline runs). Per query:
+    * n_relevant in the top-10, reciprocal rank of the first relevant
+    * (0 when none), and NDCG@10 with binary gains — each DCG term
+    * 1/log2(rank+1) e4-rounded before the integer sum, the ideal DCG
+    * from the same table, ndcg = dcg·1e6 div idcg. */
+  def retrievalEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val meta = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .localCheckpoint(true)
+    val run = bm25TopK(spark, dir, k)
+      .join(meta.select(col("doc_id").as("query_id"),
+        col("source").as("q_source"), col("lang").as("q_lang")), Seq("query_id"))
+      .join(meta, Seq("doc_id"))
+      .select(col("query_id"), col("rank"),
+        (col("source") === col("q_source") &&
+          col("lang") === col("q_lang")).cast("long").as("rel"),
+        expr("CAST(round(10000 / log2(rank + 1)) AS BIGINT)").as("dcg_term_e4"))
+    // ideal DCG: binary gains, so the ideal ranking packs the
+    // n_relevant hits at ranks 1..n_relevant — sum those terms.
+    val wq = Window.partitionBy(col("query_id"))
+    run.withColumn("n_rel", sum(col("rel")).over(wq))
+      .groupBy(col("query_id"))
+      .agg(max(col("n_rel")).as("n_relevant"),
+        coalesce(min(when(col("rel") === 1L, col("rank"))).cast("long"),
+          lit(0L)).as("first_rel_rank"),
+        sum(col("rel") * col("dcg_term_e4")).as("dcg_e4"),
+        sum(when(col("rank") <= col("n_rel"), col("dcg_term_e4"))
+          .otherwise(lit(0L))).as("idcg_e4"))
+      .select(col("query_id"), col("n_relevant"),
+        when(col("first_rel_rank") === 0L, lit(0L))
+          .otherwise(expr("1000000 div first_rel_rank")).as("rr_e6"),
+        when(col("idcg_e4") === 0L, lit(0L))
+          .otherwise(expr("dcg_e4 * 1000000 div idcg_e4")).as("ndcg_e6"))
+      .orderBy(col("query_id"))
+  }
+
+  /** `r_hard_neg`: hard-negative mining — the contrastive-training
+    * data miner: per query, the top-5 HIGHEST-BM25 candidates that
+    * are NOT relevant (different source or lang) — lexically close
+    * yet semantically wrong, exactly what a bi-encoder needs to
+    * learn from. Unique (score DESC, doc_id) order. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val meta = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_e4").desc, col("doc_id").asc)
+    bm25Scores(spark, dir)
+      .join(meta.select(col("doc_id").as("query_id"),
+        col("source").as("q_source"), col("lang").as("q_lang")), Seq("query_id"))
+      .join(meta, Seq("doc_id"))
+      .filter(col("source") =!= col("q_source") || col("lang") =!= col("q_lang"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25_e4"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -908,4 +908,84 @@ object TextAnalysis {
       .orderBy(col("score_e4").desc, col("phrase"))
       .limit(k)
   }
+
+  /** Count-min-sketch accuracy audit over the token stream (round
+    * 13; Cormack & Muthukrishnan 2005) — the heavy-hitter sketch a
+    * streaming token counter actually deploys, audited against exact
+    * counts: a d=4 × w=16 CMS over all token occurrences (cell =
+    * Σ counts of tokens hashing there; estimate = min over the 4
+    * rows; the one-sided guarantee estimate ≥ truth is the audited
+    * invariant), read out for the top-20 true tokens as
+    * (token, true count, CMS estimate, overestimate). Bucket hash =
+    * first 8 hex chars of md5('cms' ++ seed ++ token) mod w — a
+    * standard string hash both engines state identically, so the
+    * audit is integer-exact under a full oracle (no RNG, no
+    * engine-private hashing). Shape: token counts are one map-side-
+    * combinable aggregation; the 4·w-cell sketch is 256 rows
+    * (driver-broadcastable at any corpus size — the point of CMS);
+    * the top-20 readout joins against it. */
+  def cmsTopK(spark: SparkSession, dir: String, d: Int = 4, w: Int = 16,
+      k: Int = 20): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    def bucket = expr(s"CAST(conv(substr(md5(concat('cms', " +
+      s"CAST(seed AS STRING), token)), 1, 8), 16, 10) AS BIGINT) % $w")
+    val cells = counts
+      .select(col("token"), col("c"),
+        explode(array((0 until d).map(lit): _*)).as("seed"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("seed"), col("bucket"))
+      .agg(sum(col("c")).as("cell"))
+    val top = counts
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(k)
+      .select(col("token"), col("c"),
+        explode(array((0 until d).map(lit): _*)).as("seed"))
+      .withColumn("bucket", bucket)
+    top.join(broadcast(cells), Seq("seed", "bucket"))
+      .groupBy(col("token"))
+      .agg(max(col("c")).as("true_count"), min(col("cell")).as("cms_est"))
+      .select(col("token"), col("true_count"), col("cms_est"),
+        (col("cms_est") - col("true_count")).as("overestimate"))
+      .orderBy(col("true_count").desc, col("token").asc)
+  }
+
+  /** Token-distribution drift between two corpus snapshots (round
+    * 13) — the Population Stability Index the data-quality monitor
+    * runs between crawl generations before retraining ("did the
+    * vocabulary shift"). Snapshots here are the deterministic doc_id
+    * parity halves (the stand-in for generation N vs N+1); the
+    * distributions compare over the top-`v` tokens by combined count
+    * (bounded output, unique (count DESC, token) selection), with
+    * add-one smoothing so a token absent from one half contributes a
+    * finite term. PSI term = (p−q)·ln(p/q), always ≥ 0; each term is
+    * e6-rounded from an expression tree stated identically in the
+    * oracle (integer numerators/denominators are exact, so only the
+    * division/ln tree must match). Shape: one map-side-combinable
+    * token count, one bounded top-v, per-term math on v rows; the
+    * two totals are a 1-row driver read. */
+  def tokenDrift(spark: SparkSession, dir: String, v: Int = 50): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(pmod(col("doc_id"), lit(2L)).as("par"),
+        explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("par") === 0L, 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("par") === 1L, 1L).otherwise(0L)).as("c_cur"))
+    val top = counts
+      .orderBy((col("c_ref") + col("c_cur")).desc, col("token").asc)
+      .limit(v)
+      .localCheckpoint(true)
+    val tots = top.agg(sum(col("c_ref")), sum(col("c_cur"))).collect().head
+    val (denR, denC) = (tots.getLong(0) + v, tots.getLong(1) + v)
+    top.select(col("token"), col("c_ref"), col("c_cur"),
+      expr(s"CAST(round((CAST(c_ref + 1 AS DOUBLE) / $denR" +
+        s" - CAST(c_cur + 1 AS DOUBLE) / $denC)" +
+        s" * ln((CAST(c_ref + 1 AS DOUBLE) / $denR)" +
+        s" / (CAST(c_cur + 1 AS DOUBLE) / $denC))" +
+        " * 1000000) AS BIGINT)").as("psi_e6"))
+      .orderBy(col("psi_e6").desc, col("token").asc)
+  }
 }

@@ -546,6 +546,66 @@ object StreamingOps {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Streaming distribution-drift monitor (round 13) — the online
+    * sibling of the batch PSI monitors (`q_psi`/`t_drift`): per
+    * finalized hour window, the Population Stability Index of the
+    * window's `value` distribution against the corpus-global
+    * reference distribution, over FIXED width-10 bins capped to
+    * [0, 9] (data-independent binning, the q_psi convention). The
+    * reference bin counts are a one-pass batch read collected
+    * driver-side BEFORE the stream starts and baked into the plan as
+    * literals — at scale the reference is a tiny (10-row) broadcast
+    * refreshed per deployment, never recomputed per batch. One
+    * watermarked streaming aggregation per window carries the 10
+    * conditional bin counts (fixed width, no second agg); the PSI
+    * select is stateless. Each add-one-smoothed term
+    * (p−q)·ln(p/q) ≥ 0 is e6-rounded BEFORE the integer sum
+    * (reduction-order-free), from a division/ln tree stated
+    * identically in the oracle. Append mode emits exactly the
+    * windows whose end_ms ≤ watermark (the s_stream_watermark
+    * arithmetic). */
+  def streamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bins = 10
+    val binSql = "CAST(greatest(least(floor(value / 10.0), 9), 0) AS BIGINT)"
+    // Reference distribution: one batch pass, 10 integers.
+    val gRows = graft.Tables.events(spark, dir)
+      .select(expr(binSql).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gTot = gRows.values.sum
+    val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
+    val aggCols = count(lit(1)).as("n") +:
+      (0 until bins).map(i =>
+        sum(when(col("bin") === i.toLong, 1L).otherwise(0L)).as(s"c$i"))
+    val agged = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", graft.Tables.eventsTsCol(rawSchema))
+      .withColumn("bin", expr(binSql))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val psi = (0 until bins).map { i =>
+      val g1 = gRows.getOrElse(i.toLong, 0L) + 1L
+      expr(s"CAST(round((CAST(c$i + 1 AS DOUBLE) / (n + $bins)" +
+        s" - CAST($g1 AS DOUBLE) / ${gTot + bins})" +
+        s" * ln((CAST(c$i + 1 AS DOUBLE) / (n + $bins))" +
+        s" / (CAST($g1 AS DOUBLE) / ${gTot + bins})) * 1000000) AS BIGINT)")
+    }.reduce(_ + _)
+    val out = agged.select(col("window.start").as("hour"), col("n"),
+      psi.as("psi_e6"))
+    val name = "graft_stream_drift"
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("hour"))
+  }
+
   /** Tumbling 1-hour window count/sum per event_type, executed as a
     * streaming query. Returns the materialized (batch-equal) result. */
   def streamHourlyAgg(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.SparkTestSession
+import java.sql.Timestamp
+
+/** Hand-computed PSI contracts for the round-13 drift monitors:
+  * parity-half token drift with add-one smoothing, and calendar-
+  * cohort spend drift over the fixed 10-bin spine (empty bins emit
+  * the smoothing floor, one-sided bins the large terms).
+  */
+class DriftSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("token drift: hand-computed PSI terms on the parity halves") {
+    // ref (doc 0): "a a b"; cur (doc 1): "a b b b" → a: (2,1),
+    // b: (1,3); denominators 3+50 / 4+50. Terms: a = 8299,
+    // b = 24508 (both ≥ 0; b moved more → ranks first).
+    val dir = java.nio.file.Files.createTempDirectory("graft_tdrift").toString
+    graft.TestFixtures.canonDocs(Seq(
+      (0L, "a a b"), (1L, "a b b b")).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.tokenDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("b", 1L, 3L, 24508L), ("a", 2L, 1L, 8299L)))
+  }
+
+  test("spend drift: cohort split, fixed bins, smoothing on empty bins") {
+    // ref (1997): bins 0 and 1; cur (1999): bin 0 once, bin 9 twice.
+    // Empty-both bins emit the smoothing floor 513; the one-sided
+    // bins emit the large terms (bin1 = 69389 ref-only, bin9 =
+    // 150174 cur-only).
+    val dir = java.nio.file.Files.createTempDirectory("graft_qpsi").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    Seq(
+      (1L, 1L, "O", 10000.0, ts("1997-01-01 00:00:00"), "P"),
+      (2L, 1L, "O", 60000.0, ts("1997-06-01 00:00:00"), "P"),
+      (3L, 2L, "O", 10000.0, ts("1999-01-01 00:00:00"), "P"),
+      (4L, 2L, "O", 460000.0, ts("1999-06-01 00:00:00"), "P"),
+      (5L, 2L, "O", 499000.0, ts("1999-07-01 00:00:00"), "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.qPsiDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = Seq(
+      (0L, 1L, 1L, 1026L), (1L, 1L, 0L, 69389L)) ++
+      (2L to 8L).map(b => (b, 0L, 0L, 513L)) :+ (9L, 0L, 2L, 150174L)
+    assert(got.toSeq == expected)
+  }
+}

@@ -532,4 +532,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged.toSeq == Seq(((base + 5 * 3600), "a", 40L, true)),
       got.mkString(";"))
   }
+
+  test("stream drift: hand-computed PSI per finalized window") {
+    // Hour A: values in bins {0, 1, 9}; hour B: two in bin 2. A
+    // driver event 3 hours later (bin 0) advances the watermark so A
+    // and B finalize while its own window is withheld. The GLOBAL
+    // reference includes the driver row — expected PSI is recomputed
+    // here with the identical smoothing/round tree (HALF_UP, the
+    // Spark/DuckDB positive-round rule).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = 472_333L * 3600L // hour-aligned epoch seconds
+    def ns(h: Long, j: Long): Long = (base + h * 3600L + j * 60L) * 1_000_000_000L
+    val rows = Seq(
+      (1L, 1L, "a", 5.0, ns(0L, 0L)),   // A: bin 0
+      (2L, 1L, "a", 15.0, ns(0L, 1L)),  // A: bin 1
+      (3L, 1L, "a", 950.0, ns(0L, 2L)), // A: capped to bin 9
+      (4L, 1L, "a", 25.0, ns(1L, 0L)),  // B: bin 2
+      (5L, 1L, "a", 29.9, ns(1L, 1L)),  // B: bin 2
+      (9L, 9L, "a", 5.0, ns(3L, 0L)))   // watermark driver: bin 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val g = Map(0 -> 2L, 1 -> 1L, 2 -> 2L, 9 -> 1L)
+    val gTot = 6L
+    def psi(c: Map[Int, Long], n: Long): Long = (0 until 10).map { i =>
+      val p = (c.getOrElse(i, 0L) + 1).toDouble / (n + 10)
+      val q = (g.getOrElse(i, 0L) + 1).toDouble / (gTot + 10)
+      BigDecimal((p - q) * math.log(p / q) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    val got = StreamingOps.streamDrift(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (base, 3L, psi(Map(0 -> 1L, 1 -> 1L, 9 -> 1L), 3L)),
+      (base + 3600, 2L, psi(Map(2 -> 2L), 2L))),
+      s"got ${got.mkString(";")}")
+    assert(got.forall(_._3 >= 0L), "PSI must be non-negative")
+  }
 }
