@@ -460,6 +460,16 @@ object SparkEntry {
     "q_cohort_ltv" -> ((s, d) => Relational.qCohortLtv(s, d)),
     "q_resample" -> ((s, d) => Relational.qResample(s, d)),
     "q_cusum" -> ((s, d) => Relational.qCusum(s, d)),
+    // Binary-segmentation changepoint: where the daily series' level
+    // shifted, from one prefix-sum window (q_cusum locates the
+    // drift peak; this locates the variance-optimal split).
+    "q_changepoint" -> ((s, d) => Relational.qChangepoint(s, d)),
+    // Pre-join skew diagnosis: per-key wedge products and shares of
+    // the supplier-keyed self-join's total output.
+    "q_skew_profile" -> ((s, d) => Relational.qSkewProfile(s, d)),
+    // Cross-source 8-gram contamination matrix on the memoized
+    // ngram-hash table.
+    "p_source_overlap" -> ((s, d) => Pipeline.sourceOverlap(s, d)),
     "q_funnel_time" -> ((s, d) => Relational.qFunnelTime(s, d)),
     "q_skyline" -> ((s, d) => Relational.qSkyline(s, d)),
     "q_attribution" -> ((s, d) => Relational.qAttribution(s, d)),
@@ -897,6 +907,12 @@ object SparkEntry {
     // snapshots — vocabulary shift and spend-distribution shift.
     "t_drift" -> ((s, d) => TextAnalysis.tokenDrift(s, d)),
     "q_psi" -> ((s, d) => Relational.qPsiDrift(s, d)),
+    // Embedding-space drift: per-dimension mean shift between the
+    // vec_id parity halves, division-free integer arithmetic.
+    "e_drift" -> ((s, d) => Similarity.embedDrift(s, d)),
+    // Analytic LSH band-tuning table: the S-curve design step run
+    // before paying for any banded shuffle.
+    "d_lsh_tune" -> ((s, d) => Dedup.lshTune(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
     // SF dir), the query filters one partition — the scan must show
@@ -2696,6 +2712,70 @@ object SparkEntry {
         |  CAST(cusum AS BIGINT) AS peak_cusum_num, dd AS n_days
         |FROM r WHERE rk = 1
         |ORDER BY event_type""".stripMargin,
+    // Binary-segmentation changepoint: exact integer prefix sums,
+    // ONE double gain expression stated identically, unique
+    // (gain DESC, day) argmax.
+    "q_changepoint" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s FROM d GROUP BY 1),
+        |pre AS (SELECT day, d.event_type, n, s,
+        |    CAST(sum(x) OVER w AS BIGINT) AS cs,
+        |    CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY day)
+        |      AS BIGINT) AS i
+        |  FROM d JOIN tot USING (event_type)
+        |  WINDOW w AS (PARTITION BY d.event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT day, event_type, n, s, cs, i,
+        |    CAST(round((CAST(cs * cs AS DOUBLE) / i
+        |      + CAST((s - cs) * (s - cs) AS DOUBLE) / (n - i)
+        |      - CAST(s * s AS DOUBLE) / n) * 1000000) AS BIGINT) AS gain_e6
+        |  FROM pre WHERE i < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gain_e6 DESC, day ASC) AS rk FROM g)
+        |SELECT event_type, day AS change_day, n AS n_days, gain_e6,
+        |  CAST(round(CAST(cs AS DOUBLE) / i * 100) AS BIGINT) AS mean_left_e2,
+        |  CAST(round(CAST(s - cs AS DOUBLE) / (n - i) * 100) AS BIGINT)
+        |    AS mean_right_e2
+        |FROM r WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
+    // Per-key wedge products of the supplier-keyed self-join —
+    // exact integers throughout.
+    "q_skew_profile" ->
+      """WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n * n) AS BIGINT) AS tot_n2 FROM c),
+        |top AS (SELECT l_suppkey, n FROM c
+        |  ORDER BY n DESC, l_suppkey ASC LIMIT 5)
+        |SELECT l_suppkey, n, CAST(n * n AS BIGINT) AS n2,
+        |  CAST(n * n * 1000000 // tot_n2 AS BIGINT) AS share_e6, tot_n2
+        |FROM top, tot
+        |ORDER BY n DESC, l_suppkey ASC""".stripMargin,
+    // Distinct (source, 8-gram-hash) self-join: shared-vocabulary
+    // counts and containment vs the smaller source.
+    "p_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS i
+        |  FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[i:i+7], ' ')) AS h FROM idx),
+        |ss AS (SELECT DISTINCT d.source, sh.h
+        |  FROM sh JOIN documents d USING (doc_id)),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |  CAST(n_shared * 10000 // least(ta.n, tb.n) AS BIGINT) AS contain_e4
+        |FROM p JOIN tot ta ON ta.source = p.src_a
+        |  JOIN tot tb ON tb.source = p.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // Same rank-window credit split: rk/n under the unique (tus, tid)
     // order, linear credit by the identical 1e6 floor division.
     "q_attribution" ->
@@ -4512,6 +4592,48 @@ object SparkEntry {
     // arithmetic + the q_psi smoothing/tree over fixed width-10
     // value bins; per-bin terms e6-rounded before the integer sum.
     "s_stream_drift" -> streamDriftOracleSql,
+    // Per-dimension mean shift between the vec_id parity halves —
+    // the e16 quantization of the e_isotropy convention and a
+    // division-free cross-multiplied shift (sign-safe: integer mean
+    // division truncates in Spark but floors in DuckDB).
+    "e_drift" ->
+      """WITH dims AS (SELECT vec_id % 2 AS par, t.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 65536 + 0.5)
+        |      AS BIGINT) AS qd
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |  CAST(sum(CASE WHEN par = 0 THEN qd ELSE 0 END) AS BIGINT) AS s_ref_q,
+        |  CAST(sum(CASE WHEN par = 1 THEN qd ELSE 0 END) AS BIGINT) AS s_cur_q,
+        |  CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |  CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+        |  CAST(abs(sum(CASE WHEN par = 0 THEN qd ELSE 0 END)
+        |      * sum(CASE WHEN par = 1 THEN 1 ELSE 0 END)
+        |    - sum(CASE WHEN par = 1 THEN qd ELSE 0 END)
+        |      * sum(CASE WHEN par = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS shift_x
+        |FROM dims GROUP BY dim
+        |ORDER BY shift_x DESC, dim ASC""".stripMargin,
+    // Analytic LSH S-curve tuning table — pow is bit-identical
+    // across engines on this grid (verified), each grid term
+    // e6-rounded before its integer sum.
+    "d_lsh_tune" ->
+      """WITH br AS (SELECT * FROM (VALUES (128, 1), (64, 2), (32, 4),
+        |    (16, 8), (8, 16), (4, 32), (2, 64), (1, 128)) AS t(b, r)),
+        |grid AS (SELECT CAST(range AS INT) AS i FROM range(0, 21)),
+        |p AS (SELECT b, r, i,
+        |    CAST(round((1 - pow(1 - pow(i / 20.0, CAST(r AS DOUBLE)),
+        |      CAST(b AS DOUBLE))) * 1000000) AS BIGINT) AS p_e6
+        |  FROM br, grid),
+        |a AS (SELECT b, r,
+        |    CAST(sum(CASE WHEN i = 10 THEN p_e6 END) AS BIGINT) AS p_at_t_e6,
+        |    CAST(sum(CASE WHEN i < 10 THEN p_e6 ELSE 0 END) AS BIGINT)
+        |      AS fp_mass_e6,
+        |    CAST(sum(CASE WHEN i >= 10 THEN 1000000 - p_e6 ELSE 0 END)
+        |      AS BIGINT) AS fn_mass_e6
+        |  FROM p GROUP BY 1, 2)
+        |SELECT b, r,
+        |  CAST(round(pow(1.0 / b, 1.0 / r) * 1000000) AS BIGINT) AS s_star_e6,
+        |  p_at_t_e6, fp_mass_e6, fn_mass_e6
+        |FROM a ORDER BY b DESC""".stripMargin,
     "t_stopwords" ->
       """WITH t AS (
         |  SELECT doc_id,

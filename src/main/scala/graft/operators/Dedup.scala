@@ -676,4 +676,48 @@ object Dedup {
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_pairs_ge"))
       .orderBy(col("thr_e4"))
   }
+
+  /** LSH band-tuning table (round 13) — the analytic design step
+    * BEFORE any banded MinHash run: for every (bands b, rows r)
+    * split of the 128-perm signature, the S-curve
+    * P(candidate | jaccard s) = 1 − (1 − s^r)^b evaluated on the
+    * fixed 21-point s-grid, reduced per scheme to
+    *  - `s_star_e6`    — the curve's threshold (1/b)^(1/r), where
+    *                     P crosses 1/2-ish: the bar the scheme
+    *                     effectively enforces
+    *  - `p_at_t_e6`    — P at the production Jaccard bar t = 0.5
+    *                     (the [[minhashPairs]] filter)
+    *  - `fp_mass_e6`   — Σ P over the grid points below t: candidate
+    *                     mass wasted on sub-threshold pairs
+    *  - `fn_mass_e6`   — Σ (1 − P) over grid points ≥ t: true pairs
+    *                     the blocking misses
+    * Each grid term is e6-rounded BEFORE its integer sum and
+    * `pow` is bit-identical across engines on this whole grid
+    * (verified), so the table is integer-exact under a full oracle.
+    * The work is 8 schemes × 21 grid points — nothing scales with
+    * the corpus; this is the table you read before paying for the
+    * banded shuffle, and `d_lsh_quality` is the a-posteriori audit
+    * of the scheme it picks. */
+  def lshTune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val br = Seq((128, 1), (64, 2), (32, 4), (16, 8), (8, 16), (4, 32),
+      (2, 64), (1, 128)).toDF("b", "r")
+    val grid = spark.range(0, 21).select(col("id").cast("int").as("i"))
+    br.crossJoin(broadcast(grid))
+      .select(col("b"), col("r"), col("i"),
+        expr("CAST(round((1 - pow(1 - pow(i / 20.0, CAST(r AS DOUBLE))," +
+          " CAST(b AS DOUBLE))) * 1000000) AS BIGINT)").as("p_e6"))
+      .groupBy(col("b"), col("r"))
+      .agg(
+        sum(when(col("i") === 10, col("p_e6"))).as("p_at_t_e6"),
+        sum(when(col("i") < 10, col("p_e6")).otherwise(lit(0L)))
+          .as("fp_mass_e6"),
+        sum(when(col("i") >= 10, lit(1000000L) - col("p_e6"))
+          .otherwise(lit(0L))).as("fn_mass_e6"))
+      .select(col("b"), col("r"),
+        expr("CAST(round(pow(1.0 / b, 1.0 / r) * 1000000) AS BIGINT)")
+          .as("s_star_e6"),
+        col("p_at_t_e6"), col("fp_mass_e6"), col("fn_mass_e6"))
+      .orderBy(col("b").desc)
+  }
 }

@@ -740,4 +740,40 @@ object Pipeline {
       .orderBy(col("pos"))
       .limit(limit)
   }
+
+  /** Cross-source contamination matrix (round 13) — which corpus
+    * sources share verbatim content: for every source pair, the
+    * count of distinct 8-gram hashes present in BOTH (the same
+    * md5(shingle) keys `d_crossdoc_ngram`/`p_decontaminate` block
+    * on, riding the memoized [[Dedup.ngramHashes]] table) and the
+    * containment ratio against the SMALLER source's n-gram
+    * vocabulary — the leakage direction a curation pipeline acts on
+    * (cap, dedup-priority, or drop). Shape: distinct (source, h) is
+    * one h-keyed shuffle; the self-join fans each hash into at most
+    * |sources|² pairs (sources are a bounded dimension, never the
+    * corpus); totals broadcast. Pairs with zero shared n-grams are
+    * absent (the join IS the sparsity). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val srcH = Dedup.ngramHashes(spark, dir, 8)
+      .join(meta, Seq("doc_id"))
+      .select(col("source"), col("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val tot = srcH.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = srcH.select(col("source").as("src_a"), col("h"))
+      .join(srcH.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        expr("n_shared * 10000 div least(n_a, n_b)").as("contain_e4"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -1025,6 +1025,72 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Pre-join skew profile (round 13) — the DIAGNOSIS behind the
+    * repo's salting/wedge lessons (`q_skew_join` is the fix, the
+    * CLAUDE.md Σdeg² wedge rule the scar): for the supplier-keyed
+    * lineitem self-join, the per-key row count n, its wedge product
+    * n², and each key's share of the total Σn² output — the number
+    * that says whether the join needs a numbered repartition,
+    * salting, or an input cut BEFORE anyone pays for it. One
+    * map-side-combinable count + a 1-row broadcast total; top-5
+    * keys under the unique (n DESC, key) order. */
+  def qSkewProfile(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tot = counts.agg(sum(col("n") * col("n")).as("tot_n2"))
+    counts.crossJoin(broadcast(tot))
+      .orderBy(col("n").desc, col("l_suppkey").asc)
+      .limit(k)
+      .select(col("l_suppkey"), col("n"), (col("n") * col("n")).as("n2"),
+        expr("n * n * 1000000 div tot_n2").as("share_e6"),
+        col("tot_n2"))
+      .orderBy(col("n").desc, col("l_suppkey").asc)
+  }
+
+  /** Single-changepoint detection by binary segmentation (round 13)
+    * — `q_cusum`'s sibling for LOCATING a level shift, the first
+    * step of the standard recursive changepoint search: per
+    * event_type over the daily count series, the split maximizing
+    * the between-segment variance explained,
+    * gain = s_l²/n_l + s_r²/n_r − s²/n ≥ 0, evaluated at every
+    * prefix boundary from one running-sum window (prefix sums are
+    * the sufficient statistics — no per-split rescan). All inputs
+    * are exact integers; gain is the series' ONE double expression,
+    * stated with the identical tree both sides (the q_autocorr
+    * convention), e6-rounded, argmax under the unique
+    * (gain DESC, day) order. Work: one bounded (day, type) agg +
+    * one window over ~30-row series per type. */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("x"))
+    val tot = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wIdx = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pre = d.join(broadcast(tot), Seq("event_type"))
+      .withColumn("cs", sum(col("x")).over(wOrd))
+      .withColumn("i", row_number().over(wIdx).cast("long"))
+      .filter(col("i") < col("n"))
+      .withColumn("gain_e6",
+        expr("CAST(round((CAST(cs * cs AS DOUBLE) / i" +
+          " + CAST((s - cs) * (s - cs) AS DOUBLE) / (n - i)" +
+          " - CAST(s * s AS DOUBLE) / n) * 1000000) AS BIGINT)"))
+    val wRk = Window.partitionBy(col("event_type"))
+      .orderBy(col("gain_e6").desc, col("day").asc)
+    pre.withColumn("rk", row_number().over(wRk))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("n").as("n_days"), col("gain_e6"),
+        expr("CAST(round(CAST(cs AS DOUBLE) / i * 100) AS BIGINT)")
+          .as("mean_left_e2"),
+        expr("CAST(round(CAST(s - cs AS DOUBLE) / (n - i) * 100) AS BIGINT)")
+          .as("mean_right_e2"))
+      .orderBy(col("event_type"))
+  }
+
   /** Daily OHLC-style resample — the time-series downsampling shape
     * (tick stream → bar table): per (day, event_type), count, min and
     * max, plus deterministic OPEN/CLOSE values picked by the total

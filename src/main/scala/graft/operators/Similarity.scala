@@ -1824,6 +1824,41 @@ object Similarity {
           .as("common_dir_e6"))
   }
 
+  /** Embedding-space drift between corpus snapshots (round 13) —
+    * the dense sibling of the `t_drift`/`q_psi` monitors: per
+    * dimension, how far the mean vector moved between the
+    * deterministic vec_id parity halves (the generation-N-vs-N+1
+    * stand-in). Elements ride the e16 per-dim quantization of the
+    * [[isotropyOf]] convention; the shift is the DIVISION-FREE
+    * cross-multiplied |s_ref·n_cur − s_cur·n_ref| (integer-exact and
+    * sign-safe — an integer mean would hit the trunc-vs-floor
+    * division divergence on negative per-half sums). Two map-side-
+    * combinable aggregations over (dim, parity) — 2·64 output rows
+    * regardless of corpus size; the readout an embedding pipeline
+    * checks before re-fitting its quantizer/centroids. Ordered by
+    * (shift DESC, dim) so the most-moved dimensions lead. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame =
+    embedDriftOf(Tables.embeddings(spark, dir))
+
+  def embedDriftOf(emb: DataFrame): DataFrame =
+    emb
+      .select(pmod(col("vec_id"), lit(2L)).as("par"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("par"), col("dim"),
+        floor(col("x").cast("double") * lit(65536d) + lit(0.5d))
+          .cast("long").as("qd"))
+      .groupBy(col("dim"))
+      .agg(
+        sum(when(col("par") === 0L, col("qd")).otherwise(lit(0L))).as("s_ref_q"),
+        sum(when(col("par") === 1L, col("qd")).otherwise(lit(0L))).as("s_cur_q"),
+        sum(when(col("par") === 0L, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("par") === 1L, 1L).otherwise(0L)).as("n_cur"))
+      .select(col("dim").cast("long").as("dim"), col("s_ref_q"),
+        col("s_cur_q"), col("n_ref"), col("n_cur"),
+        abs(col("s_ref_q") * col("n_cur") - col("s_cur_q") * col("n_ref"))
+          .as("shift_x"))
+      .orderBy(col("shift_x").desc, col("dim").asc)
+
   /** Recall@k curve of a blocking scheme against the exact answer on
     * the bounded query sample, k ∈ `ks` — the operating curve behind
     * a single-point recall audit (pick the smallest k whose recall

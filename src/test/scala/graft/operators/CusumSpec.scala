@@ -54,4 +54,44 @@ class CusumSpec extends AnyFunSuite {
     val byType = out.map(r => r._1 -> r._4).toMap
     assert(byType("a") > 0L && byType("b") == 0L)
   }
+
+  private def runCp(counts: Seq[(String, Int, Int)]) = {
+    val base = 472222L * 3600L
+    val rows = counts.flatMap { case (t, d, n) =>
+      (0 until n).map(j =>
+        (d * 1000L + j, 1L, t, 1.0, (base + d * 86400L + j) * 1_000_000_000L))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    Relational.qChangepoint(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+  }
+
+  test("binary segmentation splits a clean level shift exactly") {
+    // type a: days 0-4 at 2/day, days 5-9 at 10/day. At i=5:
+    // gain = 10²/5 + 50²/5 − 60²/10 = 20 + 500 − 360 = 160 → e6.
+    // The split day is the LAST day of the left segment (day 4).
+    val out = runCp((0 to 4).map(d => ("a", d, 2)) ++
+      (5 to 9).map(d => ("a", d, 10)))
+    assert(out.length == 1)
+    val (_, day, nDays, gain, ml, mr) = out.head
+    assert(nDays == 10L && gain == 160000000L, s"gain $gain")
+    assert(ml == 200L && mr == 1000L)
+    // the argmax index is day 4 of the planted grid (5th day)
+    val epoch = java.time.LocalDate.ofEpochDay(472222L * 3600L / 86400L + 4)
+    assert(day == epoch.toString, s"split day $day vs $epoch")
+  }
+
+  test("a flat series yields zero gain (earliest split wins)") {
+    val out = runCp((0 to 4).map(d => ("b", d, 7)))
+    assert(out.length == 1 && out.head._4 == 0L)
+    val epoch = java.time.LocalDate.ofEpochDay(472222L * 3600L / 86400L)
+    assert(out.head._2 == epoch.toString)
+  }
 }

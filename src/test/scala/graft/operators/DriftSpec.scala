@@ -28,6 +28,33 @@ class DriftSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("b", 1L, 3L, 24508L), ("a", 2L, 1L, 8299L)))
   }
 
+  test("embed drift: cross-multiplied shift exact on planted halves") {
+    // ref (vec 0, 2): dim0 = 1.0, 0.5; cur (vec 1, 3): dim0 = -0.5,
+    // -1.0 → q sums (e16): ref 98304, cur -98304, shift =
+    // |98304·2 − (−98304)·2| = 393216. dim1 matches across halves
+    // (shift 0) — negative per-half sums are exactly the case the
+    // division-free form exists for.
+    val D = Similarity.EmbeddingDim
+    def vec(x0: Float, x1: Float): Seq[Float] = {
+      val v = Array.fill(D)(0.0f); v(0) = x0; v(1) = x1; v.toSeq
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_edrift").toString
+    graft.TestFixtures.canonEmb(Seq(
+      (0L, vec(1.0f, -0.25f)), (2L, vec(0.5f, -0.25f)),
+      (1L, vec(-0.5f, -0.25f)), (3L, vec(-1.0f, -0.25f)))
+      .toDF("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embedDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.head == ((0L, 98304L, -98304L, 2L, 2L, 393216L)))
+    // dim 1: both halves sum 2·round(−0.25·65536) = −32768 → shift 0
+    val d1 = got.find(_._1 == 1L).get
+    assert(d1 == ((1L, -32768L, -32768L, 2L, 2L, 0L)))
+    // every other dim is all-zero; output is all 64 dims
+    assert(got.length == D && got.count(_._6 == 0L) == D - 1)
+  }
+
   test("spend drift: cohort split, fixed bins, smoothing on empty bins") {
     // ref (1997): bins 0 and 1; cur (1999): bin 0 once, bin 9 twice.
     // Empty-both bins emit the smoothing floor 513; the one-sided
