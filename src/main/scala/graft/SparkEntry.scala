@@ -913,6 +913,27 @@ object SparkEntry {
     // Analytic LSH band-tuning table: the S-curve design step run
     // before paying for any banded shuffle.
     "d_lsh_tune" -> ((s, d) => Dedup.lshTune(s, d)),
+    // Distribution-shift hypothesis tests over the same calendar
+    // cohorts as q_psi: exact two-sample KS (cross-multiplied ECDF
+    // max from one distributed cumsum pass) and tie-exact
+    // Mann-Whitney rank-sum.
+    "q_ks_test" -> ((s, d) => Relational.qKsTest(s, d)),
+    "q_mann_whitney" -> ((s, d) => Relational.qMannWhitney(s, d)),
+    // Pairwise Jensen-Shannon divergence between per-source token
+    // distributions — the cross-source divergence matrix.
+    "t_jsd" -> ((s, d) => TextAnalysis.jsdMatrix(s, d)),
+    // CUPED variance-reduced A/B readout: second-half spend adjusted
+    // by the same user's first-half spend, θ pooled across arms.
+    "q_cuped" -> ((s, d) => Relational.qCuped(s, d)),
+    // Theil-Sen robust trend: exact lower-median of pairwise slopes
+    // over the calendar-bounded day grid.
+    "q_theil_sen" -> ((s, d) => Relational.qTheilSen(s, d)),
+    // One-way ANOVA omnibus F across event types (per-group terms
+    // e6-floored before the cross-group fold — bit-stable rule).
+    "q_anova" -> ((s, d) => Relational.qAnova(s, d)),
+    // Per-token burstiness (variance-to-mean of per-doc counts) for
+    // the top-25 corpus tokens — topical-vs-function-word signal.
+    "t_burstiness" -> ((s, d) => TextAnalysis.tokenBurstiness(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
     // SF dir), the query filters one partition — the scan must show
@@ -975,6 +996,12 @@ object SparkEntry {
     // exact, so the oracle is the plain full-scan filter).
     "src_minmax_skip" -> ((s, d) =>
       graft.sources.SkipIndex.qMinmaxSkip(s, d)),
+    // Parquet bloom-filter row-group skipping: point lookups on a
+    // high-cardinality key in a layout min/max stats can't prune
+    // (hash-scattered). Answers oracle-identical to the full scan;
+    // BloomSkipSpec probes the footers.
+    "src_bloom_skip" -> ((s, d) =>
+      graft.sources.SkipIndex.qBloomSkip(s, d)),
     // One logical table, two partition specs (year → year/month):
     // history never rewrites; both layouts dir-prune independently.
     "src_partition_evolution" -> ((s, d) =>
@@ -4634,6 +4661,220 @@ object SparkEntry {
         |  CAST(round(pow(1.0 / b, 1.0 / r) * 1000000) AS BIGINT) AS s_star_e6,
         |  p_at_t_e6, fp_mass_e6, fn_mass_e6
         |FROM a ORDER BY b DESC""".stripMargin,
+    // Exact two-sample KS: grouped cents values, both ECDFs from one
+    // cumulative pass, cross-multiplied |k1·n2 − k2·n1| so no
+    // division until the final 1-row fold (HUGEINT there, the qGini
+    // promotion rule); argmax unique under (num DESC, v).
+    "q_ks_test" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE WHEN year(o_orderdate) < 1998 THEN 0 ELSE 1 END AS coh
+        |  FROM orders),
+        |g AS (SELECT v,
+        |    CAST(sum(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM o GROUP BY 1),
+        |c AS (SELECT v,
+        |    CAST(sum(c1) OVER w AS BIGINT) AS k1,
+        |    CAST(sum(c2) OVER w AS BIGINT) AS k2
+        |  FROM g WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |n AS (SELECT max(k1) AS n1, max(k2) AS n2 FROM c),
+        |d AS (SELECT v, CAST(abs(k1 * n2 - k2 * n1) AS BIGINT) AS num,
+        |    n1, n2 FROM c, n),
+        |r AS (SELECT *, row_number() OVER (ORDER BY num DESC, v ASC) AS rk
+        |  FROM d)
+        |SELECT n1, n2, v AS at_v, num,
+        |  CAST(CAST(num AS HUGEINT) * 1000000
+        |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_e6
+        |FROM r WHERE rk = 1""".stripMargin,
+    // Tie-exact Mann-Whitney via the grouped doubled-rank closed
+    // form 2R1 = Σ c1·(2·below + t + 1); the z statistic is the one
+    // double tree from exact integer inputs, e4-rounded; all-tied
+    // degenerate data guards to NULL.
+    "q_mann_whitney" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE WHEN year(o_orderdate) < 1998 THEN 0 ELSE 1 END AS coh
+        |  FROM orders),
+        |g AS (SELECT v,
+        |    CAST(sum(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM o GROUP BY 1),
+        |c AS (SELECT v, c1, c2, c1 + c2 AS t,
+        |    CAST(sum(c1) OVER w AS BIGINT) AS k1,
+        |    CAST(sum(c2) OVER w AS BIGINT) AS k2,
+        |    CAST(sum(c1 + c2) OVER w AS BIGINT) - (c1 + c2) AS cbelow
+        |  FROM g WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT max(k1) AS n1, max(k2) AS n2,
+        |    CAST(sum(c1 * (2 * cbelow + t + 1)) AS BIGINT) AS r1x2,
+        |    sum(t * t * t - t) AS ties FROM c)
+        |SELECT n1, n2,
+        |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2,
+        |  CAST(ties AS BIGINT) AS tie_sum,
+        |  CASE WHEN (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+        |      * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+        |        - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+        |          * (CAST(n1 + n2 AS DOUBLE) - 1.0))) > 0.0
+        |    THEN CAST(round(
+        |      (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+        |        - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |      / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+        |        * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+        |          - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+        |            * (CAST(n1 + n2 AS DOUBLE) - 1.0)))) * 10000)
+        |      AS BIGINT) END AS z_e4
+        |FROM f""".stripMargin,
+    // Theil-Sen: the pair set is the calendar-bounded day grid
+    // squared; one double division per slope stated identically,
+    // exact lower median under the unique (slope, xi, xj) order.
+    "q_theil_sen" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |a AS (SELECT min(day) AS d0 FROM d),
+        |i AS (SELECT event_type, y,
+        |    CAST(date_diff('day', d0, day) AS BIGINT) AS x FROM d, a),
+        |p AS (SELECT l.event_type,
+        |    CAST(round(CAST(r2.y - l.y AS DOUBLE) / (r2.x - l.x)
+        |      * 1000000) AS BIGINT) AS slope_e6, l.x AS xi, r2.x AS xj
+        |  FROM i l JOIN i r2 ON l.event_type = r2.event_type
+        |    AND l.x < r2.x),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY slope_e6, xi, xj) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+        |  FROM p)
+        |SELECT event_type, np AS n_pairs, slope_e6
+        |FROM r WHERE rk = (np + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+    // CUPED: exact integer cents sufficient statistics (HUGEINT for
+    // Σpre²/Σpre·post — the qGini promotion rule); θ and the
+    // adjusted means are the one double tree, e6/e2-rounded;
+    // zero pre-variance guards to NULL.
+    "q_cuped" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |a AS (SELECT min(day) + INTERVAL 15 DAY AS split FROM e),
+        |u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN day < split THEN cents ELSE 0 END)
+        |      AS BIGINT) AS pre,
+        |    CAST(sum(CASE WHEN day >= split THEN cents ELSE 0 END)
+        |      AS BIGINT) AS post
+        |  FROM e, a GROUP BY 1),
+        |s AS (SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pre) AS BIGINT) AS sp, CAST(sum(post) AS BIGINT) AS so,
+        |    sum(pre * pre) AS spp, sum(pre * post) AS spo
+        |  FROM u GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS g_n, sum(sp) AS g_sp,
+        |    sum(so) AS g_so, sum(spp) AS g_spp, sum(spo) AS g_spo FROM s)
+        |SELECT arm, n, sp // n AS mean_pre_c, so // n AS mean_post_c,
+        |  CASE WHEN CAST(g_n AS DOUBLE) * CAST(g_spp AS DOUBLE)
+        |      - CAST(g_sp AS DOUBLE) * CAST(g_sp AS DOUBLE) > 0.0
+        |    THEN CAST(round((CAST(g_n AS DOUBLE) * CAST(g_spo AS DOUBLE)
+        |        - CAST(g_sp AS DOUBLE) * CAST(g_so AS DOUBLE))
+        |      / (CAST(g_n AS DOUBLE) * CAST(g_spp AS DOUBLE)
+        |        - CAST(g_sp AS DOUBLE) * CAST(g_sp AS DOUBLE))
+        |      * 1000000) AS BIGINT) END AS theta_e6,
+        |  CASE WHEN CAST(g_n AS DOUBLE) * CAST(g_spp AS DOUBLE)
+        |      - CAST(g_sp AS DOUBLE) * CAST(g_sp AS DOUBLE) > 0.0
+        |    THEN CAST(round(CAST(so AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - ((CAST(g_n AS DOUBLE) * CAST(g_spo AS DOUBLE)
+        |          - CAST(g_sp AS DOUBLE) * CAST(g_so AS DOUBLE))
+        |        / (CAST(g_n AS DOUBLE) * CAST(g_spp AS DOUBLE)
+        |          - CAST(g_sp AS DOUBLE) * CAST(g_sp AS DOUBLE)))
+        |        * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - CAST(g_sp AS DOUBLE) / CAST(g_n AS DOUBLE)))
+        |      AS BIGINT) END AS adj_mean_c
+        |FROM s, g ORDER BY arm""".stripMargin,
+    // Pairwise JSD over the top-50 token vocab with add-one
+    // smoothing; per-term e6 rounding from the identical
+    // division/ln tree, exact integer per-pair sum.
+    "t_jsd" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |top AS (SELECT token FROM (SELECT token, sum(c) AS ct
+        |    FROM cnt GROUP BY 1) ORDER BY ct DESC, token ASC LIMIT 50),
+        |srcs AS (SELECT DISTINCT source FROM cnt),
+        |grid AS (SELECT t.token, s.source,
+        |    CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        |  FROM top t CROSS JOIN srcs s
+        |  LEFT JOIN cnt c ON c.token = t.token AND c.source = s.source),
+        |tots AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt
+        |  FROM grid GROUP BY 1),
+        |p AS (SELECT a.token, a.source AS src_a, b.source AS src_b,
+        |    a.c AS ca, b.c AS cb, ta.nt AS na, tb.nt AS nb
+        |  FROM grid a JOIN grid b ON a.token = b.token
+        |    AND a.source < b.source
+        |  JOIN tots ta ON ta.source = a.source
+        |  JOIN tots tb ON tb.source = b.source),
+        |t AS (SELECT src_a, src_b, CAST(round((
+        |    CAST(ca + 1 AS DOUBLE) / (na + 50) * ln(
+        |      (CAST(ca + 1 AS DOUBLE) / (na + 50)) /
+        |      ((CAST(ca + 1 AS DOUBLE) / (na + 50)
+        |        + CAST(cb + 1 AS DOUBLE) / (nb + 50)) / 2)) +
+        |    CAST(cb + 1 AS DOUBLE) / (nb + 50) * ln(
+        |      (CAST(cb + 1 AS DOUBLE) / (nb + 50)) /
+        |      ((CAST(ca + 1 AS DOUBLE) / (na + 50)
+        |        + CAST(cb + 1 AS DOUBLE) / (nb + 50)) / 2))
+        |  ) / 2 * 1000000) AS BIGINT) AS term_e6 FROM p)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(term_e6) AS BIGINT) AS jsd_e6
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // One-way ANOVA: per-group s²·1e6 // n floored BEFORE the
+    // cross-group fold (exact integer reduction); the F ratio is
+    // the one double tree, e4-rounded; zero within-variance → NULL.
+    "q_anova" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s, sum(x * x) AS ss,
+        |    CAST(sum(x) AS HUGEINT) * sum(x) * 1000000 // count(*)
+        |      AS sbq
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+        |    sum(ss) AS ss, sum(sbq) AS sbq FROM g)
+        |SELECT k, n,
+        |  CAST(round((CAST(sbq AS DOUBLE) / 1000000
+        |    - CAST(s AS DOUBLE) * s / n) / (k - 1) * 10000) AS BIGINT)
+        |    AS msb_e4,
+        |  CAST(round((CAST(ss AS DOUBLE)
+        |    - CAST(sbq AS DOUBLE) / 1000000) / (n - k) * 10000)
+        |    AS BIGINT) AS msw_e4,
+        |  CASE WHEN CAST(ss AS DOUBLE)
+        |      - CAST(sbq AS DOUBLE) / 1000000 > 0.0 THEN
+        |    CAST(round(((CAST(sbq AS DOUBLE) / 1000000
+        |      - CAST(s AS DOUBLE) * s / n) / (k - 1))
+        |      / ((CAST(ss AS DOUBLE) - CAST(sbq AS DOUBLE) / 1000000)
+        |        / (n - k)) * 10000) AS BIGINT) END AS f_e4
+        |FROM t""".stripMargin,
+    // Burstiness: exact integer sufficient statistics; VMR is the
+    // one double tree per row, e6-rounded.
+    "t_burstiness" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |pd AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM documents),
+        |g AS (SELECT token, CAST(sum(c) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM pd GROUP BY 1 ORDER BY tot DESC, token ASC LIMIT 25)
+        |SELECT token, tot, df, ss,
+        |  CAST(round((CAST(ss AS DOUBLE) / tot
+        |    - CAST(tot AS DOUBLE) / ndocs) * 1000000) AS BIGINT)
+        |    AS vmr_e6
+        |FROM g, nd ORDER BY tot DESC, token ASC""".stripMargin,
+    // Bloom-skipped scans answer exactly like full scans — the
+    // oracle is the plain point-lookup; BloomSkipSpec asserts the
+    // footers carry a discriminating filter.
+    "src_bloom_skip" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_custkey IN (42, 777, 1234)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_stopwords" ->
       """WITH t AS (
         |  SELECT doc_id,

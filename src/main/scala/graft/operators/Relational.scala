@@ -2399,4 +2399,219 @@ object Relational {
         " * 1000000) AS BIGINT)").as("psi_e6"))
       .orderBy(col("bin"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov test between the [[qPsiDrift]]
+    * calendar cohorts over order totals — the distribution-level
+    * drift verdict next to PSI's per-bin readout (KS sees shape
+    * changes that fixed bins blur). Exact and all-integer: values
+    * collapse to distinct cents with per-cohort counts (map-side
+    * combine), both ECDFs come from ONE
+    * [[Selection.withGlobalCumsums]] pass (range-partitioned — no
+    * single-reducer window over the value axis), and the statistic
+    * maximizes the cross-multiplied |k₁n₂ − k₂n₁| so no division
+    * happens until the final 1-row fold (DECIMAL(38) there — n₁n₂
+    * wrecks BIGINT·1e6 at catalog scale, the qGini rule). Ties are
+    * handled exactly: the ECDF is evaluated after consuming each
+    * whole tie group. D's argmax is unique under (num DESC, v). */
+  def qKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+        when(year(col("o_orderdate")) < 1998, lit(0L)).otherwise(lit(1L))
+          .as("coh"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("coh") === 0L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("coh") === 1L, 1L).otherwise(0L)).as("c2"))
+    val cum = Selection.withGlobalCumsums(g, Seq(col("v")), "rk",
+      Seq("c1" -> "k1", "c2" -> "k2"))
+      .localCheckpoint(true)
+    val tot = cum.agg(max(col("k1")).as("n1"), max(col("k2")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("num", abs(col("k1") * col("n2") - col("k2") * col("n1")))
+      .orderBy(col("num").desc, col("v").asc)
+      .limit(1)
+      .select(col("n1"), col("n2"), col("v").as("at_v"), col("num"),
+        expr("CAST(CAST(num AS DECIMAL(38,0)) * 1000000" +
+          " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("d_e6"))
+  }
+
+  /** Two-sample Mann–Whitney rank-sum test between the same calendar
+    * cohorts — the nonparametric location verdict beside [[qKsTest]]
+    * (KS answers "same distribution?", U answers "is one shifted?").
+    * Exact under ties via the grouped closed form: per distinct
+    * value with tie group size t and C values strictly below,
+    * doubled-rank-sum 2R₁ = Σ c₁·(2C + t + 1) — integer by
+    * construction (tied ranks average to halves, so the ×2 ledger
+    * stays exact). C comes from the same single
+    * [[Selection.withGlobalCumsums]] pass as the KS ECDF; the tie
+    * correction Σ(t³−t) rides DECIMAL(38) (cube of a tie group
+    * overflows BIGINT exactly when a value dominates at scale). The
+    * z statistic is the one double, from exact integer inputs
+    * through a single expression tree, e4-rounded (the qAbLift
+    * float rule); degenerate all-tied data guards to NULL. */
+  def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+        when(year(col("o_orderdate")) < 1998, lit(0L)).otherwise(lit(1L))
+          .as("coh"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("coh") === 0L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("coh") === 1L, 1L).otherwise(0L)).as("c2"))
+    val cum = Selection.withGlobalCumsums(g, Seq(col("v")), "rk",
+      Seq("c1" -> "k1", "c2" -> "k2"))
+      .withColumn("t", col("c1") + col("c2"))
+      .withColumn("cbelow", col("k1") + col("k2") - col("t"))
+    val f = cum.groupBy()
+      .agg(max(col("k1")).as("n1"), max(col("k2")).as("n2"),
+        sum(col("c1") * (lit(2L) * col("cbelow") + col("t") + lit(1L)))
+          .as("r1x2"),
+        sum((col("t") * col("t") * col("t") - col("t")).cast(d38))
+          .as("ties"))
+    def dbl(c: String) = col(c).cast("double")
+    val n = col("n1") + col("n2")
+    val u1x2 = col("r1x2") - col("n1") * (col("n1") + 1L)
+    val varU = (dbl("n1") * dbl("n2") / 12.0) *
+      ((n.cast("double") + 1.0) -
+        col("ties").cast("double") /
+          (n.cast("double") * (n.cast("double") - 1.0)))
+    val z = (u1x2.cast("double") / 2.0 - dbl("n1") * dbl("n2") / 2.0) /
+      sqrt(varU)
+    f.select(col("n1"), col("n2"), u1x2.as("u1x2"),
+      col("ties").cast("long").as("tie_sum"),
+      when(varU > 0.0, round(z * 1e4).cast("long")).as("z_e4"))
+  }
+
+  /** Theil–Sen robust trend per event type — [[qTrend]]'s
+    * outlier-immune sibling (OLS moves with one bad day; the median
+    * of pairwise slopes has a 29% breakdown point). The day grid is
+    * calendar-bounded, so the within-type pair set is days²/2 rows
+    * REGARDLESS of corpus size — the raw stream folds to (type, day)
+    * counts map-side before any pairing, which is what makes the
+    * quadratic enumerable at 100 TB (the dense/small-V dispatch
+    * argument in closed form). Each slope is e6-rounded from the one
+    * double division stated identically in the oracle; the reported
+    * slope is the exact LOWER median under the unique
+    * (slope, day_i, day_j) order (the qMadOutliers discrete-median
+    * convention, no interpolation). */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val anchor = d.agg(min(col("day")).as("d0"))
+    val idx = d.crossJoin(broadcast(anchor))
+      .select(col("event_type"), col("y"),
+        datediff(col("day"), col("d0")).cast("long").as("x"))
+      .localCheckpoint(true)
+    val pairs = idx.toDF("event_type", "yi", "xi")
+      .join(idx.toDF("event_type", "yj", "xj"), Seq("event_type"))
+      .filter(col("xi") < col("xj"))
+      .withColumn("slope_e6", expr(
+        "CAST(round(CAST(yj - yi AS DOUBLE) / (xj - xi) * 1000000)" +
+          " AS BIGINT)"))
+    val w = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("slope_e6"), col("xi"), col("xj"))))
+      .withColumn("np", count(lit(1)).over(w))
+      .filter(col("rk") === expr("(np + 1) div 2"))
+      .select(col("event_type"), col("np").as("n_pairs"),
+        col("slope_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** One-way ANOVA F statistic across event types over daily counts
+    * — "do the types differ in level at all?", the omnibus test run
+    * before any per-pair [[qMannWhitney]]. Exact integer sufficient
+    * statistics per group (n, Σx, Σx² — the squares on DECIMAL(38),
+    * the qStats overflow rule); the between-group sum Σs²/n and the
+    * F ratio are the one double tree stated identically, e4-rounded.
+    * One map-side-combinable day fold + a k-row group agg + a 1-row
+    * fold — nothing scales past the (type, day) grid. */
+  def qAnova(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+    val g = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum((col("x") * col("x")).cast(d38)).as("ss"))
+      // Per-group s²/n floored at e6 BEFORE the cross-group fold: a
+      // double Σ over groups would depend on accumulation order (the
+      // bit-stable rule); integer terms make the reduction exact.
+      .withColumn("sbq",
+        expr(s"CAST(s AS $d38) * s * 1000000 div n"))
+    g.groupBy()
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("n"),
+        sum(col("s")).as("s"), sum(col("ss")).as("ss"),
+        sum(col("sbq")).as("sbq"))
+      .select(col("k"), col("n"),
+        expr("CAST(round((CAST(sbq AS DOUBLE) / 1000000" +
+          " - CAST(s AS DOUBLE) * s / n) / (k - 1)" +
+          " * 10000) AS BIGINT)").as("msb_e4"),
+        expr("CAST(round((CAST(ss AS DOUBLE)" +
+          " - CAST(sbq AS DOUBLE) / 1000000) / (n - k) * 10000)" +
+          " AS BIGINT)").as("msw_e4"),
+        expr("CASE WHEN CAST(ss AS DOUBLE)" +
+          " - CAST(sbq AS DOUBLE) / 1000000 > 0.0 THEN" +
+          " CAST(round(((CAST(sbq AS DOUBLE) / 1000000" +
+          " - CAST(s AS DOUBLE) * s / n) / (k - 1))" +
+          " / ((CAST(ss AS DOUBLE) - CAST(sbq AS DOUBLE) / 1000000)" +
+          " / (n - k)) * 10000) AS BIGINT)" +
+          " END").as("f_e4"))
+  }
+
+  /** CUPED variance-reduced A/B read-out — the experimentation
+    * counterpart of [[qAbLift]]: user spend in the second half of
+    * the window, adjusted by the same user's FIRST-half spend
+    * (θ = cov(pre, post)/var(pre), pooled across arms — the
+    * covariate is pre-assignment so the adjustment is unbiased).
+    * Split day = min day + 15 (the qTrend anchor pattern —
+    * deterministic given the data, stated identically in the
+    * oracle); arms by user_id parity. Everything up to θ is exact
+    * integer cents via DECIMAL(38) sufficient statistics (Σpre²
+    * overflows BIGINT at catalog scale); θ and the adjusted means
+    * are the one double tree, e6/e2-rounded; zero pre-variance
+    * guards to NULL. One user-grain aggregation + a 2-row fold. */
+  def qCuped(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val anchor = ev.agg(date_add(min(col("day")), 15).as("split"))
+    val u = ev.crossJoin(broadcast(anchor))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("split"), col("cents")).otherwise(0L))
+        .as("pre"),
+        sum(when(col("day") >= col("split"), col("cents")).otherwise(0L))
+          .as("post"))
+      .select(pmod(col("user_id"), lit(2L)).as("arm"), col("pre"),
+        col("post"))
+    val arms = u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("pre")).as("sp"),
+        sum(col("post")).as("so"),
+        sum((col("pre") * col("pre")).cast(d38)).as("spp"),
+        sum((col("pre") * col("post")).cast(d38)).as("spo"))
+      .localCheckpoint(true)
+    val pooled = arms.groupBy()
+      .agg(sum(col("n")).as("n"), sum(col("sp")).cast(d38).as("sp"),
+        sum(col("so")).cast(d38).as("so"), sum(col("spp")).as("spp"),
+        sum(col("spo")).as("spo"))
+    def dbl(c: Column) = c.cast("double")
+    val varP = dbl(col("g_n")) * dbl(col("g_spp")) -
+      dbl(col("g_sp")) * dbl(col("g_sp"))
+    val theta = (dbl(col("g_n")) * dbl(col("g_spo")) -
+      dbl(col("g_sp")) * dbl(col("g_so"))) / varP
+    val adj = dbl(col("so")) / dbl(col("n")) -
+      theta * (dbl(col("sp")) / dbl(col("n")) -
+        dbl(col("g_sp")) / dbl(col("g_n")))
+    arms.crossJoin(broadcast(pooled.select(col("n").as("g_n"),
+        col("sp").as("g_sp"), col("so").as("g_so"), col("spp").as("g_spp"),
+        col("spo").as("g_spo"))))
+      .select(col("arm"), col("n"),
+        expr("sp div n").as("mean_pre_c"),
+        expr("so div n").as("mean_post_c"),
+        when(varP > 0.0, round(theta * 1e6).cast("long")).as("theta_e6"),
+        when(varP > 0.0, round(adj).cast("long")).as("adj_mean_c"))
+      .orderBy(col("arm"))
+  }
 }

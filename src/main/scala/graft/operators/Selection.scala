@@ -53,7 +53,19 @@ object Selection {
     * sees more than one partition's rows, no executor sorts more
     * than a partition. */
   def withGlobalRank(input: DataFrame, sortCols: Seq[Column], rankName: String,
-      cumSumOf: Option[String] = None, cumName: String = "cum"): DataFrame = {
+      cumSumOf: Option[String] = None, cumName: String = "cum"): DataFrame =
+    withGlobalCumsums(input, sortCols, rankName,
+      cumSumOf.map(c => c -> cumName).toSeq)
+
+  /** [[withGlobalRank]] generalized to ANY number of running sums in
+    * one pass: `cums` maps source BIGINT column → output cumulative
+    * column. Same shape — one range repartition, per-partition local
+    * windows, and a single ≤`shuffle.partitions`-row offset read per
+    * summed column (still bounded driver state, never data rows).
+    * Multi-statistic rank passes (ECDF pairs for the KS/rank-sum
+    * tests) pay one shuffle instead of one per statistic. */
+  def withGlobalCumsums(input: DataFrame, sortCols: Seq[Column],
+      rankName: String, cums: Seq[(String, String)]): DataFrame = {
     val spark = input.sparkSession
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -61,27 +73,30 @@ object Selection {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val aggCols = Seq(count(lit(1)).as("c")) ++
-      cumSumOf.map(c => sum(col(c)).as("s"))
+      cums.map { case (c, _) => sum(col(c)).as(s"__s_$c") }
     val stats = ranged.groupBy(col("__pid")).agg(aggCols.head, aggCols.tail: _*)
       .collect()
       .map(r => (r.getInt(0), r.getLong(1),
-        if (cumSumOf.isDefined) r.getLong(2) else 0L))
+        cums.indices.map(i => r.getLong(2 + i))))
       .sortBy(_._1)
-    var cOff = 0L; var sOff = 0L
-    val offs = stats.toSeq.map { case (p, c, s) =>
-      val row = (p, cOff, sOff); cOff += c; sOff += s; row
+    var cOff = 0L
+    val sOffs = Array.fill(cums.size)(0L)
+    val offs = stats.toSeq.map { case (p, c, ss) =>
+      val row = (p, cOff, sOffs.toSeq)
+      cOff += c
+      ss.zipWithIndex.foreach { case (s, i) => sOffs(i) += s }
+      row
     }
-    val offsets = broadcast(offs.toDF("__pid", "__coff", "__soff"))
+    val offsets = broadcast(offs.toDF("__pid", "__coff", "__soffs"))
     val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withRank = ranged.join(offsets, Seq("__pid"))
       .withColumn(rankName, row_number().over(w).cast("long") + col("__coff"))
-    val out = cumSumOf match {
-      case Some(c) => withRank.withColumn(cumName,
-        sum(col(c)).over(w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)) + col("__soff"))
-      case None => withRank
+    val out = cums.zipWithIndex.foldLeft(withRank) {
+      case (df, ((c, name), i)) => df.withColumn(name,
+        sum(col(c)).over(cumW) + element_at(col("__soffs"), i + 1))
     }
-    out.drop("__pid", "__coff", "__soff")
+    out.drop("__pid", "__coff", "__soffs")
   }
 
   /** `ntile(t)` of 1-indexed rank column `i` over `n` total rows, in

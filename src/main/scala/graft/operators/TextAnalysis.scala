@@ -988,4 +988,85 @@ object TextAnalysis {
         " * 1000000) AS BIGINT)").as("psi_e6"))
       .orderBy(col("psi_e6").desc, col("token").asc)
   }
+
+  /** Per-token burstiness for the top-25 corpus tokens — the
+    * variance-to-mean ratio of per-document counts over ALL
+    * documents (absent docs contribute zero, so only (token, doc)
+    * count rows ever exist; the zeros are algebra, not rows):
+    * VMR = E[x²]/E[x] − E[x] = ss/tot − tot/N. Poisson scatter sits
+    * at 1e6; content words burst far above it while function words
+    * sit near it — the signal separating topical from structural
+    * vocabulary (Church & Gale 1995). Sufficient statistics are
+    * exact integers (Σc, Σc² per token, one corpus doc count); the
+    * VMR is the one double tree e6-rounded per row. One map-side
+    * (token, doc) fold + a bounded top-25. */
+  def tokenBurstiness(spark: SparkSession, dir: String,
+      k: Int = 25): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    docs
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("df"),
+        sum(col("c") * col("c")).as("ss"))
+      .orderBy(col("tot").desc, col("token").asc)
+      .limit(k)
+      .select(col("token"), col("tot"), col("df"), col("ss"),
+        expr(s"CAST(round((CAST(ss AS DOUBLE) / tot" +
+          s" - CAST(tot AS DOUBLE) / ${nDocs}L) * 1000000) AS BIGINT)")
+          .as("vmr_e6"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between per-source token
+    * distributions — the symmetric, bounded (≤ ln 2) cross-source
+    * divergence matrix beside [[tokenDrift]]'s two-cohort PSI: which
+    * sources speak the same language, read before mixing weights are
+    * chosen. Distributions compare over the top-`v` tokens by
+    * corpus count (unique (count DESC, token) selection — bounded,
+    * never data-dependent in width) with add-one smoothing over that
+    * vocab, so absent tokens contribute finite terms. Each token's
+    * JSD term ½(p·ln(p/m) + q·ln(q/m)), m = (p+q)/2, is e6-rounded
+    * from one expression tree stated identically in the oracle
+    * (integer counts are exact — only the division/ln tree must
+    * match), then the per-pair sum is an exact integer fold. Shape:
+    * one map-side-combinable (token, source) count, one bounded
+    * top-v, a v×|sources| zero-completed grid, and the pair join is
+    * sources²/2 × v rows — the source DIMENSION squared, never the
+    * corpus. */
+  def jsdMatrix(spark: SparkSession, dir: String, v: Int = 50): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("source")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val top = counts.groupBy(col("token")).agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("token").asc).limit(v)
+      .select(col("token"))
+    val srcs = counts.select(col("source")).distinct()
+    val grid = top.crossJoin(srcs)
+      .join(counts, Seq("token", "source"), "left")
+      .select(col("token"), col("source"), coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint(true)
+    val tots = grid.groupBy(col("source")).agg(sum(col("c")).as("nt"))
+    val a = grid.toDF("token", "src_a", "ca")
+      .join(broadcast(tots.toDF("src_a", "na")), Seq("src_a"))
+    val b = grid.toDF("token", "src_b", "cb")
+      .join(broadcast(tots.toDF("src_b", "nb")), Seq("src_b"))
+    a.join(b, Seq("token"))
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("term_e6", expr(
+        s"""CAST(round((
+           |  CAST(ca + 1 AS DOUBLE) / (na + $v) * ln(
+           |    (CAST(ca + 1 AS DOUBLE) / (na + $v)) /
+           |    ((CAST(ca + 1 AS DOUBLE) / (na + $v)
+           |      + CAST(cb + 1 AS DOUBLE) / (nb + $v)) / 2)) +
+           |  CAST(cb + 1 AS DOUBLE) / (nb + $v) * ln(
+           |    (CAST(cb + 1 AS DOUBLE) / (nb + $v)) /
+           |    ((CAST(ca + 1 AS DOUBLE) / (na + $v)
+           |      + CAST(cb + 1 AS DOUBLE) / (nb + $v)) / 2))
+           |) / 2 * 1000000) AS BIGINT)""".stripMargin))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_e6")).as("jsd_e6"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -162,4 +162,60 @@ object SkipIndex {
         count_distinct(col("o_custkey")).as("n_custs"),
         round(sum(col("o_totalprice")), 2).as("sum_price"))
   }
+
+  // ---- parquet bloom-filter row-group skipping ----------------------
+
+  /** Point-lookup keys for [[qBloomSkip]] — fixed, so the probe is
+    * deterministic at every SF (keys absent from a small SF simply
+    * match nothing on both engines). */
+  val BloomProbeKeys: Seq[Long] = Seq(42L, 777L, 1234L)
+
+  /** Orders written hash-SCATTERED on the order key (every file and
+    * row group spans the full customer range — min/max stats prune
+    * NOTHING for a customer lookup) with a parquet bloom filter on
+    * `o_custkey`. This is the third skipping story next to the
+    * linear and Z-order layouts: stats answer range predicates on
+    * the cluster key; blooms answer POINT lookups on a
+    * high-cardinality key the layout was never clustered by — the
+    * "find this user's rows in 100 TB of time-ordered logs" shape,
+    * where the reader drops whole row groups whose bloom provably
+    * excludes the key. Small block size forces many row groups so
+    * the per-group filter has something to skip; BloomSkipSpec
+    * probes the footers directly (filter present; planted keys hit,
+    * absent keys miss). */
+  private def bloomLayout(spark: SparkSession, dir: String): String = {
+    val out = layoutRoot(dir, "bloom")
+    if (!new java.io.File(s"$out/data/_SUCCESS").exists()) {
+      ordersCols(spark, dir)
+        .repartition(4, col("o_orderkey"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "8192")
+        // Dictionary off for the bloom column: parquet SKIPS the
+        // bloom when every page is dictionary-encoded (the dict
+        // already answers membership exactly), which silently
+        // disables the index on low-cardinality test data — the
+        // standard pairing is bloom XOR dictionary per column.
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .option("parquet.block.size", (1 << 20).toString)
+        .parquet(s"$out/data")
+    }
+    out
+  }
+
+  /** Query entry (`src_bloom_skip`): per-customer order counts and
+    * spend for the fixed probe keys off the bloom-indexed scattered
+    * layout. The IN predicate pushes to the parquet reader
+    * (row-group bloom consultation is reader-internal); the answer
+    * is oracle-identical to the plain filtered scan — skipping is
+    * performance-only, as with every index here. */
+  def qBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val out = bloomLayout(spark, dir)
+    spark.read.parquet(s"$out/data")
+      .filter(col("o_custkey").isin(BloomProbeKeys: _*))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_custkey"))
+  }
 }

@@ -78,4 +78,29 @@ class DriftSpec extends AnyFunSuite {
       (2L to 8L).map(b => (b, 0L, 0L, 513L)) :+ (9L, 0L, 2L, 150174L)
     assert(got.toSeq == expected)
   }
+
+  test("jsd: identical sources score exactly zero; skew matches the" +
+      " plain-Scala recomputation") {
+    // X and Y carry identical token counts → every p = q, every
+    // ln(1) = 0 term rounds to exactly 0. Z is all-b, so the (X,Z)
+    // and (Y,Z) rows equal each other and the closed-form terms.
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsd").toString
+    graft.TestFixtures.canonDocs(Seq(
+      (0L, "a a b", "X"), (1L, "a a b", "Y"), (2L, "b b b b", "Z"))
+      .toDF("doc_id", "text", "source"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.jsdMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    def term(ca: Long, na: Long, cb: Long, nb: Long): Long = {
+      val p = (ca + 1).toDouble / (na + 50)
+      val q = (cb + 1).toDouble / (nb + 50)
+      val m = (p + q) / 2
+      math.round((p * math.log(p / m) + q * math.log(q / m)) / 2 * 1e6)
+    }
+    val xz = term(2, 3, 0, 4) + term(1, 3, 4, 4)
+    assert(got == Seq(("X", "Y", 2L, 0L), ("X", "Z", 2L, xz),
+      ("Y", "Z", 2L, xz)))
+    assert(xz > 0L)
+  }
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.SparkTestSession
+import java.sql.Timestamp
+
+/** Hand-computed contracts for the round-13 hypothesis-test pack:
+  * two-sample KS on planted cohorts, tie-exact Mann–Whitney, the
+  * Theil–Sen outlier-immunity property, and the CUPED adjustment
+  * algebra.
+  */
+class StatTestsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def plantOrders(rows: Seq[(Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    rows.zipWithIndex.map { case ((price, date), i) =>
+      (i.toLong, i.toLong, "O", price, ts(s"$date 00:00:00"), "P")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("ks: planted cohorts give the hand-computed cross-multiplied D") {
+    // 1997 cohort {1.00, 2.00, 3.00}, 1998 cohort {2.00, 3.00, 4.00}.
+    // ECDF ledger at v=100: |1·3 − 0·3| = 3 (= every later value's
+    // num too, but the argmax tiebreak picks the EARLIEST v).
+    // D = 3/9 → 333333.
+    val dir = plantOrders(Seq(
+      (1.00, "1997-03-01"), (2.00, "1997-03-02"), (3.00, "1997-03-03"),
+      (2.00, "1998-03-01"), (3.00, "1998-03-02"), (4.00, "1998-03-03")))
+    val r = Relational.qKsTest(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 3L, 100L, 3L, 333333L)))
+  }
+
+  test("mann-whitney: doubled ranks stay exact under ties") {
+    // A = {100, 200}, B = {200, 300} cents. Ranks 1, 2.5, 2.5, 4 →
+    // R1 = 3.5, so 2R1 = 7 (integer by construction), 2U1 = 1.
+    // Ties: one group of 2 → Σ(t³−t) = 6. varU = (4/12)(5 − 6/12)
+    // = 1.5; z = (0.5 − 2)/√1.5 = −1.224745 → −12247.
+    val dir = plantOrders(Seq(
+      (1.00, "1997-03-01"), (2.00, "1997-03-02"),
+      (2.00, "1998-03-01"), (3.00, "1998-03-02")))
+    val r = Relational.qMannWhitney(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 2L, 1L, 6L, -12247L)))
+  }
+
+  private def plantEvents(counts: Seq[(String, Int, Int)],
+      values: Seq[(Long, Int, Double)] = Nil): String = {
+    // counts: (event_type, day_index, n_events); values:
+    // (user_id, day_index, value) one event each. Base day pinned
+    // so CAST(ts AS DATE) is stable under the UTC session.
+    val base = 472222L * 3600L
+    def tsOf(d: Int, j: Int) = (base + d * 86400L + j) * 1_000_000_000L
+    val cRows = counts.flatMap { case (t, d, n) =>
+      (0 until n).map(j => (d * 10000L + j, 1L, t, 1.0, tsOf(d, j)))
+    }
+    val vRows = values.zipWithIndex.map { case ((u, d, v), i) =>
+      (900000L + i, u, "purchase", v, tsOf(d, 0))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    (cRows ++ vRows)
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    dir
+  }
+
+  test("theil-sen: one wild day cannot move the median slope") {
+    // Days 0–3 grow by exactly 2/day; day 4 explodes to 100. Six of
+    // the ten pairwise slopes are exactly 2e6, so the lower median
+    // (rank 5 of 10) is 2e6 — OLS would be dragged far above it.
+    val dir = plantEvents(Seq(("a", 0, 10), ("a", 1, 12), ("a", 2, 14),
+      ("a", 3, 16), ("a", 4, 100)))
+    val r = Relational.qTheilSen(spark, dir).collect()
+    assert(r.length == 1)
+    assert((r.head.getString(0), r.head.getLong(1), r.head.getLong(2))
+      == (("a", 10L, 2000000L)))
+  }
+
+  test("cuped: hand-computed theta and adjusted means") {
+    // pre (day 0) / post (day 20) cents per user:
+    //   arm 0: (100, 110), (300, 310); arm 1: (200, 230), (400, 430).
+    // Pooled: n=4, Σp=1000, Σo=1080, Σp²=300000, Σpo=322000 →
+    // var = 4·3e5 − 1e6 = 2e5; θ = (4·322000 − 1000·1080)/2e5 = 1.04.
+    // adj(arm0) = 210 − 1.04·(200−250) = 262; adj(arm1) = 330 −
+    // 1.04·(300−250) = 278 — the raw 120-cent gap shrinks to 16.
+    val dir = plantEvents(Nil, Seq(
+      (0L, 0, 1.00), (0L, 20, 1.10), (2L, 0, 3.00), (2L, 20, 3.10),
+      (1L, 0, 2.00), (1L, 20, 2.30), (3L, 0, 4.00), (3L, 20, 4.30)))
+    val got = Relational.qCuped(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (0L, 2L, 200L, 210L, 1040000L, 262L),
+      (1L, 2L, 300L, 330L, 1040000L, 278L)))
+  }
+
+  test("anova: hand-computed F; zero within-variance guards to NULL") {
+    // a = (1, 3), b = (5, 7): SSB-part = 80 − 64 = 16, msb = 16;
+    // SSW = 84 − 80 = 4, msw = 2 → F = 8.
+    val dir = plantEvents(Seq(("a", 0, 1), ("a", 1, 3),
+      ("b", 0, 5), ("b", 1, 7)))
+    val r = Relational.qAnova(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 4L, 160000L, 20000L, 80000L)))
+    // constant-within groups: SSW = 0 → msw 0, F NULL
+    val dir2 = plantEvents(Seq(("a", 0, 2), ("a", 1, 2), ("a", 2, 2),
+      ("b", 0, 4), ("b", 1, 4), ("b", 2, 4)))
+    val r2 = Relational.qAnova(spark, dir2).collect().head
+    assert((r2.getLong(2), r2.getLong(3)) == ((60000L, 0L)))
+    assert(r2.isNullAt(4))
+  }
+
+  test("burstiness: hand-computed two-doc VMRs") {
+    // doc0 = "a a a a", doc1 = "b": a → 16/4 − 4/2 = 2 (2e6);
+    // b → 1/1 − 1/2 = 0.5 (5e5).
+    val dir = java.nio.file.Files.createTempDirectory("graft_burst").toString
+    graft.TestFixtures.canonDocs(Seq((0L, "a a a a"), (1L, "b"))
+      .toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.tokenBurstiness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(("a", 4L, 1L, 16L, 2000000L),
+      ("b", 1L, 1L, 1L, 500000L)))
+  }
+
+  test("cuped: zero pre-variance guards to NULL") {
+    val dir = plantEvents(Nil, Seq(
+      (0L, 0, 1.00), (0L, 20, 1.10), (1L, 0, 1.00), (1L, 20, 2.30)))
+    val got = Relational.qCuped(spark, dir).collect()
+    assert(got.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+  }
+}
