@@ -934,6 +934,15 @@ object SparkEntry {
     // Per-token burstiness (variance-to-mean of per-doc counts) for
     // the top-25 corpus tokens — topical-vs-function-word signal.
     "t_burstiness" -> ((s, d) => TextAnalysis.tokenBurstiness(s, d)),
+    // Log-log power-law fit on the bounded quantity spine: ln never
+    // touches per-row data (bit-stable log-regression shape).
+    "q_power_law" -> ((s, d) => Relational.qPowerLaw(s, d)),
+    // All-but-the-top whitening audit: mean + PC1 removed, isotropy
+    // re-measured (rows-only: exact-Gram power iteration).
+    "e_whiten" -> ((s, d) => Similarity.abttWhiten(s, d)),
+    // Curriculum phase manifest: easiest-first global rank, ntile
+    // phases, per-(phase, source) loader manifest.
+    "p_curriculum" -> ((s, d) => Pipeline.curriculum(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
     // SF dir), the query filters one partition — the scan must show
@@ -4867,6 +4876,43 @@ object SparkEntry {
         |    - CAST(tot AS DOUBLE) / ndocs) * 1000000) AS BIGINT)
         |    AS vmr_e6
         |FROM g, nd ORDER BY tot DESC, token ASC""".stripMargin,
+    // Log-log OLS: ln only on the bounded spine's integer means,
+    // e6-quantized per point before the exact integer sums; slope
+    // and intercept are the one double tree.
+    "q_power_law" ->
+      """WITH lvl AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      // count(*) AS BIGINT) AS mean_cents
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT
+        |    CAST(round(ln(CAST(qty AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(mean_cents AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS y FROM lvl),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM p)
+        |SELECT k AS n_levels,
+        |  CASE WHEN k * sxx - sx * sx <> 0 THEN
+        |    CAST(round(CAST(k * sxy - sx * sy AS DOUBLE)
+        |      / (k * sxx - sx * sx) * 1000000) AS BIGINT) END AS slope_e6,
+        |  CASE WHEN k * sxx - sx * sx <> 0 THEN
+        |    CAST(round((CAST(sy AS DOUBLE)
+        |      - CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)
+        |      * sx) / k) AS BIGINT) END AS intercept_e6
+        |FROM f""".stripMargin,
+    // Curriculum phases: standard NTILE over the unique
+    // (n_chars, doc_id) order — identical closed form both sides.
+    "p_curriculum" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    ntile(3) OVER (ORDER BY n_chars, doc_id) AS phase
+        |  FROM documents)
+        |SELECT CAST(phase AS BIGINT) AS phase, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Bloom-skipped scans answer exactly like full scans — the
     // oracle is the plain point-lookup; BloomSkipSpec asserts the
     // footers carry a discriminating filter.

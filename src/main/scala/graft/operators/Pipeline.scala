@@ -753,6 +753,32 @@ object Pipeline {
     * |sources|² pairs (sources are a bounded dimension, never the
     * corpus); totals broadcast. Pairs with zero shared n-grams are
     * absent (the join IS the sparsity). */
+  /** Curriculum-learning phase manifest (Bengio et al. 2009) — the
+    * training ORDER complement of the mixing/packing ops: documents
+    * ranked easiest-first by a difficulty proxy (length; any scored
+    * column slots in) under the unique (n_chars, doc_id) total
+    * order, split into `phases` contiguous NTILE phases, reported
+    * as the per-(phase, source) manifest a loader consumes (counts,
+    * char budget, boundary lengths). The global rank rides
+    * [[Selection.withGlobalRank]]'s range-partitioned pass and the
+    * phase is [[Selection.ntileOfRank]]'s closed form — no
+    * single-reducer window (PlanAuditSpec family); the total count
+    * is a 1-row driver read. */
+  def curriculum(spark: SparkSession, dir: String,
+      phases: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val total = docs.count()
+    Selection.withGlobalRank(docs,
+        Seq(col("n_chars"), col("doc_id")), "rk")
+      .withColumn("nn", lit(total))
+      .withColumn("phase", Selection.ntileOfRank("rk", "nn", phases))
+      .groupBy(col("phase"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("phase"), col("source"))
+  }
+
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val meta = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))

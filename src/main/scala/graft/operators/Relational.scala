@@ -2519,6 +2519,43 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Log–log power-law fit of line price against quantity — the
+    * elasticity-style readout (slope = the power-law exponent; ≈1e6
+    * here since extendedprice scales linearly in quantity). The
+    * bit-stable shape for log regressions at scale: ln NEVER touches
+    * per-row data — rows fold to the BOUNDED quantity spine (≤50
+    * levels) with exact integer floor-div means first, and ln runs
+    * on those ≤50 rows only, e6-quantized per point BEFORE the sums
+    * (50 ln evals can't hit a rounding boundary; 600M would). OLS
+    * from exact integer sufficient statistics; slope/intercept are
+    * the one double tree, e6-rounded. */
+  def qPowerLaw(spark: SparkSession, dir: String): DataFrame = {
+    val lvl = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("qty"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      .select(col("qty"), expr("sc div n").as("mean_cents"))
+    lvl.select(
+      expr("CAST(round(ln(CAST(qty AS DOUBLE)) * 1000000) AS BIGINT)")
+        .as("x"),
+      expr("CAST(round(ln(CAST(mean_cents AS DOUBLE)) * 1000000)" +
+        " AS BIGINT)").as("y"))
+      .groupBy()
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").as("n_levels"),
+        expr("CASE WHEN k * sxx - sx * sx <> 0 THEN" +
+          " CAST(round(CAST(k * sxy - sx * sy AS DOUBLE)" +
+          " / (k * sxx - sx * sx) * 1000000) AS BIGINT) END")
+          .as("slope_e6"),
+        expr("CASE WHEN k * sxx - sx * sx <> 0 THEN" +
+          " CAST(round((CAST(sy AS DOUBLE)" +
+          " - CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)" +
+          " * sx) / k) AS BIGINT) END").as("intercept_e6"))
+  }
+
   /** One-way ANOVA F statistic across event types over daily counts
     * — "do the types differ in level at all?", the omnibus test run
     * before any per-pair [[qMannWhitney]]. Exact integer sufficient

@@ -1355,13 +1355,21 @@ object Similarity {
   def pcaPower(spark: SparkSession, dir: String): DataFrame =
     pcaPowerOf(spark, Tables.embeddings(spark, dir))
 
-  def pcaPowerOf(spark: SparkSession, emb: DataFrame): DataFrame = {
-    import spark.implicits._
-    val d = EmbeddingDim
-    val q = emb.select(
+  /** e16-quantized vectors as bare long arrays — the exact-integer
+    * representation every Gram/eigen pass here consumes. */
+  private def quantizedVecs(emb: DataFrame): DataFrame =
+    emb.select(
       transform(col("embedding"), x =>
         floor(x.cast("double") * lit(65536d) + lit(0.5d)).cast("long"))
         .as("qv"))
+
+  /** Exact centered Gram over quantized rows: (n, integer floor-div
+    * mean, dense symmetric G as doubles — entries are exact integer
+    * sums, so the conversion is reduction-order-free). */
+  private def gramStats(spark: SparkSession, q: DataFrame)
+      : (Long, Array[Long], Array[Array[Double]]) = {
+    import spark.implicits._
+    val d = EmbeddingDim
     val sums = q.select(posexplode(col("qv")).as(Seq("dim", "v")))
       .groupBy(col("dim")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       .collect()
@@ -1391,9 +1399,6 @@ object Similarity {
       while (k < a.length) { a(k) += b(k); k += 1 }
       a
     }
-    // Dense symmetric G in doubles (exact Long → double; entries are
-    // exact integers well below 2^53 relative precision needs here),
-    // fixed-iteration power method.
     val g = Array.ofDim[Double](d, d)
     var k = 0
     var i = 0
@@ -1402,6 +1407,16 @@ object Similarity {
       while (j < d) { g(i)(j) = tri(k).toDouble; g(j)(i) = tri(k).toDouble; j += 1; k += 1 }
       i += 1
     }
+    (n, mean, g)
+  }
+
+  /** Fixed-iteration power method on a dense symmetric matrix:
+    * (top eigenvector under the positive-max-loading sign
+    * convention, its eigenvalue, trace). Driver-side over the d×d
+    * Gram — never data. */
+  private def topEig(g: Array[Array[Double]])
+      : (Array[Double], Double, Double) = {
+    val d = g.length
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var lambda = 0.0
     var it0 = 0
@@ -1423,7 +1438,15 @@ object Similarity {
     // Sign convention: the largest-|loading| dimension is positive.
     val maxDim = v.indices.maxBy(i0 => (math.abs(v(i0)), -i0))
     if (v(maxDim) < 0) v = v.map(x => -x)
-    val trace = (0 until d).map(g2 => g(g2)(g2)).sum
+    val trace = (0 until d).map(i0 => g(i0)(i0)).sum
+    (v, lambda, trace)
+  }
+
+  def pcaPowerOf(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import spark.implicits._
+    val q = quantizedVecs(emb)
+    val (n, _, g) = gramStats(spark, q)
+    val (v, lambda, trace) = topEig(g)
     val topDims = v.indices.sortBy(i0 => (-math.abs(v(i0)), i0)).take(5)
     Seq((n, math.round(lambda / n * 1e4 / 65536.0 / 65536.0),
       math.round(lambda / trace * 1e6),
@@ -1858,6 +1881,47 @@ object Similarity {
         abs(col("s_ref_q") * col("n_cur") - col("s_cur_q") * col("n_ref"))
           .as("shift_x"))
       .orderBy(col("shift_x").desc, col("dim").asc)
+
+  /** All-but-the-top whitening audit (Mu & Viswanath 2018) — the FIX
+    * for what [[isotropyOf]] and `e_pca_power` diagnose: subtract
+    * the mean and project out the top principal direction, then
+    * re-measure. Pass 1 is the exact integer Gram + driver-side
+    * power method of [[pcaPowerOf]]; the whitening map
+    * w = c − (c·v₁)v₁ is applied per row (per-row doubles, no
+    * cross-row accumulation) and RE-QUANTIZED to the e16 grid, so
+    * pass 2's Gram is again exact-integer and reduction-order-free —
+    * the bit-stable rule survives a float transform by re-entering
+    * the integer domain immediately. Readout: PC1 variance share and
+    * mean-vector energy before vs after (after-mean ≤ d from
+    * floor-div rounding; after-share = the old λ₂/trace). Two corpus
+    * passes, d×d driver state, nothing else leaves the executors. */
+  def abttWhiten(spark: SparkSession, dir: String): DataFrame =
+    abttWhitenOf(spark, Tables.embeddings(spark, dir))
+
+  def abttWhitenOf(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import spark.implicits._
+    val d = EmbeddingDim
+    val q1 = quantizedVecs(emb).localCheckpoint(true)
+    val (n, mean1, g1) = gramStats(spark, q1)
+    val (v1, l1, tr1) = topEig(g1)
+    val bM = spark.sparkContext.broadcast(mean1)
+    val bV = spark.sparkContext.broadcast(v1)
+    val q2 = q1.as[Array[Long]].map { row =>
+      val m = bM.value; val v = bV.value
+      var p = 0.0
+      var i = 0
+      while (i < d) { p += (row(i) - m(i)) * v(i); i += 1 }
+      Array.tabulate(d)(j => math.round((row(j) - m(j)) - p * v(j)))
+    }.toDF("qv")
+    val (_, mean2, g2) = gramStats(spark, q2)
+    val (_, l2, tr2) = topEig(g2)
+    def norm2(m: Array[Long]): Long = m.map(x => x * x).sum
+    Seq((n,
+      math.round(l1 / tr1 * 1e6), math.round(l2 / tr2 * 1e6),
+      norm2(mean1), norm2(mean2)))
+      .toDF("n_vectors", "pc1_share_before_e6", "pc1_share_after_e6",
+        "mu_norm2_before_q", "mu_norm2_after_q")
+  }
 
   /** Recall@k curve of a blocking scheme against the exact answer on
     * the bounded query sample, k ∈ `ks` — the operating curve behind

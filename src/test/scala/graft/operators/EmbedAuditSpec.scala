@@ -84,4 +84,26 @@ class EmbedAuditSpec extends AnyFunSuite {
     val lo = Similarity.isotropyOf(sym).collect().head.getLong(3)
     assert(lo < 1000L, lo)
   }
+
+  test("abtt whitening: planted common direction removed, mean zeroed") {
+    // Every vector spreads WIDELY along e0 (0.5·i — PC1 of the
+    // centered Gram is ~e0 and dominates the variance) over a flat
+    // per-vector noise floor; after mean+PC1 removal only the noise
+    // spectrum remains.
+    val rows = (0 until 16).map { i =>
+      val v = Array.fill(D)(0.0f)
+      v(0) = 0.5f * i
+      v(8 + i) = 0.5f
+      (i.toLong, v)
+    }
+    val out = Similarity.abttWhitenOf(spark, frame(rows)).collect().head
+    val (before, after) = (out.getLong(1), out.getLong(2))
+    val (muB, muA) = (out.getLong(3), out.getLong(4))
+    // The jitter variance along e0 plus the mean-heavy direction
+    // dominate pass 1; pass 2 must collapse to the flat noise floor.
+    assert(after < before / 2, s"$before -> $after")
+    // Mean energy: huge before (2·65536² along dim 0 alone), ≤ d + a
+    // rounding margin after (floor-div + per-row re-quantization).
+    assert(muB > 1000000000L && muA <= 4L * D, s"$muB -> $muA")
+  }
 }
