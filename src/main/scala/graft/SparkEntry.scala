@@ -943,6 +943,9 @@ object SparkEntry {
     // Curriculum phase manifest: easiest-first global rank, ntile
     // phases, per-(phase, source) loader manifest.
     "p_curriculum" -> ((s, d) => Pipeline.curriculum(s, d)),
+    // TextRank keywords: integer PageRank over the bounded word
+    // co-occurrence graph (bit-reproducible; unrolled SQL oracle).
+    "t_textrank" -> ((s, d) => TextAnalysis.textRank(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
     // SF dir), the query filters one partition — the scan must show
@@ -1623,7 +1626,13 @@ object SparkEntry {
   /** Integer PageRank unrolled to `iters` SQL iterations — identical
     * integer arithmetic to GraphOps.pageRankInteger, so the match is
     * exact (no float tolerance games). */
-  private def pagerankDetOracleSql(iters: Int = 10): String = {
+  /** Unrolled integer-PageRank oracle over any CTE chain ending in a
+    * symmetrized `sym(src, dst, w)` table — shared by
+    * `g_pagerank_det` and `t_textrank` (one source of truth for the
+    * round arithmetic; a damping/scale change can never desync the
+    * two oracles from [[graft.graph.GraphOps.pageRankInteger]]). */
+  private def integerPagerankOracle(edgeCte: String, iters: Int,
+      finalSelect: String): String = {
     val steps = (0 until iters).map { i =>
       s""",
          |c$i AS MATERIALIZED (SELECT f.dst AS vertex,
@@ -1633,13 +1642,41 @@ object SparkEntry {
          |  CAST(150000 + (coalesce(c.csum, 0) * 17) // 20 AS BIGINT) AS rank
          |  FROM r$i r LEFT JOIN c$i c ON c.vertex = r.vertex)""".stripMargin
     }.mkString
-    s"""WITH $EdgeCte,
+    s"""WITH $edgeCte,
        |wdeg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM sym GROUP BY 1),
        |fr AS MATERIALIZED (SELECT s.src, s.dst, s.w, d.wdeg FROM sym s JOIN wdeg d ON d.src = s.src),
        |r0 AS MATERIALIZED (SELECT DISTINCT src AS vertex, CAST(1000000 AS BIGINT) AS rank FROM sym)""".stripMargin +
       steps +
-      s"\nSELECT vertex, rank AS rank_e6 FROM r$iters ORDER BY vertex"
+      s"\n$finalSelect".replace("RLAST", s"r$iters")
   }
+
+  private def pagerankDetOracleSql(iters: Int = 10): String =
+    integerPagerankOracle(EdgeCte, iters,
+      "SELECT vertex, rank AS rank_e6 FROM RLAST ORDER BY vertex")
+
+  /** t_textrank's word co-occurrence edge CTE + final top-25 select
+    * (vocab width and the window-2 pairing mirror
+    * TextAnalysis.textRank). */
+  private def textrankOracleSql(iters: Int = 10): String =
+    integerPagerankOracle(
+      """toks AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |vocab AS MATERIALIZED (SELECT token FROM (
+        |    SELECT unnest(t) AS token FROM toks) tt
+        |  GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 100),
+        |idx AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks),
+        |pr AS (SELECT t[i] AS a, t[i + 1] AS b FROM idx),
+        |e AS (SELECT least(a, b) AS src, greatest(a, b) AS dst,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM pr WHERE a <> b
+        |    AND a IN (SELECT token FROM vocab)
+        |    AND b IN (SELECT token FROM vocab)
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src, dst, w FROM e
+        |  UNION ALL SELECT dst, src, w FROM e)""".stripMargin,
+      iters,
+      "SELECT vertex AS token, rank AS rank_e6 FROM RLAST" +
+        " ORDER BY rank DESC, vertex ASC LIMIT 25")
 
   /** One source of truth for the bounded embedding query sample: the
     * e_triplet/e_cosine_topk/e_mips/e_range_search oracles
@@ -4901,6 +4938,9 @@ object SparkEntry {
         |      - CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)
         |      * sx) / k) AS BIGINT) END AS intercept_e6
         |FROM f""".stripMargin,
+    // TextRank: the SAME unrolled integer-PageRank rounds as
+    // g_pagerank_det over the word co-occurrence CTE.
+    "t_textrank" -> textrankOracleSql(),
     // Curriculum phases: standard NTILE over the unique
     // (n_chars, doc_id) order — identical closed form both sides.
     "p_curriculum" ->

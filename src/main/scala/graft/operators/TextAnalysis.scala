@@ -1018,6 +1018,51 @@ object TextAnalysis {
           .as("vmr_e6"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — keywords
+    * as the high-centrality vertices of the word co-occurrence
+    * graph, the graph-analytics sibling of [[rake]]'s phrase
+    * heuristic. Vocabulary bounded to the top-`v` corpus tokens
+    * (unique (count DESC, token) selection) so the graph is
+    * dimension-sized regardless of corpus size; edges = ADJACENT
+    * token pairs within a document (window 2), canonical
+    * (least, greatest) with corpus-wide counts as weights; the walk
+    * is [[graft.graph.GraphOps.pageRankInteger]]'s bit-reproducible
+    * integer PageRank — associative-commutative-exact, so the whole
+    * fixpoint is partitioning-independent and the oracle unrolls the
+    * SAME integer rounds in SQL (the g_pagerank_det contract).
+    * Shape: one narrow pair explode (slice+zip, codegen'd — no HOF
+    * lambda), two broadcast vocab semi-joins, then rounds over a
+    * ≤v-vertex graph. */
+  def textRank(spark: SparkSession, dir: String, v: Int = 100,
+      topN: Int = 25): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(TF.tokens(col("text")).as("t"))
+      .localCheckpoint(true)
+    val vocab = toks.select(explode(col("t")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc).limit(v)
+      .select(col("token"))
+      .localCheckpoint(true)
+    val pairs = toks
+      .select(slice(col("t"), lit(1), size(col("t")) - 1).as("xa"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("xb"))
+      .select(explode(arrays_zip(col("xa"), col("xb"))).as("p"))
+      .select(col("p.xa").as("a"), col("p.xb").as("b"))
+      .filter(col("a") =!= col("b"))
+      .join(broadcast(vocab.select(col("token").as("a"))), Seq("a"),
+        "left_semi")
+      .join(broadcast(vocab.select(col("token").as("b"))), Seq("b"),
+        "left_semi")
+    val edges = pairs
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+    graft.graph.GraphOps.pageRankInteger(spark, edges)
+      .select(col("vertex").as("token"), col("rank_e6"))
+      .orderBy(col("rank_e6").desc, col("token").asc)
+      .limit(topN)
+  }
+
   /** Pairwise Jensen–Shannon divergence between per-source token
     * distributions — the symmetric, bounded (≤ ln 2) cross-source
     * divergence matrix beside [[tokenDrift]]'s two-cohort PSI: which

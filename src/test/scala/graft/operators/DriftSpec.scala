@@ -103,4 +103,25 @@ class DriftSpec extends AnyFunSuite {
       ("Y", "Z", 2L, xz)))
     assert(xz > 0L)
   }
+
+  test("textrank: the co-occurrence hub outranks its spokes") {
+    // "hub a hub b hub c": every adjacency involves hub — spokes a/b
+    // sit in two windows (weight 2), the sentence-final c in one
+    // (weight 1). Integer PageRank must rank hub strictly first,
+    // a = b by symmetry, c strictly last, bit-stable across runs.
+    val dir = java.nio.file.Files.createTempDirectory("graft_trank").toString
+    graft.TestFixtures.canonDocs(Seq(
+      (0L, "hub a hub b hub c"), (1L, "hub a hub b hub c"))
+      .toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.textRank(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.length == 4 && got.head._1 == "hub")
+    val byTok = got.toMap
+    assert(byTok("a") == byTok("b"))
+    assert(got.head._2 > byTok("a") && byTok("a") > byTok("c"))
+    val again = TextAnalysis.textRank(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(again == got)
+  }
 }
