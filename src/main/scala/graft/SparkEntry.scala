@@ -946,6 +946,14 @@ object SparkEntry {
     // TextRank keywords: integer PageRank over the bounded word
     // co-occurrence graph (bit-reproducible; unrolled SQL oracle).
     "t_textrank" -> ((s, d) => TextAnalysis.textRank(s, d)),
+    // Nation homophily of the supplier co-purchase graph: Newman's
+    // categorical assortativity from the exact mixing matrix.
+    "g_attr_assortativity" -> ((s, d) =>
+      GraphOps.attrAssortativity(s, GraphBuilder.supplierCoEdges(s, d),
+        Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")))),
+    // Wald-Wolfowitz runs test per event type: randomness of the
+    // daily series around its median (trend/oscillation check).
+    "q_runs_test" -> ((s, d) => Relational.qRunsTest(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
     // SF dir), the query filters one partition — the scan must show
@@ -4941,6 +4949,70 @@ object SparkEntry {
     // TextRank: the SAME unrolled integer-PageRank rounds as
     // g_pagerank_det over the word co-occurrence CTE.
     "t_textrank" -> textrankOracleSql(),
+    // Categorical assortativity: exact mixing matrix over the shared
+    // co-edge CTE, HUGEINT squares, one double tree for r.
+    "g_attr_assortativity" ->
+      s"""WITH $EdgeCte,
+         |lab AS (SELECT s1.s_nationkey AS ca, s2.s_nationkey AS cb
+         |  FROM sym JOIN supplier s1 ON s1.s_suppkey = sym.src
+         |  JOIN supplier s2 ON s2.s_suppkey = sym.dst),
+         |mix AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS mij
+         |  FROM lab GROUP BY 1, 2),
+         |rs AS (SELECT ca, CAST(sum(mij) AS BIGINT) AS rsum
+         |  FROM mix GROUP BY 1),
+         |p AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |    sum(CAST(rsum AS HUGEINT) * rsum) AS prod FROM rs),
+         |f AS (SELECT CAST(sum(mij) AS BIGINT) AS m,
+         |    CAST(sum(CASE WHEN ca = cb THEN mij ELSE 0 END) AS BIGINT)
+         |      AS tr FROM mix)
+         |SELECT m, k AS n_groups,
+         |  CAST(CAST(tr AS HUGEINT) * 1000000 // m AS BIGINT)
+         |    AS same_frac_e6,
+         |  CASE WHEN CAST(m AS DOUBLE) * m - CAST(prod AS DOUBLE) > 0.0
+         |    THEN CAST(round((CAST(tr AS DOUBLE) * m
+         |      - CAST(prod AS DOUBLE)) / (CAST(m AS DOUBLE) * m
+         |      - CAST(prod AS DOUBLE)) * 10000) AS BIGINT) END
+         |    AS attr_assort_e4
+         |FROM f, p""".stripMargin,
+    // Runs test: exact lower-median dichotomy (at-median days drop),
+    // lag-transition run count, the one z double tree e4-rounded.
+    "q_runs_test" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, c AS med FROM (
+        |    SELECT event_type, c, day,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY c, day) AS rk,
+        |      count(*) OVER (PARTITION BY event_type) AS nn FROM d) t
+        |  WHERE rk = (nn + 1) // 2),
+        |kept AS (SELECT d.event_type, day,
+        |    CASE WHEN c > med THEN 1 ELSE 0 END AS b
+        |  FROM d JOIN med USING (event_type) WHERE c <> med),
+        |lagd AS (SELECT event_type, b, lag(b) OVER (
+        |    PARTITION BY event_type ORDER BY day) AS pb FROM kept),
+        |f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(b) AS BIGINT) AS n1,
+        |    CAST(sum(1 - b) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN pb IS NULL OR pb <> b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM lagd GROUP BY 1)
+        |SELECT event_type, n1, n2, r,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n > 1
+        |      AND (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |          - CAST(n AS DOUBLE)))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          * (CAST(n AS DOUBLE) - 1.0)) > 0.0 THEN
+        |    CAST(round((CAST(r AS DOUBLE)
+        |      - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        / CAST(n AS DOUBLE) + 1.0))
+        |      / sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |          - CAST(n AS DOUBLE)))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          * (CAST(n AS DOUBLE) - 1.0))) * 10000) AS BIGINT) END
+        |    AS z_e4
+        |FROM f ORDER BY event_type""".stripMargin,
     // Curriculum phases: standard NTILE over the unique
     // (n_chars, doc_id) order — identical closed form both sides.
     "p_curriculum" ->

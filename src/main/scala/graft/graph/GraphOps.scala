@@ -735,6 +735,45 @@ object GraphOps {
           .as("assortativity_e4"))
   }
 
+  /** Categorical (attribute) assortativity — Newman's r over a vertex
+    * label instead of degree: do edges preferentially connect
+    * same-category endpoints (homophily, r → 1) or cross-category
+    * (r < 0)? From the mixing matrix M over directed edge ends:
+    * r = (tr(M)·m − Σ rowsum²) / (m² − Σ rowsum²), exact integers
+    * throughout (rowsum² and m² on DECIMAL(38) — they square the
+    * edge count), the ratio the one double tree e4-rounded, NULL
+    * when one category holds every edge end (degenerate denominator).
+    * Shape: two broadcast label joins onto the edge stream, a
+    * |categories|²-bounded mixing aggregation, 1-row fold. */
+  def attrAssortativity(spark: SparkSession, edges: DataFrame,
+      attrs: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e = edges.select(col("src"), col("dst"))
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val a = attrs.toDF("src", "ca")
+    val b = attrs.toDF("dst", "cb")
+    val mix = sym.join(broadcast(a), Seq("src"))
+      .join(broadcast(b), Seq("dst"))
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("mij"))
+      .localCheckpoint(true)
+    val rows = mix.groupBy(col("ca")).agg(sum(col("mij")).as("rs"))
+      .agg(count(lit(1)).as("k"),
+        sum((col("rs") * col("rs")).cast(d38)).as("prod"))
+    mix.groupBy()
+      .agg(sum(col("mij")).as("m"),
+        sum(when(col("ca") === col("cb"), col("mij")).otherwise(0L))
+          .as("tr"))
+      .crossJoin(broadcast(rows))
+      .select(col("m"), col("k").as("n_groups"),
+        expr(s"CAST(CAST(tr AS $d38) * 1000000 div m AS BIGINT)")
+          .as("same_frac_e6"),
+        expr("CASE WHEN CAST(m AS DOUBLE) * m - CAST(prod AS DOUBLE)" +
+          " > 0.0 THEN CAST(round((CAST(tr AS DOUBLE) * m" +
+          " - CAST(prod AS DOUBLE)) / (CAST(m AS DOUBLE) * m" +
+          " - CAST(prod AS DOUBLE)) * 10000) AS BIGINT) END")
+          .as("attr_assort_e4"))
+  }
+
   /** Unweighted shortest hop distances from every vertex to a set of
     * landmark vertices (GraphX Pregel `ShortestPaths`). Landmarks
     * default to the three smallest vertex ids — deterministic without

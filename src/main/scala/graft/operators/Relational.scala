@@ -2519,6 +2519,51 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Wald–Wolfowitz runs test per event type — "is the daily series
+    * RANDOM around its level, or does it trend/oscillate?": days
+    * dichotomized against the exact LOWER median (the qMadOutliers
+    * discrete convention; days AT the median drop, the classical
+    * treatment), runs counted by lag transitions over the
+    * calendar-bounded per-type day grid. Counts are exact integers;
+    * z = (R − (2n₁n₂/n + 1)) / σ is the one double tree e4-rounded,
+    * NULL when a side is empty or n < 2. Too FEW runs ⇒ trending
+    * (the q_cusum/q_changepoint family's model check), too many ⇒
+    * oscillation. */
+  def qRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("event_type"))
+    val med = d
+      .withColumn("rk", row_number().over(
+        wc.orderBy(col("c"), col("day"))))
+      .withColumn("nn", count(lit(1)).over(wc))
+      .filter(col("rk") === expr("(nn + 1) div 2"))
+      .select(col("event_type"), col("c").as("med"))
+    val kept = d.join(broadcast(med), Seq("event_type"))
+      .filter(col("c") =!= col("med"))
+      .withColumn("b", (col("c") > col("med")).cast("long"))
+    val runs = kept
+      .withColumn("pb", lag(col("b"), 1).over(wc.orderBy(col("day"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("b")).as("n1"),
+        sum(lit(1L) - col("b")).as("n2"),
+        (sum(when(col("pb").isNull || col("pb") =!= col("b"), 1L)
+          .otherwise(0L))).as("r"))
+    def dbl(c: String) = col(c).cast("double")
+    val mu = lit(2.0) * dbl("n1") * dbl("n2") / dbl("n") + lit(1.0)
+    val sig2 = (lit(2.0) * dbl("n1") * dbl("n2") *
+      (lit(2.0) * dbl("n1") * dbl("n2") - dbl("n"))) /
+      (dbl("n") * dbl("n") * (dbl("n") - lit(1.0)))
+    runs.select(col("event_type"), col("n1"), col("n2"), col("r"),
+      when(col("n1") > 0L && col("n2") > 0L && col("n") > 1L &&
+          sig2 > 0.0,
+        round((dbl("r") - mu) / sqrt(sig2) * 1e4).cast("long"))
+        .as("z_e4"))
+      .orderBy(col("event_type"))
+  }
+
   /** Log–log power-law fit of line price against quantity — the
     * elasticity-style readout (slope = the power-law exponent; ≈1e6
     * here since extendedprice scales linearly in quantity). The

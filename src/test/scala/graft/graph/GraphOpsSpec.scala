@@ -565,6 +565,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ok == Map(1L -> 1003906L, 2L -> 1007812L, 3L -> 1003906L))
   }
 
+  test("attr assortativity: pure homophily 1, pure heterophily -1") {
+    // Two same-category edges (cat by parity): tr = m, r = +1e4.
+    val attrs = Seq((0L, 0L), (2L, 0L), (1L, 1L), (3L, 1L))
+      .toDF("v", "cat")
+    val homo = edgesDf((0L, 2L, 1.0), (1L, 3L, 1.0))
+    val rH = GraphOps.attrAssortativity(spark, homo, attrs).collect().head
+    assert((rH.getLong(0), rH.getLong(1), rH.getLong(2), rH.getLong(3))
+      == ((4L, 2L, 1000000L, 10000L)))
+    // Bipartite cross-category: tr = 0, r = −1e4.
+    val cross = edgesDf((0L, 1L, 1.0), (2L, 3L, 1.0))
+    val rC = GraphOps.attrAssortativity(spark, cross, attrs).collect().head
+    assert((rC.getLong(2), rC.getLong(3)) == ((0L, -10000L)))
+    // One category holding every edge end → degenerate NULL.
+    val one = GraphOps.attrAssortativity(spark, homo,
+      Seq((0L, 7L), (1L, 7L), (2L, 7L), (3L, 7L)).toDF("v", "cat"))
+      .collect().head
+    assert(one.getLong(2) == 1000000L && one.isNullAt(3))
+  }
+
   test("canonicalEdges dedupes direction and sums weights") {
     val raw = Seq((2L, 1L, 1.0), (1L, 2L, 2.0), (3L, 3L, 9.0), (1L, 3L, 1.0))
       .toDF("a", "b", "w")

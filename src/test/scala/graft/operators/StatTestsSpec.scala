@@ -88,6 +88,22 @@ class StatTestsSpec extends AnyFunSuite {
       == (("a", 10L, 2000000L)))
   }
 
+  test("runs test: oscillation scores high, monotone trend low") {
+    // counts 1,10,2,20,3,30 → med 3 drops one day; kept b =
+    // 0,1,0,1,1 → r = 4, n1 = 3, n2 = 2, z = +0.6547.
+    val osc = plantEvents(Seq(("a", 0, 1), ("a", 1, 10), ("a", 2, 2),
+      ("a", 3, 20), ("a", 4, 3), ("a", 5, 30)))
+    val rO = Relational.qRunsTest(spark, osc).collect().head
+    assert((rO.getLong(1), rO.getLong(2), rO.getLong(3), rO.getLong(4))
+      == ((3L, 2L, 4L, 6547L)))
+    // counts 1..6 → med 3 drops one day; kept b = 0,0,1,1,1 →
+    // r = 2 (too FEW runs = trend), z = −1.5275.
+    val mono = plantEvents((0 to 5).map(d => ("a", d, d + 1)))
+    val rM = Relational.qRunsTest(spark, mono).collect().head
+    assert((rM.getLong(1), rM.getLong(2), rM.getLong(3), rM.getLong(4))
+      == ((3L, 2L, 2L, -15275L)))
+  }
+
   test("cuped: hand-computed theta and adjusted means") {
     // pre (day 0) / post (day 20) cents per user:
     //   arm 0: (100, 110), (300, 310); arm 1: (200, 230), (400, 430).
