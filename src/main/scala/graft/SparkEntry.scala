@@ -954,6 +954,9 @@ object SparkEntry {
     // Wald-Wolfowitz runs test per event type: randomness of the
     // daily series around its median (trend/oscillation check).
     "q_runs_test" -> ((s, d) => Relational.qRunsTest(s, d)),
+    // Deequ-style constraint audit: PK uniqueness, FK orphans,
+    // null/range/accepted-values rules, one pass per table.
+    "q_dq_audit" -> ((s, d) => Relational.qDqAudit(s, d)),
     // Partitioned parquet write + partition-pruned read under the
     // oracle: events land partitioned by event_type (write once per
     // SF dir), the query filters one partition — the scan must show
@@ -4974,6 +4977,45 @@ object SparkEntry {
          |      - CAST(prod AS DOUBLE)) * 10000) AS BIGINT) END
          |    AS attr_assort_e4
          |FROM f, p""".stripMargin,
+    // DQ audit: each check restated as the same conditional
+    // aggregation / anti-join count; clean data = zero violations.
+    "q_dq_audit" ->
+      """SELECT 'fk_orphans' AS check_name,
+        |    'lineitem.l_orderkey->orders' AS target,
+        |    CAST(NULL AS BIGINT) AS n_checked,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |        WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+        |UNION ALL
+        |SELECT 'fk_orphans', 'orders.o_custkey->customer',
+        |    CAST(NULL AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |      WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |        WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'pk_unique', 'customer.c_custkey',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer),
+        |    (SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+        |      FROM customer)
+        |UNION ALL
+        |SELECT 'pk_unique', 'orders.o_orderkey',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |      FROM orders)
+        |UNION ALL
+        |SELECT 'row_rules', 'lineitem',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |        OR l_extendedprice IS NULL OR l_extendedprice < 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+        |UNION ALL
+        |SELECT 'row_rules', 'orders',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(sum(CASE WHEN o_totalprice IS NULL
+        |        OR o_totalprice <= 0
+        |        OR o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+        |ORDER BY 1, 2""".stripMargin,
     // Runs test: exact lower-median dichotomy (at-median days drop),
     // lag-transition run count, the one z double tree e4-rounded.
     "q_runs_test" ->

@@ -2519,6 +2519,57 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Data-quality constraint audit — the Deequ-style contract check a
+    * pipeline runs BEFORE trusting a new drop: primary-key
+    * uniqueness, referential integrity (FK orphans via broadcast
+    * anti-join against the smaller side's key set), NOT NULL,
+    * accepted-values and range constraints, each as ONE map-side-
+    * combinable conditional aggregation per table (never a scan per
+    * check — the q_funnel one-pass rule); orphan checks are
+    * left_anti joins that broadcast the key dimension. Output: one
+    * row per check with rows checked and violations — all-zero
+    * violations IS the contract on clean data (the planted-dirty
+    * spec proves each check actually fires). */
+  def qDqAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    def one(check: String, target: String, df: DataFrame,
+        checked: Column, viol: Column): DataFrame =
+      df.agg(checked.as("n_checked"), viol.as("n_violations"))
+        .select(lit(check).as("check_name"), lit(target).as("target"),
+          col("n_checked"), col("n_violations"))
+    val pkOrders = one("pk_unique", "orders.o_orderkey", ord,
+      count(lit(1)), count(lit(1)) - count_distinct(col("o_orderkey")))
+    val pkCust = one("pk_unique", "customer.c_custkey", cust,
+      count(lit(1)), count(lit(1)) - count_distinct(col("c_custkey")))
+    val fkOrders = one("fk_orphans", "orders.o_custkey->customer",
+      ord.join(broadcast(cust.select(col("c_custkey").as("o_custkey"))),
+        Seq("o_custkey"), "left_anti"),
+      count(lit(1)), count(lit(1)))
+      .select(col("check_name"), col("target"),
+        lit(null).cast("long").as("n_checked"), col("n_violations"))
+    val fkLi = one("fk_orphans", "lineitem.l_orderkey->orders",
+      li.select(col("l_orderkey"))
+        .join(ord.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti"),
+      count(lit(1)), count(lit(1)))
+      .select(col("check_name"), col("target"),
+        lit(null).cast("long").as("n_checked"), col("n_violations"))
+    val ordScan = one("row_rules", "orders", ord, count(lit(1)),
+      sum(when(col("o_totalprice").isNull ||
+        col("o_totalprice") <= 0.0 ||
+        !col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)))
+    val liScan = one("row_rules", "lineitem", li, count(lit(1)),
+      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0 ||
+        col("l_extendedprice").isNull ||
+        col("l_extendedprice") < 0.0, 1L).otherwise(0L)))
+    Seq(pkOrders, pkCust, fkOrders, fkLi, ordScan, liScan)
+      .reduce(_ unionAll _)
+      .orderBy(col("check_name"), col("target"))
+  }
+
   /** Wald–Wolfowitz runs test per event type — "is the daily series
     * RANDOM around its level, or does it trend/oscillate?": days
     * dichotomized against the exact LOWER median (the qMadOutliers

@@ -152,6 +152,28 @@ class StatTestsSpec extends AnyFunSuite {
       ("b", 1L, 1L, 1L, 500000L)))
   }
 
+  test("dq audit: every planted violation class fires exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    Seq(1L, 2L).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, 5.0, "O"), (10L, 2L, 6.0, "F"),
+      (11L, 99L, -2.0, "X"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1.0, Some(10.0)), (99L, 99.0, None), (11L, 0.0, Some(5.0)))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.qDqAudit(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("pk_unique", "orders.o_orderkey")) == ((3L, 1L)))
+    assert(got(("pk_unique", "customer.c_custkey")) == ((2L, 0L)))
+    assert(got(("fk_orphans", "orders.o_custkey->customer"))._2 == 1L)
+    assert(got(("fk_orphans", "lineitem.l_orderkey->orders"))._2 == 1L)
+    assert(got(("row_rules", "orders")) == ((3L, 1L)))
+    assert(got(("row_rules", "lineitem")) == ((3L, 2L)))
+  }
+
   test("cuped: zero pre-variance guards to NULL") {
     val dir = plantEvents(Nil, Seq(
       (0L, 0, 1.00), (0L, 20, 1.10), (1L, 0, 1.00), (1L, 20, 2.30)))
