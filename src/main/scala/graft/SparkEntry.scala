@@ -1131,6 +1131,9 @@ object SparkEntry {
     "s_stream_agg" -> ((s, d) => graft.streaming.StreamingOps.streamHourlyAgg(s, d)),
     "s_stream_watermark" -> ((s, d) => graft.streaming.StreamingOps.streamWatermarkedAgg(s, d)),
     "s_stream_anomaly" -> ((s, d) => graft.streaming.StreamingOps.streamAnomaly(s, d)),
+    // Streaming CUSUM: watermarked day counts in append mode, the
+    // q_cusum prefix scan on the finalized-window readout.
+    "s_stream_cusum" -> ((s, d) => graft.streaming.StreamingOps.streamCusum(s, d)),
     "s_stream_join" -> ((s, d) => graft.streaming.StreamingOps.streamStreamJoin(s, d)),
     "s_stream_static_join" -> ((s, d) =>
       graft.streaming.StreamingOps.streamStaticJoin(s, d)),
@@ -5984,6 +5987,35 @@ object SparkEntry {
         |SELECT hour, event_type, n, sum_value FROM agg, wm
         |WHERE epoch_ms(hour) + 3600000 <= wm_ms
         |ORDER BY hour, event_type""".stripMargin,
+    // Watermark-emitted DAY set (the s_stream_watermark arithmetic
+    // at day granularity) + q_cusum's exact-integer prefix scan.
+    "s_stream_cusum" ->
+      """WITH wm AS (
+        |  SELECT epoch_ns(max(ts)) // 1000000 - 3600000 AS wm_ms FROM events),
+        |agg AS (
+        |  SELECT date_trunc('day', ts) AS d0, event_type,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |em AS (
+        |  SELECT CAST(d0 AS DATE) AS day, event_type, x FROM agg, wm
+        |  WHERE epoch_ms(d0) + 86400000 <= wm_ms),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS dd,
+        |    CAST(sum(x) AS BIGINT) AS sx FROM em GROUP BY 1),
+        |c AS (SELECT day, em.event_type, x, dd, sx,
+        |    CAST(sum(dd * x - sx) OVER w AS BIGINT) AS cum
+        |  FROM em JOIN s USING (event_type)
+        |  WINDOW w AS (PARTITION BY em.event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cs AS (SELECT day, event_type, x, dd,
+        |    cum - min(cum) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cusum DESC, day) AS rk FROM cs)
+        |SELECT event_type, day AS peak_day, x AS peak_x,
+        |  CAST(cusum AS BIGINT) AS peak_cusum_num, dd AS n_days
+        |FROM r WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
     // Watermark-emitted window set (the s_stream_watermark
     // arithmetic) + the division-free integer z² > 4 comparison.
     "s_stream_anomaly" ->

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Structured Streaming operators (SURVEY §2 row 35).
   *
@@ -520,6 +521,58 @@ object StreamingOps {
     * verdict has no float path and is engine-identical. At scale the
     * streaming agg has already reduced the stream to bounded
     * (hour, type) rows; the σ layer is a tiny broadcast join. */
+  /** Streaming CUSUM changepoint monitor — the batch `q_cusum` drift
+    * locator GONE LIVE, completing the online-monitor family next to
+    * [[streamDrift]] (distribution shift) and [[streamAnomaly]]
+    * (point outliers): the streaming side is ONLY a watermarked
+    * per-(day window, type) count in APPEND mode (incrementally
+    * maintained, map-side combinable; the 1 h watermark withholds
+    * the still-open trailing day, so the scan never reads a partial
+    * point — the online semantics that make this differ from
+    * q_cusum's all-days answer), and the CUSUM prefix scan runs on
+    * the bounded emitted readout (days × types) — the streamTopK
+    * convention: heavy analytics on the finalized window table,
+    * never in stream state. Emitted set = day windows with
+    * end_ms ≤ watermark (the s_stream_watermark arithmetic); all
+    * CUSUM algebra is q_cusum's exact-integer form. */
+  def streamCusum(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
+    val agg = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", graft.Tables.eventsTsCol(rawSchema))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("x"))
+    val name = "graft_stream_cusum"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val em = spark.table(name).localCheckpoint(true)
+    val s = em.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("dd"), sum(col("x")).as("sx"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = em.join(broadcast(s), Seq("event_type"))
+      .withColumn("cum", sum(col("dd") * col("x") - col("sx")).over(wOrd))
+      .withColumn("cusum", col("cum") - min(col("cum")).over(wOrd))
+    c.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("cusum").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("peak_day"),
+        col("x").as("peak_x"), col("cusum").as("peak_cusum_num"),
+        col("dd").as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
   def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val agg = watermarkedAggPlan(spark, dir)
     val name = "graft_stream_anomaly"

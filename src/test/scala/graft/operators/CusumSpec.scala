@@ -94,4 +94,30 @@ class CusumSpec extends AnyFunSuite {
     val epoch = java.time.LocalDate.ofEpochDay(472222L * 3600L / 86400L)
     assert(out.head._2 == epoch.toString)
   }
+
+  test("stream cusum withholds the open trailing day and scans the rest") {
+    // Day-aligned plant: days 0–2 carry 2, 2, 8 events; day 3 has one
+    // event at 02:00, putting the watermark at day3 01:00 — day 2's
+    // window (end = day3 00:00) finalizes, day 3 stays open and MUST
+    // NOT enter the scan. CUSUM over (2,2,8): terms −6,−6,+12 →
+    // cusum 0,0,12 → peak day 2, n_days = 3 (not 4 — the online
+    // semantics that distinguish this from batch q_cusum).
+    val base = 19700L * 86400L
+    val rows = (Seq((0, 2), (1, 2), (2, 8)).flatMap { case (d, n) =>
+      (0 until n).map(j =>
+        (d * 100L + j, 1L, "a", 1.0, (base + d * 86400L + j) * 1_000_000_000L))
+    }) :+ (999L, 1L, "a", 1.0, (base + 3 * 86400L + 7200L) * 1_000_000_000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scusum").toString
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val out = graft.streaming.StreamingOps.streamCusum(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val peakDay = java.time.LocalDate.ofEpochDay(19700L + 2).toString
+    assert(out.toSeq == Seq(("a", peakDay, 8L, 12L, 3L)))
+  }
 }
