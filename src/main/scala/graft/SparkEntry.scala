@@ -442,6 +442,9 @@ object SparkEntry {
     "q_new_vs_returning" -> ((s, d) => Relational.qNewVsReturning(s, d)),
     "q_stickiness" -> ((s, d) => Relational.qStickiness(s, d)),
     "q_holt_forecast" -> ((s, d) => Relational.qHoltForecast(s, d)),
+    // Holt-Winters additive weekly-seasonal forecast, exact e6
+    // integer recursion (floorDiv both sides).
+    "q_holt_winters" -> ((s, d) => Relational.qHoltWinters(s, d)),
     "q_top_movers" -> ((s, d) => Relational.qTopMovers(s, d)),
     // Diurnal profile: (hour-of-day, type) counts over the bounded
     // 24 x |types| grid, peak hour flagged by the unique
@@ -1549,6 +1552,68 @@ object SparkEntry {
          |ORDER BY s.event_type""".stripMargin
   }
 
+  /** Holt–Winters (additive, m = 7) unrolled — the holtOracleSql
+    * pattern with the 7 seasonal slots carried as columns c0..c6;
+    * step t updates only slot (t−1) mod 7 (known at generation
+    * time), missing ranks hold all state, `//` floors exactly like
+    * the Scala fold's Math.floorDiv. */
+  private def holtWintersOracleSql(
+      rounds: Int = operators.Relational.HoltOracleRounds): String = {
+    val m = 7
+    val cs = (0 until m).map(i => s"c$i")
+    val steps = (m + 1 to rounds).map { t =>
+      val slot = (t - 1) % m
+      val lNew = s"(3 * (r.x * 1000000 - s.c$slot) + 7 * (s.l + s.b)) // 10"
+      val cCols = cs.map { c =>
+        if (c == s"c$slot")
+          s"""CASE WHEN r.x IS NULL THEN s.$c
+             |    ELSE (2 * (r.x * 1000000 - ($lNew)) + 8 * s.$c) // 10 END
+             |    AS $c""".stripMargin
+        else s"s.$c AS $c"
+      }.mkString(",\n  ")
+      s""",
+         |s$t AS MATERIALIZED (SELECT s.event_type,
+         |  CASE WHEN r.x IS NULL THEN s.l ELSE $lNew END AS l,
+         |  CASE WHEN r.x IS NULL THEN s.b
+         |    ELSE ($lNew - s.l + 9 * s.b) // 10 END AS b,
+         |  $cCols
+         |  FROM s${t - 1} s LEFT JOIN r
+         |    ON r.event_type = s.event_type AND r.rk = $t)""".stripMargin
+    }.mkString
+    val initCs = (1 to m).map { rk =>
+      s"CAST(max(CASE WHEN r.rk = $rk THEN r.x END) * 1000000 - i.l" +
+        s" AS BIGINT) AS c${rk - 1}"
+    }.mkString(",\n    ")
+    def fCase(h: Int) = {
+      val whens = (0 until m).map(sl =>
+        s"WHEN ${sl} THEN s.c$sl").mkString(" ")
+      s"CAST(s.l + $h * s.b + (CASE (n.n_days + ${h - 1}) % $m $whens END)" +
+        s" AS BIGINT) AS f${h}_e6"
+    }
+    s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk
+       |  FROM d),
+       |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+       |  FROM d GROUP BY 1),
+       |i AS (SELECT event_type, CAST(sum(x) * 1000000 // $m AS BIGINT) AS l
+       |  FROM r WHERE rk <= $m GROUP BY 1),
+       |s$m AS (SELECT i.event_type, i.l, CAST(0 AS BIGINT) AS b,
+       |    $initCs
+       |  FROM i JOIN r ON r.event_type = i.event_type AND r.rk <= $m
+       |  GROUP BY i.event_type, i.l)""".stripMargin +
+      steps +
+      s"""
+         |SELECT s.event_type, n.n_days, CAST(s.l AS BIGINT) AS level_e6,
+         |  CAST(s.b AS BIGINT) AS trend_e6,
+         |  ${fCase(1)},
+         |  ${fCase(2)},
+         |  ${fCase(3)}
+         |FROM s$rounds s JOIN n ON n.event_type = s.event_type
+         |ORDER BY s.event_type""".stripMargin
+  }
+
   /** Shifted-Laplacian power iteration unrolled — identical integer
     * matvec, mean deflation and max-renormalization per round over
     * the strong-tie subgraph (// ≡ div, both truncate). */
@@ -1984,6 +2049,7 @@ object SparkEntry {
     "g_walk_pmi" -> walkPmiOracleSql(),
     "g_densest" -> densestOracleSql(),
     "q_holt_forecast" -> holtOracleSql(),
+    "q_holt_winters" -> holtWintersOracleSql(),
     "g_spectral_cut" -> spectralOracleSql(),
     // Identical two-way degree join over the strong-tie sym stream.
     "g_neighbor_agg" ->

@@ -2163,6 +2163,53 @@ object Relational {
       "f1_e6", "f2_e6", "f3_e6").orderBy(col("event_type"))
   }
 
+  /** Holt–Winters additive seasonal forecast (weekly season m = 7) —
+    * [[qHoltForecast]]'s seasonal completion: level/trend/seasonal
+    * recursion in EXACT e6 integer arithmetic (α=.3, β=.1, γ=.2 as
+    * /10 integer divisions — plain Scala `/` TRUNCATES toward zero
+    * exactly like DuckDB's integer `//` and Spark SQL's `div`, which
+    * matters on the negative trend/seasonal terms; Math.floorDiv
+    * would diverge — the spectral-oracle "// ≡ div, both truncate"
+    * rule). Init: level = first-week
+    * integer mean, seasonals = first-week deviations, trend 0; the
+    * oracle unrolls the identical recursion with the 7 seasonal
+    * slots as columns (only rank t's slot updates at step t).
+    * Forecast f_h = l + h·b + s[(n+h−1) mod 7]. The day grid is
+    * calendar-bounded and driver-folded (the qHoltForecast shape);
+    * spans outside [7, HoltOracleRounds] fail loudly rather than
+    * silently desync the unroll. */
+  def qHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 7
+    val grid = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+      .orderBy(col("event_type"), col("day"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val out = grid.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val xs = rows.map(_._2)
+      require(xs.length >= m && xs.length <= HoltOracleRounds,
+        s"holt-winters: '$t' spans ${xs.length} days outside " +
+        s"[$m, $HoltOracleRounds] — the oracle unroll no longer matches")
+      var l = xs.take(m).sum * 1000000L / m
+      val s = Array.tabulate(m)(i => xs(i) * 1000000L - l)
+      var b = 0L
+      xs.zipWithIndex.drop(m).foreach { case (x, idx) =>
+        val slot = idx % m
+        val lPrev = l
+        l = (3L * (x * 1000000L - s(slot)) + 7L * (l + b)) / 10L
+        b = (l - lPrev + 9L * b) / 10L
+        s(slot) = (2L * (x * 1000000L - l) + 8L * s(slot)) / 10L
+      }
+      val n = xs.length
+      def f(h: Int) = l + h * b + s((n + h - 1) % m)
+      (t, n.toLong, l, b, f(1), f(2), f(3))
+    }
+    out.toDF("event_type", "n_days", "level_e6", "trend_e6",
+      "f1_e6", "f2_e6", "f3_e6").orderBy(col("event_type"))
+  }
+
   /** Period-over-period movers — first-half vs second-half event
     * volumes per type with exact integer deltas and e4 relative
     * change (the "what changed this period" BI readout). The split

@@ -95,6 +95,29 @@ class CusumSpec extends AnyFunSuite {
     assert(out.head._2 == epoch.toString)
   }
 
+  test("holt-winters: a perfectly weekly series is an exact fixpoint") {
+    // Two weeks of (1..7): init level = 4e6 (28·1e6/7), seasonals
+    // x·1e6 − l. Week 2 reproduces the pattern exactly, so every
+    // update is an integer fixpoint (10l//10 = l, (2s+8s)//10 = s):
+    // trend 0, forecasts = the continuing pattern 1, 2, 3.
+    val counts = (0 until 14).map(d => ("w", d, d % 7 + 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hw").toString
+    val base = 472222L * 3600L
+    counts.flatMap { case (t, d, n) =>
+      (0 until n).map(j =>
+        (d * 1000L + j, 1L, t, 1.0, (base + d * 86400L + j) * 1_000_000_000L))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val r = Relational.qHoltWinters(spark, dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) ==
+      ((14L, 4000000L, 0L, 1000000L, 2000000L, 3000000L)))
+  }
+
   test("stream cusum withholds the open trailing day and scans the rest") {
     // Day-aligned plant: days 0–2 carry 2, 2, 8 events; day 3 has one
     // event at 02:00, putting the watermark at day3 01:00 — day 2's
