@@ -934,6 +934,11 @@ object SparkEntry {
     // One-way ANOVA omnibus F across event types (per-group terms
     // e6-floored before the cross-group fold — bit-stable rule).
     "q_anova" -> ((s, d) => Relational.qAnova(s, d)),
+    // Sample-ratio-mismatch guardrail: chi-square of arm counts vs
+    // 50/50, integer cross-multiplied verdict.
+    "q_srm" -> ((s, d) => Relational.qSrm(s, d)),
+    // Day-of-week seasonality strength (eta-squared) per event type.
+    "q_seasonality" -> ((s, d) => Relational.qSeasonality(s, d)),
     // Per-token burstiness (variance-to-mean of per-doc counts) for
     // the top-25 corpus tokens — topical-vs-function-word signal.
     "t_burstiness" -> ((s, d) => TextAnalysis.tokenBurstiness(s, d)),
@@ -5046,6 +5051,46 @@ object SparkEntry {
          |      - CAST(prod AS DOUBLE)) * 10000) AS BIGINT) END
          |    AS attr_assort_e4
          |FROM f, p""".stripMargin,
+    // SRM: exact integer chi-square numerator, one double division,
+    // integer cross-multiplied 3.8415 verdict.
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |f AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b FROM u)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a + n_b > 0 THEN
+        |    CAST(round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |      / (n_a + n_b) * 10000) AS BIGINT) END AS chi2_e4,
+        |  CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 100000
+        |    > 384150 * (n_a + n_b) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS srm_flag
+        |FROM f""".stripMargin,
+    // Seasonality strength: the q_anova floored-term convention with
+    // weekday groups (isodow-1 = Spark weekday, both 0=Monday);
+    // eta2 = SSB/SST one double tree.
+    "q_seasonality" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, isodow(day) - 1 AS dow,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |    sum(x * x) AS ss,
+        |    CAST(sum(x) AS HUGEINT) * sum(x) * 1000000 // count(*)
+        |      AS sbq
+        |  FROM d GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+        |    sum(ss) AS ss, sum(sbq) AS sbq FROM g GROUP BY 1)
+        |SELECT event_type, n AS n_days, k AS n_dows,
+        |  CASE WHEN CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * s / n > 0.0 THEN
+        |    CAST(round((CAST(sbq AS DOUBLE) / 1000000
+        |      - CAST(s AS DOUBLE) * s / n)
+        |      / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |      * 1000000) AS BIGINT) END AS eta2_e6
+        |FROM t ORDER BY event_type""".stripMargin,
     // DQ audit: each check restated as the same conditional
     // aggregation / anti-join count; clean data = zero violations.
     "q_dq_audit" ->

@@ -2699,6 +2699,65 @@ object Relational {
           " * sx) / k) AS BIGINT) END").as("intercept_e6"))
   }
 
+  /** Sample-ratio-mismatch guardrail — the FIRST check of any A/B
+    * readout ([[qCuped]]/[[qAbLift]] are meaningless if assignment
+    * itself is broken): χ² (1 df) of the observed arm split against
+    * the designed 50/50, χ² = (n_a − n_b)²/(n_a + n_b) — exact
+    * integer numerator, one double division e4-rounded, and the
+    * verdict at the 0.05 critical value 3.8415 stated as the exact
+    * integer cross-multiplication (n_a−n_b)²·10⁵ > 384150·(n_a+n_b)
+    * (no float in the flag). One distinct-user aggregation. */
+  def qSrm(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .select(pmod(col("user_id"), lit(2L)).as("arm"))
+      .groupBy()
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("CASE WHEN n_a + n_b > 0 THEN" +
+          " CAST(round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)" +
+          " / (n_a + n_b) * 10000) AS BIGINT) END").as("chi2_e4"),
+        expr("CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 100000" +
+          " > 384150 * (n_a + n_b) THEN 1 ELSE 0 END AS BIGINT)")
+          .as("srm_flag"))
+  }
+
+  /** Day-of-week seasonality strength per event type — η² (variance
+    * explained by weekday) of the daily count series: the diagnostic
+    * read before reaching for [[qHoltWinters]]' seasonal model
+    * (η² ≈ 0 ⇒ plain Holt suffices). Same exact sufficient-statistic
+    * shape as [[qAnova]] with weekday groups: per-(type, dow) s²·1e6
+    * floor-divided BEFORE the cross-group fold (order-free
+    * reduction), squares on DECIMAL(38); η² = SSB/SST is the one
+    * double tree e6-rounded, zero total variance guards to NULL.
+    * Weekday = Spark `weekday` ≡ DuckDB isodow−1 (both 0=Monday). */
+  def qSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+    val g = d
+      .withColumn("dow", weekday(col("day")).cast("long"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum((col("x") * col("x")).cast(d38)).as("ss"))
+      .withColumn("sbq", expr(s"CAST(s AS $d38) * s * 1000000 div n"))
+    g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("n"),
+        sum(col("s")).as("s"), sum(col("ss")).as("ss"),
+        sum(col("sbq")).as("sbq"))
+      .select(col("event_type"), col("n").as("n_days"),
+        col("k").as("n_dows"),
+        expr("CASE WHEN CAST(ss AS DOUBLE)" +
+          " - CAST(s AS DOUBLE) * s / n > 0.0 THEN" +
+          " CAST(round((CAST(sbq AS DOUBLE) / 1000000" +
+          " - CAST(s AS DOUBLE) * s / n)" +
+          " / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)" +
+          " * 1000000) AS BIGINT) END").as("eta2_e6"))
+      .orderBy(col("event_type"))
+  }
+
   /** One-way ANOVA F statistic across event types over daily counts
     * — "do the types differ in level at all?", the omnibus test run
     * before any per-pair [[qMannWhitney]]. Exact integer sufficient

@@ -104,6 +104,32 @@ class StatTestsSpec extends AnyFunSuite {
       == ((3L, 2L, 2L, -15275L)))
   }
 
+  test("srm: balanced split passes, 60/40 of 100 flags") {
+    val bal = plantEvents(Nil,
+      (0L until 100L).map(u => (u, 0, 1.0)))
+    val rB = Relational.qSrm(spark, bal).collect().head
+    assert((rB.getLong(0), rB.getLong(1), rB.getLong(2), rB.getLong(3))
+      == ((50L, 50L, 0L, 0L)))
+    // 60 even, 40 odd users: chi2 = 20²/100 = 4.0 > 3.8415 → flag.
+    val skew = plantEvents(Nil,
+      ((0L until 120L by 2) ++ (1L until 80L by 2)).map(u => (u, 0, 1.0)))
+    val rS = Relational.qSrm(spark, skew).collect().head
+    assert((rS.getLong(0), rS.getLong(1), rS.getLong(2), rS.getLong(3))
+      == ((60L, 40L, 40000L, 1L)))
+  }
+
+  test("seasonality: pure weekly pattern scores eta2 = 1e6; flat NULL") {
+    // 14 days of (1..7)(1..7): zero within-weekday variance → the
+    // weekday factor explains everything.
+    val weekly = plantEvents((0 until 14).map(d => ("w", d, d % 7 + 1)))
+    val rW = Relational.qSeasonality(spark, weekly).collect().head
+    assert((rW.getLong(1), rW.getLong(2), rW.getLong(3))
+      == ((14L, 7L, 1000000L)))
+    val flat = plantEvents((0 until 14).map(d => ("f", d, 5)))
+    val rF = Relational.qSeasonality(spark, flat).collect().head
+    assert(rF.isNullAt(3))
+  }
+
   test("cuped: hand-computed theta and adjusted means") {
     // pre (day 0) / post (day 20) cents per user:
     //   arm 0: (100, 110), (300, 310); arm 1: (200, 230), (400, 430).
