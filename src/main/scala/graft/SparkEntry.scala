@@ -937,6 +937,11 @@ object SparkEntry {
     // Sample-ratio-mismatch guardrail: chi-square of arm counts vs
     // 50/50, integer cross-multiplied verdict.
     "q_srm" -> ((s, d) => Relational.qSrm(s, d)),
+    // Forecast-skill backtest: one-step MAE of naive/seasonal-naive/
+    // drift baselines per event type.
+    "q_forecast_skill" -> ((s, d) => Relational.qForecastSkill(s, d)),
+    // Rolling 7-day Pearson between the view and purchase series.
+    "q_rolling_corr" -> ((s, d) => Relational.qRollingCorr(s, d)),
     // Day-of-week seasonality strength (eta-squared) per event type.
     "q_seasonality" -> ((s, d) => Relational.qSeasonality(s, d)),
     // Per-token burstiness (variance-to-mean of per-doc counts) for
@@ -5051,6 +5056,56 @@ object SparkEntry {
          |      - CAST(prod AS DOUBLE)) * 10000) AS BIGINT) END
          |    AS attr_assort_e4
          |FROM f, p""".stripMargin,
+    // Forecast skill: exact integer naive/seasonal errors, drift's
+    // one division e6-rounded per row, integer floor MAEs.
+    "q_forecast_skill" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |e AS (SELECT event_type, x,
+        |    CAST(row_number() OVER w AS BIGINT) AS rk,
+        |    lag(x, 1) OVER w AS x1, lag(x, 7) OVER w AS x7,
+        |    first_value(x) OVER w AS xf
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |r AS (SELECT event_type, abs(x - x1) AS e_naive,
+        |    abs(x - x7) AS e_snaive,
+        |    CASE WHEN rk >= 3 THEN abs(x * 1000000 - (x1 * 1000000
+        |      + CAST(round(CAST(x1 - xf AS DOUBLE) * 1000000
+        |        / (CAST(rk AS DOUBLE) - 2.0)) AS BIGINT))) END AS e_drift
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(e_naive) * 100 // count(e_naive) AS BIGINT)
+        |    AS mae_naive_e2,
+        |  CAST(sum(e_snaive) * 100 // count(e_snaive) AS BIGINT)
+        |    AS mae_snaive_e2,
+        |  CAST(sum(e_drift) // (count(e_drift) * 10000) AS BIGINT)
+        |    AS mae_drift_e2
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Rolling correlation: exact integer window sufficient stats
+    // over the bounded day grid, one double r tree e4-rounded.
+    "q_rolling_corr" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS xv,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS xp
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |s AS (SELECT day,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(xv) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(xp) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(xv * xp) OVER w AS BIGINT) AS sxy,
+        |    CAST(sum(xv * xv) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(xp * xp) OVER w AS BIGINT) AS syy
+        |  FROM d WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |SELECT day, n AS n_win,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 10000)
+        |      AS BIGINT) END AS r_e4
+        |FROM s ORDER BY day""".stripMargin,
     // SRM: exact integer chi-square numerator, one double division,
     // integer cross-multiplied 3.8415 verdict.
     "q_srm" ->

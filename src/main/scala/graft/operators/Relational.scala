@@ -2699,6 +2699,83 @@ object Relational {
           " * sx) / k) AS BIGINT) END").as("intercept_e6"))
   }
 
+  /** Forecast-skill backtest over the daily series — the one-step
+    * MAE of the three classical baselines every fancier model must
+    * beat (naive x_{t−1}, seasonal-naive x_{t−7}, drift
+    * x_{t−1} + (x_{t−1}−x_1)/(t−2)): the [[qHoltWinters]] family's
+    * honesty check, per event type. Naive/seasonal errors are exact
+    * integers; the drift forecast's one division is e6-rounded PER
+    * ROW on the bounded day grid before the exact integer error
+    * sums; MAEs are integer floor divisions (e2). Lag windows over
+    * the calendar-bounded per-type grid only. */
+  def qForecastSkill(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val e = d
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("x1", lag(col("x"), 1).over(w))
+      .withColumn("x7", lag(col("x"), 7).over(w))
+      .withColumn("xf", first(col("x")).over(w))
+      .withColumn("e_naive", abs(col("x") - col("x1")))
+      .withColumn("e_snaive", abs(col("x") - col("x7")))
+      .withColumn("e_drift", when(col("rk") >= 3L,
+        abs(col("x") * 1000000L - (col("x1") * 1000000L +
+          round((col("x1") - col("xf")).cast("double") * 1000000.0 /
+            (col("rk").cast("double") - 2.0)).cast("long")))))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        count(col("e_naive")).as("n_naive"),
+        sum(col("e_naive")).as("s_naive"),
+        count(col("e_snaive")).as("n_snaive"),
+        sum(col("e_snaive")).as("s_snaive"),
+        count(col("e_drift")).as("n_drift"),
+        sum(col("e_drift")).as("s_drift"))
+      .select(col("event_type"), col("n_days"),
+        expr("s_naive * 100 div n_naive").as("mae_naive_e2"),
+        expr("s_snaive * 100 div n_snaive").as("mae_snaive_e2"),
+        expr("s_drift div (n_drift * 10000)").as("mae_drift_e2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Rolling 7-day Pearson correlation between the view and purchase
+    * daily series — "are these metrics moving together this week?",
+    * the windowed sibling of [[qStats]]' global correlation. Exact
+    * integer sufficient statistics from one ±3-day ROWS window over
+    * the calendar-bounded joined day grid; r is the one double tree
+    * e4-rounded per row, windows with zero variance on either side
+    * guard to NULL. */
+  def qRollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("xv"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("xp"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val s = d
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("xv")).over(w))
+      .withColumn("sy", sum(col("xp")).over(w))
+      .withColumn("sxy", sum(col("xv") * col("xp")).over(w))
+      .withColumn("sxx", sum(col("xv") * col("xv")).over(w))
+      .withColumn("syy", sum(col("xp") * col("xp")).over(w))
+    s.select(col("day"), col("n").as("n_win"),
+      when(col("n") * col("sxx") - col("sx") * col("sx") > 0L &&
+          col("n") * col("syy") - col("sy") * col("sy") > 0L,
+        round(((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")))) * 1e4).cast("long"))
+        .as("r_e4"))
+      .orderBy(col("day"))
+  }
+
   /** Sample-ratio-mismatch guardrail — the FIRST check of any A/B
     * readout ([[qCuped]]/[[qAbLift]] are meaningless if assignment
     * itself is broken): χ² (1 df) of the observed arm split against

@@ -104,6 +104,28 @@ class StatTestsSpec extends AnyFunSuite {
       == ((3L, 2L, 2L, -15275L)))
   }
 
+  test("forecast skill: seasonal-naive wins exactly on a weekly series") {
+    // 14 days of (1..7)(1..7): naive one-step errors are twelve 1s
+    // plus one 6 (the week wrap) → MAE 18·100 // 13 = 138; the
+    // seasonal-naive errors are all 0.
+    val dir = plantEvents((0 until 14).map(d => ("a", d, d % 7 + 1)))
+    val r = Relational.qForecastSkill(spark, dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((14L, 138L, 0L)))
+    assert(!r.isNullAt(4))
+  }
+
+  test("rolling corr: identical series pin +1, mirrored series -1") {
+    val same = plantEvents((0 until 10).flatMap(d =>
+      Seq(("view", d, d + 1), ("purchase", d, d + 1))))
+    val rs = Relational.qRollingCorr(spark, same).collect()
+    assert(rs.forall(r => r.getLong(2) == 10000L))
+    val anti = plantEvents((0 until 10).flatMap(d =>
+      Seq(("view", d, d + 1), ("purchase", d, 11 - d))))
+    val ra = Relational.qRollingCorr(spark, anti).collect()
+    assert(ra.forall(r => r.getLong(2) == -10000L))
+  }
+
   test("srm: balanced split passes, 60/40 of 100 flags") {
     val bal = plantEvents(Nil,
       (0L until 100L).map(u => (u, 0, 1.0)))
