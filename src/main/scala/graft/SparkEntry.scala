@@ -940,6 +940,9 @@ object SparkEntry {
     // Forecast-skill backtest: one-step MAE of naive/seasonal-naive/
     // drift baselines per event type.
     "q_forecast_skill" -> ((s, d) => Relational.qForecastSkill(s, d)),
+    // Exponential retention-decay rate of the day-0 cohort (log-
+    // linear fit on the bounded age spine).
+    "q_retention_decay" -> ((s, d) => Relational.qRetentionDecay(s, d)),
     // Rolling 7-day Pearson between the view and purchase series.
     "q_rolling_corr" -> ((s, d) => Relational.qRollingCorr(s, d)),
     // Day-of-week seasonality strength (eta-squared) per event type.
@@ -5056,6 +5059,36 @@ object SparkEntry {
          |      - CAST(prod AS DOUBLE)) * 10000) AS BIGINT) END
          |    AS attr_assort_e4
          |FROM f, p""".stripMargin,
+    // Retention decay: ln only on the bounded age spine, e6 per
+    // point before exact integer OLS sums (the q_power_law shape).
+    "q_retention_decay" ->
+      """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS day0 FROM events),
+        |coh AS (SELECT DISTINCT user_id FROM events, d0
+        |  WHERE CAST(ts AS DATE) = day0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM coh),
+        |act AS (SELECT
+        |    CAST(date_diff('day', day0, CAST(ts AS DATE)) AS BIGINT)
+        |      AS age,
+        |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS a
+        |  FROM events e JOIN coh USING (user_id), d0 GROUP BY 1),
+        |p AS (SELECT age AS x,
+        |    CAST(round(ln(CAST(a AS DOUBLE) / nc) * 1000000) AS BIGINT)
+        |      AS y
+        |  FROM act, n WHERE a > 0),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM p)
+        |SELECT k AS n_ages, (SELECT nc FROM n) AS cohort_n,
+        |  CASE WHEN k * sxx - sx * sx <> 0 THEN
+        |    CAST(round(CAST(k * sxy - sx * sy AS DOUBLE)
+        |      / (k * sxx - sx * sx)) AS BIGINT) END
+        |    AS decay_e6,
+        |  CASE WHEN k * sxx - sx * sx <> 0 THEN
+        |    CAST(round((CAST(sy AS DOUBLE)
+        |      - CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)
+        |      * sx) / k) AS BIGINT) END AS intercept_e6
+        |FROM f""".stripMargin,
     // Forecast skill: exact integer naive/seasonal errors, drift's
     // one division e6-rounded per row, integer floor MAEs.
     "q_forecast_skill" ->

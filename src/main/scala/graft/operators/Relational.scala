@@ -2699,6 +2699,51 @@ object Relational {
           " * sx) / k) AS BIGINT) END").as("intercept_e6"))
   }
 
+  /** Exponential retention-decay fit — the day-0 cohort's survival
+    * curve reduced to one rate: share of the cohort still active at
+    * age d, fit log-linearly (ln r_d ~ d, slope = the daily decay
+    * exponent the LTV models consume). The [[qPowerLaw]] bit-stable
+    * log-regression shape: counts are exact integers, ln runs ONLY
+    * on the calendar-bounded age spine (≤ day-span points),
+    * e6-quantized per point before the exact integer OLS sums; slope
+    * and intercept are the one double tree e6-rounded. One cohort
+    * semi-join + one bounded distinct-user-per-age aggregation. */
+  def qRetentionDecay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val d0 = ev.agg(min(col("day")).as("day0"))
+    val withAge = ev.crossJoin(broadcast(d0))
+    val coh = withAge.filter(col("day") === col("day0"))
+      .select(col("user_id")).distinct()
+      .localCheckpoint(true)
+    val nc = coh.count()
+    val pts = withAge
+      .join(coh, Seq("user_id"), "left_semi")
+      .select(datediff(col("day"), col("day0")).cast("long").as("age"),
+        col("user_id"))
+      .groupBy(col("age"))
+      .agg(count_distinct(col("user_id")).as("a"))
+      .filter(col("a") > 0L)
+      .select(col("age").as("x"),
+        expr(s"CAST(round(ln(CAST(a AS DOUBLE) / ${nc}L) * 1000000)" +
+          " AS BIGINT)").as("y"))
+    pts.groupBy()
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").as("n_ages"), lit(nc).as("cohort_n"),
+        // y is already e6-scaled and x is the natural age, so the
+        // ratio IS the e6 slope — no further scaling.
+        expr("CASE WHEN k * sxx - sx * sx <> 0 THEN" +
+          " CAST(round(CAST(k * sxy - sx * sy AS DOUBLE)" +
+          " / (k * sxx - sx * sx)) AS BIGINT) END")
+          .as("decay_e6"),
+        expr("CASE WHEN k * sxx - sx * sx <> 0 THEN" +
+          " CAST(round((CAST(sy AS DOUBLE)" +
+          " - CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)" +
+          " * sx) / k) AS BIGINT) END").as("intercept_e6"))
+  }
+
   /** Forecast-skill backtest over the daily series — the one-step
     * MAE of the three classical baselines every fancier model must
     * beat (naive x_{t−1}, seasonal-naive x_{t−7}, drift

@@ -126,6 +126,31 @@ class StatTestsSpec extends AnyFunSuite {
     assert(ra.forall(r => r.getLong(2) == -10000L))
   }
 
+  test("retention decay: halving cohort recovers -ln2 per day") {
+    // Cohort 8 on day 0; actives halve each day (8, 4, 2, 1). The
+    // log points are −d·ln2, e6-rounded per point; expected
+    // slope/intercept recomputed with the identical OLS arithmetic.
+    val dir = plantEvents(Nil,
+      (0L until 8L).map(u => (u, 0, 1.0)) ++
+        (0L until 4L).map(u => (u, 1, 1.0)) ++
+        (0L until 2L).map(u => (u, 2, 1.0)) :+ (0L, 3, 1.0))
+    val r = Relational.qRetentionDecay(spark, dir).collect().head
+    val ys = Seq(8L, 4L, 2L, 1L).map(a =>
+      math.round(math.log(a.toDouble / 8L) * 1e6))
+    val xs = Seq(0L, 1L, 2L, 3L)
+    val (k, sx, sy) = (4L, xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = math.round(
+      (k * sxy - sx * sy).toDouble / (k * sxx - sx * sx))
+    val icept = math.round(
+      (sy.toDouble - (k * sxy - sx * sy).toDouble /
+        (k * sxx - sx * sx) * sx) / k)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((4L, 8L, slope, icept)))
+    assert(slope < -690000L && slope > -696000L)
+  }
+
   test("srm: balanced split passes, 60/40 of 100 flags") {
     val bal = plantEvents(Nil,
       (0L until 100L).map(u => (u, 0, 1.0)))
