@@ -1568,8 +1568,9 @@ object SparkEntry {
   /** Holt–Winters (additive, m = 7) unrolled — the holtOracleSql
     * pattern with the 7 seasonal slots carried as columns c0..c6;
     * step t updates only slot (t−1) mod 7 (known at generation
-    * time), missing ranks hold all state, `//` floors exactly like
-    * the Scala fold's Math.floorDiv. */
+    * time), missing ranks hold all state, `//` truncates toward
+    * zero exactly like the Scala fold's plain Long `/` (never
+    * Math.floorDiv — python's flooring `//` is the odd one out). */
   private def holtWintersOracleSql(
       rounds: Int = operators.Relational.HoltOracleRounds): String = {
     val m = 7
@@ -4772,10 +4773,11 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN par = 1 THEN qd ELSE 0 END) AS BIGINT) AS s_cur_q,
         |  CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
         |  CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
-        |  CAST(abs(sum(CASE WHEN par = 0 THEN qd ELSE 0 END)
+        |  CAST(abs(CAST(sum(CASE WHEN par = 0 THEN qd ELSE 0 END) AS HUGEINT)
         |      * sum(CASE WHEN par = 1 THEN 1 ELSE 0 END)
-        |    - sum(CASE WHEN par = 1 THEN qd ELSE 0 END)
-        |      * sum(CASE WHEN par = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS shift_x
+        |    - CAST(sum(CASE WHEN par = 1 THEN qd ELSE 0 END) AS HUGEINT)
+        |      * sum(CASE WHEN par = 0 THEN 1 ELSE 0 END))
+        |    AS DECIMAL(38,0)) AS shift_x
         |FROM dims GROUP BY dim
         |ORDER BY shift_x DESC, dim ASC""".stripMargin,
     // Analytic LSH S-curve tuning table — pow is bit-identical
@@ -4818,7 +4820,8 @@ object SparkEntry {
         |  FROM g WINDOW w AS (ORDER BY v
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |n AS (SELECT max(k1) AS n1, max(k2) AS n2 FROM c),
-        |d AS (SELECT v, CAST(abs(k1 * n2 - k2 * n1) AS BIGINT) AS num,
+        |d AS (SELECT v, CAST(abs(CAST(k1 AS HUGEINT) * n2
+        |      - CAST(k2 AS HUGEINT) * n1) AS DECIMAL(38,0)) AS num,
         |    n1, n2 FROM c, n),
         |r AS (SELECT *, row_number() OVER (ORDER BY num DESC, v ASC) AS rk
         |  FROM d)
@@ -4845,10 +4848,11 @@ object SparkEntry {
         |  FROM g WINDOW w AS (ORDER BY v
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |f AS (SELECT max(k1) AS n1, max(k2) AS n2,
-        |    CAST(sum(c1 * (2 * cbelow + t + 1)) AS BIGINT) AS r1x2,
+        |    sum(CAST(c1 AS HUGEINT) * (2 * cbelow + t + 1)) AS r1x2,
         |    sum(t * t * t - t) AS ties FROM c)
         |SELECT n1, n2,
-        |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2,
+        |  CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+        |    AS DECIMAL(38,0)) AS u1x2,
         |  CAST(ties AS BIGINT) AS tie_sum,
         |  CASE WHEN (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
         |      * ((CAST(n1 + n2 AS DOUBLE) + 1.0)

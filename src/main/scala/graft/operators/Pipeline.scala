@@ -741,18 +741,6 @@ object Pipeline {
       .limit(limit)
   }
 
-  /** Cross-source contamination matrix (round 13) — which corpus
-    * sources share verbatim content: for every source pair, the
-    * count of distinct 8-gram hashes present in BOTH (the same
-    * md5(shingle) keys `d_crossdoc_ngram`/`p_decontaminate` block
-    * on, riding the memoized [[Dedup.ngramHashes]] table) and the
-    * containment ratio against the SMALLER source's n-gram
-    * vocabulary — the leakage direction a curation pipeline acts on
-    * (cap, dedup-priority, or drop). Shape: distinct (source, h) is
-    * one h-keyed shuffle; the self-join fans each hash into at most
-    * |sources|² pairs (sources are a bounded dimension, never the
-    * corpus); totals broadcast. Pairs with zero shared n-grams are
-    * absent (the join IS the sparsity). */
   /** Curriculum-learning phase manifest (Bengio et al. 2009) — the
     * training ORDER complement of the mixing/packing ops: documents
     * ranked easiest-first by a difficulty proxy (length; any scored
@@ -779,6 +767,18 @@ object Pipeline {
       .orderBy(col("phase"), col("source"))
   }
 
+  /** Cross-source contamination matrix (round 13) — which corpus
+    * sources share verbatim content: for every source pair, the
+    * count of distinct 8-gram hashes present in BOTH (the same
+    * md5(shingle) keys `d_crossdoc_ngram`/`p_decontaminate` block
+    * on, riding the memoized [[Dedup.ngramHashes]] table) and the
+    * containment ratio against the SMALLER source's n-gram
+    * vocabulary — the leakage direction a curation pipeline acts on
+    * (cap, dedup-priority, or drop). Shape: distinct (source, h) is
+    * one h-keyed shuffle; the self-join fans each hash into at most
+    * |sources|² pairs (sources are a bounded dimension, never the
+    * corpus); totals broadcast. Pairs with zero shared n-grams are
+    * absent (the join IS the sparsity). */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val meta = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))

@@ -2455,9 +2455,10 @@ object Relational {
     * combine), both ECDFs come from ONE
     * [[Selection.withGlobalCumsums]] pass (range-partitioned — no
     * single-reducer window over the value axis), and the statistic
-    * maximizes the cross-multiplied |k₁n₂ − k₂n₁| so no division
-    * happens until the final 1-row fold (DECIMAL(38) there — n₁n₂
-    * wrecks BIGINT·1e6 at catalog scale, the qGini rule). Ties are
+    * maximizes the cross-multiplied |k₁n₂ − k₂n₁| — the products
+    * themselves ride DECIMAL(38,0) (k·n is O(n²) and wrecks BIGINT
+    * past ~3e9 rows, the qGini rule, applied at the multiply not
+    * just the final divide). Ties are
     * handled exactly: the ECDF is evaluated after consuming each
     * whole tie group. D's argmax is unique under (num DESC, v). */
   def qKsTest(spark: SparkSession, dir: String): DataFrame = {
@@ -2473,7 +2474,10 @@ object Relational {
       .localCheckpoint(true)
     val tot = cum.agg(max(col("k1")).as("n1"), max(col("k2")).as("n2"))
     cum.crossJoin(broadcast(tot))
-      .withColumn("num", abs(col("k1") * col("n2") - col("k2") * col("n1")))
+      .withColumn("num",
+        abs(col("k1").cast("decimal(38,0)") * col("n2")
+          - col("k2").cast("decimal(38,0)") * col("n1"))
+          .cast("decimal(38,0)"))
       .orderBy(col("num").desc, col("v").asc)
       .limit(1)
       .select(col("n1"), col("n2"), col("v").as("at_v"), col("num"),
@@ -2489,9 +2493,11 @@ object Relational {
     * doubled-rank-sum 2R₁ = Σ c₁·(2C + t + 1) — integer by
     * construction (tied ranks average to halves, so the ×2 ledger
     * stays exact). C comes from the same single
-    * [[Selection.withGlobalCumsums]] pass as the KS ECDF; the tie
-    * correction Σ(t³−t) rides DECIMAL(38) (cube of a tie group
-    * overflows BIGINT exactly when a value dominates at scale). The
+    * [[Selection.withGlobalCumsums]] pass as the KS ECDF; 2R₁ is
+    * O(n²) so each term and its sum ride DECIMAL(38) like the tie
+    * correction Σ(t³−t) (cube of a tie group — or a rank-sum past
+    * ~3e9 rows — overflows BIGINT exactly when it matters at scale;
+    * the qGini promotion rule, applied uniformly). The
     * z statistic is the one double, from exact integer inputs
     * through a single expression tree, e4-rounded (the qAbLift
     * float rule); degenerate all-tied data guards to NULL. */
@@ -2510,13 +2516,15 @@ object Relational {
       .withColumn("cbelow", col("k1") + col("k2") - col("t"))
     val f = cum.groupBy()
       .agg(max(col("k1")).as("n1"), max(col("k2")).as("n2"),
-        sum(col("c1") * (lit(2L) * col("cbelow") + col("t") + lit(1L)))
+        sum((col("c1").cast(d38) *
+          (lit(2L) * col("cbelow") + col("t") + lit(1L))).cast(d38))
           .as("r1x2"),
         sum((col("t") * col("t") * col("t") - col("t")).cast(d38))
           .as("ties"))
     def dbl(c: String) = col(c).cast("double")
     val n = col("n1") + col("n2")
-    val u1x2 = col("r1x2") - col("n1") * (col("n1") + 1L)
+    val u1x2 = (col("r1x2") -
+      col("n1").cast(d38) * (col("n1") + lit(1L))).cast(d38)
     val varU = (dbl("n1") * dbl("n2") / 12.0) *
       ((n.cast("double") + 1.0) -
         col("ties").cast("double") /

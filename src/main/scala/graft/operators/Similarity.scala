@@ -1855,7 +1855,11 @@ object Similarity {
     * [[isotropyOf]] convention; the shift is the DIVISION-FREE
     * cross-multiplied |s_ref·n_cur − s_cur·n_ref| (integer-exact and
     * sign-safe — an integer mean would hit the trunc-vs-floor
-    * division divergence on negative per-half sums). Two map-side-
+    * division divergence on negative per-half sums), carried in
+    * DECIMAL(38,0) (HUGEINT on the oracle side): with e16-quantized
+    * sums over ~1e9 rows the product exceeds Long and non-ANSI
+    * Spark would wrap silently — the qKsTest d_e6 promotion rule,
+    * applied BEFORE the multiply, not after. Two map-side-
     * combinable aggregations over (dim, parity) — 2·64 output rows
     * regardless of corpus size; the readout an embedding pipeline
     * checks before re-fitting its quantizer/centroids. Ordered by
@@ -1878,8 +1882,9 @@ object Similarity {
         sum(when(col("par") === 1L, 1L).otherwise(0L)).as("n_cur"))
       .select(col("dim").cast("long").as("dim"), col("s_ref_q"),
         col("s_cur_q"), col("n_ref"), col("n_cur"),
-        abs(col("s_ref_q") * col("n_cur") - col("s_cur_q") * col("n_ref"))
-          .as("shift_x"))
+        abs(col("s_ref_q").cast("decimal(38,0)") * col("n_cur")
+          - col("s_cur_q").cast("decimal(38,0)") * col("n_ref"))
+          .cast("decimal(38,0)").as("shift_x"))
       .orderBy(col("shift_x").desc, col("dim").asc)
 
   /** All-but-the-top whitening audit (Mu & Viswanath 2018) — the FIX
