@@ -1,0 +1,124 @@
+package graft.graph
+
+import scala.collection.mutable
+
+/** Driver-side exact-integer Louvain local moves over a BOUNDED
+  * in-memory edge list — the estimator engine behind the streaming
+  * Louvain drift audit (round 14; the round-13 verdict's top ask).
+  *
+  * The streaming fold's only failure mode is monotone OVER-COARSENING
+  * (it merges super-vertices and can never split them), so drift is
+  * exactly "structure the current partition should split or re-merge".
+  * Both probes reduce to greedy modularity local moves over SMALL
+  * in-memory graphs — the maintained super graph (merge probe) and
+  * the probed communities' induced intra edges (split probe) — where
+  * a distributed GraphX run would pay seconds of fixed scheduling for
+  * milliseconds of arithmetic (the "many tiny ML fits are
+  * SCHEDULING-bound" lesson, applied to graphs). Callers bound the
+  * input (collect caps + deterministic vertex sampling); this object
+  * never touches Spark.
+  *
+  * Exactness contract: gains are evaluated as Δ(4m²·Q) in BigInt —
+  * no floats anywhere in the move loop — with the GLOBAL m and
+  * GLOBAL degrees supplied by the caller, so a gain here is a gain
+  * of the full graph's modularity (the Leiden-refinement objective,
+  * not subgraph modularity, which splits too eagerly for small
+  * communities). Deterministic: vertices sweep in ascending id
+  * order; ties in gain break toward the smaller community id.
+  */
+object LocalLouvain {
+
+  /** Greedy one-level local moves.
+    *
+    * @param edges undirected (a, b, w) rows, a != b (self-loops are a
+    *              constant in Q — drop them before calling; their
+    *              degree contribution must already be in `deg`)
+    * @param deg   GLOBAL weighted degree per vertex (2·self + Σ inc)
+    * @param m     GLOBAL total edge weight (self-loops once)
+    * @param init  starting assignment (vertex -> community); every
+    *              edge endpoint must be present
+    * @return (final assignment, total gain as Δ(4m²·Q) ≥ 0)
+    */
+  def localMoves(edges: Seq[(Long, Long, Long)], deg: Map[Long, Long],
+      m: BigInt, init: Map[Long, Long],
+      maxPasses: Int = 10): (Map[Long, Long], BigInt) = {
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[(Long, Long)]]
+    edges.foreach { case (a, b, w) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += ((b, w))
+        adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += ((a, w))
+      }
+    }
+    val comm = mutable.LongMap.empty[Long]
+    init.foreach { case (v, c) => comm(v) = c }
+    val sumd = mutable.LongMap.empty[BigInt].withDefaultValue(BigInt(0))
+    init.keys.foreach(v => sumd(comm(v)) += BigInt(deg.getOrElse(v, 0L)))
+    val verts = init.keys.toArray.sorted
+    val m4 = 4 * m
+    var gain = BigInt(0)
+    var moved = true
+    var pass = 0
+    while (moved && pass < maxPasses) {
+      moved = false
+      pass += 1
+      verts.foreach { v =>
+        val nbrs = adj.getOrElse(v, mutable.ArrayBuffer.empty)
+        if (nbrs.nonEmpty) {
+          val cv = comm(v)
+          val dv = BigInt(deg.getOrElse(v, 0L))
+          // weight from v into each neighboring community (and cv)
+          val wTo = mutable.LongMap.empty[Long].withDefaultValue(0L)
+          nbrs.foreach { case (u, w) => wTo(comm(u)) += w }
+          val wOwn = BigInt(wTo(cv)) // w(v, cv \ v)
+          // Δ(4m²Q) of moving v from cv to c:
+          //   4m·(w(v,c) − w(v,cv\v)) − 2·dv·(sumd(c) − (sumd(cv) − dv))
+          var bestC = cv
+          var bestG = BigInt(0)
+          wTo.foreach { case (c, wvc) =>
+            if (c != cv) {
+              val g = m4 * (BigInt(wvc) - wOwn) -
+                2 * dv * (sumd(c) - (sumd(cv) - dv))
+              if (g > bestG || (g == bestG && g > 0 && c < bestC)) {
+                bestG = g; bestC = c
+              }
+            }
+          }
+          if (bestG > 0) {
+            sumd(cv) -= dv
+            sumd(bestC) += dv
+            comm(v) = bestC
+            gain += bestG
+            moved = true
+          }
+        }
+      }
+    }
+    (comm.toMap.map(identity), gain)
+  }
+
+  /** Δ(4m²·Q) of replacing one community (internal weight `wIn`,
+    * summed member degree `sumD`) by the parts of `assign` over its
+    * members — the closed form both probes report through:
+    * 4m·(Σ_p wIn_p − wIn) − (Σ_p sumd_p² − sumd²). */
+  def splitGain4m2(edges: Seq[(Long, Long, Long)], deg: Map[Long, Long],
+      m: BigInt, assign: Map[Long, Long]): BigInt = {
+    val wInP = mutable.LongMap.empty[BigInt].withDefaultValue(BigInt(0))
+    var wIn = BigInt(0)
+    edges.foreach { case (a, b, w) =>
+      wIn += w
+      if (assign(a) == assign(b)) wInP(assign(a)) += w
+    }
+    val sumdP = mutable.LongMap.empty[BigInt].withDefaultValue(BigInt(0))
+    var sumD = BigInt(0)
+    deg.foreach { case (v, d) => sumdP(assign(v)) += d; sumD += d }
+    val m4 = 4 * m
+    m4 * (wInP.values.sum - wIn) -
+      (sumdP.values.map(s => s * s).sum - sumD * sumD)
+  }
+
+  /** e6-scaled modularity delta from a Δ(4m²·Q) ledger: one double
+    * division at the very end (the modularityOf float rule). */
+  def gainE6(gain4m2: BigInt, m: BigInt): Long =
+    if (m == 0) 0L
+    else math.round(gain4m2.toDouble / (4.0 * m.toDouble * m.toDouble) * 1e6)
+}
