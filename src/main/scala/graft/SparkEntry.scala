@@ -1547,11 +1547,15 @@ object SparkEntry {
     }.mkString
     s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+       |dw AS (SELECT event_type, day, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day DESC)
+       |      AS rkd
+       |  FROM d),
        |r AS (SELECT event_type, x,
        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk
-       |  FROM d),
+       |  FROM dw WHERE rkd <= $rounds),
        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
-       |  FROM d GROUP BY 1),
+       |  FROM r GROUP BY 1),
        |s1 AS (SELECT event_type, x * 1000000 AS l, CAST(0 AS BIGINT) AS b
        |  FROM r WHERE rk = 1)""".stripMargin +
       steps +
@@ -1606,11 +1610,15 @@ object SparkEntry {
     }
     s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+       |dw AS (SELECT event_type, day, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day DESC)
+       |      AS rkd
+       |  FROM d),
        |r AS (SELECT event_type, x,
        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk
-       |  FROM d),
+       |  FROM dw WHERE rkd <= $rounds),
        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
-       |  FROM d GROUP BY 1),
+       |  FROM r GROUP BY 1),
        |i AS (SELECT event_type, CAST(sum(x) * 1000000 // $m AS BIGINT) AS l
        |  FROM r WHERE rk <= $m GROUP BY 1),
        |s$m AS (SELECT i.event_type, i.l, CAST(0 AS BIGINT) AS b,

@@ -15,9 +15,12 @@ import graft.Tables
   */
 object Relational {
 
-  /** Single source of truth for the Holt oracle's unroll depth —
-    * SparkEntry.holtOracleSql generates exactly this many recursion
-    * steps and [[qHoltForecast]] refuses a longer day span. */
+  /** Single source of truth for the Holt oracle's unroll depth AND
+    * the fits' trailing refit window — SparkEntry.holtOracleSql
+    * generates exactly this many recursion steps, and both fits
+    * consume exactly the most recent this-many observed days per
+    * type (round 14: a longer lake refits the trailing window
+    * instead of throwing — the round-13 data-span ceiling). */
   val HoltOracleRounds = 30
 
   /** TPC-H Q1 family: scan → filter → groupBy → multi-agg.
@@ -2128,27 +2131,41 @@ object Relational {
     * count grid is BOUNDED (|types|·|days|), so the sequential
     * recursion runs on the driver over one landmark read — the same
     * class as pcaPower's d×d eigen step; the corpus folds to the
-    * grid map-side. Output per type: final level/trend and the
+    * grid map-side. The fit is a TRAILING-WINDOW refit (round 14;
+    * lifts the round-13 ≤30-day ceiling): only the most recent
+    * [[HoltOracleRounds]] days per type enter the recursion — the
+    * right semantics for exponential smoothing anyway (0.7³⁰ ≈ 2e-5:
+    * older observations are numerically invisible at e6 resolution)
+    * and it keeps the oracle's unroll exact at ANY calendar span.
+    * Output per type: window length, final level/trend and the
     * 1/2/3-day-ahead forecasts. */
   def qHoltForecast(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grid = Tables.events(spark, dir)
+    holtForecastOf(holtGrid(spark, dir))
+      .toDF("event_type", "n_days", "level_e6", "trend_e6",
+        "f1_e6", "f2_e6", "f3_e6").orderBy(col("event_type"))
+  }
+
+  /** The bounded per-(type, day) count grid both Holt fits consume —
+    * map-side fold of the corpus to |types|·|days| rows, collected
+    * in the deterministic (type, day) order. */
+  private[graft] def holtGrid(spark: SparkSession,
+      dir: String): Seq[(String, Long)] =
+    Tables.events(spark, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"))
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
       .orderBy(col("event_type"), col("day"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(2)))
-    val out = grid.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
-      val xs = rows.map(_._2)
-      // The DuckDB oracle (SparkEntry.holtOracleSql) unrolls exactly
-      // HoltOracleRounds recursion steps; this fold covers every
-      // observed day. They agree only while the day span fits the
-      // unroll — fail LOUDLY on a longer regenerated lake instead of
-      // letting the oracle silently stop updating at rank 30.
-      require(xs.length <= HoltOracleRounds,
-        s"holt: '$t' spans ${xs.length} days > the oracle's " +
-        s"$HoltOracleRounds unrolled steps — bump Relational." +
-        "HoltOracleRounds (regenerates holtOracleSql to match)")
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+
+  private[graft] def holtForecastOf(grid: Seq[(String, Long)])
+      : Seq[(String, Long, Long, Long, Long, Long, Long)] =
+    grid.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      // Trailing-window refit: the last HoltOracleRounds observed
+      // days. The oracle ranks descending and keeps the same window,
+      // so both recursions unroll over identical slices no matter
+      // how long the lake's calendar grows.
+      val xs = rows.map(_._2).takeRight(HoltOracleRounds)
       var l = xs.head * 1000000L
       var b = 0L
       xs.tail.foreach { x =>
@@ -2159,9 +2176,6 @@ object Relational {
       (t, xs.length.toLong, l, b,
         l + 1L * b, l + 2L * b, l + 3L * b)
     }
-    out.toDF("event_type", "n_days", "level_e6", "trend_e6",
-      "f1_e6", "f2_e6", "f3_e6").orderBy(col("event_type"))
-  }
 
   /** Holt–Winters additive seasonal forecast (weekly season m = 7) —
     * [[qHoltForecast]]'s seasonal completion: level/trend/seasonal
@@ -2175,23 +2189,26 @@ object Relational {
     * oracle unrolls the identical recursion with the 7 seasonal
     * slots as columns (only rank t's slot updates at step t).
     * Forecast f_h = l + h·b + s[(n+h−1) mod 7]. The day grid is
-    * calendar-bounded and driver-folded (the qHoltForecast shape);
-    * spans outside [7, HoltOracleRounds] fail loudly rather than
-    * silently desync the unroll. */
+    * calendar-bounded and driver-folded (the qHoltForecast shape)
+    * and the fit is the same TRAILING-WINDOW refit (last
+    * [[HoltOracleRounds]] days; round 14 — a longer lake now refits
+    * instead of throwing); a series shorter than one season still
+    * fails loudly (no seasonal init exists). */
   def qHoltWinters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    holtWintersOf(holtGrid(spark, dir))
+      .toDF("event_type", "n_days", "level_e6", "trend_e6",
+        "f1_e6", "f2_e6", "f3_e6").orderBy(col("event_type"))
+  }
+
+  private[graft] def holtWintersOf(grid: Seq[(String, Long)])
+      : Seq[(String, Long, Long, Long, Long, Long, Long)] = {
     val m = 7
-    val grid = Tables.events(spark, dir)
-      .select(col("event_type"), to_date(col("ts")).as("day"))
-      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
-      .orderBy(col("event_type"), col("day"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(2)))
-    val out = grid.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
-      val xs = rows.map(_._2)
-      require(xs.length >= m && xs.length <= HoltOracleRounds,
-        s"holt-winters: '$t' spans ${xs.length} days outside " +
-        s"[$m, $HoltOracleRounds] — the oracle unroll no longer matches")
+    grid.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val xs = rows.map(_._2).takeRight(HoltOracleRounds)
+      require(xs.length >= m,
+        s"holt-winters: '$t' spans ${xs.length} days < one season ($m)" +
+        " — no seasonal init exists")
       var l = xs.take(m).sum * 1000000L / m
       val s = Array.tabulate(m)(i => xs(i) * 1000000L - l)
       var b = 0L
@@ -2206,8 +2223,6 @@ object Relational {
       def f(h: Int) = l + h * b + s((n + h - 1) % m)
       (t, n.toLong, l, b, f(1), f(2), f(3))
     }
-    out.toDF("event_type", "n_days", "level_e6", "trend_e6",
-      "f1_e6", "f2_e6", "f3_e6").orderBy(col("event_type"))
   }
 
   /** Period-over-period movers — first-half vs second-half event

@@ -118,6 +118,27 @@ class CusumSpec extends AnyFunSuite {
       ((14L, 4000000L, 0L, 1000000L, 2000000L, 3000000L)))
   }
 
+  test("holt fits refit the trailing 30-day window on a longer lake") {
+    // 45 observed days (round 13 threw here): both fits must consume
+    // exactly the LAST 30 days — bit-identical to a grid that never
+    // contained the first 15 — and report n_days = 30.
+    def grid(days: Int): Seq[(String, Long)] =
+      (0 until days).map(d => ("t", (d % 7 + 1) * 10L + d / 7))
+    val full = Relational.holtForecastOf(grid(45))
+    val tail30 = Relational.holtForecastOf(grid(45).takeRight(30))
+    assert(full == tail30, s"$full vs $tail30")
+    assert(full.head._2 == 30L)
+    val fullW = Relational.holtWintersOf(grid(45))
+    val tailW = Relational.holtWintersOf(grid(45).takeRight(30))
+    assert(fullW == tailW, s"$fullW vs $tailW")
+    assert(fullW.head._2 == 30L)
+    // shorter-than-a-season series still fails loudly (no seasonal
+    // init exists at all) — the one require that remains.
+    intercept[IllegalArgumentException] {
+      Relational.holtWintersOf(grid(5))
+    }
+  }
+
   test("stream cusum withholds the open trailing day and scans the rest") {
     // Day-aligned plant: days 0–2 carry 2, 2, 8 events; day 3 has one
     // event at 02:00, putting the watermark at day3 01:00 — day 2's
