@@ -58,6 +58,31 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
 
+    // Ambient-load calibration (round 14 — the round-13 verdict's
+    // "the ±25% host band is asserted, not measured"): time a FIXED
+    // all-cores spin workload (one LCG loop per worker thread, same
+    // iteration count every round) immediately before each sweep and
+    // publish the per-sweep seconds as calib_sec. The work is
+    // constant, so round-over-round calib ratio IS the ambient-load
+    // ratio: a sweep that is 20% hotter alongside a 20% hotter calib
+    // is host noise; a hot sweep over a flat calib is a regression.
+    val nThreads = cpus.toInt
+    def calibSec(): Double = {
+      val t0 = System.nanoTime()
+      val threads = (0 until nThreads).map { t =>
+        new Thread(() => {
+          var x = t.toLong; var i = 0L
+          while (i < 150000000L) {
+            x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+          }
+          if (x == 42L) System.err.print("") // defeat dead-code elim
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+
     def sweep(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -86,6 +111,7 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
+      calibs += calibSec()
       sweep()
     }
     if (failures.nonEmpty) {
@@ -107,8 +133,9 @@ object Bench {
     // (len, mtime, schema) fingerprint so a bench number is traceable
     // to the exact data it measured.
     val fp = Verify.fingerprintJson(Verify.testdataFingerprint(spark, sfDir))
+    val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"repeat":$repeat,"queries":$qs,"sf":"$sfDir","fingerprint":$fp}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"calib_sec":$calibJson,"repeat":$repeat,"queries":$qs,"sf":"$sfDir","fingerprint":$fp}"""
     println(json)
     // Also persist the line as an artifact: log capture has truncated
     // the stdout tail mid-JSON two rounds running, losing the first
@@ -124,7 +151,7 @@ object Bench {
     val slow = med.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${med.size},"repeat":$repeat,"warmup_sec":$warmupSec,"slowest5":$slow,"sf":"$sfDir","full":"/tmp/graft_bench.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${med.size},"repeat":$repeat,"warmup_sec":$warmupSec,"calib_sec":$calibJson,"slowest5":$slow,"sf":"$sfDir","full":"/tmp/graft_bench.json"}""")
     spark.stop()
   }
 }
