@@ -267,6 +267,75 @@ object Retrieval {
     * are NOT relevant (different source or lang) — lexically close
     * yet semantically wrong, exactly what a bi-encoder needs to
     * learn from. Unique (score DESC, doc_id) order. */
+  /** Phrases per query for [[phraseTopK]]. */
+  val QueryPhrases = 2
+
+  /** `r_phrase`: 2-term PHRASE retrieval through bigram postings
+    * (round 14 — the round-13 verdict's positional-retrieval ask):
+    * where [[bm25TopK]] matches bags of words, this matches words in
+    * ORDER ("new york" never matches "york new") by building the
+    * inverted index over adjacent-token bigrams — the classic
+    * next-word index (Williams, Zobel & Bahle 2004's nextword shape:
+    * a bigram posting IS a materialized position-list intersection
+    * for w=1, which is why no per-posting position arithmetic is
+    * needed at query time). Query phrases are each query doc's top
+    * [[QueryPhrases]] bigrams by tf·idf (the [[queryTerms]]
+    * convention one n up); scoring is BM25 over the bigram corpus
+    * (df/dl/avgdl all phrase-level, derived from the SAME postings
+    * on both sides so short docs — which have no bigram — drop out
+    * of N consistently), each per-(query, doc, phrase) term
+    * e4-rounded before the integer pair sum. Same inverted-index
+    * scale shape as [[bm25TopK]]: candidates are only docs SHARING a
+    * query bigram; the postings table is one corpus scan through the
+    * native word_shingles expression (bigrams ≈ tokens in row count
+    * — the index grows by one word of width, not quadratically).
+    * Top-k per query under the unique (score DESC, doc_id) order. */
+  def phraseTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    phraseTopKOf(Tables.documents(spark, dir), k)
+
+  private[operators] def phraseTopKOf(docs: DataFrame, k: Int = 10): DataFrame = {
+    // True bigrams only: word_shingles emits a whole-text shingle for
+    // single-token docs — those carry no joining space and are not
+    // phrases (the oracle's range(1, len) upper bound drops them the
+    // same way).
+    val tf = docs
+      .select(col("doc_id"), explode(TF.wordShingles(col("text"), 2)).as("bigram"))
+      .filter(col("bigram").contains(" "))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+    val totals = dl.agg(sum(col("dl")).as("totdl"), count(lit(1)).as("n"))
+      .collect().head
+    val (n, totdl) = (totals.getLong(1), totals.getLong(0))
+    val wq = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_e4").desc, col("bigram").asc)
+    val qPhrases = tf.join(dfreq, Seq("bigram"))
+      .filter(col("doc_id") < QueryDocs)
+      .withColumn("tfidf_e4",
+        round(col("tf") * log(lit(n.toDouble) / col("df")) * 1e4).cast("long"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= QueryPhrases)
+      .select(col("doc_id").as("query_id"), col("bigram"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("phrase_e4").desc, col("doc_id").asc)
+    tf.join(broadcast(qPhrases), Seq("bigram"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dfreq, Seq("bigram"))
+      .join(dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        expr(s"CAST(round(ln(1 + (CAST($n AS DOUBLE) - df + 0.5)" +
+          s" / (df + 0.5)) * (tf * ${K1 + 1.0}) / (tf + $K1 * (${1.0 - B} + $B * dl" +
+          s" / (CAST($totdl AS DOUBLE) / $n))) * 10000) AS BIGINT)")
+          .as("s_e4"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s_e4")).as("phrase_e4"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("phrase_e4"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val meta = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"))

@@ -113,6 +113,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(3L) == Seq((1L, 23406L), (0L, 9293L)))
   }
 
+  test("phrase retrieval matches words in ORDER, not as a bag") {
+    // doc 3 contains BOTH query words ("new", "york") but never
+    // adjacently — a bag-of-words scorer would rank it; the bigram
+    // index must not even see it as a candidate. Query 0's phrases
+    // (top-2 bigrams by tf·idf) are "new york" (tf 2) and the
+    // reversed "york new" (tf 1); doc 1 matches only the former,
+    // doc 2 only the latter.
+    val docs = Seq(
+      (0L, "new york new york"),
+      (1L, "i love new york"),
+      (2L, "york new haven"),
+      (3L, "new jersey york"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val got = Retrieval.phraseTopKOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val q0 = got.filter(_._1 == 0L).toSeq.sortBy(_._4)
+    // Hand-computed (N=5 postings docs, totdl=11): doc 2 (dl 2)
+    // scores ln(1+3.5/2.5)·2.2/2.1181818 → 9093; doc 1 (dl 3) →
+    // 7621. Doc 3 must be ABSENT (shares no bigram).
+    assert(q0 == Seq((0L, 2L, 9093L, 1), (0L, 1L, 7621L, 2)), s"$q0")
+    assert(!got.exists(t => t._1 == 0L && t._2 == 3L),
+      "bag-of-words leak: non-adjacent co-occurrence became a candidate")
+    // Single-token docs carry no bigram: a 1-token corpus member can
+    // never be a candidate nor a query with phrases.
+    val withShort = docs.union(Seq((5L, "solo")).toDF("doc_id", "text"))
+    val got2 = Retrieval.phraseTopKOf(withShort).collect()
+    assert(!got2.exists(r => r.getLong(0) == 5L || r.getLong(1) == 5L))
+  }
+
   test("hard negatives: relevant candidates excluded, scores preserved") {
     val dir = plant()
     val got = Retrieval.hardNegatives(spark, dir).collect()
