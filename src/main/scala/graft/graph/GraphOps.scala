@@ -2227,8 +2227,30 @@ object GraphOps {
     * exact state shape Louvain's own compression step produces, so
     * running Louvain on it IS continuing the multi-level algorithm
     * from that compression. Returns (sv, community). Unmemoized: the
-    * streaming maintenance caller owns its state lifecycle. */
+    * streaming maintenance caller owns its state lifecycle.
+    *
+    * Dispatch (round 14): a super graph within [[LocalLouvain
+    * .CollectMax]] rows collects and clusters driver-side — a
+    * per-batch super graph is bounded by the BATCH, not the corpus,
+    * and a GraphX Pregel launch on it is pure scheduling overhead
+    * (measured: 4 launches ≈ 8 s of the streaming fold, arithmetic
+    * worth milliseconds; the tiny-fits-are-scheduling-bound lesson).
+    * Past the bound — a genuinely huge batch or a fold holding
+    * millions of communities — the distributed GraphX path below is
+    * the 100 TB shape, unchanged. */
   def louvainOnSuper(spark: SparkSession, sup: DataFrame): DataFrame = {
+    if (sup.count() <= LocalLouvain.CollectMax) {
+      val rows = sup.select(col("a"), col("b"), col("w").cast("double"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2))))
+      val assign = LocalLouvain.cluster(rows.toSeq)
+      return spark.createDataFrame(assign.toSeq).toDF("sv", "community")
+    }
+    louvainOnSuperGraphX(spark, sup)
+  }
+
+  private[graft] def louvainOnSuperGraphX(spark: SparkSession,
+      sup: DataFrame): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
     val vertRdd = sup
       .select(explode(array(col("a"), col("b"))).as("sv")).distinct()

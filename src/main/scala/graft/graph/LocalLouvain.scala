@@ -121,4 +121,61 @@ object LocalLouvain {
   def gainE6(gain4m2: BigInt, m: BigInt): Long =
     if (m == 0) 0L
     else math.round(gain4m2.toDouble / (4.0 * m.toDouble * m.toDouble) * 1e6)
+
+  /** Collect bound shared by every driver-side dispatch over a super
+    * graph (the streaming fold, its drift estimator, and
+    * louvainOnSuper itself): ≤ this many (a, b, w) rows collect and
+    * run here; past it the distributed GraphX path takes over. */
+  val CollectMax = 1L << 21
+
+  /** Full multi-level Louvain over a BOUNDED in-memory super graph —
+    * the driver-side dispatch target of [[graft.graph.GraphOps
+    * .louvainOnSuper]] (round 14). The streaming fold's per-batch
+    * super graphs are small (≤ batch edges, shrinking to communities²
+    * as the fold converges), and a GraphX Pregel run on them is pure
+    * scheduling overhead — measured ~8 s of the s_stream_louvain
+    * fold's 32 s was four louvainOnSuper launches whose arithmetic is
+    * milliseconds here (the "tiny fits are SCHEDULING-bound" lesson).
+    *
+    * Semantics: standard Louvain — one-level greedy [[localMoves]]
+    * from singletons, contract (min-member canonical labels, summed
+    * weights, intra mass folding into self-loops), repeat until a
+    * level yields zero gain. m is level-invariant under contraction;
+    * degrees are recomputed per level with self-loops counting twice.
+    * Deterministic end to end (ascending sweeps, smaller-community
+    * tie-breaks, min-member labels). Returns original vertex →
+    * final community (a member's id, so streaming contraction's
+    * "community ids are vertex ids" collision argument holds). */
+  def cluster(rows: Seq[(Long, Long, Long)], maxLevels: Int = 16)
+      : Map[Long, Long] = {
+    val m = rows.iterator.map(r => BigInt(r._3)).sum
+    var cur = rows
+    var compose: Map[Long, Long] =
+      rows.flatMap(r => Seq(r._1, r._2)).distinct.map(v => v -> v).toMap
+    var level = 0
+    var progressed = m > 0
+    while (progressed && level < maxLevels) {
+      level += 1
+      val deg = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      cur.foreach { case (a, b, w) =>
+        if (a == b) deg(a) += 2 * w else { deg(a) += w; deg(b) += w }
+      }
+      val init = deg.keys.map(v => v -> v).toMap
+      val (assign, gain) =
+        localMoves(cur.filter(r => r._1 != r._2), deg.toMap.map(identity), m, init)
+      progressed = gain > 0
+      if (progressed) {
+        val canon: Map[Long, Long] = assign.groupBy(_._2).iterator
+          .flatMap { case (_, ms) =>
+            val mn = ms.keys.min; ms.keys.map(_ -> mn)
+          }.toMap
+        compose = compose.map { case (v, sv) => v -> canon(sv) }
+        cur = cur.groupBy { r =>
+          val (x, y) = (canon(r._1), canon(r._2))
+          (math.min(x, y), math.max(x, y))
+        }.iterator.map { case ((a, b), rs) => (a, b, rs.map(_._3).sum) }.toSeq
+      }
+    }
+    compose
+  }
 }

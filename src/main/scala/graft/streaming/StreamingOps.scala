@@ -988,7 +988,7 @@ object StreamingOps {
     * GROWS monotonically, so under-detection delays the refresh by
     * at most an audit interval. Returns the estimated gap as e6
     * modularity. */
-  private[graft] val SupCollectMax = 1L << 21
+  private[graft] val SupCollectMax = graft.graph.LocalLouvain.CollectMax
   private[graft] def louvainDriftGapE6(spark: SparkSession, edges: DataFrame,
       labels: DataFrame, sup: DataFrame, probeK: Int = 8,
       intraBudget: Long = 1L << 18): Long = {

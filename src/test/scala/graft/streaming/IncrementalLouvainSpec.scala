@@ -177,6 +177,33 @@ class IncrementalLouvainSpec extends AnyFunSuite {
     assert(gap2 == 0L, s"converged state estimated nonzero drift: $gap2")
   }
 
+  test("driver-side super Louvain matches the GraphX path's partition") {
+    import spark.implicits._
+    // The estimator fixture as a raw super graph (no self-loops yet):
+    // two weight-11 cliques + 16 unit bridges — both dispatch paths
+    // must find the two-clique partition; labels are path-specific,
+    // partitions are the contract.
+    val all8 = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L)
+    val cl = (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)))
+      .map(e => (e._1, e._2)).toSet
+    val sup = (for { a <- all8; b <- all8 if a < b } yield
+      (a, b, if (cl((a, b))) 11.0 else 1.0)).toDF("a", "b", "w")
+    def partOf(df: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val drv = partOf(graft.graph.GraphOps.louvainOnSuper(spark, sup))
+    val gx = partOf(graft.graph.GraphOps.louvainOnSuperGraphX(spark, sup))
+    val want = Set(Set(0L, 1L, 2L, 3L), Set(10L, 11L, 12L, 13L))
+    assert(drv == want, s"driver path: $drv")
+    assert(gx == want, s"graphx path: $gx")
+    // Self-loop internal weight is carried, not re-clustered: a
+    // compressed two-community state stays put on both paths.
+    val compressed = Seq((0L, 0L, 66.0), (10L, 10L, 66.0), (0L, 10L, 16.0))
+      .toDF("a", "b", "w")
+    assert(partOf(graft.graph.GraphOps.louvainOnSuper(spark, compressed)) ==
+      Set(Set(0L), Set(10L)))
+  }
+
   test("no-drift audited stream never pays the batch reference") {
     import spark.implicits._
     val s = sink()
