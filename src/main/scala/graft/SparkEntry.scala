@@ -779,6 +779,7 @@ object SparkEntry {
     // Rows-only + spec: recall@k curve of the IVF candidates vs the
     // exact answer on the bounded sample.
     "e_recall_curve" -> ((s, d) => Similarity.recallCurve(s, d)),
+    "e_intrinsic_dim" -> ((s, d) => Similarity.intrinsicDim(s, d)),
     "e_outliers" -> ((s, d) => Similarity.embOutliers(s, d)),
     // Rows-only + specs (planted axis recovery, partitioning
     // invariance of the exact integer Gram, driver power iteration).
@@ -922,6 +923,7 @@ object SparkEntry {
     // max from one distributed cumsum pass) and tie-exact
     // Mann-Whitney rank-sum.
     "q_ks_test" -> ((s, d) => Relational.qKsTest(s, d)),
+    "q_mann_kendall" -> ((s, d) => Relational.qMannKendall(s, d)),
     "q_mann_whitney" -> ((s, d) => Relational.qMannWhitney(s, d)),
     // Pairwise Jensen-Shannon divergence between per-source token
     // distributions — the cross-source divergence matrix.
@@ -4363,6 +4365,38 @@ object SparkEntry {
     // Same e16 quantization and own-centroid integer distances; lower
     // medians by (nn + 1) // 2 ordered selection, farthest point via
     // the unique-ranked window (struct argmax - CLAUDE rule).
+    // TwoNN intrinsic dimension: distances through the polarization
+    // identity over e16-quantized ints (exact in doubles: 64 dims x
+    // (2^17)^2 << 2^53) — identical integers to the Spark-side
+    // native QuantSqDist loop; per-point ln(mu) e6-rounded before
+    // the integer sum, one double tree for the MLE, duplicates
+    // (r1 = 0) dropped per the paper's preprocessing.
+    "e_intrinsic_dim" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> floor(x * 65536 + 0.5)) AS qa
+        |  FROM embeddings),
+        |nrm AS (SELECT vec_id, qa, list_dot_product(qa, qa) AS n2 FROM q),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |    CAST(a.n2 + b.n2 - 2 * list_dot_product(a.qa, b.qa) AS BIGINT)
+        |      AS d2
+        |  FROM nrm a, nrm b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT a, b, d2,
+        |    row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rk FROM p),
+        |nn AS (SELECT a,
+        |    min(CASE WHEN rk = 1 THEN d2 END) AS d1,
+        |    min(CASE WHEN rk = 2 THEN d2 END) AS dn2
+        |  FROM r WHERE rk <= 2 GROUP BY a),
+        |l AS (SELECT CAST(round(ln(CAST(dn2 AS DOUBLE) / d1) * 500000)
+        |      AS BIGINT) AS lnmu_e6
+        |  FROM nn WHERE d1 > 0),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(sum(lnmu_e6) AS BIGINT) AS sum_lnmu_e6 FROM l)
+        |SELECT n_points, sum_lnmu_e6,
+        |  CASE WHEN sum_lnmu_e6 > 0 THEN
+        |    CAST(round(CAST(n_points AS DOUBLE) * 1000000 / sum_lnmu_e6
+        |      * 10000) AS BIGINT) END AS id_e4
+        |FROM f""".stripMargin,
     "e_outliers" ->
       """WITH dims AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS label, t.i AS dim,
@@ -4923,6 +4957,34 @@ object SparkEntry {
     // Theil-Sen: the pair set is the calendar-bounded day grid
     // squared; one double division per slope stated identically,
     // exact lower median under the unique (slope, xi, xj) order.
+    // Mann-Kendall: S and the tie term are exact BIGINT over the
+    // bounded day grid (the theil_sen pair-enumerability argument);
+    // Var(S) and the continuity-corrected z are the one double tree,
+    // zero variance -> NULL.
+    "q_mann_kendall" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |a AS (SELECT min(day) AS d0 FROM d),
+        |i AS (SELECT event_type, y,
+        |    CAST(date_diff('day', d0, day) AS BIGINT) AS x FROM d, a),
+        |s AS (SELECT l.event_type,
+        |    CAST(sum(CASE WHEN r2.y > l.y THEN 1 WHEN r2.y < l.y THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM i l JOIN i r2 ON l.event_type = r2.event_type
+        |    AND l.x < r2.x GROUP BY 1),
+        |t AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type, y, count(*) AS t FROM i GROUP BY 1, 2) g
+        |  GROUP BY 1)
+        |SELECT s.event_type, t.n_days, s.s_stat, t.tie_term,
+        |  CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_term > 0
+        |    THEN CAST(round(
+        |      (CASE WHEN s_stat > 0 THEN s_stat - 1
+        |        WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END)
+        |      / sqrt((n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
+        |        / 18.0) * 10000) AS BIGINT) END AS z_e4
+        |FROM s JOIN t ON s.event_type = t.event_type
+        |ORDER BY s.event_type""".stripMargin,
     "q_theil_sen" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),

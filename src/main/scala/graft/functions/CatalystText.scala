@@ -333,6 +333,81 @@ case class InnerProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact-integer squared Euclidean distance on the e16 quantization
+  * grid (round 14): Σ (⌊a·65536+0.5⌋ − ⌊b·65536+0.5⌋)² as a BIGINT —
+  * the [[CosineSim]] tight-loop shape applied to the repo's
+  * bit-stable distance convention (e_outliers/e_kcenter quantize the
+  * same way), so pairwise distances are reduction-order-free and the
+  * oracle can state the identical value through the polarization
+  * identity |qa|² + |qb|² − 2⟨qa,qb⟩ over exact-in-double quantized
+  * ints. 64 dims × (2¹⁷)² keeps the sum far inside Long range. */
+case class QuantSqDist(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"quant_sq_dist requires array<float|double> inputs, got ${l.catalogString} / ${r.catalogString}")
+  }
+  override def nullable: Boolean = true
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"quant_sq_dist requires array<float|double>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val af = elemIsFloat(left); val bf = elemIsFloat(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = math.floor(x * 65536d + 0.5d).toLong - math.floor(y * 65536d + 0.5d).toLong
+      s += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val anyNull = ctx.freshName("anyNull")
+      val getX = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |  final long $d = (long) java.lang.Math.floor(($getX) * 65536.0 + 0.5)
+         |    - (long) java.lang.Math.floor(($getY) * 65536.0 + 0.5);
+         |  $s += $d * $d;
+         |}
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantSqDist =
+    copy(left = l, right = r)
+}
+
 /** One-deletion neighborhood of a string in one native pass:
   * "abc" → ["abc", "bc", "ac", "ab"] — the FastSS blocking key set
   * for edit-distance-1 joins (two strings within distance 1 share a
@@ -855,6 +930,8 @@ object CatalystText {
     shim.column(CosineSim(shim.expression(a), shim.expression(b)))
   def inner_product(a: Column, b: Column): Column =
     shim.column(InnerProduct(shim.expression(a), shim.expression(b)))
+  def quant_sq_dist(a: Column, b: Column): Column =
+    shim.column(QuantSqDist(shim.expression(a), shim.expression(b)))
   def l2_normalize(c: Column): Column = shim.column(L2Normalize(shim.expression(c)))
   def deletion_variants(c: Column): Column =
     shim.column(DeletionVariants(shim.expression(c)))

@@ -24,6 +24,12 @@ object VectorFunctions {
     * per element, which dominates bucket-join hot paths). */
   def cosine(a: Column, b: Column): Column = CatalystText.cosine_sim(a, b)
 
+  /** Exact-integer squared L2 on the e16 quantization grid — the
+    * bit-stable distance every Euclidean audit shares (native
+    * [[CatalystText.QuantSqDist]] tight loop). */
+  def quantSqDist(a: Column, b: Column): Column =
+    CatalystText.quant_sq_dist(a, b)
+
   /** Raw ⟨a,b⟩ — native [[InnerProduct]] expression (the MIPS
     * scoring primitive; same accumulation as [[cosine]]'s dot). */
   def innerProduct(a: Column, b: Column): Column =

@@ -2589,6 +2589,52 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Mann–Kendall trend test per event type (round 14) — the
+    * nonparametric trend VERDICT beside [[qTheilSen]]'s slope
+    * estimate (the pair every monitoring textbook ships together:
+    * Theil–Sen says how steep, Mann–Kendall says whether it's
+    * distinguishable from noise). S = Σ_{i<j} sign(x_j − x_i) over
+    * the day-ordered pairs of the SAME calendar-bounded (type, day)
+    * grid — the pair set is days²/2 regardless of corpus size, the
+    * qTheilSen enumerability argument verbatim. S and the tie
+    * correction Σ t(t−1)(2t+5) (t = same-count day groups) are exact
+    * BIGINT on the bounded spine; Var(S) = (n(n−1)(2n+5) − ties)/18
+    * and the continuity-corrected z = (S∓1)/√Var are the one double
+    * tree stated identically in the oracle, e4-rounded; zero
+    * variance guards to NULL. */
+  def qMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val anchor = d.agg(min(col("day")).as("d0"))
+    val idx = d.crossJoin(broadcast(anchor))
+      .select(col("event_type"), col("y"),
+        datediff(col("day"), col("d0")).cast("long").as("x"))
+      .localCheckpoint(true)
+    val pairs = idx.toDF("event_type", "yi", "xi")
+      .join(idx.toDF("event_type", "yj", "xj"), Seq("event_type"))
+      .filter(col("xi") < col("xj"))
+      .select(col("event_type"),
+        when(col("yj") > col("yi"), 1L).when(col("yj") < col("yi"), -1L)
+          .otherwise(0L).as("sgn"))
+      .groupBy(col("event_type")).agg(sum(col("sgn")).as("s_stat"))
+    val ties = idx.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - lit(1L)) * (lit(2L) * col("t") + lit(5L)))
+          .as("tie_term"))
+    pairs.join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("tie_term"),
+        expr("CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5)" +
+          " - tie_term > 0 THEN CAST(round(" +
+          "(CASE WHEN s_stat > 0 THEN s_stat - 1" +
+          " WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END)" +
+          " / sqrt((n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)" +
+          " / 18.0) * 10000) AS BIGINT) END").as("z_e4"))
+      .orderBy(col("event_type"))
+  }
+
   /** Data-quality constraint audit — the Deequ-style contract check a
     * pipeline runs BEFORE trusting a new drop: primary-key
     * uniqueness, referential integrity (FK orphans via broadcast

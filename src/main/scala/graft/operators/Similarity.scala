@@ -1292,6 +1292,62 @@ object Similarity {
     * over the raw stream). Own-centroid distances only — no ×k
     * candidate join; one posexplode pass, one (label, dim) agg, one
     * broadcast centroid join. */
+  /** TwoNN intrinsic-dimension estimate (Facco, d'Errico, Rodriguez
+    * & Laio 2017) — "how many dimensions does the corpus actually
+    * use", the embedding-audit number next to [[isotropyOf]]'s
+    * direction-concentration and pcaPower's variance share: an
+    * embedding column can be 64-wide yet live on a ~10-dimensional
+    * manifold, and retrieval/quantizer behavior tracks the LATTER.
+    * TwoNN needs only each point's two nearest neighbors: μᵢ =
+    * r₂/r₁ follows a Pareto(d) law on a locally uniform manifold,
+    * and the MLE is d̂ = n / Σ ln μᵢ.
+    *
+    * Exactness: distances are the e16-quantized integer squared L2
+    * (the native [[graft.functions.CatalystText.QuantSqDist]] loop —
+    * e_outliers' grid convention made pairwise), so the 2-NN choice
+    * is bit-stable under the unique (d², vec_id) order and the
+    * oracle states the SAME integers through the polarization
+    * identity |qa|²+|qb|²−2⟨qa,qb⟩ (quantized ints are exact in
+    * doubles). Each ln μᵢ = ln(d₂²/d₁²)/2 is e6-rounded PER POINT
+    * before the integer sum (the per-term rounding rule); the final
+    * d̂ is one double tree stated identically. Exact-duplicate
+    * points (r₁ = 0) have undefined μ and drop out, per the paper's
+    * own preprocessing.
+    *
+    * Scale shape: the brute-force n² pair stream is the
+    * [[cosineTopKOf]] baseline class (broadcast right side, native
+    * tight loop, rank-2 window per point); at corpus scale the 2-NN
+    * comes from the IVF/LSH shortlist + exact re-rank exactly like
+    * [[annIvfTopK]] — the estimator only ever needs k = 2. */
+  def intrinsicDim(spark: SparkSession, dir: String): DataFrame =
+    intrinsicDimOf(Tables.embeddings(spark, dir))
+
+  def intrinsicDimOf(emb: DataFrame): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val pairs = v.toDF("a", "ea")
+      .crossJoin(broadcast(v.toDF("b", "eb")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        graft.functions.VectorFunctions.quantSqDist(col("ea"), col("eb"))
+          .as("d2"))
+    val w = Window.partitionBy(col("a")).orderBy(col("d2").asc, col("b").asc)
+    val per = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("a"))
+      .agg(min(when(col("rk") === 1, col("d2"))).as("d1"),
+        min(when(col("rk") === 2, col("d2"))).as("dn2"))
+      .filter(col("d1") > 0L)
+      .select(expr(
+        "CAST(round(ln(CAST(dn2 AS DOUBLE) / d1) * 500000) AS BIGINT)")
+        .as("lnmu_e6"))
+    per.agg(count(lit(1)).as("n_points"), sum(col("lnmu_e6")).as("sum_lnmu_e6"))
+      .select(col("n_points"), col("sum_lnmu_e6"),
+        when(col("sum_lnmu_e6") > 0L, expr(
+          "CAST(round(CAST(n_points AS DOUBLE) * 1000000 / sum_lnmu_e6" +
+            " * 10000) AS BIGINT)"))
+          .as("id_e4"))
+  }
+
   def embOutliers(spark: SparkSession, dir: String): DataFrame =
     embOutliersOf(Tables.embeddings(spark, dir))
 

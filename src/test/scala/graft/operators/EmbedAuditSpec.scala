@@ -106,4 +106,26 @@ class EmbedAuditSpec extends AnyFunSuite {
     // rounding margin after (floor-div + per-row re-quantization).
     assert(muB > 1000000000L && muA <= 4L * D, s"$muB -> $muA")
   }
+
+  test("twonn intrinsic dimension: exact ledger on a planted 1-D grid") {
+    // Ten points on the dim-0 integer grid: interior points have
+    // r1 = r2 (ln μ = 0); only the two endpoints contribute
+    // ln(4)/2·1e6 = 693147 each → sum 1386294, d̂ = 10e6/1386294
+    // → id_e4 = 72135. (TwoNN assumes Poisson spacing, so a rigid
+    // grid UNDER-estimates — the spec pins the ledger, not the
+    // asymptotic claim.)
+    val rows = (0 until 10).map { i =>
+      val v = Array.fill(D)(0.0f); v(0) = i.toFloat; (i.toLong, v)
+    }
+    val r = Similarity.intrinsicDimOf(frame(rows)).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2))
+      == ((10L, 1386294L, 72135L)))
+    // Exact duplicates have r1 = 0 and undefined μ: both members
+    // drop out (the paper's own preprocessing), everyone else's
+    // two-NN ledger is unchanged except the absorbed endpoint.
+    val dup = rows :+ (10L, rows.head._2)
+    val r2 = Similarity.intrinsicDimOf(frame(dup)).collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2))
+      == ((9L, 693147L, 129843L)))
+  }
 }

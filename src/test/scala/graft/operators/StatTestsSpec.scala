@@ -35,7 +35,9 @@ class StatTestsSpec extends AnyFunSuite {
       (1.00, "1997-03-01"), (2.00, "1997-03-02"), (3.00, "1997-03-03"),
       (2.00, "1998-03-01"), (3.00, "1998-03-02"), (4.00, "1998-03-03")))
     val r = Relational.qKsTest(spark, dir).collect().head
-    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+    // num rides DECIMAL(38,0) since round 14 (k·n is O(n²)).
+    assert((r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDecimal(3).longValueExact(),
       r.getLong(4)) == ((3L, 3L, 100L, 3L, 333333L)))
   }
 
@@ -48,7 +50,9 @@ class StatTestsSpec extends AnyFunSuite {
       (1.00, "1997-03-01"), (2.00, "1997-03-02"),
       (2.00, "1998-03-01"), (3.00, "1998-03-02")))
     val r = Relational.qMannWhitney(spark, dir).collect().head
-    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+    // u1x2 rides DECIMAL(38,0) since round 14 (rank sums are O(n²)).
+    assert((r.getLong(0), r.getLong(1),
+      r.getDecimal(2).longValueExact(), r.getLong(3),
       r.getLong(4)) == ((2L, 2L, 1L, 6L, -12247L)))
   }
 
@@ -86,6 +90,24 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r.length == 1)
     assert((r.head.getString(0), r.head.getLong(1), r.head.getLong(2))
       == (("a", 10L, 2000000L)))
+  }
+
+  test("mann-kendall: monotone rise scores the closed form; flat ties kill the variance") {
+    // "up" counts 1..5: every pair concordant → S = 10, no ties,
+    // Var = 5·4·15/18, z = 9/√(300/18) = 2.20454 → 22045.
+    // "fl" flat 3,3,3,3: S = 0 and ONE tie group of 4 → tie_term =
+    // 4·3·13 = 156 = n(n−1)(2n+5) exactly, Var = 0 → z NULL.
+    val dir = plantEvents(Seq(
+      ("fl", 0, 3), ("fl", 1, 3), ("fl", 2, 3), ("fl", 3, 3),
+      ("up", 0, 1), ("up", 1, 2), ("up", 2, 3), ("up", 3, 4), ("up", 4, 5)))
+    val r = Relational.qMannKendall(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val up = r("up")
+    assert((up.getLong(1), up.getLong(2), up.getLong(3), up.getLong(4))
+      == ((5L, 10L, 0L, 22045L)))
+    val fl = r("fl")
+    assert((fl.getLong(1), fl.getLong(2), fl.getLong(3)) == ((4L, 0L, 156L)))
+    assert(fl.isNullAt(4), "zero variance must guard z to NULL")
   }
 
   test("runs test: oscillation scores high, monotone trend low") {
