@@ -147,35 +147,68 @@ object LocalLouvain {
     * final community (a member's id, so streaming contraction's
     * "community ids are vertex ids" collision argument holds). */
   def cluster(rows: Seq[(Long, Long, Long)], maxLevels: Int = 16)
-      : Map[Long, Long] = {
+      : Map[Long, Long] =
+    clusterWithLevels(rows, maxLevels)._1
+
+  /** [[cluster]] plus the per-level (level, Q, nCommunities,
+    * nVertices) trail [[graft.graph.Louvain.run]] reports — the same
+    * loop contract (record the level AFTER its local moves, apply
+    * the moves to the composed assignment unconditionally, contract
+    * and continue only while Q improved by > minDeltaQ and the graph
+    * still shrinks), so the driver dispatch is a drop-in for the
+    * GraphX engine's (assignment, levels) pair. Q per level is the
+    * exact-BigInt ledger (4m·Σw_in − Σ sumd²) / 4m² — one double
+    * division, the modularityOf convention, so the "rescored final
+    * level equals modularityOf" spec holds bit-closer than the
+    * float-summed Pregel path it replaces. */
+  def clusterWithLevels(rows: Seq[(Long, Long, Long)], maxLevels: Int = 10,
+      minDeltaQ: Double = 1e-4)
+      : (Map[Long, Long], Seq[(Int, Double, Long, Long)]) = {
     val m = rows.iterator.map(r => BigInt(r._3)).sum
     var cur = rows
     var compose: Map[Long, Long] =
       rows.flatMap(r => Seq(r._1, r._2)).distinct.map(v => v -> v).toMap
+    val levels = mutable.ArrayBuffer.empty[(Int, Double, Long, Long)]
+    var prevQ = Double.MinValue
     var level = 0
-    var progressed = m > 0
-    while (progressed && level < maxLevels) {
-      level += 1
+    var continue = m > 0
+    while (continue) {
       val deg = mutable.LongMap.empty[Long].withDefaultValue(0L)
       cur.foreach { case (a, b, w) =>
         if (a == b) deg(a) += 2 * w else { deg(a) += w; deg(b) += w }
       }
       val init = deg.keys.map(v => v -> v).toMap
-      val (assign, gain) =
+      val (assign, _) =
         localMoves(cur.filter(r => r._1 != r._2), deg.toMap.map(identity), m, init)
-      progressed = gain > 0
-      if (progressed) {
-        val canon: Map[Long, Long] = assign.groupBy(_._2).iterator
-          .flatMap { case (_, ms) =>
-            val mn = ms.keys.min; ms.keys.map(_ -> mn)
-          }.toMap
-        compose = compose.map { case (v, sv) => v -> canon(sv) }
+      // Q of this level's partition on this level's graph — equal to
+      // the composed assignment's Q on the original graph
+      // (contraction invariance).
+      var wIn = BigInt(0)
+      cur.foreach { case (a, b, w) => if (assign(a) == assign(b)) wIn += w }
+      val sumd = mutable.LongMap.empty[BigInt].withDefaultValue(BigInt(0))
+      deg.foreach { case (v, d) => sumd(assign(v)) += d }
+      val q = ((wIn * 4 * m - sumd.values.map(s => s * s).sum).toDouble
+        / (4.0 * m.toDouble * m.toDouble))
+      val nVert = init.size.toLong
+      val nComm = assign.values.toSet.size.toLong
+      levels += ((level, q, nComm, nVert))
+      // Apply the level's moves to the composed assignment whether or
+      // not the loop continues — the GraphX engine does the same.
+      val canon: Map[Long, Long] = assign.groupBy(_._2).iterator
+        .flatMap { case (_, ms) =>
+          val mn = ms.keys.min; ms.keys.map(_ -> mn)
+        }.toMap
+      compose = compose.map { case (v, sv) => v -> canon(sv) }
+      val improved = q > prevQ + minDeltaQ
+      prevQ = q
+      level += 1
+      if (improved && level < maxLevels && nComm < nVert) {
         cur = cur.groupBy { r =>
           val (x, y) = (canon(r._1), canon(r._2))
           (math.min(x, y), math.max(x, y))
         }.iterator.map { case ((a, b), rs) => (a, b, rs.map(_._3).sum) }.toSeq
-      }
+      } else continue = false
     }
-    compose
+    (compose, levels.toSeq)
   }
 }
