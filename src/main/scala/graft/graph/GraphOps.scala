@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Test-only escape hatch: forces every measured driver dispatch
+    * (the round-14 LocalLouvain/LocalIterative twins) down the
+    * distributed path so IterativeDispatchSpec can pin driver ≡
+    * distributed bit-equality on the same inputs. Never set outside
+    * tests; suites run sequentially (the one-sbt rule), so a plain
+    * var with try/finally reset is race-free here. */
+  private[graft] var forceDistributed = false
+
   /** Degree + weighted degree per vertex from a canonical undirected
     * edge list. Union of both endpoints → one groupBy (single
     * shuffle, map-side combined). */
@@ -56,6 +64,17 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    // Measured dispatch (round 14): the whole recursion is truncating
+    // integer arithmetic over a bounded-V graph, so the driver twin
+    // is bit-identical and skips 15 rounds x ~3 per-round plan
+    // compiles (the documented plan-compile-bound cost of this op).
+    if (!forceDistributed && sym.count() <= LocalLouvain.CollectMax) {
+      import spark.implicits._
+      val rows = sym.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      return LocalIterative.spectralCut(rows, rounds)
+        .toDF("vertex", "score_e6", "side").orderBy(col("vertex"))
+    }
     val deg = sym.groupBy(col("src").as("vertex"))
       .agg(count(lit(1)).as("deg")).localCheckpoint(true)
     val c = 2L * deg.agg(max(col("deg"))).first().getLong(0)
@@ -902,6 +921,15 @@ object GraphOps {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight").cast("long").as("w")))
       .localCheckpoint(true)
+    if (!forceDistributed && sym.count() <= LocalLouvain.CollectMax) {
+      val rows = sym.select(col("src"), col("dst"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val seeds: Seq[Long] =
+        if (landmarks.nonEmpty) landmarks
+        else rows.map(_._1).distinct.sorted.take(3).toSeq
+      return LocalIterative.weightedSssp(rows, seeds, rounds)
+        .toDF("vertex", "landmark", "wdist")
+    }
     val lms =
       if (landmarks.nonEmpty) landmarks.toDF("v")
       else sym.select(col("src").as("v")).distinct().orderBy(col("v")).limit(3)
@@ -1543,11 +1571,32 @@ object GraphOps {
     * one join + one aggregation over a checkpointed fraction table. */
   def pageRankInteger(spark: SparkSession, edges: DataFrame,
       iters: Int = 10): DataFrame = {
+    val fr = pageRankFrame(edges)
+    // Measured dispatch (round 14): the recursion is pure truncating
+    // integer arithmetic, so the driver twin is BIT-IDENTICAL to the
+    // DataFrame loop (IterativeDispatchSpec pins it; the unrolled-SQL
+    // oracle keeps hash-matching either way) — and at small V the DF
+    // loop's cost is per-round plan compile, not arithmetic.
+    if (!forceDistributed && fr.count() <= LocalLouvain.CollectMax) {
+      import spark.implicits._
+      val rows = fr.select(col("src"), col("dst"), col("w"), col("wdeg"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      LocalIterative.pageRankInt(rows, iters)
+        .toDF("vertex", "rank_e6").orderBy(col("vertex"))
+    } else pageRankIntegerDistributed(spark, fr, iters)
+  }
+
+  private[graph] def pageRankFrame(edges: DataFrame): DataFrame = {
     val both = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight").cast("long").as("w")))
     val wdeg = both.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
-    val fr = both.join(wdeg, Seq("src")).localCheckpoint(true)
+    both.join(wdeg, Seq("src")).localCheckpoint(true)
+  }
+
+  private[graph] def pageRankIntegerDistributed(spark: SparkSession,
+      fr: DataFrame, iters: Int): DataFrame = {
     var ranks = fr.select(col("src").as("vertex")).distinct()
       .withColumn("rank", lit(1000000L))
       .localCheckpoint(true)
@@ -1614,6 +1663,16 @@ object GraphOps {
         s"BIGINT headroom bound $bound (maxWSum=$maxWSum, maxW=$maxW) " +
         "— round 1 could wrap silently. Raise the beta denominator " +
         "or thin the input graph.")
+    // Measured dispatch (round 14): truncating-integer recursion ⇒
+    // the driver twin is bit-identical (incl. the per-round headroom
+    // guard); the DF loop below stays as the at-scale path.
+    if (!forceDistributed && fr.count() <= LocalLouvain.CollectMax) {
+      import spark.implicits._
+      val rows = fr.select(col("src"), col("dst"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      return LocalIterative.katz(rows, iters, bound)
+        .toDF("vertex", "katz_e6").orderBy(col("vertex"))
+    }
     var x = fr.select(col("src").as("vertex")).distinct()
       .withColumn("katz", lit(1000000L))
       .localCheckpoint(true)
@@ -1718,11 +1777,25 @@ object GraphOps {
     * checkpointed fraction table. */
   def personalizedPageRank(spark: SparkSession, edges: DataFrame,
       landmarks: Seq[Long] = Seq.empty, iters: Int = 10): DataFrame = {
-    val both = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
-        col("weight").cast("long").as("w")))
-    val wdeg = both.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
-    val fr = both.join(wdeg, Seq("src")).localCheckpoint(true)
+    val fr = pageRankFrame(edges)
+    // Same measured dispatch + bit-identity argument as
+    // [[pageRankInteger]] — the restart set is the only delta.
+    if (!forceDistributed && fr.count() <= LocalLouvain.CollectMax) {
+      import spark.implicits._
+      val rows = fr.select(col("src"), col("dst"), col("w"), col("wdeg"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val seeds: Set[Long] =
+        if (landmarks.nonEmpty) landmarks.toSet
+        else rows.map(_._1).distinct.sorted.take(3).toSet
+      LocalIterative.personalizedPageRank(rows, seeds, iters)
+        .toDF("vertex", "rank_e6").orderBy(col("vertex"))
+    } else personalizedPageRankDistributed(spark, fr, landmarks, iters)
+  }
+
+  private[graph] def personalizedPageRankDistributed(spark: SparkSession,
+      fr: DataFrame, landmarks: Seq[Long] = Seq.empty,
+      iters: Int = 10): DataFrame = {
     val verts = fr.select(col("src").as("vertex")).distinct()
     val seeds: Seq[Long] =
       if (landmarks.nonEmpty) landmarks
@@ -2120,7 +2193,7 @@ object GraphOps {
       // (same planted partitions, level-Q ≡ modularityOf) rides the
       // existing GraphOpsSpec/GraftGraphSpec/LeidenSpec assertions,
       // which now exercise the driver path at test scale.
-      val dispatchable = resolution == 1.0 && {
+      val dispatchable = !forceDistributed && resolution == 1.0 && {
         val st = edges.agg(count(lit(1)).as("n"),
           max(abs(col("weight") - round(col("weight")))).as("frac"))
           .collect().head
@@ -2223,7 +2296,8 @@ object GraphOps {
     // path. Output is bit-identical on both paths: connected
     // communities keep their min member, splits take per-component
     // min members, community-isolated vertices become singletons.
-    if (math.max(intra.count(), a.count()) <= LocalLouvain.CollectMax)
+    if (!forceDistributed &&
+        math.max(intra.count(), a.count()) <= LocalLouvain.CollectMax)
       refineDriver(spark, a, intra)
     else
       refineDistributed(spark, a, intra)
@@ -2326,7 +2400,7 @@ object GraphOps {
     * millions of communities — the distributed GraphX path below is
     * the 100 TB shape, unchanged. */
   def louvainOnSuper(spark: SparkSession, sup: DataFrame): DataFrame = {
-    if (sup.count() <= LocalLouvain.CollectMax) {
+    if (!forceDistributed && sup.count() <= LocalLouvain.CollectMax) {
       val rows = sup.select(col("a"), col("b"), col("w").cast("double"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2))))

@@ -1,0 +1,150 @@
+package graft.graph
+
+import scala.collection.mutable
+
+/** Driver-side twins of the integer-exact iterative graph loops
+  * (round 14) — the [[LocalLouvain]] dispatch argument applied to the
+  * fixed-round family: every one of these operators is a
+  * deterministic INTEGER recursion (truncating `div`, Long sums —
+  * the g_pagerank_det bit-reproducibility contract), so the driver
+  * twin produces BIT-IDENTICAL output to the DataFrame loop it
+  * stands in for, and the unrolled-SQL DuckDB oracles keep
+  * hash-matching unchanged. What the DataFrame loops pay at small V
+  * is not arithmetic but per-round plan analysis + codegen
+  * (g_spectral_cut measured 15 rounds × ~3 plans ≈ its whole 8 s;
+  * the "DF micro-rounds are plan-compile-bound" lesson) — work a
+  * tight array loop does in microseconds. Callers dispatch on the
+  * measured edge count (≤ [[LocalLouvain.CollectMax]] rows collect);
+  * the DataFrame loops remain verbatim as the at-scale shape, and
+  * IterativeDispatchSpec pins driver ≡ distributed bit-equality on
+  * the real corpus.
+  *
+  * Long-only arithmetic throughout: `/` on non-negative Longs and
+  * Spark's `div` truncate identically, and the one signed site
+  * (spectral deflation) truncates toward zero in both — never
+  * Math.floorDiv (the holt-winters lesson). */
+object LocalIterative {
+
+  /** (vertex, rank_e6) — mirrors GraphOps.pageRankInteger's loop:
+    * rows are the checkpointed (src, dst, w, wdeg) frame. */
+  def pageRankInt(rows: Array[(Long, Long, Long, Long)],
+      iters: Int): Seq[(Long, Long)] = {
+    val verts = rows.map(_._1).distinct.sorted
+    val rank = mutable.LongMap.empty[Long]
+    verts.foreach(v => rank(v) = 1000000L)
+    for (_ <- 1 to iters) {
+      val csum = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      rows.foreach { case (s, d, w, wdeg) =>
+        csum(d) += rank(s) * w / wdeg
+      }
+      verts.foreach(v => rank(v) = 150000L + csum(v) * 17L / 20L)
+    }
+    verts.map(v => (v, rank(v))).toSeq
+  }
+
+  /** (vertex, rank_e6) — mirrors GraphOps.personalizedPageRank:
+    * unnormalized 150000/round restart onto the seed set only. */
+  def personalizedPageRank(rows: Array[(Long, Long, Long, Long)],
+      seeds: Set[Long], iters: Int): Seq[(Long, Long)] = {
+    val verts = rows.map(_._1).distinct.sorted
+    val rank = mutable.LongMap.empty[Long]
+    verts.foreach(v => rank(v) = if (seeds(v)) 1000000L else 0L)
+    for (_ <- 1 to iters) {
+      val csum = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      rows.foreach { case (s, d, w, wdeg) =>
+        csum(d) += rank(s) * w / wdeg
+      }
+      verts.foreach { v =>
+        rank(v) = (if (seeds(v)) 150000L else 0L) + csum(v) * 17L / 20L
+      }
+    }
+    verts.map(v => (v, rank(v))).toSeq
+  }
+
+  /** (vertex, katz_e6) — mirrors GraphOps.katzCentrality including
+    * its per-round BIGINT headroom guard (same failure message
+    * class: a wrap must fail loudly, driver path or not). */
+  def katz(rows: Array[(Long, Long, Long)], iters: Int,
+      bound: Long): Seq[(Long, Long)] = {
+    val verts = rows.map(_._1).distinct.sorted
+    val katz = mutable.LongMap.empty[Long]
+    verts.foreach(v => katz(v) = 1000000L)
+    for (round <- 1 to iters) {
+      val csum = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      rows.foreach { case (s, d, w) => csum(d) += katz(s) * w / 256L }
+      verts.foreach(v => katz(v) = 1000000L + csum(v))
+      val m = verts.iterator.map(katz).max
+      require(m <= bound,
+        s"katzCentrality: round $round max katz $m exceeds the BIGINT " +
+          s"headroom bound $bound — the next round could wrap silently. " +
+          "Lower iters, raise the beta denominator, or thin the input graph.")
+    }
+    verts.map(v => (v, katz(v))).toSeq
+  }
+
+  /** (vertex, score_e6, side) — mirrors GraphOps.spectralCut: shifted
+    * Laplacian power iteration with mean deflation and max-|·|
+    * renormalization, md5-hex pseudo-random start (identical string
+    * hash both paths). */
+  def spectralCut(rows: Array[(Long, Long)], rounds: Int)
+      : Seq[(Long, Long, Boolean)] = {
+    // rows are the SYMMETRIZED (src, dst) pairs, exactly the `sym`
+    // frame the DataFrame loop joins against.
+    val deg = mutable.LongMap.empty[Long].withDefaultValue(0L)
+    rows.foreach { case (s, _) => deg(s) += 1L }
+    val verts = deg.keys.toArray.sorted
+    val c = 2L * verts.iterator.map(deg).max
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def start(v: Long): Long = {
+      val hex = md.digest(v.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 2000001L - 1000000L
+    }
+    val x = mutable.LongMap.empty[Long]
+    verts.foreach(v => x(v) = start(v))
+    for (_ <- 1 to rounds) {
+      val sSum = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      rows.foreach { case (s, d) => sSum(s) += x(d) }
+      var tot = 0L; var mxY = Long.MinValue; var mnY = Long.MaxValue
+      val y = mutable.LongMap.empty[Long]
+      verts.foreach { v =>
+        val yv = (c - deg(v)) * x(v) + sSum(v)
+        y(v) = yv; tot += yv
+        if (yv > mxY) mxY = yv
+        if (yv < mnY) mnY = yv
+      }
+      val mean = tot / verts.length
+      val mx = math.max(mxY - mean, mean - mnY)
+      verts.foreach { v =>
+        x(v) = if (mx == 0L) 0L else (y(v) - mean) * 1000000L / mx
+      }
+    }
+    verts.map(v => (v, x(v), x(v) >= 0L)).toSeq
+  }
+
+  /** (vertex, landmark, wdist) — mirrors GraphOps
+    * .weightedShortestPaths: fixed Bellman-Ford relax-and-min rounds
+    * from the landmark set over the symmetrized weighted edges. */
+  def weightedSssp(rows: Array[(Long, Long, Long)], seeds: Seq[Long],
+      rounds: Int): Seq[(Long, Long, Long)] = {
+    val adj = rows.groupBy(_._1)
+    var dist = mutable.Map.empty[(Long, Long), Long] // (lm, vertex) -> d
+    seeds.foreach(l => dist((l, l)) = 0L)
+    for (_ <- 1 to rounds) {
+      // relax every known (lm, vertex) over vertex->dst edges, then
+      // min against the carried distances — exactly the DataFrame
+      // loop's unionAll + grouped min.
+      val next = mutable.Map.empty[(Long, Long), Long] ++ dist
+      dist.foreach { case ((lm, v), dv) =>
+        adj.getOrElse(v, Array.empty).foreach { case (_, dst, w) =>
+          val cand = dv + w
+          val cur = next.get((lm, dst))
+          if (cur.isEmpty || cand < cur.get) next((lm, dst)) = cand
+        }
+      }
+      dist = next
+    }
+    dist.iterator.map { case ((lm, v), d) => (v, lm, d) }.toSeq
+      .sortBy(t => (t._1, t._2))
+  }
+}
