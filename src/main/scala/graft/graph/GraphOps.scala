@@ -23,6 +23,13 @@ object GraphOps {
     * var with try/finally reset is race-free here. */
   private[graft] var forceDistributed = false
 
+  /** The driver twins read vertex ids with getLong — any other key
+    * type (textRank runs PageRank over STRING tokens) must take the
+    * type-generic DataFrame loop. */
+  private def longKeyed(df: DataFrame, cols: String*): Boolean =
+    cols.forall(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+
   /** Degree + weighted degree per vertex from a canonical undirected
     * edge list. Union of both endpoints → one groupBy (single
     * shuffle, map-side combined). */
@@ -68,7 +75,8 @@ object GraphOps {
     // integer arithmetic over a bounded-V graph, so the driver twin
     // is bit-identical and skips 15 rounds x ~3 per-round plan
     // compiles (the documented plan-compile-bound cost of this op).
-    if (!forceDistributed && sym.count() <= LocalLouvain.CollectMax) {
+    if (!forceDistributed && longKeyed(sym, "src", "dst") &&
+        sym.count() <= LocalLouvain.CollectMax) {
       import spark.implicits._
       val rows = sym.select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
@@ -921,7 +929,8 @@ object GraphOps {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight").cast("long").as("w")))
       .localCheckpoint(true)
-    if (!forceDistributed && sym.count() <= LocalLouvain.CollectMax) {
+    if (!forceDistributed && longKeyed(sym, "src", "dst") &&
+        sym.count() <= LocalLouvain.CollectMax) {
       val rows = sym.select(col("src"), col("dst"), col("w")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val seeds: Seq[Long] =
@@ -1577,7 +1586,8 @@ object GraphOps {
     // DataFrame loop (IterativeDispatchSpec pins it; the unrolled-SQL
     // oracle keeps hash-matching either way) — and at small V the DF
     // loop's cost is per-round plan compile, not arithmetic.
-    if (!forceDistributed && fr.count() <= LocalLouvain.CollectMax) {
+    if (!forceDistributed && longKeyed(fr, "src", "dst") &&
+        fr.count() <= LocalLouvain.CollectMax) {
       import spark.implicits._
       val rows = fr.select(col("src"), col("dst"), col("w"), col("wdeg"))
         .collect()
@@ -1666,7 +1676,8 @@ object GraphOps {
     // Measured dispatch (round 14): truncating-integer recursion ⇒
     // the driver twin is bit-identical (incl. the per-round headroom
     // guard); the DF loop below stays as the at-scale path.
-    if (!forceDistributed && fr.count() <= LocalLouvain.CollectMax) {
+    if (!forceDistributed && longKeyed(fr, "src", "dst") &&
+        fr.count() <= LocalLouvain.CollectMax) {
       import spark.implicits._
       val rows = fr.select(col("src"), col("dst"), col("w")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -1780,7 +1791,8 @@ object GraphOps {
     val fr = pageRankFrame(edges)
     // Same measured dispatch + bit-identity argument as
     // [[pageRankInteger]] — the restart set is the only delta.
-    if (!forceDistributed && fr.count() <= LocalLouvain.CollectMax) {
+    if (!forceDistributed && longKeyed(fr, "src", "dst") &&
+        fr.count() <= LocalLouvain.CollectMax) {
       import spark.implicits._
       val rows = fr.select(col("src"), col("dst"), col("w"), col("wdeg"))
         .collect()
@@ -2193,7 +2205,8 @@ object GraphOps {
       // (same planted partitions, level-Q ≡ modularityOf) rides the
       // existing GraphOpsSpec/GraftGraphSpec/LeidenSpec assertions,
       // which now exercise the driver path at test scale.
-      val dispatchable = !forceDistributed && resolution == 1.0 && {
+      val dispatchable = !forceDistributed && resolution == 1.0 &&
+        longKeyed(edges, "src", "dst") && {
         val st = edges.agg(count(lit(1)).as("n"),
           max(abs(col("weight") - round(col("weight")))).as("frac"))
           .collect().head

@@ -57,6 +57,18 @@ class IterativeDispatchSpec extends AnyFunSuite {
     assert(d.nonEmpty)
   }
 
+  test("non-Long vertex keys fall back to the type-generic DataFrame loop") {
+    // textRank runs PageRank over STRING tokens — the driver twin
+    // reads keys with getLong and must decline (caught live in the
+    // round-14 full gate: t_textrank threw ClassCastException until
+    // the longKeyed guard landed).
+    import spark.implicits._
+    val e = Seq(("a", "b", 1.0), ("b", "c", 2.0)).toDF("src", "dst", "weight")
+    val r = GraphOps.pageRankInteger(spark, e).collect()
+    assert(r.length == 3)
+    assert(GraphOps.katzCentrality(spark, e).collect().length == 3)
+  }
+
   test("louvain family: driver dispatch partitions match the GraphX engine") {
     // Louvain labels are path-specific (min-member canonical vs
     // Pregel ids); the contract is the PARTITION and the level-Q
