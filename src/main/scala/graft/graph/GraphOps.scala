@@ -1184,6 +1184,17 @@ object GraphOps {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
       .localCheckpoint(true)
+    // Measured dispatch (round 14): the h-index fixpoint is pure
+    // integer arithmetic — the driver twin is bit-identical and the
+    // 12-round unrolled oracle keeps matching (IterativeDispatchSpec).
+    if (!forceDistributed && longKeyed(sym, "src", "dst") &&
+        sym.count() <= LocalLouvain.CollectMax) {
+      import spark.implicits._
+      val rows = sym.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      return LocalIterative.coreness(rows, rounds)
+        .toDF("vertex", "coreness").orderBy(col("vertex"))
+    }
     var c = sym.groupBy(col("src")).agg(count(lit(1)).as("c"))
       .select(col("src").as("vertex"), col("c")).localCheckpoint(true)
     // The label table is one (vertex, long) row per vertex — while it
@@ -1983,6 +1994,27 @@ object GraphOps {
       .select(col("src"), col("dst"), col("weight"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
       .localCheckpoint(true)
+    // Measured dispatch (round 14): synchronous parity-alternating
+    // LPA is deterministic; with INTEGRAL weights the double sums are
+    // order-independent-exact on both paths, so the driver twin is
+    // bit-identical (the unrolled g_lpa / g_modularity_of oracles
+    // keep matching). Fractional weights stay distributed.
+    if (!forceDistributed && longKeyed(sym, "src", "dst") && {
+      val st = sym.agg(count(lit(1)).as("n"),
+        max(abs(col("weight") - org.apache.spark.sql.functions
+          .round(col("weight")))).as("frac"))
+        .collect().head
+      st.getLong(0) <= LocalLouvain.CollectMax &&
+        (st.isNullAt(1) || st.getDouble(1) == 0.0)
+    }) {
+      import spark.implicits._
+      val rows = sym
+        .select(col("src"), col("dst"), col("weight").cast("double"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      return LocalIterative.labelPropagation(rows, iters)
+        .toDF("vertex", "label")
+    }
     var labels = sym.select(col("src").as("vertex"))
       .distinct()
       .withColumn("label", col("vertex"))

@@ -125,6 +125,80 @@ object LocalIterative {
   /** (vertex, landmark, wdist) — mirrors GraphOps
     * .weightedShortestPaths: fixed Bellman-Ford relax-and-min rounds
     * from the landmark set over the symmetrized weighted edges. */
+  /** (vertex, coreness) — mirrors GraphOps.coreness' h-index
+    * fixpoint: c₀ = deg, c ← h-index of neighbor values, stop at the
+    * total-sum fixpoint or `rounds`. max(least(value, rank)) over the
+    * descending neighbor list ≡ the DataFrame loop's grouped-cumsum
+    * form (the CLAUDE.md rank-window collapse lesson, both ways). */
+  def coreness(rows: Array[(Long, Long)], rounds: Int): Seq[(Long, Long)] = {
+    val adj = rows.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    val verts = adj.keys.toArray.sorted
+    val c = mutable.LongMap.empty[Long]
+    verts.foreach(v => c(v) = adj(v).length.toLong)
+    var prevSum = Long.MaxValue
+    var iter = 0
+    var changed = true
+    while (changed && iter < rounds) {
+      val next = mutable.LongMap.empty[Long]
+      verts.foreach { v =>
+        val vals = adj(v).map(c).sortBy(x => -x)
+        var h = 0L
+        var i = 0
+        while (i < vals.length) {
+          val least = math.min(vals(i), i + 1L)
+          if (least > h) h = least
+          i += 1
+        }
+        next(v) = h
+      }
+      val tot = verts.iterator.map(next).sum
+      changed = tot != prevSum
+      prevSum = tot
+      verts.foreach(v => c(v) = next(v))
+      iter += 1
+    }
+    verts.map(v => (v, c(v))).toSeq
+  }
+
+  /** (vertex, label) — mirrors GraphOps.labelPropagation: synchronous
+    * weighted-majority adoption with parity alternation (even rounds
+    * adopt only smaller labels, odd only larger), ties to the min
+    * label, early stop after two zero-move parities. Weight sums ride
+    * doubles exactly like the DataFrame loop — callers gate dispatch
+    * on integral weights so both sums are order-independent-exact. */
+  def labelPropagation(rows: Array[(Long, Long, Double)],
+      iters: Int): Seq[(Long, Long)] = {
+    val adj = rows.groupBy(_._1)
+    val verts = adj.keys.toArray.sorted
+    var label = mutable.LongMap.empty[Long]
+    verts.foreach(v => label(v) = v)
+    var round = 0
+    var zeroStreak = 0
+    while (round < iters && zeroStreak < 2) {
+      val next = mutable.LongMap.empty[Long]
+      var moved = 0L
+      verts.foreach { v =>
+        val wsum = mutable.LongMap.empty[Double].withDefaultValue(0.0)
+        adj(v).foreach { case (_, d, w) => wsum(label(d)) += w }
+        var bestW = Double.NegativeInfinity
+        var bestL = Long.MaxValue
+        wsum.foreach { case (l, w) =>
+          if (w > bestW || (w == bestW && l < bestL)) { bestW = w; bestL = l }
+        }
+        val cur = label(v)
+        val allowed =
+          if (round % 2 == 0) bestL < cur else bestL > cur
+        val nl = if (wsum.nonEmpty && allowed) bestL else cur
+        if (nl != cur) moved += 1
+        next(v) = nl
+      }
+      zeroStreak = if (moved == 0L) zeroStreak + 1 else 0
+      label = next
+      round += 1
+    }
+    verts.map(v => (v, label(v))).toSeq
+  }
+
   def weightedSssp(rows: Array[(Long, Long, Long)], seeds: Seq[Long],
       rounds: Int): Seq[(Long, Long, Long)] = {
     val adj = rows.groupBy(_._1)

@@ -57,6 +57,20 @@ class IterativeDispatchSpec extends AnyFunSuite {
     assert(d.nonEmpty)
   }
 
+  test("coreness: driver twin == DataFrame loop") {
+    val (d, x) = bothPaths(GraphOps.coreness(spark, edges))
+    assert(d == x)
+    assert(d.nonEmpty)
+  }
+
+  test("labelPropagation: driver twin == DataFrame loop") {
+    val (d, x) = bothPaths(
+      GraphOps.labelPropagation(spark, edges)
+        .orderBy(org.apache.spark.sql.functions.col("vertex")))
+    assert(d == x)
+    assert(d.nonEmpty)
+  }
+
   test("non-Long vertex keys fall back to the type-generic DataFrame loop") {
     // textRank runs PageRank over STRING tokens — the driver twin
     // reads keys with getLong and must decline (caught live in the
