@@ -808,6 +808,22 @@ object GraphOps {
     * pair. */
   def shortestPaths(spark: SparkSession, edges: DataFrame,
       landmarks: Seq[Long] = Seq.empty): DataFrame = {
+    // Measured dispatch (round 14): hop distances are unique values,
+    // so a driver BFS is bit-identical to the Pregel run it stands in
+    // for (IterativeDispatchSpec pins it) — and a Pregel launch on a
+    // bounded-V graph is scheduling, not work.
+    if (!forceDistributed && longKeyed(edges, "src", "dst") &&
+        edges.count() <= LocalLouvain.CollectMax / 2) {
+      import spark.implicits._
+      val e0 = edges.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val rows = e0 ++ e0.map(p => (p._2, p._1))
+      val seeds: Seq[Long] =
+        if (landmarks.nonEmpty) landmarks
+        else rows.map(_._1).distinct.sorted.take(3).toSeq
+      return LocalIterative.hopDistances(rows, seeds)
+        .toDF("vertex", "landmark", "hops")
+    }
     import org.apache.spark.graphx.lib.ShortestPaths
     val g = GraphBuilder.toGraphX(
       edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight"))))
@@ -1866,6 +1882,21 @@ object GraphOps {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    // Measured dispatch (round 14): forward σ counts and the
+    // backward per-term floor-divided dependency fold are integers
+    // end to end — the driver twin is bit-identical and the unrolled
+    // oracle keeps matching (IterativeDispatchSpec).
+    if (!forceDistributed && longKeyed(sym, "src", "dst") &&
+        sym.count() <= LocalLouvain.CollectMax) {
+      import spark.implicits._
+      val rows = sym.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val seeds: Seq[Long] =
+        if (landmarks.nonEmpty) landmarks
+        else rows.map(_._1).distinct.sorted.take(3).toSeq
+      return LocalIterative.betweenness(rows, seeds, maxLevels)
+        .toDF("vertex", "bc_e6").orderBy(col("vertex"))
+    }
     val verts = sym.select(col("src").as("v")).distinct()
     val seeds: Seq[Long] =
       if (landmarks.nonEmpty) landmarks

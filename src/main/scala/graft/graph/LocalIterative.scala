@@ -199,26 +199,112 @@ object LocalIterative {
     verts.map(v => (v, label(v))).toSeq
   }
 
-  def weightedSssp(rows: Array[(Long, Long, Long)], seeds: Seq[Long],
-      rounds: Int): Seq[(Long, Long, Long)] = {
-    val adj = rows.groupBy(_._1)
-    var dist = mutable.Map.empty[(Long, Long), Long] // (lm, vertex) -> d
-    seeds.foreach(l => dist((l, l)) = 0L)
-    for (_ <- 1 to rounds) {
-      // relax every known (lm, vertex) over vertex->dst edges, then
-      // min against the carried distances — exactly the DataFrame
-      // loop's unionAll + grouped min.
-      val next = mutable.Map.empty[(Long, Long), Long] ++ dist
-      dist.foreach { case ((lm, v), dv) =>
-        adj.getOrElse(v, Array.empty).foreach { case (_, dst, w) =>
-          val cand = dv + w
-          val cur = next.get((lm, dst))
-          if (cur.isEmpty || cand < cur.get) next((lm, dst)) = cand
+  /** (vertex, landmark, hops) — BFS from each landmark over the
+    * symmetrized pairs. Hop distances are UNIQUE values, so any
+    * correct BFS is bit-identical to the Pregel ShortestPaths
+    * result it stands in for (landmark self-rows at 0 included,
+    * unreachable vertices absent). */
+  def hopDistances(rows: Array[(Long, Long)],
+      seeds: Seq[Long]): Seq[(Long, Long, Long)] = {
+    val adj = rows.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    val out = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    seeds.foreach { lm =>
+      val dist = mutable.LongMap.empty[Long]
+      dist(lm) = 0L
+      var frontier = Array(lm)
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1L
+        val next = mutable.ArrayBuffer.empty[Long]
+        frontier.foreach { v =>
+          adj.getOrElse(v, Array.empty).foreach { w =>
+            if (!dist.contains(w)) { dist(w) = d; next += w }
+          }
+        }
+        frontier = next.toArray
+      }
+      dist.foreach { case (v, h) => out += ((v, lm, h)) }
+    }
+    out.sortBy(t => (t._1, t._2)).toSeq
+  }
+
+  /** (vertex, bc_e6) — mirrors GraphOps.betweennessCentrality's
+    * landmark-sampled Brandes: lockstep forward BFS accumulating
+    * exact σ counts (all landmarks advance together, `deepest`
+    * tracks the last level ANY landmark reached — the DataFrame
+    * loop's early-stop), then the backward dependency fold with the
+    * PER-TERM floor division σ_v·(1e6 + δ_w) div σ_w. Integers end
+    * to end ⇒ bit-identical. */
+  def betweenness(rows: Array[(Long, Long)], seeds: Seq[Long],
+      maxLevels: Int): Seq[(Long, Long)] = {
+    val adj = rows.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    val bc = mutable.LongMap.empty[Long].withDefaultValue(0L)
+    // The DataFrame loop advances all landmarks in lockstep with a
+    // GLOBAL deepest level, but every (lm, v) row only ever interacts
+    // with same-lm rows (a landmark whose frontier empties early just
+    // contributes no new rows), so per-landmark sweeps with unboxed
+    // LongMaps produce the identical row set.
+    seeds.foreach { lm =>
+      val d = mutable.LongMap.empty[Int]
+      val sigma = mutable.LongMap.empty[Long]
+      d(lm) = 0; sigma(lm) = 1L
+      var frontier = Array(lm)
+      var level = 0
+      while (frontier.nonEmpty && level < maxLevels) {
+        level += 1
+        val cand = mutable.LongMap.empty[Long].withDefaultValue(0L)
+        frontier.foreach { v =>
+          adj.getOrElse(v, Array.empty).foreach { w =>
+            if (!d.contains(w)) cand(w) += sigma(v)
+          }
+        }
+        frontier = cand.keys.toArray
+        cand.foreach { case (w, s) => d(w) = level; sigma(w) = s }
+      }
+      val deepest = if (d.isEmpty) 0 else d.values.max
+      val delta = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      for (lev <- (deepest - 1) to 0 by -1) {
+        d.foreach { case (v, dv) =>
+          if (dv == lev) {
+            var dsum = 0L
+            adj.getOrElse(v, Array.empty).foreach { w =>
+              if (d.getOrElse(w, -1) == lev + 1)
+                dsum += sigma(v) * (1000000L + delta(w)) / sigma(w)
+            }
+            delta(v) = dsum
+          }
         }
       }
-      dist = next
+      d.foreach { case (v, _) => if (v != lm) bc(v) += delta(v) }
     }
-    dist.iterator.map { case ((lm, v), d) => (v, lm, d) }.toSeq
-      .sortBy(t => (t._1, t._2))
+    bc.keys.toArray.sorted.map(v => (v, bc(v))).toSeq
+  }
+
+  def weightedSssp(rows: Array[(Long, Long, Long)], seeds: Seq[Long],
+      rounds: Int): Seq[(Long, Long, Long)] = {
+    // Per-landmark unboxed LongMaps: the state is independent per
+    // landmark, and tuple-keyed maps box every probe (the first draft
+    // measured SLOWER than the DataFrame loop it replaced).
+    val adj = rows.groupBy(_._1)
+    val out = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    seeds.foreach { lm =>
+      var dist = mutable.LongMap.empty[Long]
+      dist(lm) = 0L
+      for (_ <- 1 to rounds) {
+        // relax every known vertex over its out-edges, then min
+        // against the carried distances — exactly the DataFrame
+        // loop's unionAll + grouped min.
+        val next = dist.clone()
+        dist.foreach { case (v, dv) =>
+          adj.getOrElse(v, Array.empty).foreach { case (_, dst, w) =>
+            val cand = dv + w
+            if (cand < next.getOrElse(dst, Long.MaxValue)) next(dst) = cand
+          }
+        }
+        dist = next
+      }
+      dist.foreach { case (v, d) => out += ((v, lm, d)) }
+    }
+    out.sortBy(t => (t._1, t._2)).toSeq
   }
 }

@@ -57,6 +57,20 @@ class IterativeDispatchSpec extends AnyFunSuite {
     assert(d.nonEmpty)
   }
 
+  test("shortestPaths: driver BFS == Pregel ShortestPaths") {
+    val o = org.apache.spark.sql.functions.col _
+    val (d, x) = bothPaths(
+      GraphOps.shortestPaths(spark, edges).orderBy(o("vertex"), o("landmark")))
+    assert(d == x)
+    assert(d.nonEmpty)
+  }
+
+  test("betweennessCentrality: driver twin == DataFrame loop") {
+    val (d, x) = bothPaths(GraphOps.betweennessCentrality(spark, edges))
+    assert(d == x)
+    assert(d.nonEmpty)
+  }
+
   test("coreness: driver twin == DataFrame loop") {
     val (d, x) = bothPaths(GraphOps.coreness(spark, edges))
     assert(d == x)
