@@ -157,6 +157,19 @@ object GraphOps {
       .unionByName(tEdges.select(col("dst").as("src"),
         col("src").as("dst"), col("t")))
       .localCheckpoint(true)
+    // Measured dispatch (round 14): earliest-arrival min-folds are
+    // integer-exact, so the driver twin is bit-identical
+    // (IterativeDispatchSpec); the DF loop stays for contact sets
+    // past the collect bound.
+    if (!forceDistributed && longKeyed(sym, "src", "dst") &&
+        sym.count() <= LocalLouvain.CollectMax) {
+      import spark.implicits._
+      val rows = sym.select(col("src"), col("dst"), col("t").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val source = rows.map(_._1).min
+      return LocalIterative.temporalReach(rows, source, maxRounds)
+        .toDF("vertex", "arr")
+    }
     val verts = sym.select(col("src").as("vertex")).distinct()
       .localCheckpoint(true)
     val source = verts.agg(min(col("vertex"))).first().getLong(0)

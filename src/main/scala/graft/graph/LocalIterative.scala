@@ -280,6 +280,36 @@ object LocalIterative {
     bc.keys.toArray.sorted.map(v => (v, bc(v))).toSeq
   }
 
+  /** (vertex, arr?) — mirrors GraphOps.temporalReach's earliest-
+    * arrival relaxation over symmetric (src, dst, t) contacts:
+    * per round every reached vertex relaxes its contacts with
+    * t ≥ own arrival, destinations take the min candidate; stop at
+    * the no-improvement fixpoint or maxRounds. Integer min-folds ⇒
+    * bit-identical to the DataFrame loop. */
+  def temporalReach(rows: Array[(Long, Long, Long)], source: Long,
+      maxRounds: Int): Seq[(Long, Option[Long])] = {
+    val adj = rows.groupBy(_._1)
+    val verts = rows.map(_._1).distinct.sorted
+    val arr = mutable.LongMap.empty[Long]
+    arr(source) = 0L
+    var improved = true
+    var round = 0
+    while (improved && round < maxRounds) {
+      val cand = mutable.LongMap.empty[Long]
+      arr.foreach { case (v, av) =>
+        adj.getOrElse(v, Array.empty).foreach { case (_, d, t) =>
+          if (t >= av && t < cand.getOrElse(d, Long.MaxValue)) cand(d) = t
+        }
+      }
+      improved = false
+      cand.foreach { case (v, t) =>
+        if (t < arr.getOrElse(v, Long.MaxValue)) { arr(v) = t; improved = true }
+      }
+      round += 1
+    }
+    verts.map(v => (v, arr.get(v))).toSeq
+  }
+
   def weightedSssp(rows: Array[(Long, Long, Long)], seeds: Seq[Long],
       rounds: Int): Seq[(Long, Long, Long)] = {
     // Per-landmark unboxed LongMaps: the state is independent per

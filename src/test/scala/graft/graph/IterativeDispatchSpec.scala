@@ -71,6 +71,18 @@ class IterativeDispatchSpec extends AnyFunSuite {
     assert(d.nonEmpty)
   }
 
+  test("temporalReach: driver twin == DataFrame loop") {
+    val t = GraphBuilder.supplierTemporalEdges(spark, "/root/testdata/sf0.001")
+    val o = org.apache.spark.sql.functions.col _
+    val drv = rowsOf(GraphOps.temporalReach(spark, t).orderBy(o("vertex")))
+    GraphOps.forceDistributed = true
+    val dist =
+      try rowsOf(GraphOps.temporalReach(spark, t).orderBy(o("vertex")))
+      finally GraphOps.forceDistributed = false
+    assert(drv == dist)
+    assert(drv.nonEmpty)
+  }
+
   test("coreness: driver twin == DataFrame loop") {
     val (d, x) = bothPaths(GraphOps.coreness(spark, edges))
     assert(d == x)
