@@ -923,6 +923,7 @@ object SparkEntry {
     // max from one distributed cumsum pass) and tie-exact
     // Mann-Whitney rank-sum.
     "q_ks_test" -> ((s, d) => Relational.qKsTest(s, d)),
+    "q_bayes_rank" -> ((s, d) => Relational.qBayesRank(s, d)),
     "q_mann_kendall" -> ((s, d) => Relational.qMannKendall(s, d)),
     "q_mann_whitney" -> ((s, d) => Relational.qMannWhitney(s, d)),
     // Pairwise Jensen-Shannon divergence between per-source token
@@ -4957,6 +4958,23 @@ object SparkEntry {
     // Theil-Sen: the pair set is the calendar-bounded day grid
     // squared; one double division per slope stated identically,
     // exact lower median under the unique (slope, xi, xj) order.
+    // Empirical-prior weighted rating: exact integer sufficient
+    // stats, one double tree stated identically (CAST doubles, never
+    // a decimal literal - DuckDB 25.0 is DECIMAL and would diverge),
+    // unique (wr DESC, user_id) top-k.
+    "q_bayes_rank" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(sum(x) AS DOUBLE) / sum(n) AS c FROM u)
+        |SELECT user_id, n, x,
+        |  CAST(round((CAST(n AS DOUBLE) / (n + 25)
+        |    * (CAST(x AS DOUBLE) / n)
+        |    + CAST(25 AS DOUBLE) / (n + 25) * c) * 1000000) AS BIGINT)
+        |    AS wr_e6
+        |FROM u, g
+        |ORDER BY wr_e6 DESC, user_id LIMIT 25""".stripMargin,
     // Mann-Kendall: S and the tie term are exact BIGINT over the
     // bounded day grid (the theil_sen pair-enumerability argument);
     // Var(S) and the continuity-corrected z are the one double tree,

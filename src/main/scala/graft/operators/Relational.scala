@@ -2589,6 +2589,36 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Empirical-prior weighted rating (round 14) — THE small-sample
+    * ranking fix every leaderboard/recommender ships (the IMDb
+    * weighted-rating formula; equivalently the posterior mean of a
+    * Beta prior with strength m centered on the EMPIRICAL global
+    * mean — Bayesian smoothing where only the prior STRENGTH is
+    * fixed): a 1-for-1 user must not outrank a 90-for-100 user on
+    * purchase share. WR = n/(n+m)·R + m/(n+m)·C with R = x/n the
+    * user's purchase share and C the global share. Sufficient
+    * statistics are exact integers (one map-side-combinable
+    * per-user aggregation); C and WR are ONE double tree stated
+    * identically in the oracle, e6-rounded; top-k under the unique
+    * (wr DESC, user_id) order. The global scalar broadcasts —
+    * per-user state never re-shuffles for it. */
+  def qBayesRank(spark: SparkSession, dir: String, m: Int = 25,
+      k: Int = 25): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+    val g = u.agg((sum(col("x")).cast("double") / sum(col("n"))).as("c"))
+    u.crossJoin(broadcast(g))
+      .select(col("user_id"), col("n"), col("x"),
+        expr(s"CAST(round((CAST(n AS DOUBLE) / (n + $m)" +
+          s" * (CAST(x AS DOUBLE) / n)" +
+          s" + CAST($m AS DOUBLE) / (n + $m) * c) * 1000000) AS BIGINT)")
+          .as("wr_e6"))
+      .orderBy(col("wr_e6").desc, col("user_id"))
+      .limit(k)
+  }
+
   /** Mann–Kendall trend test per event type (round 14) — the
     * nonparametric trend VERDICT beside [[qTheilSen]]'s slope
     * estimate (the pair every monitoring textbook ships together:

@@ -92,6 +92,32 @@ class StatTestsSpec extends AnyFunSuite {
       == (("a", 10L, 2000000L)))
   }
 
+  test("bayes rank: a 1-for-1 user cannot outrank 90-for-100") {
+    // Users: 1 → 1 purchase / 1 event (raw share 1.0), 2 → 90/100
+    // (0.9), 3 → 0/19. Global C = 91/120; m = 25. Hand-computed:
+    // WR₂ = 871667 > WR₁ = 767628 > WR₃ = 430871 — the whole point
+    // of the prior: the perfect-but-tiny sample ranks SECOND.
+    val base = 472222L * 3600L
+    val rows =
+      Seq((1L, "purchase")) ++
+      (0 until 90).map(i => (2L, "purchase")) ++
+      (0 until 10).map(i => (2L, "view")) ++
+      (0 until 19).map(i => (3L, "view"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bayes").toString
+    rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, u, t, 1.0, (base + i) * 1_000_000_000L)
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val got = Relational.qBayesRank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 100L, 90L, 871667L),
+      (1L, 1L, 1L, 767628L), (3L, 19L, 0L, 430871L)), s"${got.toSeq}")
+  }
+
   test("mann-kendall: monotone rise scores the closed form; flat ties kill the variance") {
     // "up" counts 1..5: every pair concordant → S = 10, no ties,
     // Var = 5·4·15/18, z = 9/√(300/18) = 2.20454 → 22045.
