@@ -4850,24 +4850,31 @@ object SparkEntry {
     // Per-dimension mean shift between the vec_id parity halves —
     // the e16 quantization of the e_isotropy convention and a
     // division-free cross-multiplied shift (sign-safe: integer mean
-    // division truncates in Spark but floors in DuckDB).
+    // division truncates in Spark but floors in DuckDB). The HUGEINT
+    // cross-multiply is internal; emitted is the bounded e6-scaled
+    // mean shift (truncating // both sides, positive numerator) —
+    // the SURVEY §6 emitted-type rule.
     "e_drift" ->
       """WITH dims AS (SELECT vec_id % 2 AS par, t.i - 1 AS dim,
         |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 65536 + 0.5)
         |      AS BIGINT) AS qd
-        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t)
-        |SELECT CAST(dim AS BIGINT) AS dim,
-        |  CAST(sum(CASE WHEN par = 0 THEN qd ELSE 0 END) AS BIGINT) AS s_ref_q,
-        |  CAST(sum(CASE WHEN par = 1 THEN qd ELSE 0 END) AS BIGINT) AS s_cur_q,
-        |  CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-        |  CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
-        |  CAST(abs(CAST(sum(CASE WHEN par = 0 THEN qd ELSE 0 END) AS HUGEINT)
-        |      * sum(CASE WHEN par = 1 THEN 1 ELSE 0 END)
-        |    - CAST(sum(CASE WHEN par = 1 THEN qd ELSE 0 END) AS HUGEINT)
-        |      * sum(CASE WHEN par = 0 THEN 1 ELSE 0 END))
-        |    AS DECIMAL(38,0)) AS shift_x
-        |FROM dims GROUP BY dim
-        |ORDER BY shift_x DESC, dim ASC""".stripMargin,
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t),
+        |agg AS (SELECT CAST(dim AS BIGINT) AS dim,
+        |    CAST(sum(CASE WHEN par = 0 THEN qd ELSE 0 END) AS BIGINT)
+        |      AS s_ref_q,
+        |    CAST(sum(CASE WHEN par = 1 THEN qd ELSE 0 END) AS BIGINT)
+        |      AS s_cur_q,
+        |    CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM dims GROUP BY dim)
+        |SELECT dim, s_ref_q, s_cur_q, n_ref, n_cur,
+        |  CAST(abs(CAST(s_ref_q AS HUGEINT) * n_cur
+        |      - CAST(s_cur_q AS HUGEINT) * n_ref) * 1000000
+        |    // (CAST(n_ref AS HUGEINT) * n_cur) AS BIGINT) AS shift_e6q
+        |FROM agg
+        |ORDER BY shift_e6q DESC, dim ASC""".stripMargin,
     // Analytic LSH S-curve tuning table — pow is bit-identical
     // across engines on this grid (verified), each grid term
     // e6-rounded before its integer sum.
@@ -4913,14 +4920,16 @@ object SparkEntry {
         |    n1, n2 FROM c, n),
         |r AS (SELECT *, row_number() OVER (ORDER BY num DESC, v ASC) AS rk
         |  FROM d)
-        |SELECT n1, n2, v AS at_v, num,
+        |SELECT n1, n2, v AS at_v,
         |  CAST(CAST(num AS HUGEINT) * 1000000
         |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_e6
         |FROM r WHERE rk = 1""".stripMargin,
     // Tie-exact Mann-Whitney via the grouped doubled-rank closed
-    // form 2R1 = Σ c1·(2·below + t + 1); the z statistic is the one
-    // double tree from exact integer inputs, e4-rounded; all-tied
-    // degenerate data guards to NULL.
+    // form 2R1 = Σ c1·(2·below + t + 1); the HUGEINT rank ledger is
+    // internal — emitted is the bounded effect size U1/(n1·n2)
+    // e6-scaled (SURVEY §6 emitted-type rule); the z statistic is
+    // the one double tree from exact integer inputs, e4-rounded;
+    // all-tied degenerate data guards to NULL.
     "q_mann_whitney" ->
       """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
         |    CASE WHEN year(o_orderdate) < 1998 THEN 0 ELSE 1 END AS coh
@@ -4939,8 +4948,9 @@ object SparkEntry {
         |    sum(CAST(c1 AS HUGEINT) * (2 * cbelow + t + 1)) AS r1x2,
         |    sum(t * t * t - t) AS ties FROM c)
         |SELECT n1, n2,
-        |  CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
-        |    AS DECIMAL(38,0)) AS u1x2,
+        |  CAST(CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS HUGEINT)
+        |    * 1000000
+        |    // (CAST(n1 AS HUGEINT) * n2 * 2) AS BIGINT) AS auc_e6,
         |  CAST(ties AS BIGINT) AS tie_sum,
         |  CASE WHEN (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
         |      * ((CAST(n1 + n2 AS DOUBLE) + 1.0)

@@ -2495,7 +2495,11 @@ object Relational {
           .cast("decimal(38,0)"))
       .orderBy(col("num").desc, col("v").asc)
       .limit(1)
-      .select(col("n1"), col("n2"), col("v").as("at_v"), col("num"),
+      // num stays an INTERNAL decimal (it orders the argmax); only
+      // the bounded d_e6 readout is emitted — the SURVEY §6
+      // emitted-type rule: intermediates ride any width, emitted
+      // columns must be driver-hash-stable (BIGINT / e-scaled).
+      .select(col("n1"), col("n2"), col("v").as("at_v"),
         expr("CAST(CAST(num AS DECIMAL(38,0)) * 1000000" +
           " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("d_e6"))
   }
@@ -2546,9 +2550,17 @@ object Relational {
           (n.cast("double") * (n.cast("double") - 1.0)))
     val z = (u1x2.cast("double") / 2.0 - dbl("n1") * dbl("n2") / 2.0) /
       sqrt(varU)
-    f.select(col("n1"), col("n2"), u1x2.as("u1x2"),
-      col("ties").cast("long").as("tie_sum"),
-      when(varU > 0.0, round(z * 1e4).cast("long")).as("z_e4"))
+    // The 2R₁/2U₁ ledger stays an INTERNAL decimal; emitted is the
+    // bounded common-language effect size U₁/(n₁n₂) e6-scaled
+    // (truncating div, identical in DuckDB `//`) — the SURVEY §6
+    // emitted-type rule, same shape as qKsTest's d_e6.
+    f.withColumn("u1x2", u1x2)
+      .select(col("n1"), col("n2"),
+        expr("CAST(CAST(u1x2 AS DECIMAL(38,0)) * 1000000" +
+          " div (CAST(n1 AS DECIMAL(38,0)) * n2 * 2) AS BIGINT)")
+          .as("auc_e6"),
+        col("ties").cast("long").as("tie_sum"),
+        when(varU > 0.0, round(z * 1e4).cast("long")).as("z_e4"))
   }
 
   /** Theil–Sen robust trend per event type — [[qTrend]]'s

@@ -1927,11 +1927,15 @@ object Similarity {
     * DECIMAL(38,0) (HUGEINT on the oracle side): with e16-quantized
     * sums over ~1e9 rows the product exceeds Long and non-ANSI
     * Spark would wrap silently — the qKsTest d_e6 promotion rule,
-    * applied BEFORE the multiply, not after. Two map-side-
-    * combinable aggregations over (dim, parity) — 2·64 output rows
-    * regardless of corpus size; the readout an embedding pipeline
-    * checks before re-fitting its quantizer/centroids. Ordered by
-    * (shift DESC, dim) so the most-moved dimensions lead. */
+    * applied BEFORE the multiply, not after. The decimal is
+    * internal only; emitted is `shift_e6q`, the e6-scaled bounded
+    * mean shift (one truncating div by n_ref·n_cur — the SURVEY §6
+    * emitted-type rule, restored driver-hash-green in round 15).
+    * Two map-side-combinable aggregations over (dim, parity) —
+    * 2·64 output rows regardless of corpus size; the readout an
+    * embedding pipeline checks before re-fitting its
+    * quantizer/centroids. Ordered by (shift_e6q DESC, dim) so the
+    * most-moved dimensions lead. */
   def embedDrift(spark: SparkSession, dir: String): DataFrame =
     embedDriftOf(Tables.embeddings(spark, dir))
 
@@ -1953,7 +1957,17 @@ object Similarity {
         abs(col("s_ref_q").cast("decimal(38,0)") * col("n_cur")
           - col("s_cur_q").cast("decimal(38,0)") * col("n_ref"))
           .cast("decimal(38,0)").as("shift_x"))
-      .orderBy(col("shift_x").desc, col("dim").asc)
+      // shift_x stays an INTERNAL decimal; emitted is the bounded
+      // per-dim mean shift |s_ref/n_ref − s_cur/n_cur| on the e16
+      // grid, e6-scaled via one truncating integer div (the SURVEY
+      // §6 emitted-type rule — bounded by 2·65536·1e6 regardless of
+      // corpus size, where the raw cross-multiply grows O(n²)).
+      .withColumn("shift_e6q",
+        expr("CAST(CAST(shift_x AS DECIMAL(38,0)) * 1000000" +
+          " div (CAST(n_ref AS DECIMAL(38,0)) * n_cur) AS BIGINT)"))
+      .select(col("dim"), col("s_ref_q"), col("s_cur_q"),
+        col("n_ref"), col("n_cur"), col("shift_e6q"))
+      .orderBy(col("shift_e6q").desc, col("dim").asc)
 
   /** All-but-the-top whitening audit (Mu & Viswanath 2018) — the FIX
     * for what [[isotropyOf]] and `e_pca_power` diagnose: subtract

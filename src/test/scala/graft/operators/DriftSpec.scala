@@ -44,12 +44,13 @@ class DriftSpec extends AnyFunSuite {
       (1L, vec(-0.5f, -0.25f)), (3L, vec(-1.0f, -0.25f)))
       .toDF("vec_id", "embedding"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    // shift_x rides DECIMAL(38,0) since round 14 (overflow-safe
-    // cross-multiply) — read it back exactly.
+    // The DECIMAL(38,0) cross-multiply is internal since round 15
+    // (SURVEY §6 emitted-type rule); emitted is the bounded
+    // shift_e6q = shift_x·1e6 div (n_ref·n_cur) = 393216e6 div 4.
     val got = Similarity.embedDrift(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getDecimal(5).longValueExact()))
-    assert(got.head == ((0L, 98304L, -98304L, 2L, 2L, 393216L)))
+        r.getLong(4), r.getLong(5)))
+    assert(got.head == ((0L, 98304L, -98304L, 2L, 2L, 98304000000L)))
     // dim 1: both halves sum 2·round(−0.25·65536) = −32768 → shift 0
     val d1 = got.find(_._1 == 1L).get
     assert(d1 == ((1L, -32768L, -32768L, 2L, 2L, 0L)))

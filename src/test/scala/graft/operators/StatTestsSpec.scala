@@ -35,25 +35,26 @@ class StatTestsSpec extends AnyFunSuite {
       (1.00, "1997-03-01"), (2.00, "1997-03-02"), (3.00, "1997-03-03"),
       (2.00, "1998-03-01"), (3.00, "1998-03-02"), (4.00, "1998-03-03")))
     val r = Relational.qKsTest(spark, dir).collect().head
-    // num rides DECIMAL(38,0) since round 14 (k·n is O(n²)).
+    // The DECIMAL(38,0) cross-multiply is internal since round 15
+    // (SURVEY §6 emitted-type rule); only bounded BIGINTs emit.
     assert((r.getLong(0), r.getLong(1), r.getLong(2),
-      r.getDecimal(3).longValueExact(),
-      r.getLong(4)) == ((3L, 3L, 100L, 3L, 333333L)))
+      r.getLong(3)) == ((3L, 3L, 100L, 333333L)))
   }
 
   test("mann-whitney: doubled ranks stay exact under ties") {
     // A = {100, 200}, B = {200, 300} cents. Ranks 1, 2.5, 2.5, 4 →
     // R1 = 3.5, so 2R1 = 7 (integer by construction), 2U1 = 1.
+    // Effect size U1/(n1·n2) = 0.5/4 → auc_e6 = 2U1·1e6 div 2n1n2
+    // = 1000000 div 8 = 125000 (the DECIMAL ledger is internal
+    // since round 15 — SURVEY §6 emitted-type rule).
     // Ties: one group of 2 → Σ(t³−t) = 6. varU = (4/12)(5 − 6/12)
     // = 1.5; z = (0.5 − 2)/√1.5 = −1.224745 → −12247.
     val dir = plantOrders(Seq(
       (1.00, "1997-03-01"), (2.00, "1997-03-02"),
       (2.00, "1998-03-01"), (3.00, "1998-03-02")))
     val r = Relational.qMannWhitney(spark, dir).collect().head
-    // u1x2 rides DECIMAL(38,0) since round 14 (rank sums are O(n²)).
-    assert((r.getLong(0), r.getLong(1),
-      r.getDecimal(2).longValueExact(), r.getLong(3),
-      r.getLong(4)) == ((2L, 2L, 1L, 6L, -12247L)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 2L, 125000L, 6L, -12247L)))
   }
 
   private def plantEvents(counts: Seq[(String, Int, Int)],
