@@ -1314,27 +1314,60 @@ object Similarity {
     * points (r₁ = 0) have undefined μ and drop out, per the paper's
     * own preprocessing.
     *
-    * Scale shape: the brute-force n² pair stream is the
-    * [[cosineTopKOf]] baseline class (broadcast right side, native
-    * tight loop, rank-2 window per point); at corpus scale the 2-NN
-    * comes from the IVF/LSH shortlist + exact re-rank exactly like
-    * [[annIvfTopK]] — the estimator only ever needs k = 2. */
+    * Scale shape: dispatched on measured size like [[knnGraphOf]].
+    * A bounded corpus (≤ [[ExactKnnMaxRows]]) takes the exact
+    * brute-force pair stream — the [[cosineTopKOf]] baseline class
+    * (broadcast right side, native tight loop) — which keeps the
+    * oracle bit-exact. Above the bound the 2-NN comes from the
+    * sign-LSH candidate pairs ([[lshCandidatePairs]], the same
+    * blocking scheme knnGraphOf dispatches to) scored by the same
+    * native integer distance and reduced by the same min-struct
+    * passes — approximate recall (spec-audited), never an n²
+    * cartesian: the estimator only ever needs k = 2, the easiest
+    * k for a banded shortlist. */
   def intrinsicDim(spark: SparkSession, dir: String): DataFrame =
     intrinsicDimOf(Tables.embeddings(spark, dir))
 
-  def intrinsicDimOf(emb: DataFrame): DataFrame = {
-    val v = emb.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+  def intrinsicDimOf(emb: DataFrame): DataFrame =
+    intrinsicDimOf(emb, ExactKnnMaxRows)
+
+  /** Threshold-overridable form so the spec exercises the shortlist
+    * branch of the dispatch itself without a 16k-row fixture — the
+    * knnGraphOf both-branches discipline. */
+  private[graft] def intrinsicDimOf(emb: DataFrame,
+      exactMaxRows: Long): DataFrame = {
+    // Numbered repartition (AQE-exempt): the corpus arrives as ~1
+    // parquet partition, and the broadcast cross join preserves its
+    // LEFT side's partitioning — without the pin the whole n² pair
+    // scoring + checkpoint runs as one serial task (the wedge-join
+    // AQE lesson; measured 8.2 → 2.9 s single-query at sf0.1).
+    val parts = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val v = emb.select(col("vec_id"), col("embedding"))
+      .repartition(parts, col("vec_id"))
+      .localCheckpoint(true)
     // Two map-side-combinable min-struct passes instead of a rank
     // window: the 2-NN under the unique (d², b) order is min(struct)
     // and min(struct ≠ first) — the argmax-by-struct convention —
-    // which combines PARTIALLY on the map side, so the n² pair
+    // which combines PARTIALLY on the map side, so the pair
     // stream never sorts through a window shuffle (measured 6.8 →
     // ~4 s at sf0.1; the "score first, shuffle (id, id, score)"
     // family). The pair stream checkpoints once and feeds both
     // passes.
-    val pairs = v.toDF("a", "ea")
-      .crossJoin(broadcast(v.toDF("b", "eb")))
-      .filter(col("a") =!= col("b"))
+    val pairs = (if (v.count() <= exactMaxRows)
+      v.toDF("a", "ea")
+        .crossJoin(broadcast(v.toDF("b", "eb")))
+        .filter(col("a") =!= col("b"))
+      else
+        // At-scale branch: bare (a, b) candidate ids from the banded
+        // self-join, deduped BEFORE the two embedding lookups (the
+        // knnGraphFrom discipline — no array column crosses the
+        // dedup shuffle; the lookups co-partition as equi-joins
+        // instead of broadcasting the corpus).
+        lshCandidatePairs(v)
+          .select(col("vec_id").as("a"), col("candidate_id").as("b"))
+          .dropDuplicates("a", "b")
+          .join(v.toDF("a", "ea"), Seq("a"))
+          .join(v.toDF("b", "eb"), Seq("b")))
       .select(col("a"), col("b"),
         graft.functions.VectorFunctions.quantSqDist(col("ea"), col("eb"))
           .as("d2"))

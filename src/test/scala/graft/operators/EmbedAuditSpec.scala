@@ -128,4 +128,26 @@ class EmbedAuditSpec extends AnyFunSuite {
     assert((r2.getLong(0), r2.getLong(1), r2.getLong(2))
       == ((9L, 693147L, 129843L)))
   }
+
+  test("twonn dispatch: LSH-shortlist branch matches exact on scaled clusters") {
+    // Four clusters of three positively-scaled copies of a unit
+    // direction: sign-LSH keys are scale-invariant, so every cluster
+    // member shares ALL band keys with its true 1-NN and 2-NN (both
+    // in-cluster — cross-cluster squared distances are ≥ 2·65536²
+    // vs ≤ (0.5·65536)² within). The shortlist therefore CONTAINS
+    // the exact 2-NN and both dispatch branches must agree
+    // bit-for-bit — the knnGraphOf both-branches discipline applied
+    // to the round-15 e_intrinsic_dim dispatch.
+    val rows = for (c <- 0 until 4; s <- 0 until 3) yield {
+      val v = Array.fill(D)(0.0f)
+      v(c) = 1.0f + 0.25f * s
+      ((c * 3 + s).toLong, v)
+    }
+    val exact = Similarity.intrinsicDimOf(frame(rows)).collect().head
+    val short = Similarity.intrinsicDimOf(frame(rows), exactMaxRows = 0L)
+      .collect().head
+    assert((exact.getLong(0), exact.getLong(1), exact.getLong(2))
+      == ((short.getLong(0), short.getLong(1), short.getLong(2))))
+    assert(exact.getLong(0) == 12L)
+  }
 }
