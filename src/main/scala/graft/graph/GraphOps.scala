@@ -19,9 +19,19 @@ object GraphOps {
     * (the round-14 LocalLouvain/LocalIterative twins) down the
     * distributed path so IterativeDispatchSpec can pin driver ≡
     * distributed bit-equality on the same inputs. Never set outside
-    * tests; suites run sequentially (the one-sbt rule), so a plain
-    * var with try/finally reset is race-free here. */
-  private[graft] var forceDistributed = false
+    * tests; suites run sequentially (the one-sbt rule), and it is
+    * @volatile so a stray concurrent query in the same JVM at least
+    * reads the current value instead of a stale one. Toggle ONLY
+    * through [[withForcedDistributed]], which enforces the
+    * try/finally reset at the single call site. */
+  @volatile private[graft] var forceDistributed = false
+
+  /** Run `f` with the driver dispatch forced distributed, reset
+    * guaranteed. The only sanctioned way to flip the hatch. */
+  private[graft] def withForcedDistributed[T](f: => T): T = {
+    forceDistributed = true
+    try f finally forceDistributed = false
+  }
 
   /** The driver twins read vertex ids with getLong — any other key
     * type (textRank runs PageRank over STRING tokens) must take the
@@ -2044,12 +2054,19 @@ object GraphOps {
     // bit-identical (the unrolled g_lpa / g_modularity_of oracles
     // keep matching). Fractional weights stay distributed.
     if (!forceDistributed && longKeyed(sym, "src", "dst") && {
+      // count(weight) == count(*) declines dispatch on ANY null
+      // weight — max(abs(w − round(w))) ignores nulls, and the
+      // driver twin's getDouble would NPE where the distributed
+      // loop tolerates them (the longKeyed decline-to-dispatch
+      // discipline, applied to nullability).
       val st = sym.agg(count(lit(1)).as("n"),
+        count(col("weight")).as("nw"),
         max(abs(col("weight") - org.apache.spark.sql.functions
           .round(col("weight")))).as("frac"))
         .collect().head
       st.getLong(0) <= LocalLouvain.CollectMax &&
-        (st.isNullAt(1) || st.getDouble(1) == 0.0)
+        st.getLong(0) == st.getLong(1) &&
+        (st.isNullAt(2) || st.getDouble(2) == 0.0)
     }) {
       import spark.implicits._
       val rows = sym

@@ -146,8 +146,12 @@ object LocalLouvain {
     * tie-breaks, min-member labels). Returns original vertex →
     * final community (a member's id, so streaming contraction's
     * "community ids are vertex ids" collision argument holds). */
-  def cluster(rows: Seq[(Long, Long, Long)], maxLevels: Int = 16)
+  def cluster(rows: Seq[(Long, Long, Long)], maxLevels: Int = 10)
       : Map[Long, Long] =
+    // Default aligned with [[clusterWithLevels]] and Louvain.run
+    // (10): louvainOnSuper's driver path must not contract DEEPER
+    // than its distributed fallback, or partitions near the
+    // CollectMax boundary could differ purely by dispatch path.
     clusterWithLevels(rows, maxLevels)._1
 
   /** [[cluster]] plus the per-level (level, Q, nCommunities,

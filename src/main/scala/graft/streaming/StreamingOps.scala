@@ -977,9 +977,15 @@ object StreamingOps {
     *    Leiden-refinement objective — subgraph modularity splits too
     *    eagerly). Communities past the per-community edge budget are
     *    deterministically vertex-sampled (xxhash64 threshold), so the
-    *    probe is bounded at ANY corpus size; a sampled gain
-    *    under-reports, never over-reports (alarming late costs one
-    *    deferred refresh, alarming falsely costs a full batch run).
+    *    probe is bounded at ANY corpus size. Sampling usually
+    *    under-reports, but NOT always: edges between sampled and
+    *    unsampled members of the same community drop out of the
+    *    sampled subproblem, so its split gain can exceed the
+    *    realizable full-community gain and fire a spurious alarm —
+    *    bounded by the probe budget, and never a correctness break,
+    *    since the alarm path recomputes the exact batch Louvain
+    *    (a false alarm costs one unnecessary batch run; a late
+    *    alarm costs one deferred refresh).
     *
     * The estimate is a LOWER bound on the true batch gap (boundary
     * re-assignments that cut across streamed communities are
@@ -1042,14 +1048,19 @@ object StreamingOps {
       val nByC = labels.filter(col("community").isin(probed: _*))
         .groupBy(col("community")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val budgetC = math.max(1L, intraBudget / probed.length)
+      // A probed id with NO rows in labels (inconsistent or
+      // hand-built state) degrades to a SKIPPED probe instead of a
+      // NoSuchElementException from the rate lookup below.
+      val probedKnown = probed.filter(nByC.contains)
+      val budgetC = math.max(1L,
+        intraBudget / math.max(1, probedKnown.length))
       // keep-rate per community: expected sampled pairs ≤ budget even
       // on a complete community (n·r choose 2 ≈ (n·r)²/2 ≤ budget)
       val rateE6: Map[Long, Long] = nByC.map { case (c, n) =>
         val r = math.min(1.0, math.sqrt(2.0 * budgetC) / math.max(1L, n))
         c -> math.round(r * 1e6)
       }
-      val rateCase = probed.foldLeft(lit(0L)) { (acc, c) =>
+      val rateCase = probedKnown.foldLeft(lit(0L)) { (acc, c) =>
         when(col("community") === c, lit(rateE6(c))).otherwise(acc)
       }
       val sampled = labels

@@ -20,11 +20,8 @@ class IterativeDispatchSpec extends AnyFunSuite {
 
   private def bothPaths(f: => DataFrame): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
     val drv = rowsOf(f)
-    GraphOps.forceDistributed = true
-    try {
-      val dist = rowsOf(f)
-      (drv, dist)
-    } finally GraphOps.forceDistributed = false
+    val dist = GraphOps.withForcedDistributed(rowsOf(f))
+    (drv, dist)
   }
 
   test("pageRankInteger: driver twin == DataFrame loop, bit for bit") {
@@ -75,10 +72,8 @@ class IterativeDispatchSpec extends AnyFunSuite {
     val t = GraphBuilder.supplierTemporalEdges(spark, "/root/testdata/sf0.001")
     val o = org.apache.spark.sql.functions.col _
     val drv = rowsOf(GraphOps.temporalReach(spark, t).orderBy(o("vertex")))
-    GraphOps.forceDistributed = true
-    val dist =
-      try rowsOf(GraphOps.temporalReach(spark, t).orderBy(o("vertex")))
-      finally GraphOps.forceDistributed = false
+    val dist = GraphOps.withForcedDistributed(
+      rowsOf(GraphOps.temporalReach(spark, t).orderBy(o("vertex"))))
     assert(drv == dist)
     assert(drv.nonEmpty)
   }
@@ -109,6 +104,56 @@ class IterativeDispatchSpec extends AnyFunSuite {
     assert(GraphOps.katzCentrality(spark, e).collect().length == 3)
   }
 
+  test("null weights decline the driver dispatch instead of NPEing") {
+    // max(abs(w − round(w))) ignores NULLs, so a column with some
+    // nulls and otherwise-integral weights used to pass the gate and
+    // NPE at the twin's getDouble; the count(weight) == count(*)
+    // term (round-15 ADVICE) declines to dispatch instead.
+    import spark.implicits._
+    val e = Seq((1L, 2L, Some(1.0)), (2L, 3L, None: Option[Double]))
+      .toDF("src", "dst", "weight")
+    val r = GraphOps.labelPropagation(spark, e).collect()
+    assert(r.length == 3)
+  }
+
+  test("dispatch-site checklist: every forceDistributed gate has twin-equality coverage") {
+    // The oracle gates no longer exercise the DataFrame loops below
+    // the collect bound, so the at-scale correctness burden sits on
+    // explicit both-path equality tests. This checklist parses the
+    // dispatch gates out of GraphOps.scala and fails when a NEW gate
+    // lands without being recorded here next to the spec that pins
+    // its equality — record it ONLY after writing that test.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/graph/GraphOps.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    var cur = "<none>"
+    val sites = scala.collection.mutable.LinkedHashSet.empty[String]
+    val defRe = """\bdef (\w+)""".r
+    src.split("\n", -1).foreach { ln =>
+      defRe.findFirstMatchIn(ln).foreach(m => cur = m.group(1))
+      if (ln.contains("!forceDistributed")) sites += cur
+    }
+    val covered = Map(
+      "spectralCut" -> "IterativeDispatchSpec",
+      "temporalReach" -> "IterativeDispatchSpec",
+      "shortestPaths" -> "IterativeDispatchSpec",
+      "weightedShortestPaths" -> "IterativeDispatchSpec",
+      "coreness" -> "IterativeDispatchSpec",
+      "pageRankInteger" -> "IterativeDispatchSpec",
+      "katzCentrality" -> "IterativeDispatchSpec",
+      "personalizedPageRank" -> "IterativeDispatchSpec",
+      "betweennessCentrality" -> "IterativeDispatchSpec",
+      "labelPropagation" -> "IterativeDispatchSpec",
+      "louvainFor" -> "IterativeDispatchSpec (louvain family partitions)",
+      "refineCommunities" -> "LeidenSpec (refineDriver == refineDistributed)",
+      "louvainOnSuper" -> "IncrementalLouvainSpec (driver vs GraphX partitions)")
+    val missing = sites.filterNot(covered.contains)
+    assert(missing.isEmpty,
+      s"dispatch sites without a recorded twin-equality test: $missing")
+    val stale = covered.keySet.diff(sites.toSet)
+    assert(stale.isEmpty, s"checklist lists removed dispatch sites: $stale")
+  }
+
   test("louvain family: driver dispatch partitions match the GraphX engine") {
     // Louvain labels are path-specific (min-member canonical vs
     // Pregel ids); the contract is the PARTITION and the level-Q
@@ -117,10 +162,8 @@ class IterativeDispatchSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1))
       .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
     val drv = partOf(GraphOps.louvain(spark, edges))
-    GraphOps.forceDistributed = true
-    val dist =
-      try partOf(GraphOps.louvain(spark, edges.limit(edges.count().toInt)))
-      finally GraphOps.forceDistributed = false
+    val dist = GraphOps.withForcedDistributed(
+      partOf(GraphOps.louvain(spark, edges.limit(edges.count().toInt))))
     // The sf0.001 co-occurrence graph is complete (K10 suppliers) —
     // both engines must agree on the one-community optimum; richer
     // planted agreement lives in IncrementalLouvainSpec.
