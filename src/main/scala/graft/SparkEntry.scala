@@ -902,6 +902,7 @@ object SparkEntry {
     "r_eval" -> ((s, d) => graft.operators.Retrieval.retrievalEval(s, d)),
     "r_hard_neg" -> ((s, d) => graft.operators.Retrieval.hardNegatives(s, d)),
     "r_phrase" -> ((s, d) => graft.operators.Retrieval.phraseTopK(s, d)),
+    "r_phrase3" -> ((s, d) => graft.operators.Retrieval.phrase3TopK(s, d)),
     "r_prf" -> ((s, d) => graft.operators.Retrieval.prfTopK(s, d)),
     // Count-min-sketch heavy-hitter accuracy audit (md5-bucket
     // parity makes the sketch integer-exact under a full oracle).
@@ -4747,6 +4748,50 @@ object SparkEntry {
         |idx AS (SELECT doc_id, t,
         |    unnest(range(1, greatest(len(t), 1))) AS i FROM toks),
         |occ AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram FROM idx),
+        |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM occ GROUP BY 1, 2),
+        |pdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT bigram, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM pdl),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS totdl FROM pdl),
+        |qp AS (SELECT doc_id AS query_id, bigram FROM (
+        |    SELECT tf.doc_id, tf.bigram,
+        |      row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+        |        CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 10000) AS BIGINT)
+        |          DESC, tf.bigram ASC) AS rk
+        |    FROM tf JOIN dfreq USING (bigram), nn
+        |    WHERE tf.doc_id < $qd) WHERE rk <= $qp),
+        |bs AS (SELECT q.query_id, tf.doc_id,
+        |    CAST(round(ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl
+        |      / (CAST(totdl AS DOUBLE) / n))) * 10000) AS BIGINT) AS s_e4
+        |  FROM tf JOIN qp q USING (bigram)
+        |    JOIN dfreq USING (bigram) JOIN pdl ON pdl.doc_id = tf.doc_id, nn, tot
+        |  WHERE tf.doc_id <> q.query_id),
+        |ph AS (SELECT query_id, doc_id, CAST(sum(s_e4) AS BIGINT) AS phrase_e4
+        |  FROM bs GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, phrase_e4,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY phrase_e4 DESC, doc_id ASC) AS INT) AS rank FROM ph)
+        |SELECT query_id, doc_id, phrase_e4, rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+    // Trigram-postings 3-term phrase retrieval: the nextword index
+    // one word further — range's upper bound len−1 drops docs
+    // shorter than 3 tokens exactly as the Spark side's
+    // n-part-shingle filter; BM25 over the trigram corpus, same
+    // identical-ln-tree arithmetic as r_phrase.
+    "r_phrase3" -> {
+      val qd = graft.operators.Retrieval.QueryDocs
+      val qp = graft.operators.Retrieval.QueryPhrases3
+      val k1 = graft.operators.Retrieval.K1
+      val b = graft.operators.Retrieval.B
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        |  FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |    unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+        |occ AS (SELECT doc_id,
+        |    t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS bigram FROM idx),
         |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM occ GROUP BY 1, 2),
         |pdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
         |dfreq AS (SELECT bigram, count(*) AS df FROM tf GROUP BY 1),

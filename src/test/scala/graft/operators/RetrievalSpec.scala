@@ -142,6 +142,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!got2.exists(r => r.getLong(0) == 5L || r.getLong(1) == 5L))
   }
 
+  test("3-term phrases match in ORDER; sub-3-token docs drop out entirely") {
+    // doc 3 contains all three query words but never as an adjacent
+    // ordered run; doc 2 holds the reversed phrase. Only doc 1
+    // shares the exact trigram "new york city" with query 0. The
+    // 2-token doc 4 spans no trigram: it is neither query, nor
+    // candidate, nor counted in the postings-derived N.
+    val docs = Seq(
+      (0L, "new york city new york city"),
+      (1L, "i love new york city"),
+      (2L, "city york new haven"),
+      (3L, "new jersey york big city"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val got = Retrieval.phraseTopKOf(docs, 10, 3, Retrieval.QueryPhrases3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val q0c = got.filter(_._1 == 0L).map(_._2).toSet
+    assert(q0c.contains(1L), s"exact trigram match missing: $got")
+    assert(!q0c.contains(3L),
+      "bag-of-words leak: non-adjacent trigram words became a candidate")
+    assert(!got.exists(t => t._1 == 4L || t._2 == 4L),
+      "a 2-token doc can span no trigram")
+  }
+
   test("hard negatives: relevant candidates excluded, scores preserved") {
     val dir = plant()
     val got = Retrieval.hardNegatives(spark, dir).collect()
