@@ -82,11 +82,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Mid-sweep samples of the SAME fixed spin (round 15 — the
+    // round-14 verdict: equal PRE-sweep markers coexisted with a 17%
+    // driver/local total gap, so calibration must sample the load
+    // actually present WHILE queries run). One spin every 50 queries
+    // plus a closing one, published per sweep as calib_series —
+    // per-query drift can then be deflated by the nearest sample.
+    val calibSeries =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
 
-    def sweep(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
+    def sweep(): Seq[(String, Double)] = {
+      val series = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val out = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
-        .map { case (name, fn) =>
+        .zipWithIndex
+        .map { case ((name, fn), qi) =>
+          if (qi > 0 && qi % 50 == 0) series += calibSec()
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()
           catch { case e: Throwable => failures += ((name, String.valueOf(e))) }
@@ -101,6 +112,10 @@ object Bench {
           }
           name -> dt
         }
+      series += calibSec()
+      calibSeries += series.toSeq
+      out
+    }
 
     val sweeps = (1 to repeat).map { i =>
       // Cold-memo conditions per sweep: clear every cross-query memo
@@ -134,8 +149,11 @@ object Bench {
     // to the exact data it measured.
     val fp = Verify.fingerprintJson(Verify.testdataFingerprint(spark, sfDir))
     val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val calibSeriesJson = calibSeries
+      .map(s => s.map(c => f"$c%.3f").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"calib_sec":$calibJson,"repeat":$repeat,"queries":$qs,"sf":"$sfDir","fingerprint":$fp}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"calib_sec":$calibJson,"calib_series":$calibSeriesJson,"repeat":$repeat,"queries":$qs,"sf":"$sfDir","fingerprint":$fp}"""
     println(json)
     // Also persist the line as an artifact: log capture has truncated
     // the stdout tail mid-JSON two rounds running, losing the first
@@ -151,7 +169,7 @@ object Bench {
     val slow = med.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${med.size},"repeat":$repeat,"warmup_sec":$warmupSec,"calib_sec":$calibJson,"slowest5":$slow,"sf":"$sfDir","full":"/tmp/graft_bench.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${med.size},"repeat":$repeat,"warmup_sec":$warmupSec,"calib_sec":$calibJson,"calib_series":$calibSeriesJson,"slowest5":$slow,"sf":"$sfDir","full":"/tmp/graft_bench.json"}""")
     spark.stop()
   }
 }
