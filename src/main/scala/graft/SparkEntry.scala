@@ -261,6 +261,10 @@ object SparkEntry {
     // Katz truncated-walk centrality, integer rounds (div 256).
     "g_katz" -> ((s, d) =>
       GraphOps.katzCentrality(s, GraphBuilder.supplierCoEdges(s, d))),
+    // Undamped principal-eigenvector centrality: integer power
+    // iteration with truncating max-renormalization per round.
+    "g_eigencentrality" -> ((s, d) =>
+      GraphOps.eigenCentrality(s, GraphBuilder.supplierCoEdges(s, d))),
     // Directed-edge mutuality on the supplier hand-off chain.
     "g_reciprocity" -> ((s, d) =>
       GraphOps.reciprocity(s, GraphBuilder.supplierChainEdges(s, d))),
@@ -933,6 +937,12 @@ object SparkEntry {
     // CUPED variance-reduced A/B readout: second-half spend adjusted
     // by the same user's first-half spend, θ pooled across arms.
     "q_cuped" -> ((s, d) => Relational.qCuped(s, d)),
+    // Difference-in-differences: pre/post x parity-arm spend cells,
+    // exact integer sums, one e2-rounded double tree for the DiD.
+    "q_diff_in_diff" -> ((s, d) => Relational.qDiffInDiff(s, d)),
+    // Winsorized mean per event type: exact discrete [p10, p90]
+    // clamp by ordered selection, integer sum, truncating mean.
+    "q_winsorize" -> ((s, d) => Relational.qWinsorize(s, d)),
     // Theil-Sen robust trend: exact lower-median of pairwise slopes
     // over the calendar-bounded day grid.
     "q_theil_sen" -> ((s, d) => Relational.qTheilSen(s, d)),
@@ -1760,6 +1770,28 @@ object SparkEntry {
     integerPagerankOracle(EdgeCte, iters,
       "SELECT vertex, rank AS rank_e6 FROM RLAST ORDER BY vertex")
 
+  /** Unrolled integer eigenvector-centrality oracle — identical
+    * truncating arithmetic to GraphOps.eigenCentrality (x ← A·x,
+    * renormalize by max(1, ymax // 1e6) each round). */
+  private def eigenOracleSql(iters: Int = 10): String = {
+    val steps = (0 until iters).map { i =>
+      s""",
+         |c$i AS MATERIALIZED (SELECT f.dst AS vertex,
+         |    CAST(sum(f.w * r.x) AS BIGINT) AS y
+         |  FROM sym f JOIN r$i r ON r.vertex = f.src GROUP BY 1),
+         |m$i AS MATERIALIZED (SELECT greatest(CAST(1 AS BIGINT),
+         |    max(y) // 1000000) AS k FROM c$i),
+         |r${i + 1} AS MATERIALIZED (SELECT r.vertex,
+         |  CAST(coalesce(c.y, 0) // m.k AS BIGINT) AS x
+         |  FROM r$i r LEFT JOIN c$i c ON c.vertex = r.vertex, m$i m)""".stripMargin
+    }.mkString
+    s"""WITH $EdgeCte,
+       |r0 AS MATERIALIZED (SELECT DISTINCT src AS vertex,
+       |  CAST(1000000 AS BIGINT) AS x FROM sym)""".stripMargin +
+      steps +
+      s"\nSELECT vertex, x AS eig_e6 FROM r$iters ORDER BY vertex"
+  }
+
   /** t_textrank's word co-occurrence edge CTE + final top-25 select
     * (vocab width and the window-2 pairing mirror
     * TextAnalysis.textRank). */
@@ -2100,6 +2132,7 @@ object SparkEntry {
         |GROUP BY s.src ORDER BY vertex""".stripMargin,
     "g_node2vec" -> node2vecOracleSql(),
     "g_pagerank_det" -> pagerankDetOracleSql(),
+    "g_eigencentrality" -> eigenOracleSql(),
     "g_katz" -> katzOracleSql(),
     // Same hand-off chain CTE as g_scc; reciprocity is one self-join
     // on the distinct directed edge set + exact e6 ratio.
@@ -5115,6 +5148,60 @@ object SparkEntry {
         |          - CAST(g_sp AS DOUBLE) / CAST(g_n AS DOUBLE)))
         |      AS BIGINT) END AS adj_mean_c
         |FROM s, g ORDER BY arm""".stripMargin,
+    // Difference-in-differences over the q_cuped design: exact
+    // integer per-cell cents sums and user counts; the DiD is the
+    // one double tree from those integers, e2-rounded.
+    "q_diff_in_diff" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |a AS (SELECT min(day) + INTERVAL 15 DAY AS split FROM e),
+        |u AS (SELECT user_id % 2 AS arm,
+        |    CAST(sum(CASE WHEN day < split THEN cents ELSE 0 END)
+        |      AS BIGINT) AS pre,
+        |    CAST(sum(CASE WHEN day >= split THEN cents ELSE 0 END)
+        |      AS BIGINT) AS post
+        |  FROM e, a GROUP BY user_id),
+        |f AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT)
+        |      AS pre0_c,
+        |    CAST(sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT)
+        |      AS post0_c,
+        |    CAST(sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT)
+        |      AS pre1_c,
+        |    CAST(sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT)
+        |      AS post1_c
+        |  FROM u)
+        |SELECT n0, n1, pre0_c, post0_c, pre1_c, post1_c,
+        |  CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |    CAST(round(((CAST(post1_c AS DOUBLE) - pre1_c) / n1
+        |      - (CAST(post0_c AS DOUBLE) - pre0_c) / n0) * 100) AS BIGINT)
+        |  END AS did_e2
+        |FROM f""".stripMargin,
+    // Winsorized mean per event type: exact discrete [p10, p90] by
+    // ordered selection at rank ceil(p*n/100) (ties collapse to the
+    // same value), integer clamp + sum, one truncating mean div.
+    "q_winsorize" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents)
+        |      AS rk,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM e),
+        |lo AS (SELECT event_type, max(cents) AS lo_c FROM r
+        |  WHERE rk = greatest(1, CAST(ceil(10 / 100.0 * n) AS BIGINT))
+        |  GROUP BY 1),
+        |hi AS (SELECT event_type, max(cents) AS hi_c FROM r
+        |  WHERE rk = greatest(1, CAST(ceil(90 / 100.0 * n) AS BIGINT))
+        |  GROUP BY 1)
+        |SELECT r.event_type, max(r.n) AS n, max(lo.lo_c) AS lo_c,
+        |  max(hi.hi_c) AS hi_c,
+        |  CAST(sum(greatest(lo.lo_c, least(hi.hi_c, r.cents))) AS BIGINT)
+        |    // max(r.n) AS wmean_c
+        |FROM r JOIN lo USING (event_type) JOIN hi USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Pairwise JSD over the top-50 token vocab with add-one
     // smoothing; per-term e6 rounding from the identical
     // division/ln tree, exact integer per-pair sum.

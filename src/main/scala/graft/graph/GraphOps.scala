@@ -1676,6 +1676,76 @@ object GraphOps {
     ranks.select(col("vertex"), col("rank").as("rank_e6")).orderBy(col("vertex"))
   }
 
+  /** Eigenvector centrality, integer-deterministic (round 15) — the
+    * undamped principal-eigenvector score the family was missing
+    * between [[pageRankInteger]] (degree-normalized contributions)
+    * and [[katzCentrality]] (attenuated walk counts): x ← A·x with a
+    * per-round truncating renormalization x ← y div max(1,
+    * ymax div 1e6), which pins the max score to ~1e6 so the state
+    * never grows. All arithmetic is integer (sums associative-exact,
+    * div truncating both engines), hence bit-identical under any
+    * partitioning and unrolled-SQL-oracle-checkable — the
+    * pageRankInteger contract. The per-round ymax is the round's
+    * materializing full-scan action on the checkpointed contribution
+    * table (the g_scc one-job lesson: normalization needs it anyway,
+    * so the scalar read costs no extra job). One-time headroom
+    * guard: the normalized state is < 2e6, so a round stays in
+    * BIGINT while max weighted degree ≤ ~4.6e12 — asserted loudly up
+    * front rather than wrapping silently at a 100× scale-up (the
+    * katzCentrality overflow discipline). */
+  def eigenCentrality(spark: SparkSession, edges: DataFrame,
+      iters: Int = 10): DataFrame = {
+    val sym = edges
+      .select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight").cast("long").as("w")))
+      .localCheckpoint(true)
+    val maxWd = sym.groupBy(col("src")).agg(sum(col("w")).as("wd"))
+      .agg(max(col("wd"))).collect().head
+    val maxWdeg = if (maxWd.isNullAt(0)) 0L else maxWd.getLong(0)
+    require(maxWdeg <= Long.MaxValue / 2000000L,
+      s"eigenCentrality: max weighted degree $maxWdeg times the ~2e6 " +
+        "normalized state could wrap BIGINT silently — rescale weights " +
+        "or thin the graph.")
+    // Measured dispatch (round 14 discipline): pure truncating
+    // integer recursion → the driver twin is bit-identical
+    // (IterativeDispatchSpec pins it; the unrolled oracle matches
+    // either path). Both paths read the SAME long-cast weights, so
+    // no integrality gate is needed — the cast is the contract.
+    if (!forceDistributed && longKeyed(sym, "src", "dst") &&
+        sym.count() <= LocalLouvain.CollectMax) {
+      import spark.implicits._
+      val rows = sym.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      LocalIterative.eigenCentrality(rows, iters)
+        .toDF("vertex", "eig_e6").orderBy(col("vertex"))
+    } else eigenCentralityDistributed(spark, sym, iters)
+  }
+
+  private[graph] def eigenCentralityDistributed(spark: SparkSession,
+      sym: DataFrame, iters: Int): DataFrame = {
+    var x = sym.select(col("src").as("vertex")).distinct()
+      .withColumn("x", lit(1000000L))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val y = sym
+        .join(x.select(col("vertex").as("src"), col("x")), Seq("src"))
+        .select(col("dst"), (col("w") * col("x")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("y"))
+        .localCheckpoint(true)
+      val ymaxRow = y.agg(max(col("y"))).collect().head
+      val k = if (ymaxRow.isNullAt(0)) 1L
+        else math.max(1L, ymaxRow.getLong(0) / 1000000L)
+      x = x.select(col("vertex"))
+        .join(y.select(col("dst").as("vertex"), col("y")), Seq("vertex"), "left")
+        .select(col("vertex"),
+          expr(s"coalesce(y, CAST(0 AS BIGINT)) div CAST($k AS BIGINT)")
+            .as("x"))
+        .localCheckpoint(true)
+    }
+    x.select(col("vertex"), col("x").as("eig_e6")).orderBy(col("vertex"))
+  }
+
   /** Katz centrality, integer-deterministic — the "count all walks,
     * attenuated by length" score PageRank's degree normalization
     * throws away: x ← 1e6 + A·x div 256 for a fixed 8 rounds

@@ -82,6 +82,26 @@ object LocalIterative {
     verts.map(v => (v, katz(v))).toSeq
   }
 
+  /** (vertex, eig_e6) — mirrors GraphOps.eigenCentrality: power
+    * iteration x ← A·x with per-round truncating renormalization
+    * x ← y div max(1, ymax div 1e6), all-integer (the
+    * pageRankInt contract), so driver and DataFrame paths are
+    * bit-identical. rows are the symmetrized (src, dst, w) list. */
+  def eigenCentrality(rows: Array[(Long, Long, Long)],
+      iters: Int): Seq[(Long, Long)] = {
+    val verts = rows.map(_._1).distinct.sorted
+    val x = mutable.LongMap.empty[Long]
+    verts.foreach(v => x(v) = 1000000L)
+    for (_ <- 1 to iters) {
+      val y = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      rows.foreach { case (s, d, w) => y(d) += x(s) * w }
+      val ymax = verts.iterator.map(y).max
+      val k = math.max(1L, ymax / 1000000L)
+      verts.foreach(v => x(v) = y(v) / k)
+    }
+    verts.map(v => (v, x(v))).toSeq
+  }
+
   /** (vertex, score_e6, side) — mirrors GraphOps.spectralCut: shifted
     * Laplacian power iteration with mean deflation and max-|·|
     * renormalization, md5-hex pseudo-random start (identical string

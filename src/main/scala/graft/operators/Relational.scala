@@ -3086,4 +3086,81 @@ object Relational {
         when(varP > 0.0, round(adj).cast("long")).as("adj_mean_c"))
       .orderBy(col("arm"))
   }
+
+  /** Difference-in-differences readout over the [[qCuped]] design
+    * (round 15): per-user spend split at the same day-15 anchor into
+    * pre/post, arms by user parity — DiD = (post̄₁ − prē₁) −
+    * (post̄₀ − prē₀) nets out both the arm-level baseline and the
+    * common time shock, the quasi-experimental workhorse next to
+    * q_cuped's variance reduction and q_ab_lift's z. Per-cell sums
+    * and user counts are exact integers (cents quantized per event,
+    * the §6 float rule); the DiD itself is the ONE double, computed
+    * through a single expression tree from those exact integers
+    * and e2-rounded (cents): sums of cents stay far below 2^53, so
+    * the doubles are exact and the tree identical across engines.
+    * One shuffle to (user, pre, post), one 2-row arm fold. */
+  def qDiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val anchor = ev.agg(date_add(min(col("day")), 15).as("split"))
+    val u = ev.crossJoin(broadcast(anchor))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("split"), col("cents")).otherwise(0L))
+        .as("pre"),
+        sum(when(col("day") >= col("split"), col("cents")).otherwise(0L))
+          .as("post"))
+      .select(pmod(col("user_id"), lit(2L)).as("arm"), col("pre"),
+        col("post"))
+    u.groupBy()
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0L, col("pre")).otherwise(0L)).as("pre0_c"),
+        sum(when(col("arm") === 0L, col("post")).otherwise(0L)).as("post0_c"),
+        sum(when(col("arm") === 1L, col("pre")).otherwise(0L)).as("pre1_c"),
+        sum(when(col("arm") === 1L, col("post")).otherwise(0L)).as("post1_c"))
+      .select(col("n0"), col("n1"), col("pre0_c"), col("post0_c"),
+        col("pre1_c"), col("post1_c"),
+        when(col("n0") > 0L && col("n1") > 0L, expr(
+          "CAST(round(((CAST(post1_c AS DOUBLE) - pre1_c) / n1" +
+            " - (CAST(post0_c AS DOUBLE) - pre0_c) / n0) * 100) AS BIGINT)"))
+          .as("did_e2"))
+  }
+
+  /** Winsorized mean per event type (round 15) — the robust-mean
+    * companion of [[qMadOutliers]]: clamp each observation to the
+    * exact discrete [p10, p90] values (ordered selection at rank
+    * ⌈p·n/100⌉, the q_percentile_select convention — ties collapse
+    * to the same VALUE under any tie order) and average the clamped
+    * integers. Everything stays in exact cents: the clamp is
+    * integer, the sum is integer, the mean is one truncating div
+    * stated identically in the oracle. One rank window per type
+    * (groups spread across the shuffle) + a broadcast threshold
+    * join back — the q_group_percentile scale shape. */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val ranked = ev
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .localCheckpoint(true)
+    def cut(p: Int, as: String) = ranked
+      .filter(col("rk") === greatest(lit(1L),
+        ceil(lit(p / 100.0) * col("n")).cast("long")))
+      .groupBy(col("event_type")).agg(max(col("cents")).as(as))
+    val cuts = cut(10, "lo_c").join(cut(90, "hi_c"), Seq("event_type"))
+    ranked.join(broadcast(cuts), Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        greatest(col("lo_c"), least(col("hi_c"), col("cents"))).as("wc"),
+        col("lo_c"), col("hi_c"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("lo_c")).as("lo_c"),
+        max(col("hi_c")).as("hi_c"), sum(col("wc")).as("wsum_c"))
+      .select(col("event_type"), col("n"), col("lo_c"), col("hi_c"),
+        expr("wsum_c div n").as("wmean_c"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -40,6 +40,12 @@ class IterativeDispatchSpec extends AnyFunSuite {
     assert(d == x)
   }
 
+  test("eigenCentrality: driver twin == DataFrame loop") {
+    val (d, x) = bothPaths(GraphOps.eigenCentrality(spark, edges))
+    assert(d == x)
+    assert(d.nonEmpty)
+  }
+
   test("spectralCut: driver twin == DataFrame loop (md5 start included)") {
     val (d, x) = bothPaths(GraphOps.spectralCut(spark, edges))
     assert(d == x)
@@ -141,6 +147,7 @@ class IterativeDispatchSpec extends AnyFunSuite {
       "coreness" -> "IterativeDispatchSpec",
       "pageRankInteger" -> "IterativeDispatchSpec",
       "katzCentrality" -> "IterativeDispatchSpec",
+      "eigenCentrality" -> "IterativeDispatchSpec",
       "personalizedPageRank" -> "IterativeDispatchSpec",
       "betweennessCentrality" -> "IterativeDispatchSpec",
       "labelPropagation" -> "IterativeDispatchSpec",
