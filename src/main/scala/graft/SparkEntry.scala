@@ -907,6 +907,7 @@ object SparkEntry {
     "r_hard_neg" -> ((s, d) => graft.operators.Retrieval.hardNegatives(s, d)),
     "r_phrase" -> ((s, d) => graft.operators.Retrieval.phraseTopK(s, d)),
     "r_phrase3" -> ((s, d) => graft.operators.Retrieval.phrase3TopK(s, d)),
+    "r_bm25f" -> ((s, d) => graft.operators.Retrieval.bm25fTopK(s, d)),
     "r_prf" -> ((s, d) => graft.operators.Retrieval.prfTopK(s, d)),
     // Count-min-sketch heavy-hitter accuracy audit (md5-bucket
     // parity makes the sketch integer-exact under a full oracle).
@@ -4850,6 +4851,61 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY phrase_e4 DESC, doc_id ASC) AS INT) AS rank FROM ph)
         |SELECT query_id, doc_id, phrase_e4, rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+    // Field-weighted BM25F: positional title/body split, per-field
+    // normalized pseudo-frequency, single saturation; the combined
+    // t~f tree is stated VERBATIM twice (numerator and denominator)
+    // on both sides; constants interpolated from Scala.
+    "r_bm25f" -> {
+      val qd = graft.operators.Retrieval.QueryDocs
+      val qt = graft.operators.Retrieval.QueryTerms
+      val k1 = graft.operators.Retrieval.K1
+      val b = graft.operators.Retrieval.B
+      val tw = graft.operators.Retrieval.TitleWeight
+      val tn = graft.operators.Retrieval.TitleTokens
+      val ttf = s"($tw * tf_t / (${1.0 - b} + $b * dlt" +
+        s" / (CAST(tot_t AS DOUBLE) / n)) + 1.0 * tf_b / (${1.0 - b}" +
+        s" + $b * dlb / (CAST(tot_b AS DOUBLE) / n)))"
+      s"""WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        |szs AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS sz
+        |  FROM toks WHERE len(t) >= 1),
+        |ft AS (SELECT doc_id, unnest(t[1:$tn]) AS token FROM szs),
+        |fb AS (SELECT doc_id, unnest(t[${tn + 1}:]) AS token FROM szs),
+        |gt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf_t
+        |  FROM ft GROUP BY 1, 2),
+        |gb AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf_b
+        |  FROM fb GROUP BY 1, 2),
+        |mg AS (SELECT doc_id, token, coalesce(tf_t, 0) AS tf_t,
+        |    coalesce(tf_b, 0) AS tf_b
+        |  FROM gt FULL JOIN gb USING (doc_id, token)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(least(sz, $tn)) AS BIGINT) AS tot_t,
+        |    CAST(sum(greatest(sz - $tn, 0)) AS BIGINT) AS tot_b FROM szs),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM mg GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(least(sz, $tn) AS BIGINT) AS dlt,
+        |    CAST(greatest(sz - $tn, 0) AS BIGINT) AS dlb FROM szs),
+        |q AS (SELECT doc_id AS query_id, token FROM (
+        |    SELECT mg.doc_id, mg.token,
+        |      row_number() OVER (PARTITION BY mg.doc_id ORDER BY
+        |        CAST(round((tf_t + tf_b) * ln(CAST(n AS DOUBLE) / df)
+        |          * 10000) AS BIGINT) DESC, mg.token ASC) AS rk
+        |    FROM mg JOIN dfreq USING (token), nn
+        |    WHERE mg.doc_id < $qd) WHERE rk <= $qt),
+        |sc AS (SELECT q.query_id, mg.doc_id,
+        |    CAST(round(ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * $ttf / ($k1 + $ttf) * 10000) AS BIGINT) AS s_e4
+        |  FROM mg JOIN q USING (token) JOIN dfreq USING (token)
+        |    JOIN dl ON dl.doc_id = mg.doc_id, nn
+        |  WHERE mg.doc_id <> q.query_id),
+        |ph AS (SELECT query_id, doc_id, CAST(sum(s_e4) AS BIGINT)
+        |    AS bm25f_e4 FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, bm25f_e4,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25f_e4 DESC, doc_id ASC) AS INT) AS rank FROM ph)
+        |SELECT query_id, doc_id, bm25f_e4, rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
     // RM3-lite pseudo-relevance feedback: top-3 feedback docs from

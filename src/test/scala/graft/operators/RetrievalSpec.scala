@@ -165,6 +165,30 @@ class RetrievalSpec extends AnyFunSuite {
       "a 2-token doc can span no trigram")
   }
 
+  test("bm25f: a title hit outranks the identical hit buried in the body") {
+    // Query doc 0's only term is zzz. Docs 1 and 2 are the SAME
+    // length and carry the SAME single zzz occurrence — differing
+    // only in WHERE: inside the first-8-token title (doc 1) vs in
+    // the body (doc 2). Classic one-bag BM25 ties them; BM25F's
+    // title weight must rank doc 1 strictly first.
+    val fill = (1 to 9).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (0L, "zzz zzz zzz"),
+      (1L, "zzz " + fill),
+      (2L, fill.split(" ").take(8).mkString(" ") + " zzz f9"))
+      .toDF("doc_id", "text")
+    // Force-read via the dir-less path: bm25fTopK reads Tables
+    // directly, so plant a documents.parquet.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25f").toString
+    graft.TestFixtures.canonDocs(docs)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Retrieval.bm25fTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val q0 = got.filter(_._1 == 0L).toSeq.sortBy(_._4)
+    assert(q0.map(_._2) == Seq(1L, 2L), s"title hit must lead: $q0")
+    assert(q0.head._3 > q0(1)._3, s"strictly higher score: $q0")
+  }
+
   test("hard negatives: relevant candidates excluded, scores preserved") {
     val dir = plant()
     val got = Retrieval.hardNegatives(spark, dir).collect()
