@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit}
 import graft.operators._
 import graft.graph.{GraphBuilder, GraphOps}
 
@@ -280,6 +280,19 @@ object SparkEntry {
     "g_sssp" -> ((s, d) =>
       GraphOps.shortestPaths(s, GraphBuilder.supplierCoEdges(s, d))
         .orderBy(col("vertex"), col("landmark"))),
+    // Landmark eccentricity + diameter lower bound: the g_sssp BFS
+    // aggregated per landmark (max hop = eccentricity; diameter ≥
+    // max over landmarks — the classic double-sweep bound's
+    // multi-source form). Rides the same dispatched shortestPaths.
+    "g_diameter" -> ((s, d) => {
+      val mx = (c: org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.functions.max(c)
+      val sp = GraphOps.shortestPaths(s, GraphBuilder.supplierCoEdges(s, d))
+      val ecc = sp.groupBy(col("landmark"))
+        .agg(count(lit(1)).as("n_reached"), mx(col("hops")).as("ecc"))
+      val dm = ecc.agg(mx(col("ecc")).as("diam_lb"))
+      ecc.crossJoin(broadcast(dm)).orderBy(col("landmark"))
+    }),
     // HyperBall harmonic centrality: per-vertex Σ 1/d from ANF ball
     // increments (rows-only + BFS-exact planted spec).
     "g_harmonic" -> ((s, d) =>
@@ -944,6 +957,9 @@ object SparkEntry {
     // Winsorized mean per event type: exact discrete [p10, p90]
     // clamp by ordered selection, integer sum, truncating mean.
     "q_winsorize" -> ((s, d) => Relational.qWinsorize(s, d)),
+    // Rolling mean±2σ breach monitor, float-free via the cleared-
+    // denominator test t² > 4(7s2−s1²) on exact integer window sums.
+    "q_bollinger" -> ((s, d) => Relational.qBollinger(s, d)),
     // Theil-Sen robust trend: exact lower-median of pairwise slopes
     // over the calendar-bounded day grid.
     "q_theil_sen" -> ((s, d) => Relational.qTheilSen(s, d)),
@@ -2512,6 +2528,30 @@ object SparkEntry {
         |  CAST(min(d) AS BIGINT) AS hops
         |FROM bfs GROUP BY 1, 2 ORDER BY vertex, landmark""".stripMargin,
     "g_sssp_w" -> ssspWOracleSql(),
+    // Landmark eccentricity / diameter lower bound: the g_sssp BFS
+    // CTE folded per landmark (min-depth per pair first, then max).
+    "g_diameter" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM sym),
+        |lms AS (SELECT v FROM verts ORDER BY v LIMIT 3),
+        |bfs(lm, v, d) AS (
+        |  SELECT v, v, 0 FROM lms
+        |  UNION
+        |  SELECT b.lm, s.dst, b.d + 1 FROM bfs b
+        |  JOIN sym s ON s.src = b.v WHERE b.d < 30),
+        |h AS (SELECT lm, v, min(d) AS hops FROM bfs GROUP BY 1, 2),
+        |agg AS (SELECT CAST(lm AS BIGINT) AS landmark,
+        |    CAST(count(*) AS BIGINT) AS n_reached,
+        |    CAST(max(hops) AS BIGINT) AS ecc
+        |  FROM h GROUP BY 1),
+        |dm AS (SELECT max(ecc) AS diam_lb FROM agg)
+        |SELECT landmark, n_reached, ecc, diam_lb FROM agg, dm
+        |ORDER BY landmark""".stripMargin,
     // Landmark closeness: the g_sssp BFS CTE aggregated per vertex.
     // harmonic_e4 floors 1e4/hops PER TERM (DuckDB `//` = Spark
     // `div`) before summing — integers both sides, reduction-order
@@ -5204,6 +5244,28 @@ object SparkEntry {
         |          - CAST(g_sp AS DOUBLE) / CAST(g_n AS DOUBLE)))
         |      AS BIGINT) END AS adj_mean_c
         |FROM s, g ORDER BY arm""".stripMargin,
+    // Bollinger breach monitor: the cleared-denominator integer test
+    // t² > 4(7s2−s1²) over trailing-7 ROWS window sums — no float,
+    // no sqrt, no division on either side; warmup rows excluded.
+    "q_bollinger" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, y,
+        |    CAST(sum(y) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS s2,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rn
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, y, s1 AS win_sum,
+        |  CAST(7 * y - s1 AS BIGINT) AS dev7,
+        |  CAST(CASE WHEN (7 * y - s1) * (7 * y - s1)
+        |      > 4 * (7 * s2 - s1 * s1)
+        |    THEN (CASE WHEN y * 7 > s1 THEN 1 ELSE -1 END)
+        |    ELSE 0 END AS BIGINT) AS breach
+        |FROM r WHERE rn >= 7
+        |ORDER BY event_type, day""".stripMargin,
     // Difference-in-differences over the q_cuped design: exact
     // integer per-cell cents sums and user counts; the DiD is the
     // one double tree from those integers, e2-rounded.

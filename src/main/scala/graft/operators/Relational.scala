@@ -3128,6 +3128,42 @@ object Relational {
           .as("did_e2"))
   }
 
+  /** Bollinger-band breach monitor (round 15) — the rolling
+    * mean ± 2σ control chart over the per-(type, day) count series,
+    * the dashboard companion of [[qCusum]]/[[qMadOutliers]], made
+    * FLOAT-FREE by clearing denominators: over the trailing 7-day
+    * ROWS window with integer sums s1 = Σy, s2 = Σy², the breach
+    * test y ≷ s1/7 ± 2σ with 49σ² = 7·s2 − s1² is exactly
+    * t² > 4·(7·s2 − s1²) for t = 7y − s1 — every quantity an exact
+    * integer, no square root, no division, reduction-order-free
+    * (the e_silhouette endpoint of the §6 float rule). Warmup rows
+    * (fewer than 7 days of history) are excluded, so every emitted
+    * row tests a full window. One window per type over the bounded
+    * (type, day) grid; t² at 100 TB is (7·count)² — BIGINT-safe to
+    * ~4e8 events/day/type, the qGini promotion point past that. */
+  def qBollinger(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    val wn = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    d.withColumn("s1", sum(col("y")).over(w))
+      .withColumn("s2", sum(col("y") * col("y")).over(w))
+      .withColumn("rn", row_number().over(wn))
+      .filter(col("rn") >= 7)
+      .select(col("event_type"), col("day"), col("y"),
+        col("s1").as("win_sum"),
+        (lit(7L) * col("y") - col("s1")).as("dev7"),
+        when((lit(7L) * col("y") - col("s1")) *
+            (lit(7L) * col("y") - col("s1")) >
+            lit(4L) * (lit(7L) * col("s2") - col("s1") * col("s1")),
+          when(col("y") * 7L > col("s1"), 1L).otherwise(-1L))
+          .otherwise(0L).as("breach"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Winsorized mean per event type (round 15) — the robust-mean
     * companion of [[qMadOutliers]]: clamp each observation to the
     * exact discrete [p10, p90] values (ordered selection at rank

@@ -296,6 +296,20 @@ class StatTestsSpec extends AnyFunSuite {
     assert(got(("row_rules", "lineitem")) == ((3L, 2L)))
   }
 
+  test("bollinger: flat series never breaches; a spike fires +1 exactly once") {
+    // 7 flat days of 10 → at day 7 (first full window) t = 7·10 − 70
+    // = 0, no breach. Day 8 spikes to 30: s1 = 90, s2 = 1500,
+    // t = 7·30 − 90 = 120, t² = 14400 > 4·(7·1500 − 8100) = 9600 →
+    // breach +1. All-integer, hand-exact.
+    val dir = plantEvents(
+      (0 until 7).map(d => ("a", d, 10)) :+ (("a", 7, 30)))
+    val got = Relational.qBollinger(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length == 2, s"warmup rows must drop: ${got.toSeq}")
+    assert(got(0) == ((10L, 70L, 0L, 0L)))
+    assert(got(1) == ((30L, 90L, 120L, 1L)))
+  }
+
   test("cuped: zero pre-variance guards to NULL") {
     val dir = plantEvents(Nil, Seq(
       (0L, 0, 1.00), (0L, 20, 1.10), (1L, 0, 1.00), (1L, 20, 2.30)))
