@@ -24,7 +24,28 @@ object StreamingOps {
     * `q_events_sessionize`, proven by sharing its SQL oracle. The
     * state is O(1) per user; with a live source the same code runs
     * with a `GroupStateTimeout` to emit sessions continuously. */
-  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Run a streaming op with stream-STATE partitioning sized to the
+    * bounded keyspace (round 15, generalizing the streamStreamJoin
+    * rule): every stateful operator pays a state-store open + commit
+    * PER PARTITION PER MICRO-BATCH, and the hot keyspaces here
+    * (hour windows, users, content hashes) are thousands of keys —
+    * 8 partitions beat 32 mostly-idle stores (measured on
+    * s_stream_drift: ~0.7 s of a 3.4 s query). The partition count
+    * is fixed at the first micro-batch by the checkpoint, so it is a
+    * per-query decision, restored before the (lazily planned)
+    * readout so batch post-processing keeps the session's
+    * parallelism. At 100 TB the same knob is sized UP with the
+    * keyspace — the decision is per query, never a global constant. */
+  private def withStateParts[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark)(streamSessionizeInner(spark, dir))
+
+  private def streamSessionizeInner(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
 
@@ -83,7 +104,10 @@ object StreamingOps {
     * stream you'd scope it with `withWatermark` on an event-time
     * column; a corpus dedup keeps full state by design). The emitted
     * hash set is deterministic, so it shares an exact SQL oracle. */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark)(streamDedupInner(spark, dir))
+
+  private def streamDedupInner(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
     val docs = spark.readStream
       .schema(batchSchema)
@@ -118,7 +142,10 @@ object StreamingOps {
     * evicted mid-batch) — the emitted set is exactly the distinct
     * (user_id, event_type) keys, independent of which physical row
     * won first-arrival since only the key columns are emitted. */
-  def streamDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark)(streamDedupWithinWatermarkInner(spark, dir))
+
+  private def streamDedupWithinWatermarkInner(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     val deduped = spark.readStream
       .schema(rawSchema)
@@ -147,7 +174,10 @@ object StreamingOps {
     * hashes (not first-seen doc ids) keeps the output independent of
     * micro-batch arrival order, which is what lets a batch SQL oracle
     * check a streaming query exactly. */
-  def streamClean(spark: SparkSession, dir: String): DataFrame = {
+  def streamClean(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark)(streamCleanInner(spark, dir))
+
+  private def streamCleanInner(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
     val docs = spark.readStream
       .schema(batchSchema)
@@ -410,7 +440,10 @@ object StreamingOps {
     * horizon; complete mode emits all windows, equal to the batch
     * computation (each event replicated into the 4 slide-aligned
     * windows covering it), which is the SQL oracle. */
-  def streamHoppingAgg(spark: SparkSession, dir: String): DataFrame = {
+  def streamHoppingAgg(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark)(streamHoppingAggInner(spark, dir))
+
+  private def streamHoppingAggInner(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     val raw = spark.readStream
       .schema(rawSchema)
@@ -462,7 +495,10 @@ object StreamingOps {
         col("n"), col("sum_value"))
   }
 
-  def streamWatermarkedAgg(spark: SparkSession, dir: String): DataFrame = {
+  def streamWatermarkedAgg(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark)(streamWatermarkedAggInner(spark, dir))
+
+  private def streamWatermarkedAggInner(spark: SparkSession, dir: String): DataFrame = {
     val agg = watermarkedAggPlan(spark, dir)
     val name = "graft_stream_wm_agg"
     val q = agg.writeStream
@@ -487,7 +523,10 @@ object StreamingOps {
     * sub-ms boundary spec) — replicated exactly by the SQL oracle.
     * Session starts emitted as epoch-µs BIGINTs (µs-vs-ns precision,
     * as q_session_window). */
-  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark)(streamSessionWindowInner(spark, dir))
+
+  private def streamSessionWindowInner(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     val sessions = spark.readStream
       .schema(rawSchema)
@@ -535,7 +574,10 @@ object StreamingOps {
     * never in stream state. Emitted set = day windows with
     * end_ms ≤ watermark (the s_stream_watermark arithmetic); all
     * CUSUM algebra is q_cusum's exact-integer form. */
-  def streamCusum(spark: SparkSession, dir: String): DataFrame = {
+  def streamCusum(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark)(streamCusumInner(spark, dir))
+
+  private def streamCusumInner(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     val agg = spark.readStream
       .schema(rawSchema)
@@ -573,7 +615,10 @@ object StreamingOps {
       .orderBy(col("event_type"))
   }
 
-  def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark)(streamAnomalyInner(spark, dir))
+
+  private def streamAnomalyInner(spark: SparkSession, dir: String): DataFrame = {
     val agg = watermarkedAggPlan(spark, dir)
     val name = "graft_stream_anomaly"
     val q = agg.writeStream
@@ -618,6 +663,16 @@ object StreamingOps {
     * windows whose end_ms ≤ watermark (the s_stream_watermark
     * arithmetic). */
   def streamDrift(spark: SparkSession, dir: String): DataFrame = {
+    // State partitions sized to the keyspace (the streamStreamJoin
+    // rule): the window-agg state holds ~hundreds of hour windows,
+    // and every micro-batch pays a store commit per partition.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try streamDriftInner(spark, dir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def streamDriftInner(spark: SparkSession, dir: String): DataFrame = {
     val bins = 10
     val binSql = "CAST(greatest(least(floor(value / 10.0), 9), 0) AS BIGINT)"
     // Reference distribution: one batch pass, 10 integers.
@@ -661,7 +716,10 @@ object StreamingOps {
 
   /** Tumbling 1-hour window count/sum per event_type, executed as a
     * streaming query. Returns the materialized (batch-equal) result. */
-  def streamHourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+  def streamHourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark)(streamHourlyAggInner(spark, dir))
+
+  private def streamHourlyAggInner(spark: SparkSession, dir: String): DataFrame = {
     // The stream source needs the file's raw schema (ts = INT64
     // nanos under the legacy conf); normalization to microsecond
     // TimestampType happens in the stream plan, same as Tables.events.
@@ -1333,7 +1391,10 @@ object StreamingOps {
     * collect_list for a mergeable quantile sketch (the q_approx_pct
     * machinery) — the windowing, watermarking and readout shape stay
     * identical. */
-  def streamPercentiles(spark: SparkSession, dir: String): DataFrame = {
+  def streamPercentiles(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark)(streamPercentilesInner(spark, dir))
+
+  private def streamPercentilesInner(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     val purchases = spark.readStream
       .schema(rawSchema)
@@ -1530,7 +1591,10 @@ object StreamingOps {
     * over the bounded (windows × active users) aggregate — ranking
     * inside the stream would funnel every update through a global
     * sort. Deterministic under the (n DESC, user_id) unique order. */
-  def streamTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def streamTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    withStateParts(spark)(streamTopKInner(spark, dir, k))
+
+  private def streamTopKInner(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
     val raw = spark.readStream
       .schema(rawSchema)
