@@ -53,6 +53,57 @@ object ConnectedComponentsDF {
   /** @param edges (src, dst) DataFrame, any orientation.
     * @return (vertex, component) with component = min member id. */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Measured driver dispatch (round 15, the round-14 twin family):
+    // min-member CC labels are PATH-INDEPENDENT — any correct
+    // algorithm returns the same rows — so a driver min-root
+    // union-find is bit-identical to the star-contraction loop by
+    // definition, and below the collect bound the loop's cost is
+    // per-round plan compile + two star shuffles, not arithmetic.
+    // This also collapses the s_stream_cc fold: mergeCc calls run()
+    // once per micro-batch on a contracted (frontier-sized) edge
+    // set. IterativeDispatchSpec pins driver ≡ distributed; the
+    // star loop below is the unchanged 100 TB path.
+    val canonEarly = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    if (!GraphOps.forceDistributed &&
+        canonEarly.count() <= LocalLouvain.CollectMax) {
+      val verts = edges.select(col("src").cast("long").as("vertex"))
+        .unionAll(edges.select(col("dst").cast("long").as("vertex")))
+        .distinct()
+      if (verts.count() <= LocalLouvain.CollectMax) {
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        canonEarly.collect().foreach { row =>
+          val (ru, rv) = (find(row.getLong(0)), find(row.getLong(1)))
+          // min-root unions keep every root the component MINIMUM,
+          // so find() returns the min-member label directly.
+          if (ru != rv) {
+            if (ru < rv) parent(rv) = ru else parent(ru) = rv
+          }
+        }
+        val out = verts.collect().map(_.getLong(0)).sorted
+          .map(v => (v, find(v)))
+        import spark.implicits._
+        return out.toSeq.toDF("vertex", "component")
+      }
+    }
+    runDistributed(spark, edges, maxIter)
+  }
+
+  private[graft] def runDistributed(spark: SparkSession, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
     // Iterative DataFrame loops must cut lineage every round —
     // otherwise the logical plan nests (each star pass references the
     // previous result several times) and grows exponentially.

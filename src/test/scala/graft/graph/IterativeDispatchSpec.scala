@@ -110,6 +110,17 @@ class IterativeDispatchSpec extends AnyFunSuite {
     assert(GraphOps.katzCentrality(spark, e).collect().length == 3)
   }
 
+  test("ConnectedComponentsDF: driver union-find == star-contraction loop") {
+    val o = org.apache.spark.sql.functions.col _
+    def cc = ConnectedComponentsDF
+      .run(spark, edges.select(o("src"), o("dst")))
+      .orderBy(o("vertex"))
+    val drv = rowsOf(cc)
+    val dist = GraphOps.withForcedDistributed(rowsOf(cc))
+    assert(drv == dist)
+    assert(drv.nonEmpty)
+  }
+
   test("null weights decline the driver dispatch instead of NPEing") {
     // max(abs(w − round(w))) ignores NULLs, so a column with some
     // nulls and otherwise-integral weights used to pass the gate and
@@ -129,15 +140,21 @@ class IterativeDispatchSpec extends AnyFunSuite {
     // dispatch gates out of GraphOps.scala and fails when a NEW gate
     // lands without being recorded here next to the spec that pins
     // its equality — record it ONLY after writing that test.
-    val src = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("src/main/scala/graft/graph/GraphOps.scala")),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val files = Seq(
+      "src/main/scala/graft/graph/GraphOps.scala",
+      "src/main/scala/graft/graph/ConnectedComponentsDF.scala")
     var cur = "<none>"
     val sites = scala.collection.mutable.LinkedHashSet.empty[String]
     val defRe = """\bdef (\w+)""".r
-    src.split("\n", -1).foreach { ln =>
-      defRe.findFirstMatchIn(ln).foreach(m => cur = m.group(1))
-      if (ln.contains("!forceDistributed")) sites += cur
+    files.foreach { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      src.split("\n", -1).foreach { ln =>
+        defRe.findFirstMatchIn(ln).foreach(m => cur = m.group(1))
+        if (ln.contains("!forceDistributed") ||
+            ln.contains("!GraphOps.forceDistributed")) sites += cur
+      }
     }
     val covered = Map(
       "spectralCut" -> "IterativeDispatchSpec",
@@ -153,7 +170,8 @@ class IterativeDispatchSpec extends AnyFunSuite {
       "labelPropagation" -> "IterativeDispatchSpec",
       "louvainFor" -> "IterativeDispatchSpec (louvain family partitions)",
       "refineCommunities" -> "LeidenSpec (refineDriver == refineDistributed)",
-      "louvainOnSuper" -> "IncrementalLouvainSpec (driver vs GraphX partitions)")
+      "louvainOnSuper" -> "IncrementalLouvainSpec (driver vs GraphX partitions)",
+      "run" -> "IterativeDispatchSpec (ConnectedComponentsDF union-find)")
     val missing = sites.filterNot(covered.contains)
     assert(missing.isEmpty,
       s"dispatch sites without a recorded twin-equality test: $missing")
