@@ -63,43 +63,44 @@ object ConnectedComponentsDF {
     // once per micro-batch on a contracted (frontier-sized) edge
     // set. IterativeDispatchSpec pins driver ≡ distributed; the
     // star loop below is the unchanged 100 TB path.
-    val canonEarly = edges
-      .select(col("src").cast("long"), col("dst").cast("long"))
-      .select(greatest(col("src"), col("dst")).as("u"),
-        least(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    // Checkpoint the NARROW projection once before any dispatch
+    // probing: the gate count, the vertex set and the edge collect
+    // are three actions, and without the checkpoint each re-runs the
+    // caller's (possibly expensive) candidate-generation lineage —
+    // the first draft tripled d_dup_clusters' cost exactly this way
+    // (8.6 s vs 4.1; the measure-the-twin rule from round 14).
+    val base = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
     if (!GraphOps.forceDistributed &&
-        canonEarly.count() <= LocalLouvain.CollectMax) {
-      val verts = edges.select(col("src").cast("long").as("vertex"))
-        .unionAll(edges.select(col("dst").cast("long").as("vertex")))
-        .distinct()
-      if (verts.count() <= LocalLouvain.CollectMax) {
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) {
-            val n = parent(c); parent(c) = r; c = n
-          }
-          r
+        base.count() <= LocalLouvain.CollectMax) {
+      val rows = base.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
         }
-        canonEarly.collect().foreach { row =>
-          val (ru, rv) = (find(row.getLong(0)), find(row.getLong(1)))
-          // min-root unions keep every root the component MINIMUM,
-          // so find() returns the min-member label directly.
-          if (ru != rv) {
-            if (ru < rv) parent(rv) = ru else parent(ru) = rv
-          }
-        }
-        val out = verts.collect().map(_.getLong(0)).sorted
-          .map(v => (v, find(v)))
-        import spark.implicits._
-        return out.toSeq.toDF("vertex", "component")
+        r
       }
+      // min-root unions keep every root the component MINIMUM, so
+      // find() returns the min-member label directly.
+      rows.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) {
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      val out = rows.iterator.flatMap(r => Iterator(r._1, r._2))
+        .toArray.distinct.sorted
+        .map(v => (v, find(v)))
+      import spark.implicits._
+      return out.toSeq.toDF("vertex", "component")
     }
-    runDistributed(spark, edges, maxIter)
+    runDistributed(spark, base, maxIter)
   }
 
   private[graft] def runDistributed(spark: SparkSession, edges: DataFrame,
