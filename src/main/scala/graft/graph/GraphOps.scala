@@ -81,12 +81,23 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    val nSym = sym.count()
+    // An EMPTY strong-tie graph (a tiny SF can threshold every edge
+    // away) has no spectral structure: return zero rows instead of
+    // letting either path throw (driver twin: empty.max; distributed:
+    // first() on an empty degree table — caught by EmittedTypesSpec's
+    // sf0.001 construction sweep, round 15).
+    if (nSym == 0L) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Boolean)]
+        .toDF("vertex", "score_e6", "side")
+    }
     // Measured dispatch (round 14): the whole recursion is truncating
     // integer arithmetic over a bounded-V graph, so the driver twin
     // is bit-identical and skips 15 rounds x ~3 per-round plan
     // compiles (the documented plan-compile-bound cost of this op).
     if (!forceDistributed && longKeyed(sym, "src", "dst") &&
-        sym.count() <= LocalLouvain.CollectMax) {
+        nSym <= LocalLouvain.CollectMax) {
       import spark.implicits._
       val rows = sym.select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
