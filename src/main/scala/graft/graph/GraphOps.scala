@@ -2125,10 +2125,18 @@ object GraphOps {
     * LPA is unweighted — wrong for weighted co-occurrence graphs).
     * localCheckpoint per round keeps the plan flat. */
   def labelPropagation(spark: SparkSession, edges: DataFrame, iters: Int = 10): DataFrame = {
+    // LAZY checkpoint: the dispatch gate's stats aggregate below is a
+    // FULL scan and doubles as the materializing action (the g_scc
+    // one-job lesson) — the round-14 null/integrality gate on top of
+    // an eager checkpoint cost g_lpa an extra materialization job
+    // per call (1.91 → 2.47 s). When the gate short-circuits
+    // (forceDistributed / non-Long keys) the loop's first per-round
+    // moved-count is the materializer — also a full scan, so the
+    // truncated lineage never hides unmaterialized partitions.
     val sym = edges
       .select(col("src"), col("dst"), col("weight"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Measured dispatch (round 14): synchronous parity-alternating
     // LPA is deterministic; with INTEGRAL weights the double sums are
     // order-independent-exact on both paths, so the driver twin is

@@ -90,6 +90,11 @@ object LocalIterative {
   def eigenCentrality(rows: Array[(Long, Long, Long)],
       iters: Int): Seq[(Long, Long)] = {
     val verts = rows.map(_._1).distinct.sorted
+    // Empty-graph guard (round-15 ADVICE): dispatch routes count 0
+    // through this twin, and `verts.iterator.map(y).max` below throws
+    // on the empty iterator where the distributed path's isNullAt
+    // handles it — the same bug class as spectralCut's round-15 fix.
+    if (verts.isEmpty) return Seq.empty
     val x = mutable.LongMap.empty[Long]
     verts.foreach(v => x(v) = 1000000L)
     for (_ <- 1 to iters) {

@@ -1353,7 +1353,8 @@ object Similarity {
     // ~4 s at sf0.1; the "score first, shuffle (id, id, score)"
     // family). The pair stream checkpoints once and feeds both
     // passes.
-    val pairs = (if (v.count() <= exactMaxRows)
+    val exact = v.count() <= exactMaxRows
+    val pairs = (if (exact)
       v.toDF("a", "ea")
         .crossJoin(broadcast(v.toDF("b", "eb")))
         .filter(col("a") =!= col("b"))
@@ -1375,11 +1376,17 @@ object Similarity {
     val m1 = pairs.groupBy(col("a"))
       .agg(min(struct(col("d2"), col("b"))).as("m1"))
       .localCheckpoint(true)
-    val per = pairs.join(broadcast(m1), Seq("a"))
+    // m1 is ONE ROW PER CORPUS POINT: broadcast it only on the exact
+    // branch (bounded by exactMaxRows). On the shortlist branch an
+    // O(n) broadcast would OOM at real corpus scale (round-15
+    // ADVICE) — both sides are keyed by `a`, so the plain equi-join
+    // co-partitions with the pair stream instead.
+    def m1Side = if (exact) broadcast(m1) else m1
+    val per = pairs.join(m1Side, Seq("a"))
       .filter(struct(col("d2"), col("b")) =!= col("m1"))
       .groupBy(col("a"))
       .agg(min(struct(col("d2"), col("b"))).as("m2"))
-      .join(broadcast(m1), Seq("a"))
+      .join(m1Side, Seq("a"))
       .select(col("m1.d2").as("d1"), col("m2.d2").as("dn2"))
       .filter(col("d1") > 0L)
       .select(expr(

@@ -24,26 +24,87 @@ object StreamingOps {
     * `q_events_sessionize`, proven by sharing its SQL oracle. The
     * state is O(1) per user; with a live source the same code runs
     * with a `GroupStateTimeout` to emit sessions continuously. */
-  /** Run a streaming op with stream-STATE partitioning sized to the
-    * bounded keyspace (round 15, generalizing the streamStreamJoin
-    * rule): every stateful operator pays a state-store open + commit
-    * PER PARTITION PER MICRO-BATCH, and the hot keyspaces here
-    * (hour windows, users, content hashes) are thousands of keys —
-    * 8 partitions beat 32 mostly-idle stores (measured on
-    * s_stream_drift: ~0.7 s of a 3.4 s query). The partition count
-    * is fixed at the first micro-batch by the checkpoint, so it is a
-    * per-query decision, restored before the (lazily planned)
-    * readout so batch post-processing keeps the session's
-    * parallelism. At 100 TB the same knob is sized UP with the
-    * keyspace — the decision is per query, never a global constant. */
-  private def withStateParts[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  /** State-store keys one partition's store handles comfortably:
+    * stateful operators pay a store open + commit PER PARTITION PER
+    * MICRO-BATCH, and a store of ≲16k narrow rows commits in
+    * milliseconds — below this, partition-count overhead dominates
+    * the actual state work (the round-15 measurement: 8 partitions
+    * beat 32 mostly-idle stores by ~29% across the family). */
+  private[streaming] val KeysPerStatePartition = 16384L
+
+  /** Floor matching the round-15 measured optimum for the bench
+    * corpus's thousands-of-keys state (going lower starves the
+    * stage's non-state compute; StateSizingSpec pins the floor). */
+  private[streaming] val MinStateParts = 8
+
+  /** Stream-state partition count from a MEASURED keyspace estimate
+    * (round 16 — the round-15 "8" was a constant with a policy
+    * comment): ⌈keys / KeysPerStatePartition⌉, floored at
+    * [[MinStateParts]] and capped at 4× the cluster parallelism so a
+    * wildly-off estimate can't explode the shuffle. At 100 TB the
+    * same formula sizes UP with the keyspace — policy as code. */
+  private[streaming] def statePartsFor(spark: SparkSession, estKeys: Long): Int = {
+    val cap = math.max(MinStateParts, spark.sparkContext.defaultParallelism * 4)
+    val want = (estKeys + KeysPerStatePartition - 1) / KeysPerStatePartition
+    math.max(MinStateParts.toLong, math.min(cap.toLong, want)).toInt
+  }
+
+  /** Measured state-keyspace estimate: approx_count_distinct of the
+    * op's state-key expression over the batch copy of the streamed
+    * table — one tiny single-column scan, memoized on the file's
+    * (mtime, length) identity (the GraphBuilder invalidation
+    * contract; values are plain Longs, not session-bound artifacts,
+    * so no session key is needed). An order-of-magnitude-honest
+    * proxy expression is fine — sizing only needs the magnitude. */
+  private val keyCountCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String, Long, Long), Long]
+
+  private[streaming] def approxKeys(spark: SparkSession, dir: String,
+      table: String, keyExpr: String): Long = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    val k = (dir, table, keyExpr, f.lastModified(), f.length())
+    if (keyCountCache.size > 64) keyCountCache.clear()
+    keyCountCache.getOrElseUpdate(k, {
+      val src = if (table == "events") graft.Tables.events(spark, dir)
+        else spark.read.parquet(s"$dir/$table.parquet")
+      src.selectExpr(s"approx_count_distinct($keyExpr) AS k")
+        .first().getLong(0)
+    })
+  }
+
+  /** Run a streaming op with stream-STATE partitioning sized to its
+    * measured keyspace — on a CLONED session (round 16; the round-15
+    * verdict: mutating session-global `spark.sql.shuffle.partitions`
+    * around the stream build silently re-plans any CONCURRENT batch
+    * query in the same session at 8 partitions — the same
+    * session-global-mutation class as the forceDistributed @volatile
+    * discipline). `spark.newSession()` shares the SparkContext but
+    * isolates SQL conf, so the parent session is never touched;
+    * StateSizingSpec proves a batch query planned mid-stream keeps
+    * session parallelism. The partition count is fixed at the first
+    * micro-batch by the checkpoint; the clone's conf is restored to
+    * the parent's parallelism after the (synchronous) stream run so
+    * the lazily-planned batch readout doesn't inherit the state
+    * sizing. The memory-sink readout lives in the clone's isolated
+    * catalog — also why `f` receives the clone, not the parent. */
+  private[streaming] def withStateParts[T](spark: SparkSession, estKeys: Long)
+      (f: SparkSession => T): T = {
+    val ss = spark.newSession()
+    // Runtime conf does not propagate to clones (only builder-time
+    // SparkConf does) — copy the one semantic conf the NTZ casts
+    // depend on (the UTC-session-timezone rule).
+    ss.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone"))
+    ss.conf.set("spark.sql.shuffle.partitions",
+      statePartsFor(spark, estKeys).toString)
+    try f(ss)
+    finally ss.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
   }
 
   def streamSessionize(spark: SparkSession, dir: String): DataFrame =
-    withStateParts(spark)(streamSessionizeInner(spark, dir))
+    withStateParts(spark, approxKeys(spark, dir, "events", "user_id"))(
+      ss => streamSessionizeInner(ss, dir))
 
   private def streamSessionizeInner(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -105,7 +166,8 @@ object StreamingOps {
     * column; a corpus dedup keeps full state by design). The emitted
     * hash set is deterministic, so it shares an exact SQL oracle. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
-    withStateParts(spark)(streamDedupInner(spark, dir))
+    withStateParts(spark, approxKeys(spark, dir, "documents", "text"))(
+      ss => streamDedupInner(ss, dir))
 
   private def streamDedupInner(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
@@ -143,7 +205,9 @@ object StreamingOps {
     * (user_id, event_type) keys, independent of which physical row
     * won first-arrival since only the key columns are emitted. */
   def streamDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame =
-    withStateParts(spark)(streamDedupWithinWatermarkInner(spark, dir))
+    withStateParts(spark, approxKeys(spark, dir, "events",
+      "concat(cast(user_id AS STRING), ':', event_type)"))(
+      ss => streamDedupWithinWatermarkInner(ss, dir))
 
   private def streamDedupWithinWatermarkInner(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
@@ -175,7 +239,8 @@ object StreamingOps {
     * micro-batch arrival order, which is what lets a batch SQL oracle
     * check a streaming query exactly. */
   def streamClean(spark: SparkSession, dir: String): DataFrame =
-    withStateParts(spark)(streamCleanInner(spark, dir))
+    withStateParts(spark, approxKeys(spark, dir, "documents", "text"))(
+      ss => streamCleanInner(ss, dir))
 
   private def streamCleanInner(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
@@ -242,19 +307,14 @@ object StreamingOps {
     spark.table(name).orderBy(col("c_mktsegment"), col("event_type"))
   }
 
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    // Stream-STATE partitioning is sized to the keyspace, not to the
-    // batch core count: a stream-stream join keeps FOUR state stores
-    // per partition, and every micro-batch pays a store
-    // commit/snapshot per partition — with a small hot keyspace,
-    // fewer state partitions beat idle cores. The partition count is
-    // fixed at the first micro-batch by the checkpoint, so this is a
-    // per-query decision, restored after the stream starts.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try streamStreamJoinInner(spark, dir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    // Stream-STATE partitioning is sized to the measured join-key
+    // keyspace, not to the batch core count: a stream-stream join
+    // keeps FOUR state stores per partition, and every micro-batch
+    // pays a store commit/snapshot per partition — with a small hot
+    // keyspace, fewer state partitions beat idle cores.
+    withStateParts(spark, approxKeys(spark, dir, "events", "user_id"))(
+      ss => streamStreamJoinInner(ss, dir))
 
   private def streamStreamJoinInner(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
@@ -301,10 +361,8 @@ object StreamingOps {
     * (watermark VALUE in ms, eviction COMPARE in µs — the
     * session-window lesson). Same 8-partition state sizing as the
     * inner join. */
-  def streamStreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+  def streamStreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, approxKeys(spark, dir, "events", "user_id")) { spark =>
       val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
       def stream() = spark.readStream
         .schema(rawSchema)
@@ -335,8 +393,7 @@ object StreamingOps {
       try q.processAllAvailable()
       finally q.stop()
       spark.table(name).orderBy(col("p_id"), col("view_id"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+    }
 
   /** Watermarked RIGHT-OUTER stream-stream join — the abandonment
     * query (views that never converted): the mirror of
@@ -346,10 +403,8 @@ object StreamingOps {
     * v_ts PLUS the join range (v_us + 30 min < wm_µs) — the
     * condition-derived state allowance the left side's bound doesn't
     * exercise. Same 8-partition state sizing. */
-  def streamStreamRightOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+  def streamStreamRightOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, approxKeys(spark, dir, "events", "user_id")) { spark =>
       val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
       def stream() = spark.readStream
         .schema(rawSchema)
@@ -380,8 +435,7 @@ object StreamingOps {
       try q.processAllAvailable()
       finally q.stop()
       spark.table(name).orderBy(col("view_id"), col("p_id"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+    }
 
   /** Watermarked FULL-OUTER stream-stream join — both eviction
     * bounds of the outer family live in ONE query: matched pairs
@@ -394,10 +448,8 @@ object StreamingOps {
     * The oracle is inner pairs ∪ BOTH watermark-gated null sets;
     * user_id coalesces across sides since exactly one is non-null
     * per row. Same 8-partition state sizing as the inner join. */
-  def streamStreamFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+  def streamStreamFullOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, approxKeys(spark, dir, "events", "user_id")) { spark =>
       val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
       def stream() = spark.readStream
         .schema(rawSchema)
@@ -429,8 +481,7 @@ object StreamingOps {
       try q.processAllAvailable()
       finally q.stop()
       spark.table(name).orderBy(col("p_id"), col("view_id"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+    }
 
   /** HOPPING-window aggregation — the overlapping-window variant of
     * [[streamHourlyAgg]]: `window(ts, 1 h, 15 min)` lands every
@@ -441,7 +492,10 @@ object StreamingOps {
     * computation (each event replicated into the 4 slide-aligned
     * windows covering it), which is the SQL oracle. */
   def streamHoppingAgg(spark: SparkSession, dir: String): DataFrame =
-    withStateParts(spark)(streamHoppingAggInner(spark, dir))
+    // 4 hopping windows per event-hour × type ≈ 4× the tumbling grid.
+    withStateParts(spark, 4L * approxKeys(spark, dir, "events",
+      "concat(cast(date_trunc('HOUR', ts) AS STRING), event_type)"))(
+      ss => streamHoppingAggInner(ss, dir))
 
   private def streamHoppingAggInner(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
@@ -496,7 +550,9 @@ object StreamingOps {
   }
 
   def streamWatermarkedAgg(spark: SparkSession, dir: String): DataFrame =
-    withStateParts(spark)(streamWatermarkedAggInner(spark, dir))
+    withStateParts(spark, approxKeys(spark, dir, "events",
+      "concat(cast(date_trunc('HOUR', ts) AS STRING), event_type)"))(
+      ss => streamWatermarkedAggInner(ss, dir))
 
   private def streamWatermarkedAggInner(spark: SparkSession, dir: String): DataFrame = {
     val agg = watermarkedAggPlan(spark, dir)
@@ -524,7 +580,10 @@ object StreamingOps {
     * Session starts emitted as epoch-µs BIGINTs (µs-vs-ns precision,
     * as q_session_window). */
   def streamSessionWindow(spark: SparkSession, dir: String): DataFrame =
-    withStateParts(spark)(streamSessionWindowInner(spark, dir))
+    // session_window state shuffles by the grouping user — windows
+    // merge within a user's partition, so users bound the keyspace.
+    withStateParts(spark, approxKeys(spark, dir, "events", "user_id"))(
+      ss => streamSessionWindowInner(ss, dir))
 
   private def streamSessionWindowInner(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
@@ -575,7 +634,9 @@ object StreamingOps {
     * end_ms ≤ watermark (the s_stream_watermark arithmetic); all
     * CUSUM algebra is q_cusum's exact-integer form. */
   def streamCusum(spark: SparkSession, dir: String): DataFrame =
-    withStateParts(spark)(streamCusumInner(spark, dir))
+    withStateParts(spark, approxKeys(spark, dir, "events",
+      "concat(cast(date_trunc('DAY', ts) AS STRING), event_type)"))(
+      ss => streamCusumInner(ss, dir))
 
   private def streamCusumInner(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
@@ -616,7 +677,9 @@ object StreamingOps {
   }
 
   def streamAnomaly(spark: SparkSession, dir: String): DataFrame =
-    withStateParts(spark)(streamAnomalyInner(spark, dir))
+    withStateParts(spark, approxKeys(spark, dir, "events",
+      "concat(cast(date_trunc('HOUR', ts) AS STRING), event_type)"))(
+      ss => streamAnomalyInner(ss, dir))
 
   private def streamAnomalyInner(spark: SparkSession, dir: String): DataFrame = {
     val agg = watermarkedAggPlan(spark, dir)
@@ -662,15 +725,13 @@ object StreamingOps {
     * identically in the oracle. Append mode emits exactly the
     * windows whose end_ms ≤ watermark (the s_stream_watermark
     * arithmetic). */
-  def streamDrift(spark: SparkSession, dir: String): DataFrame = {
-    // State partitions sized to the keyspace (the streamStreamJoin
-    // rule): the window-agg state holds ~hundreds of hour windows,
-    // and every micro-batch pays a store commit per partition.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try streamDriftInner(spark, dir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+  def streamDrift(spark: SparkSession, dir: String): DataFrame =
+    // Window-agg state holds ~hundreds of hour windows (round-15
+    // ADVICE: route through the shared helper, not a hand-rolled
+    // save/set/restore).
+    withStateParts(spark, approxKeys(spark, dir, "events",
+      "cast(date_trunc('HOUR', ts) AS STRING)"))(
+      ss => streamDriftInner(ss, dir))
 
   private def streamDriftInner(spark: SparkSession, dir: String): DataFrame = {
     val bins = 10
@@ -717,7 +778,9 @@ object StreamingOps {
   /** Tumbling 1-hour window count/sum per event_type, executed as a
     * streaming query. Returns the materialized (batch-equal) result. */
   def streamHourlyAgg(spark: SparkSession, dir: String): DataFrame =
-    withStateParts(spark)(streamHourlyAggInner(spark, dir))
+    withStateParts(spark, approxKeys(spark, dir, "events",
+      "concat(cast(date_trunc('HOUR', ts) AS STRING), event_type)"))(
+      ss => streamHourlyAggInner(ss, dir))
 
   private def streamHourlyAggInner(spark: SparkSession, dir: String): DataFrame = {
     // The stream source needs the file's raw schema (ts = INT64
@@ -1392,7 +1455,9 @@ object StreamingOps {
     * machinery) — the windowing, watermarking and readout shape stay
     * identical. */
   def streamPercentiles(spark: SparkSession, dir: String): DataFrame =
-    withStateParts(spark)(streamPercentilesInner(spark, dir))
+    withStateParts(spark, approxKeys(spark, dir, "events",
+      "cast(date_trunc('HOUR', ts) AS STRING)"))(
+      ss => streamPercentilesInner(ss, dir))
 
   private def streamPercentilesInner(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = graft.Tables.eventsRawSchema(spark, dir)
@@ -1528,7 +1593,21 @@ object StreamingOps {
     * BECAUSE the totals are monotone and every user's last batch
     * emits its final count (the associative-fold contract the CDC
     * and CC streams established). */
-  def streamTwsCounter(spark: SparkSession, dir: String): DataFrame = {
+  def streamTwsCounter(spark: SparkSession, dir: String): DataFrame =
+    streamTwsTrail(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("n_purchases")).as("n_purchases"))
+      .orderBy(col("user_id"))
+
+  /** The raw update-mode emission trail (one row per user per
+    * micro-batch that touched it) — checkpointed so it survives the
+    * cloned session's catalog; TwsSpec pins the cumulative-monotone
+    * contract on it. Tiny by construction: ≤ batches × active users. */
+  private[streaming] def streamTwsTrail(spark: SparkSession, dir: String): DataFrame =
+    // Per-user counter state: users bound the keyspace (measured; the
+    // round-14 "~1.5k hot users" comment, now policy via the helper).
+    withStateParts(spark, approxKeys(spark, dir, "events", "user_id")) { spark =>
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val src = new java.io.File(s"$dir/events.parquet")
@@ -1553,13 +1632,6 @@ object StreamingOps {
     val prior = spark.conf.getOption(confKey)
     spark.conf.set(confKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // State partitions sized to the keyspace, not the core count (the
-    // stream-stream-join lesson): every micro-batch pays a RocksDB
-    // commit/snapshot PER PARTITION — 32 stores for ~1.5k hot users
-    // is 4x wasted commit latency. Fixed by the first batch's
-    // checkpoint; restored after start.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val out = typed.groupByKey(_._1)
         .transformWithState(new TwsTotalsProcessor,
@@ -1569,13 +1641,8 @@ object StreamingOps {
         .outputMode("update").format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()
-      spark.table(name)
-        .groupBy(col("user_id"))
-        .agg(max(col("n_events")).as("n_events"),
-          max(col("n_purchases")).as("n_purchases"))
-        .orderBy(col("user_id"))
+      spark.table(name).localCheckpoint(true)
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prior match {
         case Some(v) => spark.conf.set(confKey, v)
         case None => spark.conf.unset(confKey)
@@ -1592,7 +1659,9 @@ object StreamingOps {
     * inside the stream would funnel every update through a global
     * sort. Deterministic under the (n DESC, user_id) unique order. */
   def streamTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
-    withStateParts(spark)(streamTopKInner(spark, dir, k))
+    // (6 h window × active user) state — users dominate the grid.
+    withStateParts(spark, approxKeys(spark, dir, "events", "user_id"))(
+      ss => streamTopKInner(ss, dir, k))
 
   private def streamTopKInner(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val rawSchema = graft.Tables.eventsRawSchema(spark, dir)

@@ -145,7 +145,12 @@ class IterativeDispatchSpec extends AnyFunSuite {
       "src/main/scala/graft/graph/ConnectedComponentsDF.scala")
     var cur = "<none>"
     val sites = scala.collection.mutable.LinkedHashSet.empty[String]
-    val defRe = """\bdef (\w+)""".r
+    // Member-indent defs ONLY (≤ 2 leading spaces before modifiers):
+    // a nested local def between the method header and its gate would
+    // otherwise capture the attribution and let the checklist pass
+    // (or fail) under the wrong name (round-15 ADVICE).
+    val defRe =
+      """^ {0,2}(?:(?:private|protected)(?:\[\w+\])?\s+)?(?:final\s+)?def (\w+)""".r
     files.foreach { f =>
       val src = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(f)),

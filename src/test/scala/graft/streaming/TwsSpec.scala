@@ -14,10 +14,10 @@ class TwsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
   test("multi-batch monotone cumulative emissions at sf0.001") {
-    StreamingOps.streamTwsCounter(spark, "/root/testdata/sf0.001")
-    // The memory sink table survives the call (queryName registry):
-    // inspect the raw emission trail.
-    val trail = spark.table("graft_stream_tws")
+    // The raw emission trail (the memory sink now lives in the
+    // cloned session's isolated catalog — the round-16 concurrency
+    // fix — so the op exposes its checkpointed trail directly).
+    val trail = StreamingOps.streamTwsTrail(spark, "/root/testdata/sf0.001")
     val perUser = trail.groupBy(col("user_id"))
       .agg(count(lit(1)).as("emissions"),
         max(col("n_events")).as("mx"), min(col("n_events")).as("mn"))
