@@ -1167,7 +1167,11 @@ object Relational {
       .withColumn("next_c", last(col("cents"), ignoreNulls = true).over(desc))
       .withColumn("next_h",
         last(when(col("cents").isNotNull, col("hour")), ignoreNulls = true).over(desc))
-      .select(col("user_id"), col("hour"),
+      // Emit the hour as NTZ: LTZ hashes through the session zone —
+      // value-identical under the pinned UTC session, but one
+      // forgotten conf from a silent hash drift (SURVEY §6;
+      // EmittedTypesSpec bans emitted LTZ).
+      .select(col("user_id"), col("hour").cast("timestamp_ntz").as("hour"),
         when(col("cents").isNotNull, col("cents"))
           .otherwise(round(col("prev_c")
             + (col("next_c") - col("prev_c")).cast("double")

@@ -517,7 +517,12 @@ object StreamingOps {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(name).orderBy(col("win_start"), col("event_type"))
+    // Window starts emit as NTZ: LTZ hashes through the session zone
+    // (SURVEY §6; EmittedTypesSpec bans emitted LTZ) — value-equal
+    // under the pinned UTC session.
+    spark.table(name)
+      .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
+      .orderBy(col("win_start"), col("event_type"))
   }
 
   /** Watermarked APPEND-mode hourly aggregation — the production
@@ -565,6 +570,7 @@ object StreamingOps {
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name)
+      .withColumn("hour", col("hour").cast("timestamp_ntz"))
       .orderBy(col("hour"), col("event_type"))
   }
 
@@ -694,7 +700,9 @@ object StreamingOps {
     // checkpoint the (tiny) emitted-window table: the σ layer
     // self-joins it, and a memory-sink View on both sides of a join
     // trips analyzer reference dedup
-    val w = spark.table(name).select(col("hour"), col("event_type"), col("n"))
+    val w = spark.table(name)
+      .select(col("hour").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"))
       .localCheckpoint(true)
     val stats = w.groupBy(col("event_type"))
       .agg(count(lit(1)).as("k"), sum(col("n")).as("s"),
@@ -772,7 +780,9 @@ object StreamingOps {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(name).orderBy(col("hour"))
+    spark.table(name)
+      .withColumn("hour", col("hour").cast("timestamp_ntz"))
+      .orderBy(col("hour"))
   }
 
   /** Tumbling 1-hour window count/sum per event_type, executed as a
@@ -807,6 +817,7 @@ object StreamingOps {
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name)
+      .withColumn("hour", col("hour").cast("timestamp_ntz"))
       .orderBy(col("hour"), col("event_type"))
   }
 

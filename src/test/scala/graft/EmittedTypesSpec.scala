@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DataType, DecimalType, FloatType, TimestampType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The SURVEY §6 emitted-type hash-stability rule, pinned for every
@@ -17,7 +17,32 @@ import org.scalatest.funsuite.AnyFunSuite
 class EmittedTypesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.graph.SparkTestSession.spark
 
-  test("no query emits a decimal column (SURVEY §6 emitted-type rule)") {
+  // The full §6 hash-unstable list (round 16 — the round-15 sweep
+  // banned only decimals):
+  //  - DECIMAL: the driver hasher does not normalize DECIMAL(38,0)
+  //    vs DuckDB HUGEINT (the round-14 incident);
+  //  - FLOAT: single-precision round-trips differently through the
+  //    two engines' value formatting (DOUBLE is allowed only under
+  //    the identical-expression-tree rule);
+  //  - TIMESTAMP (non-NTZ): hashes through the SESSION timezone —
+  //    stable today only because every builder pins UTC, which is
+  //    one forgotten conf away from a silent full-suite hash drift
+  //    (TIMESTAMP_NTZ and DATE carry no zone and stay allowed).
+  // Nested types are scanned recursively — an array<float> is as
+  // unstable as a float.
+  private def banned(dt: DataType): Option[String] = dt match {
+    case _: DecimalType => Some("decimal")
+    case FloatType => Some("float")
+    case TimestampType => Some("timestamp(ltz)")
+    case t: org.apache.spark.sql.types.ArrayType => banned(t.elementType)
+    case t: org.apache.spark.sql.types.MapType =>
+      banned(t.keyType).orElse(banned(t.valueType))
+    case t: org.apache.spark.sql.types.StructType =>
+      t.fields.iterator.flatMap(f => banned(f.dataType)).nextOption()
+    case _ => None
+  }
+
+  test("no query emits a hash-unstable column type (SURVEY §6 emitted-type rule)") {
     val dir = "/root/testdata/sf0.001"
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -25,8 +50,8 @@ class EmittedTypesSpec extends AnyFunSuite {
       try {
         val schema = fn(spark, dir).schema
         schema.fields.foreach { f =>
-          if (f.dataType.isInstanceOf[DecimalType])
-            offenders += s"$name.${f.name}: ${f.dataType.simpleString}"
+          banned(f.dataType).foreach(why =>
+            offenders += s"$name.${f.name}: ${f.dataType.simpleString} ($why)")
         }
       } catch {
         // A query that cannot even build at sf0.001 is a separate
@@ -36,7 +61,8 @@ class EmittedTypesSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, s"queries failed to build at sf0.001: $failures")
     assert(offenders.isEmpty,
-      s"emitted decimal columns (driver hash-unstable): $offenders — " +
-        "keep the wide ledger internal and emit a bounded BIGINT readout")
+      s"emitted hash-unstable columns: $offenders — keep wide/zoned/" +
+        "single-precision ledgers internal; emit BIGINT, e-scaled " +
+        "integers, strings, identical-tree doubles, NTZ or DATE")
   }
 }
