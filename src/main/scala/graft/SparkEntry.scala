@@ -297,6 +297,11 @@ object SparkEntry {
     // increments (rows-only + BFS-exact planted spec).
     "g_harmonic" -> ((s, d) =>
       GraphOps.harmonicApprox(s, GraphBuilder.supplierCoEdges(s, d))),
+    // Exact landmark harmonic centrality — the deterministic
+    // full-oracle twin beside the ANF sketch (round 16; the
+    // g_pagerank/g_pagerank_det pattern). Rides the dispatched BFS.
+    "g_harmonic_det" -> ((s, d) =>
+      GraphOps.harmonicLandmarks(s, GraphBuilder.supplierCoEdges(s, d))),
     // Time-respecting reachability: earliest-arrival histogram from
     // the min-id supplier over temporal co-occurrence contacts
     // (rows-only + hand-computed planted chains).
@@ -355,6 +360,11 @@ object SparkEntry {
     // Rows-only + spec (planted MSTs; driver-Prim optimality audit).
     "g_mst" -> ((s, d) =>
       GraphOps.minimumSpanningForest(s, GraphBuilder.supplierCoEdges(s, d))),
+    // Deterministic MSF scalar readout (round 16): unique forest
+    // under the strict (w, src, dst) order → hash-checkable
+    // (total_weight, n_edges, n_components) against unrolled Borůvka.
+    "g_mst_weight" -> ((s, d) =>
+      GraphOps.mstWeight(s, GraphBuilder.supplierCoEdges(s, d))),
     // End-to-end file ingest: the reference's native input is a
     // delimited edge list — write the co-occurrence edges as TSV once
     // per SF dir, read back through EdgeListSource.readCanonical, and
@@ -1735,6 +1745,58 @@ object SparkEntry {
   /** Bellman-Ford unrolled to `rounds` relax-and-min SQL rounds —
     * identical integer arithmetic to GraphOps.weightedShortestPaths
     * (BIGINT distance sums, order-free min), so the match is exact. */
+  /** Unrolled Borůvka MSF oracle (round 16): `phases` rounds of
+    * per-component minimum crossing edge under the STRICT
+    * (w, src, dst) order — the same total order
+    * GraphOps.minimumSpanningForest picks by, and a strict order
+    * makes the minimum forest unique (cycle property), so any
+    * correct algorithm under it yields the identical edge set.
+    * Components re-derive per phase via a min-label reachability
+    * CTE over the selected forest (tiny: ≤ V−1 edges). Components
+    * at least halve per phase, so 2^phases ≥ V suffices — and an
+    * under-unrolled oracle surfaces as an n_components MISMATCH,
+    * never a silent pass. */
+  private def mstWeightOracleSql(phases: Int = 10): String = {
+    val blocks = (1 to phases).map { k =>
+      val p = k - 1
+      s""",
+         |cr$k AS MATERIALIZED (
+         |  SELECT l1.lab AS c1, l2.lab AS c2, e.src, e.dst, e.w
+         |  FROM e JOIN lab$p l1 ON l1.v = e.src
+         |    JOIN lab$p l2 ON l2.v = e.dst
+         |  WHERE l1.lab <> l2.lab),
+         |pick$k AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst, w FROM (
+         |    SELECT src, dst, w,
+         |      row_number() OVER (PARTITION BY c ORDER BY w, src, dst) AS rn
+         |    FROM (SELECT c1 AS c, src, dst, w FROM cr$k
+         |          UNION ALL SELECT c2 AS c, src, dst, w FROM cr$k))
+         |  WHERE rn = 1),
+         |sel$k AS MATERIALIZED (SELECT src, dst, w FROM sel$p
+         |  UNION SELECT src, dst, w FROM pick$k),
+         |reach$k(v, u) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT r.v, s.dst FROM reach$k r JOIN
+         |    (SELECT src, dst FROM sel$k
+         |     UNION ALL SELECT dst, src FROM sel$k) s
+         |    ON s.src = r.u),
+         |lab$k AS MATERIALIZED (SELECT v, min(u) AS lab
+         |  FROM reach$k GROUP BY v)""".stripMargin
+    }.mkString
+    s"""WITH RECURSIVE $EdgeCte,
+       |verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),
+       |lab0 AS (SELECT v, v AS lab FROM verts),
+       |sel0(src, dst, w) AS (SELECT src, dst, w FROM e WHERE 1 = 0)""".stripMargin +
+      blocks +
+      s"""
+         |SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS total_weight,
+         |  CAST(count(*) AS BIGINT) AS n_edges,
+         |  (SELECT count(*) FROM verts) - CAST(count(*) AS BIGINT)
+         |    AS n_components
+         |FROM sel$phases""".stripMargin
+  }
+
   private def ssspWOracleSql(nLandmarks: Int = 3, rounds: Int = 6): String = {
     val steps = (0 until rounds).map { r =>
       s""",
@@ -2528,6 +2590,29 @@ object SparkEntry {
         |  CAST(min(d) AS BIGINT) AS hops
         |FROM bfs GROUP BY 1, 2 ORDER BY vertex, landmark""".stripMargin,
     "g_sssp_w" -> ssspWOracleSql(),
+    "g_mst_weight" -> mstWeightOracleSql(),
+    // Exact landmark harmonic: the g_closeness BFS CTE widened to a
+    // 10-landmark set, ranked by the per-term-floored harmonic sum
+    // (unique under the (harmonic_e4 DESC, vertex) order).
+    "g_harmonic_det" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM sym),
+        |lms AS (SELECT v FROM verts ORDER BY v LIMIT 10),
+        |bfs(lm, v, d) AS (
+        |  SELECT v, v, 0 FROM lms
+        |  UNION
+        |  SELECT b.lm, s.dst, b.d + 1 FROM bfs b
+        |  JOIN sym s ON s.src = b.v WHERE b.d < 30),
+        |sp AS (SELECT lm, v, min(d) AS hops FROM bfs GROUP BY 1, 2)
+        |SELECT v AS vertex, count(*) AS reached,
+        |  CAST(sum(10000 // hops) AS BIGINT) AS harmonic_e4
+        |FROM sp WHERE v <> lm GROUP BY 1
+        |ORDER BY harmonic_e4 DESC, vertex LIMIT 100""".stripMargin,
     // Landmark eccentricity / diameter lower bound: the g_sssp BFS
     // CTE folded per landmark (min-depth per pair first, then max).
     "g_diameter" ->

@@ -1125,6 +1125,33 @@ object GraphOps {
       .limit(topN)
   }
 
+  /** Exact landmark harmonic centrality (round 16) — the
+    * deterministic full-oracle sibling of the HyperBall sketch
+    * [[harmonicApprox]], the g_pagerank / g_pagerank_det pattern:
+    * the sketch stays the at-scale path (per-vertex sums over ALL
+    * reachable vertices from one sketch loop), this variant restricts
+    * the sum to the k smallest vertex ids as a fixed landmark set —
+    * Σ_lm floor(1e4 / d(v, lm)) with PER-TERM integer flooring
+    * (reduction-order-free, the [[closenessCentrality]] column
+    * widened to a k-landmark set and ranked). Rides the dispatched
+    * [[shortestPaths]] (driver BFS under the collect bound, Pregel
+    * at scale); the landmark manifest is a bounded k-id collect.
+    * Output: top-`topN` by (harmonic_e4 DESC, vertex) — unique. */
+  def harmonicLandmarks(spark: SparkSession, edges: DataFrame,
+      k: Int = 10, topN: Int = 100): DataFrame = {
+    val lms = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v")))
+      .distinct().orderBy(col("v")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    shortestPaths(spark, edges, lms)
+      .filter(col("vertex") =!= col("landmark"))
+      .groupBy(col("vertex"))
+      .agg(count(lit(1)).as("reached"),
+        sum(expr("10000 div hops")).as("harmonic_e4"))
+      .orderBy(col("harmonic_e4").desc, col("vertex"))
+      .limit(topN)
+  }
+
   def anf(spark: SparkSession, edges: DataFrame, lgK: Int = 12,
       maxRounds: Int = 32): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
@@ -1495,6 +1522,32 @@ object GraphOps {
     comp.unpersist(false)
     mstAcc.select(col("src"), col("dst"), col("w").as("weight"))
       .orderBy(col("src"), col("dst"))
+  }
+
+  /** Deterministic MSF scalar readout (round 16) — the
+    * oracle-checkable row beside [[minimumSpanningForest]]'s
+    * rows-only edge list: (total_weight, n_edges, n_components).
+    * Under the STRICT total edge order (w, src, dst) the minimum
+    * forest is UNIQUE — the cycle property with a strict order: an
+    * edge joins the forest iff it is not the largest-order edge of
+    * any cycle — so total weight is deterministic even with tied
+    * weights; the tiebreak is part of the operator statement. The
+    * DuckDB oracle recomputes the same forest as unrolled Borůvka
+    * phases (components at least halve per phase, so ⌈log₂ V⌉
+    * phases suffice — and the n_components column itself would
+    * expose an under-unrolled oracle as a mismatch). n_components
+    * falls out of the forest identity V − n_edges; the extra
+    * vertex-count pass is one distinct over the edge ends. */
+  def mstWeight(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val nV = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v")))
+      .distinct().count()
+    minimumSpanningForest(spark, edges)
+      .agg(coalesce(sum(col("weight")), lit(0.0)).as("tw"),
+        count(lit(1)).as("n_edges"))
+      .select(expr("CAST(round(tw) AS BIGINT)").as("total_weight"),
+        col("n_edges"),
+        (lit(nV) - col("n_edges")).as("n_components"))
   }
 
   /** node2vec biased walks (Grover & Leskovec, KDD 2016): the
