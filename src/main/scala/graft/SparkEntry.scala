@@ -904,6 +904,9 @@ object SparkEntry {
     "t_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     "t_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "t_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
+    // Corpus unigram surprisal — the CCNet-style per-doc LM quality
+    // score (round 16); add-one smoothed, per-token e4 rounding.
+    "t_surprisal" -> ((s, d) => TextAnalysis.surprisal(s, d)),
     "t_heldout_lm" -> ((s, d) => TextAnalysis.heldoutLm(s, d)),
     "t_code_detect" -> ((s, d) => TextAnalysis.codeDetect(s, d)),
     "t_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
@@ -995,6 +998,9 @@ object SparkEntry {
     // Log-log power-law fit on the bounded quantity spine: ln never
     // touches per-row data (bit-stable log-regression shape).
     "q_power_law" -> ((s, d) => Relational.qPowerLaw(s, d)),
+    // Grouped log-log OLS per brand over the bounded quantity grid
+    // (round 16) — the q_power_law discipline, per group.
+    "q_price_elasticity" -> ((s, d) => Relational.qPriceElasticity(s, d)),
     // All-but-the-top whitening audit: mean + PC1 removed, isotropy
     // re-measured (rows-only: exact-Gram power iteration).
     "e_whiten" -> ((s, d) => Similarity.abttWhiten(s, d)),
@@ -5513,6 +5519,49 @@ object SparkEntry {
         |      - CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)
         |      * sx) / k) AS BIGINT) END AS intercept_e6
         |FROM f""".stripMargin,
+    // Per-brand log-log OLS over the bounded (brand, qty) grid —
+    // the q_power_law tree, grouped; part joins before the collapse.
+    "q_price_elasticity" ->
+      """WITH lvl AS (SELECT p_brand, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      // count(*) AS BIGINT) AS mean_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |p AS (SELECT p_brand,
+        |    CAST(round(ln(CAST(qty AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(mean_cents AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS y FROM lvl),
+        |f AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM p GROUP BY 1)
+        |SELECT p_brand, k AS n_levels,
+        |  CASE WHEN k * sxx - sx * sx <> 0 THEN
+        |    CAST(round(CAST(k * sxy - sx * sy AS DOUBLE)
+        |      / (k * sxx - sx * sx) * 1000000) AS BIGINT) END AS slope_e6,
+        |  CASE WHEN k * sxx - sx * sx <> 0 THEN
+        |    CAST(round((CAST(sy AS DOUBLE)
+        |      - CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)
+        |      * sx) / k) AS BIGINT) END AS intercept_e6
+        |FROM f ORDER BY p_brand""".stripMargin,
+    // Add-one-smoothed corpus unigram surprisal: per-token e4 round
+    // ONCE per distinct token, integer k·s products, truncating mean.
+    "t_surprisal" ->
+      """WITH occ AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pd AS (SELECT doc_id, token, count(*) AS k FROM occ GROUP BY 1, 2),
+        |uni AS (SELECT token, sum(k) AS u FROM pd GROUP BY 1),
+        |tot AS (SELECT sum(u) AS t_occ, count(*) AS v_vocab FROM uni),
+        |sc AS (SELECT doc_id, k,
+        |    CAST(round(ln((CAST(t_occ AS DOUBLE) + v_vocab) / (u + 1))
+        |      * 10000) AS BIGINT) AS s
+        |  FROM pd JOIN uni USING (token) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |  CAST(sum(k * s) AS BIGINT) AS surprisal_e4,
+        |  CAST(sum(k * s) // greatest(sum(k), 1) AS BIGINT)
+        |    AS mean_surprisal_e4
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // TextRank: the SAME unrolled integer-PageRank rounds as
     // g_pagerank_det over the word co-occurrence CTE.
     "t_textrank" -> textrankOracleSql(),

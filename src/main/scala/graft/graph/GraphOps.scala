@@ -1480,8 +1480,46 @@ object GraphOps {
     * narrow (w, src, dst) structs) + one CC pass over the PICKED
     * edges only (≤ one per component — a forest, vastly smaller than
     * the graph). State is one (vertex, label) row per vertex. */
+  // Memoized Borůvka forest per (session, edges identity, rounds):
+  // the rows-only edge list (g_mst) and the scalar readout
+  // (g_mst_weight) share ONE checkpointed build — the walkCache
+  // contract verbatim (semanticHash + per-file (path, mtime, length)
+  // keys so in-place regeneration is a memo MISS, bounded map,
+  // checkpoint blocks declared in retainedRddIds; memo-miss spec in
+  // GraphOpsSpec).
+  private val mstCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, String, Int), (DataFrame, Set[Int])]
+
+  private[graft] def mstCacheRddIds: Set[Int] =
+    mstCache.values.flatMap(_._2).toSet
+
+  private[graft] def clearMstMemos(spark: SparkSession): Unit = {
+    val ctx = System.identityHashCode(spark).toString
+    val sc = spark.sparkContext
+    mstCache.foreach { case (k, (_, ids)) =>
+      if (k._1 == ctx)
+        ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    mstCache.clear()
+  }
+
   def minimumSpanningForest(spark: SparkSession, edges: DataFrame,
       maxRounds: Int = 32): DataFrame = {
+    val key = (System.identityHashCode(spark).toString,
+      edges.queryExecution.analyzed.semanticHash(), dataKey(edges), maxRounds)
+    val sc = spark.sparkContext
+    if (mstCache.size > 4) clearMstMemos(spark)
+    mstCache.getOrElseUpdate(key, {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val built = minimumSpanningForestUncached(spark, edges, maxRounds)
+        .localCheckpoint(true)
+      val ids = sc.getPersistentRDDs.keySet.toSet -- before
+      (built, ids)
+    })._1
+  }
+
+  private def minimumSpanningForestUncached(spark: SparkSession,
+      edges: DataFrame, maxRounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"),
       col("weight").cast("double").as("w")).localCheckpoint(true)
     var comp = e.select(col("src").as("vertex"))
@@ -2371,6 +2409,7 @@ object GraphOps {
   def retainedRddIds: Set[Int] =
     louvainCache.values.map(_._1.id).toSet ++
       walkCacheRddIds ++
+      mstCacheRddIds ++
       GraphBuilder.retainedRddIds ++
       graft.operators.Dedup.retainedRddIds ++
       graft.operators.Similarity.retainedRddIds ++
@@ -2390,6 +2429,7 @@ object GraphOps {
     }
     louvainCache.clear()
     clearWalkMemos(spark)
+    clearMstMemos(spark)
     GraphBuilder.clearMemos(spark)
     graft.operators.Dedup.clearMemos(spark)
     graft.operators.Similarity.clearMemos(spark)

@@ -2814,6 +2814,51 @@ object Relational {
           " * sx) / k) AS BIGINT) END").as("intercept_e6"))
   }
 
+  /** Per-brand price-quantity elasticity (round 16) — [[qPowerLaw]]'s
+    * GROUPED sibling, the "how does spend co-move with order size"
+    * readout merchandising asks per brand: OLS of
+    * y = ln(mean extended cents) on x = ln(quantity level) over the
+    * ≤50 (brand, quantity) cells. Collapsing to the bounded level
+    * grid BEFORE the fit (mean cents per level via truncating
+    * integer division) keeps every OLS sufficient statistic in
+    * BIGINT at ANY corpus scale — the qPowerLaw discipline applied
+    * per group. The part dimension broadcasts; the level collapse is
+    * one map-side-combined aggregation on the bounded
+    * (brand × quantity) grid. Slope/intercept evaluate in double
+    * from exact integers through the one fixed expression tree,
+    * e6-rounded (§6); degenerate single-level brands emit NULL. */
+  def qPriceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val pt = Tables.part(spark, dir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val lvl = li.join(broadcast(pt), Seq("l_partkey"))
+      .groupBy(col("p_brand"), col("qty"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      .select(col("p_brand"), col("qty"), expr("sc div n").as("mean_cents"))
+    lvl.select(col("p_brand"),
+      expr("CAST(round(ln(CAST(qty AS DOUBLE)) * 1000000) AS BIGINT)")
+        .as("x"),
+      expr("CAST(round(ln(CAST(mean_cents AS DOUBLE)) * 1000000)" +
+        " AS BIGINT)").as("y"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("p_brand"), col("k").as("n_levels"),
+        expr("CASE WHEN k * sxx - sx * sx <> 0 THEN" +
+          " CAST(round(CAST(k * sxy - sx * sy AS DOUBLE)" +
+          " / (k * sxx - sx * sx) * 1000000) AS BIGINT) END")
+          .as("slope_e6"),
+        expr("CASE WHEN k * sxx - sx * sx <> 0 THEN" +
+          " CAST(round((CAST(sy AS DOUBLE)" +
+          " - CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)" +
+          " * sx) / k) AS BIGINT) END").as("intercept_e6"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Exponential retention-decay fit — the day-0 cohort's survival
     * curve reduced to one rate: share of the cohort still active at
     * age d, fit log-linearly (ln r_d ~ d, slope = the daily decay

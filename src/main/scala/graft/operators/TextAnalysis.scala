@@ -343,6 +343,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus unigram surprisal per document (round 16) — the
+    * CCNet/Gopher-family "score text against an in-domain LM"
+    * quality signal, with the corpus's OWN unigram model standing in
+    * for the LM: every token occurrence scores
+    * s(w) = ln((T + V) / (c_w + 1)), the add-one-smoothed −ln p̂(w)
+    * (T = corpus occurrences, V = vocabulary). Boilerplate scores
+    * low; rare-token noise scores high; the mean is the doc-level
+    * filter signal. Determinism: s is e4-rounded ONCE per distinct
+    * token and multiplied by the in-doc count — integer products and
+    * sums, immune to accumulation order (the [[bigramLogProb]]
+    * contract; s > 0 always since c+1 ≤ T). Plan shape: (doc, token)
+    * counts collapse map-side BEFORE any shuffle, the token-stat
+    * join co-partitions on token (corpus-sized vocab never
+    * broadcasts), and the (T, V) scalar attaches as a broadcast
+    * 1-row aggregate. Whitespace-only docs drop (no occurrences),
+    * mirrored in the oracle's WHERE. */
+  def surprisal(spark: SparkSession, dir: String): DataFrame =
+    surprisalOf(Tables.documents(spark, dir))
+
+  def surprisalOf(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val uni = perDoc.groupBy(col("token")).agg(sum(col("k")).as("u"))
+    val tot = uni.agg(sum(col("u")).as("t_occ"), count(lit(1)).as("v_vocab"))
+    perDoc.join(uni, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("k"),
+        expr("CAST(round(ln((CAST(t_occ AS DOUBLE) + v_vocab) / (u + 1))" +
+          " * 10000) AS BIGINT)").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k") * col("s")).as("surprisal_e4"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_e4"),
+        expr("surprisal_e4 div greatest(n_tokens, 1)")
+          .as("mean_surprisal_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Markup-vs-prose routing signal — [[codeDetect]]'s third sibling
     * (prose / code / markup), run before extraction pipelines decide
     * whether a document needs an HTML stripper: tag-run count

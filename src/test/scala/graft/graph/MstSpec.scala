@@ -36,6 +36,37 @@ class MstSpec extends AnyFunSuite {
     assert(f == Set((1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 4L, 3.0)))
   }
 
+  test("mstWeight scalar readout matches the forest it summarizes") {
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0),
+      (7L, 8L, 2.0), (8L, 9L, 5.0), (7L, 9L, 1.0)).toDF("src", "dst", "weight")
+    val r = GraphOps.mstWeight(spark, e).collect().head
+    // two components: triangle keeps (1,2)+(1,3) = 2; second keeps
+    // (7,9,1)+(7,8,2) = 3 → total 5, 4 edges, 6 − 4 = 2 components.
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 4L, 2L)))
+  }
+
+  test("forest memo: same input is one build, in-place regeneration is a miss") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mstmemo").toString
+    def plant(rows: Seq[(Long, Long, Double)]): Unit = {
+      rows.toDF("src", "dst", "weight").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/edges.parquet")
+      val f = new java.io.File(s"$dir/edges.parquet")
+      f.setLastModified(f.lastModified() + 2000L)
+    }
+    def run(): Set[(Long, Long)] =
+      GraphOps.minimumSpanningForest(spark,
+        spark.read.parquet(s"$dir/edges.parquet"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    plant(Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 3.0)))
+    assert(run() == Set((1L, 2L), (2L, 3L)))
+    // Regenerate IN PLACE with a different graph: the (mtime, length)
+    // key must miss and rebuild — stale forests are the bug class the
+    // invalidation contract exists for.
+    plant(Seq((1L, 2L, 9.0), (2L, 3L, 2.0), (1L, 3L, 3.0)))
+    assert(run() == Set((2L, 3L), (1L, 3L)),
+      "regenerated edges must re-run Borůvka, not serve the memo")
+  }
+
   test("real graph: spanning, acyclic, and Prim-optimal total weight") {
     val e = GraphBuilder.supplierCoEdges(spark, "/root/testdata/sf0.001")
       .localCheckpoint(true)
