@@ -1520,8 +1520,30 @@ object GraphOps {
 
   private def minimumSpanningForestUncached(spark: SparkSession,
       edges: DataFrame, maxRounds: Int): DataFrame = {
+    // LAZY checkpoint: the dispatch gate's stats below are the
+    // materializing full scan (the g_lpa fold); on the distributed
+    // path the first comp build's distinct is (also a full scan).
     val e = edges.select(col("src"), col("dst"),
-      col("weight").cast("double").as("w")).localCheckpoint(true)
+      col("weight").cast("double").as("w")).localCheckpoint(false)
+    // Measured dispatch (round 16): under the STRICT (w, src, dst)
+    // total order the minimum forest is UNIQUE (cycle property), so
+    // a driver Kruskal is bit-identical to the Borůvka loop by
+    // theorem — IterativeDispatchSpec pins it anyway. Declines on
+    // null or NaN weights (the twin's getDouble/sort would NPE or
+    // diverge on NaN ordering; the longKeyed decline discipline).
+    if (!forceDistributed && longKeyed(e, "src", "dst") && {
+      val st = e.agg(count(lit(1)).as("n"), count(col("w")).as("nw"),
+        sum(when(isnan(col("w")), 1L).otherwise(0L)).as("nans"))
+        .collect().head
+      st.getLong(0) <= LocalLouvain.CollectMax &&
+        st.getLong(0) == st.getLong(1) &&
+        (st.isNullAt(2) || st.getLong(2) == 0L)
+    }) {
+      import spark.implicits._
+      val rows = e.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      return LocalIterative.kruskal(rows).toDF("src", "dst", "weight")
+    }
     var comp = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()
       .withColumn("label", col("vertex")).localCheckpoint(true)

@@ -362,4 +362,30 @@ object LocalIterative {
     }
     out.sortBy(t => (t._1, t._2)).toSeq
   }
+
+  /** (src, dst, w) MSF edges — mirrors GraphOps
+    * .minimumSpanningForest: under the STRICT total edge order
+    * (w, src, dst) the minimum forest is UNIQUE (cycle property), so
+    * driver Kruskal and distributed Borůvka produce the SAME edge
+    * set — equality of the algorithms' outputs is a theorem, not a
+    * convention, and IterativeDispatchSpec pins it anyway. Output in
+    * the DataFrame path's (src, dst) order. */
+  def kruskal(rows: Array[(Long, Long, Double)]): Seq[(Long, Long, Double)] = {
+    val parent = mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent.getOrElse(x, x)
+        parent(x) = parent.getOrElse(p, p)
+        x = parent(x)
+      }
+      x
+    }
+    val out = mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    rows.sortBy(t => (t._3, t._1, t._2)).foreach { case (s, d, w) =>
+      val (a, b) = (find(s), find(d))
+      if (a != b) { parent(a) = b; out += ((s, d, w)) }
+    }
+    out.sortBy(t => (t._1, t._2)).toSeq
+  }
 }

@@ -174,6 +174,8 @@ class IterativeDispatchSpec extends AnyFunSuite {
       "betweennessCentrality" -> "IterativeDispatchSpec",
       "labelPropagation" -> "IterativeDispatchSpec",
       "louvainFor" -> "IterativeDispatchSpec (louvain family partitions)",
+      "minimumSpanningForestUncached" ->
+        "IterativeDispatchSpec (driver Kruskal == Borůvka)",
       "refineCommunities" -> "LeidenSpec (refineDriver == refineDistributed)",
       "louvainOnSuper" -> "IncrementalLouvainSpec (driver vs GraphX partitions)",
       "run" -> "IterativeDispatchSpec (ConnectedComponentsDF union-find)")
@@ -182,6 +184,20 @@ class IterativeDispatchSpec extends AnyFunSuite {
       s"dispatch sites without a recorded twin-equality test: $missing")
     val stale = covered.keySet.diff(sites.toSet)
     assert(stale.isEmpty, s"checklist lists removed dispatch sites: $stale")
+  }
+
+  test("minimumSpanningForest: driver Kruskal == Borůvka loop") {
+    // The forest memo would hand the second path the first path's
+    // build (same session/plan/file key) — clear it between paths so
+    // both actually run.
+    def mst = GraphOps.minimumSpanningForest(spark, edges)
+    GraphOps.clearMstMemos(spark)
+    val drv = rowsOf(mst)
+    GraphOps.clearMstMemos(spark)
+    val dist = GraphOps.withForcedDistributed(rowsOf(mst))
+    GraphOps.clearMstMemos(spark)
+    assert(drv == dist)
+    assert(drv.nonEmpty)
   }
 
   test("louvain family: driver dispatch partitions match the GraphX engine") {
