@@ -1001,6 +1001,9 @@ object SparkEntry {
     // Grouped log-log OLS per brand over the bounded quantity grid
     // (round 16) — the q_power_law discipline, per group.
     "q_price_elasticity" -> ((s, d) => Relational.qPriceElasticity(s, d)),
+    // Decile gains/lift table (round 16) — ntile under the unique
+    // (score DESC, key) order; lift from exact ints, one double tree.
+    "q_lift_curve" -> ((s, d) => Relational.qLiftCurve(s, d)),
     // All-but-the-top whitening audit: mean + PC1 removed, isotropy
     // re-measured (rows-only: exact-Gram power iteration).
     "e_whiten" -> ((s, d) => Similarity.abttWhiten(s, d)),
@@ -5519,6 +5522,33 @@ object SparkEntry {
         |      - CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)
         |      * sx) / k) AS BIGINT) END AS intercept_e6
         |FROM f""".stripMargin,
+    // Decile lift: same unique ntile order, cum windows over the
+    // 10-row grid, identical lift tree from exact integers.
+    "q_lift_curve" ->
+      """WITH oc AS (SELECT o_custkey, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT c_custkey, c_acctbal,
+        |    CASE WHEN coalesce(n_orders, 0) >= 15 THEN 1 ELSE 0 END AS pos
+        |  FROM customer LEFT JOIN oc ON o_custkey = c_custkey),
+        |dec AS (SELECT ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
+        |    AS decile, pos FROM sc),
+        |g AS (SELECT CAST(decile AS BIGINT) AS decile,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos
+        |  FROM dec GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+        |    CAST(sum(pos) AS BIGINT) AS pt FROM sc),
+        |c AS (SELECT decile, n, pos,
+        |    CAST(sum(n) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_n,
+        |    CAST(sum(pos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_pos
+        |  FROM g)
+        |SELECT decile, n, pos, cum_pos,
+        |  CASE WHEN pt > 0 THEN CAST(round(CAST(cum_pos AS DOUBLE)
+        |    * nt / (cum_n * pt) * 10000) AS BIGINT) END AS lift_e4
+        |FROM c, t ORDER BY decile""".stripMargin,
     // Per-brand log-log OLS over the bounded (brand, qty) grid —
     // the q_power_law tree, grouped; part joins before the collapse.
     "q_price_elasticity" ->

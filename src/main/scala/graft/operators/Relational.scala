@@ -2814,6 +2814,47 @@ object Relational {
           " * sx) / k) AS BIGINT) END").as("intercept_e6"))
   }
 
+  /** Decile gains / lift table (round 16) — the model-evaluation
+    * staple next to the rank-sum AUC (`q_mann_whitney`): customers
+    * ranked by the stand-in model score (account balance), split
+    * into deciles, and each prefix's positive rate (heavy buyer,
+    * ≥ `minOrders` orders) compared to the base rate — "how much
+    * better than random is targeting the top k/10". ntile(10) runs
+    * under the UNIQUE (score DESC, custkey) total order (the §6
+    * tiebreak rule; both engines front-load buckets — the q_rfm
+    * precedent, including its documented at-scale path: distributed
+    * decile cut points + broadcast join past ~10^7 rows). Cumulative
+    * sums run over the 10-row decile grid; lift evaluates in double
+    * from exact integers through one fixed tree, e4-rounded. */
+  def qLiftCurve(spark: SparkSession, dir: String,
+      minOrders: Long = 15L): DataFrame = {
+    val oc = Tables.orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumnRenamed("o_custkey", "c_custkey")
+    val scored = Tables.customer(spark, dir)
+      .join(oc, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_acctbal"),
+        when(coalesce(col("n_orders"), lit(0L)) >= minOrders, 1L)
+          .otherwise(0L).as("pos"))
+      .localCheckpoint(true)
+    val dec = scored.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("c_acctbal").desc, col("c_custkey")))
+        .cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .crossJoin(broadcast(
+        scored.agg(count(lit(1)).as("nt"), sum(col("pos")).as("pt"))))
+      .select(col("decile"), col("n"), col("pos"), col("cum_pos"),
+        expr("CASE WHEN pt > 0 THEN CAST(round(CAST(cum_pos AS DOUBLE)" +
+          " * nt / (cum_n * pt) * 10000) AS BIGINT) END").as("lift_e4"))
+      .orderBy(col("decile"))
+  }
+
   /** Per-brand price-quantity elasticity (round 16) — [[qPowerLaw]]'s
     * GROUPED sibling, the "how does spend co-move with order size"
     * readout merchandising asks per brand: OLS of
