@@ -15,7 +15,10 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.Tables.events(spark, sf)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      // The op emits the window start as NTZ (the §6 no-emitted-LTZ
+      // rule); the batch twin states the same cast.
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
       .collect()
     assert(streamed.toSeq == batch.toSeq)
@@ -73,8 +76,8 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .filter(unix_millis(col("window.end")) <= wmMs)
-      .select(col("window.start").as("hour"), col("event_type"),
-        col("n"), col("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
       .collect()
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
@@ -94,7 +97,10 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try q.processAllAvailable()
     finally q.stop()
+    // The raw plan sinks the LTZ window start; the memory-sink op
+    // casts its readout to NTZ (§6) — state the same cast here.
     val persisted = spark.read.parquet(out)
+      .withColumn("hour", col("hour").cast("timestamp_ntz"))
       .orderBy(col("hour"), col("event_type")).collect()
     val viaMemory = StreamingOps.streamWatermarkedAgg(spark, sf).collect()
     assert(persisted.nonEmpty && persisted.toSeq == viaMemory.toSeq)
@@ -305,8 +311,8 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.Tables.events(spark, sf)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-      .select(col("window.start").as("win_start"), col("event_type"),
-        col("n"), col("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("win_start"), col("event_type"))
       .collect()
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
@@ -525,7 +531,8 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.move(part.toPath,
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val got = StreamingOps.streamAnomaly(spark, dir).collect()
-      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1),
+      .map(r => (r.getAs[java.time.LocalDateTime](0)
+          .toEpochSecond(java.time.ZoneOffset.UTC), r.getString(1),
         r.getLong(2), r.getBoolean(3)))
     assert(got.length == 10 && got.forall(_._2 == "a"))
     val flagged = got.filter(_._4)
@@ -567,7 +574,8 @@ class StreamingSpec extends AnyFunSuite {
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }.sum
     val got = StreamingOps.streamDrift(spark, dir).collect()
-      .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1), r.getLong(2)))
+      .map(r => (r.getAs[java.time.LocalDateTime](0)
+        .toEpochSecond(java.time.ZoneOffset.UTC), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq(
       (base, 3L, psi(Map(0 -> 1L, 1 -> 1L, 9 -> 1L), 3L)),
       (base + 3600, 2L, psi(Map(2 -> 2L), 2L))),
