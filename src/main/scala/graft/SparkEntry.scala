@@ -1004,6 +1004,24 @@ object SparkEntry {
     // Decile gains/lift table (round 16) — ntile under the unique
     // (score DESC, key) order; lift from exact ints, one double tree.
     "q_lift_curve" -> ((s, d) => Relational.qLiftCurve(s, d)),
+    // TPC-H Q7: bi-directional nation-pair shipping volume by year —
+    // dims broadcast, the year filter pushed to the scan.
+    "q7_volume" -> ((s, d) => Relational.q7Volume(s, d)),
+    // TPC-H Q8: target-nation market share by order year, exact
+    // integer cents×(100−disc%) volumes, e6 truncating-div share.
+    "q8_mktshare" -> ((s, d) => Relational.q8MktShare(s, d)),
+    // TPC-H Q10: top-20 customers by returned-item revenue under the
+    // unique (revenue DESC, custkey) order (TakeOrdered, no sort).
+    "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
+    // Spearman rank correlation (balance vs spend per segment):
+    // tie-averaged ranks kept integral at ×2, O(n log n) windows.
+    "q_spearman" -> ((s, d) => Relational.qSpearman(s, d)),
+    // Kendall tau-b over the calendar-bounded day spine: volume vs
+    // value concordance with full tie correction, exact ints.
+    "q_kendall_tau" -> ((s, d) => Relational.qKendallTau(s, d)),
+    // Yule's K + Simpson's D per source: length-invariant frequency-
+    // spectrum richness from the same (source, token) counts.
+    "t_yule_k" -> ((s, d) => TextAnalysis.yuleK(s, d)),
     // All-but-the-top whitening audit: mean + PC1 removed, isotropy
     // re-measured (rows-only: exact-Gram power iteration).
     "e_whiten" -> ((s, d) => Similarity.abttWhiten(s, d)),
@@ -5549,6 +5567,132 @@ object SparkEntry {
         |  CASE WHEN pt > 0 THEN CAST(round(CAST(cum_pos AS DOUBLE)
         |    * nt / (cum_n * pt) * 10000) AS BIGINT) END AS lift_e4
         |FROM c, t ORDER BY decile""".stripMargin,
+    // Money rule (round(sum, 2)); the year filter + pair predicate
+    // stated identically; INT year matches Spark's year().
+    "q7_volume" ->
+      """WITH sn AS (SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_name IN ('NATION_1', 'NATION_2'))
+        |SELECT s.n_name AS supp_nation, c.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN sn s ON s_nationkey = s.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN sn c ON c_nationkey = c.n_nationkey
+        |WHERE year(l_shipdate) BETWEEN 1996 AND 1999
+        |  AND s.n_name <> c.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Exact integer volumes (cents × (100−disc%)), HUGEINT ledger
+    // mirroring Spark's DECIMAL(38,0), one truncating-div share.
+    "q8_mktshare" ->
+      """WITH an AS (SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |v AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    n_name AS supp_nation,
+        |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      AS HUGEINT) AS vol
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN an ON c_nationkey = an.n_nationkey)
+        |SELECT o_year,
+        |  CAST((1000000 * sum(CASE WHEN supp_nation = 'NATION_5'
+        |      THEN vol ELSE 0 END)) // sum(vol) AS BIGINT) AS mkt_share_e6
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Unique (revenue DESC, c_custkey) top-20 on the rounded money.
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(c_acctbal, 2) AS acctbal, revenue
+        |FROM (SELECT o_custkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R' GROUP BY 1) r
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // ×2-scaled tie-averaged ranks (2·min_rank + ties − 1) and the
+    // identical num/√d1/√d2 double tree; HUGEINT sums mirror the
+    // Spark DECIMAL(38,0) ledger value-for-value.
+    "q_spearman" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_c
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+        |    coalesce(spend_c, 0) AS spend_c
+        |  FROM customer LEFT JOIN sp ON c_custkey = o_custkey),
+        |r AS (SELECT c_mktsegment,
+        |    2 * rank() OVER (PARTITION BY c_mktsegment ORDER BY bal_c)
+        |      + count(*) OVER (PARTITION BY c_mktsegment, bal_c) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY c_mktsegment ORDER BY spend_c)
+        |      + count(*) OVER (PARTITION BY c_mktsegment, spend_c) - 1 AS ry
+        |  FROM b),
+        |a AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    sum(rx) AS sx, sum(ry) AS sy, sum(rx * rx) AS sxx,
+        |    sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT c_mktsegment, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)
+        |      AS BIGINT) END AS rho_e6
+        |FROM a ORDER BY c_mktsegment""".stripMargin,
+    // Doubled tie ledgers (Σt(t−1)); n₀−t = (n(n−1) − Σt(t−1)) // 2
+    // exactly; sign product over the day-spine pair join.
+    "q_kendall_tau" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vv
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT l.event_type,
+        |    CAST(sum(
+        |      (CASE WHEN r2.nv > l.nv THEN 1 WHEN r2.nv < l.nv THEN -1
+        |        ELSE 0 END)
+        |      * (CASE WHEN r2.vv > l.vv THEN 1 WHEN r2.vv < l.vv THEN -1
+        |        ELSE 0 END)) AS BIGINT) AS c_minus_d
+        |  FROM d l JOIN d r2 ON l.event_type = r2.event_type
+        |    AND l.day < r2.day
+        |  GROUP BY 1),
+        |tx AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n_x,
+        |    CAST(sum(t * (t - 1)) AS BIGINT) AS t2_x
+        |  FROM (SELECT event_type, nv, count(*) AS t FROM d GROUP BY 1, 2) g
+        |  GROUP BY 1),
+        |ty AS (SELECT event_type, CAST(sum(t * (t - 1)) AS BIGINT) AS t2_y
+        |  FROM (SELECT event_type, vv, count(*) AS t FROM d GROUP BY 1, 2) g
+        |  GROUP BY 1)
+        |SELECT p.event_type, n_x AS n_days, c_minus_d,
+        |  CASE WHEN (n_x * (n_x - 1) - t2_x) // 2 > 0
+        |      AND (n_x * (n_x - 1) - t2_y) // 2 > 0
+        |    THEN CAST(round(CAST(c_minus_d AS DOUBLE)
+        |      / sqrt(CAST((n_x * (n_x - 1) - t2_x) // 2 AS DOUBLE))
+        |      / sqrt(CAST((n_x * (n_x - 1) - t2_y) // 2 AS DOUBLE))
+        |      * 1000000) AS BIGINT) END AS tau_e6
+        |FROM p JOIN tx ON p.event_type = tx.event_type
+        |JOIN ty ON p.event_type = ty.event_type
+        |ORDER BY p.event_type""".stripMargin,
+    // Same token split as t_hapax; HUGEINT spectrum sums mirror the
+    // DECIMAL(38,0) ledger; both ratios are bounded truncating divs.
+    "t_yule_k" ->
+      """WITH t AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, CAST(count(*) AS HUGEINT) AS n
+        |  FROM t GROUP BY 1, 2)
+        |SELECT source, count(*) AS vocab,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST((1000000 * (sum(n * n) - sum(n)))
+        |    // (sum(n) * sum(n)) AS BIGINT) AS yule_k_e2,
+        |  CAST((1000000000 * (sum(n * n) - sum(n)))
+        |    // (sum(n) * (sum(n) - 1)) AS BIGINT) AS simpson_e9
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // Per-brand log-log OLS over the bounded (brand, qty) grid —
     // the q_power_law tree, grouped; part joins before the collapse.
     "q_price_elasticity" ->

@@ -3289,4 +3289,210 @@ object Relational {
         expr("wsum_c div n").as("wmean_c"))
       .orderBy(col("event_type"))
   }
+
+  /** TPC-H Q7 shape (round 16) — bi-directional shipping volume
+    * between a nation pair by ship year. The fact join chain keeps
+    * lineitem→orders as the single big shuffle; supplier, customer
+    * and both nation legs broadcast (dimension tables stay dimension
+    * tables at 100 TB). The disjunctive pair predicate lands on the
+    * broadcast nation names BEFORE the fact join, so non-pair rows
+    * die at the earliest semi-joined dimension, and the year filter
+    * pushes to the parquet scan. Money per the suite rule:
+    * round(sum, 2). */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val sn = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cn = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")).between(1996, 1999))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(round(sum(col("volume")), 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape (round 16) — target nation's market share of a
+    * part-type market in a customer region, by order year. The share
+    * is an EXACT integer ratio (§6 emitted-type rule): per-row volume
+    * in cents × (100 − discount%) stays integral, both sums ride
+    * DECIMAL(38,0) against the qGini overflow point, and the emitted
+    * `mkt_share_e6` is one truncating div stated identically in the
+    * oracle. part, customer-region and supplier-nation legs all
+    * broadcast; the one shuffle is lineitem→orders. */
+  def q8MktShare(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_type") === lit("PROMO"))
+      .select(col("p_partkey"))
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === lit("ASIA"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .cast("decimal(38,0)").as("vol"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === lit("NATION_5"), col("vol"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("nvol"),
+        sum(col("vol")).as("tvol"))
+      .select(col("o_year"),
+        expr("CAST((1000000 * nvol) div tvol AS BIGINT)").as("mkt_share_e6"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q10 shape (round 16) — top-20 customers by revenue lost
+    * to returned items. Returned lineitems aggregate per customer
+    * (ONE shuffle on o_custkey after the fact-fact join; nation
+    * broadcasts onto the 20-row readout side), and the top-20 rides
+    * the rounded money under the unique (revenue DESC, c_custkey)
+    * order so the limit is deterministic — Catalyst turns the
+    * orderBy+limit into a TakeOrdered, never a full sort. */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val ret = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === lit("R"))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val perCust = ret.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("volume")), 2).as("revenue"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    perCust.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Spearman rank correlation (round 16) — does a customer's
+    * account balance predict their total spend, per market segment?
+    * Tie-corrected via AVERAGE ranks kept integral at ×2 scale
+    * (r2 = 2·min_rank + ties − 1), so every moment sum is exact;
+    * sums ride DECIMAL(38,0) (n·Σr² grows past BIGINT near n≈2M —
+    * the qGini promotion rule) and the emitted `rho_e6` is one
+    * identical-tree double (num/√d1/√d2, exact integer inputs cast
+    * to DOUBLE the same way both sides). Zero-order customers count
+    * with spend 0 (left join + coalesce) so the population is
+    * deterministic. Rank windows spread per segment; no pair join —
+    * O(n log n), the at-scale Spearman shape. */
+  def qSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"))
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), col("bal_c"),
+        coalesce(col("spend_c"), lit(0L)).as("spend_c"))
+    def r2(v: String) = {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col(v))
+      val tw = Window.partitionBy(col("c_mktsegment"), col(v))
+      (lit(2L) * rank().over(w) + count(lit(1)).over(tw) - lit(1L))
+    }
+    base
+      .withColumn("rx", r2("bal_c"))
+      .withColumn("ry", r2("spend_c"))
+      .select(col("c_mktsegment"),
+        col("rx").cast("decimal(38,0)").as("rx"),
+        col("ry").cast("decimal(38,0)").as("ry"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("c_mktsegment"), col("n").cast("long").as("n"),
+        expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+          THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * 1000000) AS BIGINT)
+          END""").as("rho_e6"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Kendall tau-b (round 16) — rank concordance between daily event
+    * VOLUME and daily total VALUE per event type, with full tie
+    * correction: C−D = Σ sgn(nᵢ−nⱼ)·sgn(vᵢ−vⱼ) over day pairs, the
+    * denominator √((n₀−tx)(n₀−ty)) from per-value tie histograms.
+    * The pair join rides the calendar-bounded day spine (the
+    * qMannKendall/qTheilSen scale argument: days grow with TIME, not
+    * data volume — 100 TB of events is still ≤ a few thousand spine
+    * rows per type), everything below the final `tau_e6` is exact
+    * integer, and the readout is the identical-tree double form. */
+  def qKendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("nv"), sum(col("cents")).as("vv"))
+      .localCheckpoint(true)
+    val pairs = d.toDF("event_type", "di", "ni", "vi")
+      .join(d.toDF("event_type", "dj", "nj", "vj"), Seq("event_type"))
+      .filter(col("di") < col("dj"))
+      .select(col("event_type"),
+        (signum(col("nj") - col("ni")).cast("long") *
+          signum(col("vj") - col("vi")).cast("long")).as("cd"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cd")).as("c_minus_d"))
+    // Tie ledgers stay DOUBLED (Σ t(t−1), never /2 on a Column —
+    // Long `/` is double division): n₀−t = (n(n−1) − Σt(t−1)) div 2.
+    def tieTerm(v: String, as: String) = d
+      .groupBy(col("event_type"), col(v)).agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t")).as(s"n_$as"),
+        sum(col("t") * (col("t") - lit(1L))).as(s"t2_$as"))
+    pairs
+      .join(tieTerm("nv", "x"), Seq("event_type"))
+      .join(tieTerm("vv", "y").drop("n_y"), Seq("event_type"))
+      .select(col("event_type"), col("n_x").as("n_days"), col("c_minus_d"),
+        expr("""CASE WHEN (n_x * (n_x - 1) - t2_x) div 2 > 0
+            AND (n_x * (n_x - 1) - t2_y) div 2 > 0
+          THEN CAST(round(CAST(c_minus_d AS DOUBLE)
+            / sqrt(CAST((n_x * (n_x - 1) - t2_x) div 2 AS DOUBLE))
+            / sqrt(CAST((n_x * (n_x - 1) - t2_y) div 2 AS DOUBLE))
+            * 1000000) AS BIGINT) END""").as("tau_e6"))
+      .orderBy(col("event_type"))
+  }
 }

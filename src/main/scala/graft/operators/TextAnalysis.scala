@@ -1156,4 +1156,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"), sum(col("term_e6")).as("jsd_e6"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** Yule's K + Simpson's D per source (round 16) — the frequency-
+    * SPECTRUM richness statistics that [[hapaxStats]]' vocab/TTR
+    * readout can't see (TTR is length-sensitive; K and D are
+    * length-invariant, which is why corpus papers report them).
+    * K·10² = 10⁶·(Σm² − N)/N² and D·10⁹ = 10⁹·Σm(m−1)/(N(N−1)) fall
+    * straight out of the same map-side-combined (source, token)
+    * counts as hapax — one extra Σm² ledger, no new shuffle shape.
+    * Σm² and N² ride DECIMAL(38,0) (N² passes BIGINT near N≈3e9 —
+    * the qGini promotion rule); both emitted ratios are bounded
+    * truncating divs stated identically in the oracle. */
+  def yuleK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TF.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("n")).as("nt"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(col("source"), col("vocab"),
+        col("nt").cast("long").as("n_tokens"),
+        expr("CAST((1000000 * (s2 - nt)) div (nt * nt) AS BIGINT)")
+          .as("yule_k_e2"),
+        expr("CAST((1000000000 * (s2 - nt)) div (nt * (nt - 1)) AS BIGINT)")
+          .as("simpson_e9"))
+      .orderBy(col("source"))
 }
