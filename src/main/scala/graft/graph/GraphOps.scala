@@ -2202,7 +2202,25 @@ object GraphOps {
     // rounds the final select would reference a column that never
     // exists. Fail loudly instead of with an AnalysisException.
     require(iters >= 1, s"hits needs at least one iteration, got $iters")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    // LAZY checkpoint: the dispatch gate's count below is a full scan
+    // and doubles as the materializing action (the g_scc one-job
+    // lesson); when the gate short-circuits, the first loop action is
+    // also a full scan over e.
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    // Measured dispatch (round 16, the round-14 twin family): the
+    // loop is integer-exact (Long sums are accumulation-order
+    // independent; div truncates identically on the driver), so the
+    // twin is bit-identical and the unrolled oracle keeps matching.
+    // The DataFrame loop below is the unchanged 100 TB path — at
+    // bench scale its cost is 10 per-half-round plan compiles, not
+    // arithmetic (the plan-compile-bound family).
+    if (!forceDistributed && longKeyed(e, "src", "dst") &&
+        e.count() <= LocalLouvain.CollectMax) {
+      val rows = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      import spark.implicits._
+      return LocalIterative.hits(rows, iters).toDF("id", "role", "score_e6")
+        .orderBy(col("role"), col("id"))
+    }
     var hubs = e.select(col("src").as("id")).distinct()
       .withColumn("h", lit(1000000L))
       .localCheckpoint(true)

@@ -388,4 +388,96 @@ object LocalIterative {
     }
     out.sortBy(t => (t._1, t._2)).toSeq
   }
+
+  /** (id, role, score_e6) rows mirroring [[GraphOps.hits]]' integer
+    * loop: e6-scaled hub/authority sums with a truncating max-
+    * normalization per half-round. Long sums are accumulation-order
+    * independent and the div truncates toward zero exactly like
+    * Spark's `div`, so the twin is bit-identical to the DataFrame
+    * loop (IterativeDispatchSpec pins it). */
+  def hits(rows: Array[(Long, Long)], iters: Int): Seq[(Long, String, Long)] = {
+    val e = rows.distinct
+    val srcs = e.map(_._1).distinct.sorted
+    val hub = mutable.LongMap.empty[Long]
+    srcs.foreach(s => hub(s) = 1000000L)
+    var auth = mutable.LongMap.empty[Long]
+    for (_ <- 1 to iters) {
+      val araw = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      e.foreach { case (s, d) => araw(d) += hub(s) }
+      val amax = araw.values.max
+      auth = mutable.LongMap.empty[Long]
+      araw.foreach { case (d, a) => auth(d) = a * 1000000L / amax }
+      val hraw = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      e.foreach { case (s, d) => hraw(s) += auth(d) }
+      val hmax = hraw.values.max
+      hraw.foreach { case (s, h) => hub(s) = h * 1000000L / hmax }
+    }
+    srcs.map(s => (s, "hub", hub(s))).toSeq ++
+      auth.keys.toSeq.sorted.map(d => (d, "auth", auth(d)))
+  }
+
+  /** (vertex, scc_id = min member id) — driver twin of
+    * [[StronglyConnectedDF]]: SCC labels are CANONICAL (the min
+    * member id), so any correct algorithm emits identical rows and
+    * the twin-equality contract holds by definition, not by matching
+    * iteration order. Iterative Tarjan with an explicit frame stack
+    * (no JVM recursion bound on path-shaped chains); self-loops are
+    * ignored exactly as the distributed peel does. */
+  def tarjanScc(rows: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    val verts = mutable.LinkedHashSet.empty[Long]
+    rows.foreach { case (s, d) =>
+      verts += s; verts += d
+      if (s != d)
+        adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty[Long]) += d
+    }
+    val index = mutable.LongMap.empty[Long]
+    val low = mutable.LongMap.empty[Long]
+    val onStack = mutable.LongMap.empty[Boolean]
+    val stack = mutable.ArrayBuffer.empty[Long]
+    val label = mutable.LongMap.empty[Long]
+    val empty = mutable.ArrayBuffer.empty[Long]
+    var counter = 0L
+    verts.foreach { root =>
+      if (!index.contains(root)) {
+        val frames = mutable.ArrayBuffer[(Long, Int)]((root, 0))
+        index(root) = counter; low(root) = counter; counter += 1
+        stack += root; onStack(root) = true
+        while (frames.nonEmpty) {
+          val (v, ci) = frames.last
+          val nbrs = adj.getOrElse(v, empty)
+          if (ci < nbrs.length) {
+            frames(frames.length - 1) = (v, ci + 1)
+            val w = nbrs(ci)
+            if (!index.contains(w)) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack += w; onStack(w) = true
+              frames += ((w, 0))
+            } else if (onStack.getOrElse(w, false)) {
+              if (index(w) < low(v)) low(v) = index(w)
+            }
+          } else {
+            frames.remove(frames.length - 1)
+            if (frames.nonEmpty) {
+              val p = frames.last._1
+              if (low(v) < low(p)) low(p) = low(v)
+            }
+            if (low(v) == index(v)) {
+              var minId = Long.MaxValue
+              val comp = mutable.ArrayBuffer.empty[Long]
+              var w = 0L
+              do {
+                w = stack.remove(stack.length - 1)
+                onStack(w) = false
+                comp += w
+                if (w < minId) minId = w
+              } while (w != v)
+              comp.foreach(u => label(u) = minId)
+            }
+          }
+        }
+      }
+    }
+    verts.toSeq.sorted.map(v => (v, label(v)))
+  }
 }

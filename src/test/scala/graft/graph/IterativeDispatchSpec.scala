@@ -142,7 +142,8 @@ class IterativeDispatchSpec extends AnyFunSuite {
     // its equality — record it ONLY after writing that test.
     val files = Seq(
       "src/main/scala/graft/graph/GraphOps.scala",
-      "src/main/scala/graft/graph/ConnectedComponentsDF.scala")
+      "src/main/scala/graft/graph/ConnectedComponentsDF.scala",
+      "src/main/scala/graft/graph/StronglyConnectedDF.scala")
     var cur = "<none>"
     val sites = scala.collection.mutable.LinkedHashSet.empty[String]
     // Member-indent defs ONLY (≤ 2 leading spaces before modifiers):
@@ -178,7 +179,10 @@ class IterativeDispatchSpec extends AnyFunSuite {
         "IterativeDispatchSpec (driver Kruskal == Borůvka)",
       "refineCommunities" -> "LeidenSpec (refineDriver == refineDistributed)",
       "louvainOnSuper" -> "IncrementalLouvainSpec (driver vs GraphX partitions)",
-      "run" -> "IterativeDispatchSpec (ConnectedComponentsDF union-find)")
+      "run" -> "IterativeDispatchSpec (ConnectedComponentsDF union-find)",
+      "hits" -> "IterativeDispatchSpec (driver hits == DataFrame loop)",
+      "sccDispatch" ->
+        "IterativeDispatchSpec + SccDfSpec (driver Tarjan == coloring)")
     val missing = sites.filterNot(covered.contains)
     assert(missing.isEmpty,
       s"dispatch sites without a recorded twin-equality test: $missing")
@@ -214,5 +218,27 @@ class IterativeDispatchSpec extends AnyFunSuite {
     // both engines must agree on the one-community optimum; richer
     // planted agreement lives in IncrementalLouvainSpec.
     assert(drv == dist, s"driver $drv != graphx $dist")
+  }
+
+  test("hits: driver twin == DataFrame loop, bit for bit") {
+    // The directed purchase graph (customer→supplier), the shape
+    // g_hits actually runs; integer max-normalization makes both
+    // paths exact, so equality is rows, not tolerance.
+    val e = GraphBuilder.purchaseEdges(spark, "/root/testdata/sf0.001")
+    val (d, x) = bothPaths(GraphOps.hits(spark, e))
+    assert(d == x)
+    assert(d.nonEmpty)
+  }
+
+  test("scc: driver Tarjan == distributed coloring on the chain graph") {
+    // Canonical min-member labels make equality a theorem; this pins
+    // it on the real supplier hand-off digraph (SccDfSpec pins the
+    // adversarial planted shapes on both paths too).
+    val e = GraphBuilder.supplierChainEdges(spark, "/root/testdata/sf0.001")
+    val (d, x) = bothPaths(
+      StronglyConnectedDF.run(spark, e)
+        .orderBy(org.apache.spark.sql.functions.col("vertex")))
+    assert(d == x)
+    assert(d.nonEmpty)
   }
 }

@@ -7,11 +7,19 @@ class SccDfSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   import spark.implicits._
 
+  // Every planted shape runs BOTH paths: the driver Tarjan (the
+  // round-16 dispatch, which these small graphs hit) and the forced-
+  // distributed coloring loop — so the adversarial coloring cases
+  // (diamond DAG, nested peels) keep exercising the at-scale
+  // algorithm, and each doubles as a twin-equality pin.
   private def sccs(edges: Seq[(Long, Long)]): Map[Long, Set[Long]] = {
     val df = edges.toDF("src", "dst")
-    StronglyConnectedDF.run(spark, df).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._2).map { case (c, vs) => c -> vs.map(_._1).toSet }
+    def labels(): Set[(Long, Long)] = StronglyConnectedDF.run(spark, df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val drv = labels()
+    val dist = GraphOps.withForcedDistributed(labels())
+    assert(drv == dist, "driver Tarjan != distributed coloring")
+    drv.groupBy(_._2).map { case (c, vs) => c -> vs.map(_._1).toSet }
   }
 
   test("planted cycles, a bridge, and a tail singleton") {
