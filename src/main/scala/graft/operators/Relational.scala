@@ -3316,8 +3316,12 @@ object Relational {
       .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
       .select(col("c_custkey"), col("cust_nation"))
     val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    // Raw timestamp bounds, not year(l_shipdate) BETWEEN: a function
+    // over the column can't reach the parquet scan, the range
+    // predicate pushes as PushedFilters (≡ year ∈ [1996, 1999]).
     val li = Tables.lineitem(spark, dir)
-      .filter(year(col("l_shipdate")).between(1996, 1999))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate")).as("l_year"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
