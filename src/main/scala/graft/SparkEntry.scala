@@ -1022,6 +1022,21 @@ object SparkEntry {
     // Yule's K + Simpson's D per source: length-invariant frequency-
     // spectrum richness from the same (source, token) counts.
     "t_yule_k" -> ((s, d) => TextAnalysis.yuleK(s, d)),
+    // TPC-H Q13: order-count histogram incl. zero-order customers —
+    // the filter lives in the left join's ON clause.
+    "q13_cust_dist" -> ((s, d) => Relational.q13CustDist(s, d)),
+    // TPC-H Q14: promo revenue share by ship month, exact integer
+    // cents ratio, year range pushed to the scan.
+    "q14_promo_share" -> ((s, d) => Relational.q14PromoShare(s, d)),
+    // TPC-H Q18: large-volume orders — HAVING on lineitem first,
+    // unhinted join so AQE picks broadcast only at bench scale.
+    "q18_big_orders" -> ((s, d) => Relational.q18BigOrders(s, d)),
+    // TPC-H Q19: disjunctive brand x qty-band revenue with the
+    // derivable conjuncts stated for scan pruning.
+    "q19_disc_revenue" -> ((s, d) => Relational.q19DiscRevenue(s, d)),
+    // Dirichlet query-likelihood retrieval: the LM scorer beside
+    // BM25, inverted-index decomposed, e4 terms + exact fuse.
+    "r_qlm" -> ((s, d) => graft.operators.Retrieval.qlmTopK(s, d)),
     // All-but-the-top whitening audit: mean + PC1 removed, isotropy
     // re-measured (rows-only: exact-Gram power iteration).
     "e_whiten" -> ((s, d) => Similarity.abttWhiten(s, d)),
@@ -4793,6 +4808,31 @@ object SparkEntry {
         |  FROM bm25)
         |SELECT query_id, doc_id, bm25_e4, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Dirichlet QL, inverted-index decomposition: matched-term e4
+    // sums + |q| x the e4 length term — identical ln trees (μ, T, cf
+    // all exact integers/constants both sides).
+    "r_qlm" ->
+      s"""$bm25OracleCte,
+        |cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf
+        |  FROM tf GROUP BY 1),
+        |qlen AS (SELECT query_id, CAST(count(*) AS BIGINT) AS qlen
+        |  FROM qterms GROUP BY 1),
+        |m AS (SELECT q.query_id, tf.doc_id,
+        |    CAST(sum(CAST(round(ln(1 + CAST(tf AS DOUBLE) * totdl
+        |      / (${graft.operators.Retrieval.Mu} * cf)) * 10000) AS BIGINT))
+        |      AS BIGINT) AS m_e4
+        |  FROM tf JOIN qterms q USING (token) JOIN cf USING (token), tot
+        |  WHERE tf.doc_id <> q.query_id GROUP BY 1, 2),
+        |ql AS (SELECT m.query_id, m.doc_id,
+        |    m_e4 + qlen * CAST(round(ln(${graft.operators.Retrieval.Mu}
+        |      / (dl + ${graft.operators.Retrieval.Mu})) * 10000) AS BIGINT)
+        |      AS ql_e4
+        |  FROM m JOIN qlen USING (query_id) JOIN dl ON dl.doc_id = m.doc_id),
+        |ranked AS (SELECT query_id, doc_id, ql_e4,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ql_e4 DESC, doc_id ASC) AS INT) AS rank FROM ql)
+        |SELECT query_id, doc_id, ql_e4, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // RRF over the sparse top-10 and the dense cosine top-10 (the
     // explicit list_dot/sqrt·sqrt tree — the CosineSim ulp lesson);
     // contributions are exact 1e6 div (60+rank) integers.
@@ -5693,6 +5733,51 @@ object SparkEntry {
         |  CAST((1000000000 * (sum(n * n) - sum(n)))
         |    // (sum(n) * (sum(n) - 1)) AS BIGINT) AS simpson_e9
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The join-condition (not WHERE) predicate keeps zero-order
+    // customers; count(o_orderkey) skips the null-extended rows.
+    "q13_cust_dist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey,
+        |    CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Exact integer promo share (cents x (100-disc%)), HUGEINT
+    // ledgers, one truncating div — the q8_mktshare discipline.
+    "q14_promo_share" ->
+      """WITH v AS (SELECT CAST(month(l_shipdate) AS INT) AS l_month,
+        |    p_type = 'PROMO' AS is_promo,
+        |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      AS HUGEINT) AS vol
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT l_month,
+        |  CAST((1000000 * sum(CASE WHEN is_promo THEN vol ELSE 0 END))
+        |    // sum(vol) AS BIGINT) AS promo_share_e6
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Unique (sum_qty DESC, o_orderkey) order; integral quantities.
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  round(o_totalprice, 2) AS totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+    // Derivable conjuncts + residual disjunction, scalar money row.
+    "q19_disc_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |    AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity BETWEEN 1.0 AND 30.0
+        |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND ((p_brand = 'Brand#1' AND l_quantity BETWEEN 1.0 AND 11.0)
+        |    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10.0 AND 20.0)
+        |    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20.0 AND 30.0))""".stripMargin,
     // Per-brand log-log OLS over the bounded (brand, qty) grid —
     // the q_power_law tree, grouped; part joins before the collapse.
     "q_price_elasticity" ->

@@ -3409,6 +3409,102 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q13 shape (round 16) — customer order-count distribution
+    * INCLUDING zero-order customers: the filter lives in the LEFT
+    * join's ON clause (a WHERE would silently drop the zero-order
+    * row — the classic Q13 trap), orders carry the non-urgent
+    * predicate down to their scan, and the two aggregations are both
+    * map-side combinable (per-customer count, then the bounded
+    * count-of-counts histogram). Unique (custdist DESC, c_count
+    * DESC) order. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= lit("1-URGENT"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 shape (round 16) — promo-part revenue share by ship
+    * month over one year: the year lands on the scan as a raw
+    * timestamp range, part broadcasts, and the share is an EXACT
+    * integer ratio (cents × (100−disc%), DECIMAL(38,0) ledgers, one
+    * truncating div — the q8_mktshare §6 discipline). */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === lit("PROMO")).as("is_promo"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"), month(col("l_shipdate")).as("l_month"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .cast("decimal(38,0)").as("vol"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_month"))
+      .agg(
+        sum(when(col("is_promo"), col("vol"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("pvol"),
+        sum(col("vol")).as("tvol"))
+      .select(col("l_month"),
+        expr("CAST((1000000 * pvol) div tvol AS BIGINT)").as("promo_share_e6"))
+      .orderBy(col("l_month"))
+  }
+
+  /** TPC-H Q18 shape (round 16) — large-volume orders: the HAVING
+    * over per-order quantity runs FIRST on lineitem alone (one
+    * map-side-combined aggregate), then joins into orders ⋈
+    * customer — the join never sees non-qualifying orders. The
+    * survivor set is ~1% of orders, so it is NOT broadcast-hinted:
+    * Catalyst/AQE broadcasts it at bench scale and falls back to a
+    * shuffled join at 100 TB where 1% of orders no longer fits.
+    * Quantities are exact integers (qty is integral in this corpus);
+    * unique (sum_qty DESC, o_orderkey) order. */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity"))).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > 300L)
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  /** TPC-H Q19 shape (round 16) — disjunctive brand × quantity-band
+    * revenue: the OR spans both tables, so the DERIVABLE conjuncts
+    * are stated explicitly the way Q19 executors rewrite it — brand
+    * ∈ {1,2,3} prunes the broadcast part scan, qty ∈ [1, 30] pushes
+    * to the lineitem scan — and the residual disjunction filters the
+    * joined stream. One scalar money row under the §6 round rule. */
+  def q19DiscRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brands = Seq("Brand#1", "Brand#2", "Brand#3")
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_brand").isin(brands: _*))
+      .select(col("p_partkey"), col("p_brand"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity").between(1.0, 30.0))
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === lit("Brand#1") && col("l_quantity").between(1.0, 11.0)) ||
+        (col("p_brand") === lit("Brand#2") && col("l_quantity").between(10.0, 20.0)) ||
+        (col("p_brand") === lit("Brand#3") && col("l_quantity").between(20.0, 30.0)))
+      .agg(round(sum(col("volume")), 2).as("revenue"))
+  }
+
   /** Spearman rank correlation (round 16) — does a customer's
     * account balance predict their total spend, per market segment?
     * Tie-corrected via AVERAGE ranks kept integral at ×2 scale

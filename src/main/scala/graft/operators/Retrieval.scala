@@ -40,6 +40,10 @@ object Retrieval {
   val K1 = 1.2
   val B = 0.75
 
+  /** Dirichlet smoothing mass of the query-likelihood model
+    * ([[qlmTopK]]) — the Zhai–Lafferty default range. */
+  val Mu = 300.0
+
   /** (doc_id, token, tf) + per-doc length dl — one corpus scan. */
   private def tfTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -460,6 +464,47 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("bm25_e4"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** `r_qlm`: Dirichlet-smoothed query-likelihood retrieval (Zhai &
+    * Lafferty 2001) — the language-model ranking function beside
+    * BM25's tf-saturation family (the second classic sparse scorer a
+    * retrieval stack A/Bs against). Decomposed for the inverted
+    * index so unmatched terms never need a per-(query, doc) scan:
+    *   score(q,d) = Σ_matched ln(1 + tf·T/(μ·cf)) + |q|·ln(μ/(dl+μ))
+    * (T = total corpus tokens, cf = collection frequency). Each ln
+    * term is e4-rounded through the identical textual tree the
+    * oracle states — the matched part ONCE per posting before the
+    * integer per-pair sum, the length part ONCE per candidate pair
+    * multiplied by the integer |q| — so the fused score is exact.
+    * Same bounded-query inverted-index shape as [[bm25TopK]]: the
+    * broadcast term set selects candidates through the postings
+    * join; top-10 under the unique (score DESC, doc_id) order. */
+  def qlmTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val c = bmCorpus(spark, dir)
+    val cf = c.tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val qt = queryTerms(c).localCheckpoint(true)
+    val qlen = qt.groupBy(col("query_id")).agg(count(lit(1)).as("qlen"))
+    val matched = c.tf.join(broadcast(qt), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(cf, Seq("token"))
+      .select(col("query_id"), col("doc_id"),
+        expr(s"CAST(round(ln(1 + CAST(tf AS DOUBLE) * ${c.totdl}" +
+          s" / ($Mu * cf)) * 10000) AS BIGINT)").as("m_e4"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("m_e4")).as("m_e4"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ql_e4").desc, col("doc_id").asc)
+    matched
+      .join(broadcast(qlen), Seq("query_id"))
+      .join(c.dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("m_e4") + col("qlen") *
+          expr(s"CAST(round(ln($Mu / (dl + $Mu)) * 10000) AS BIGINT)"))
+          .as("ql_e4"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }
 }
