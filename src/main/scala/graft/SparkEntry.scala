@@ -293,6 +293,30 @@ object SparkEntry {
       val dm = ecc.agg(mx(col("ecc")).as("diam_lb"))
       ecc.crossJoin(broadcast(dm)).orderBy(col("landmark"))
     }),
+    // Mean shortest-path length + 90th-pct effective diameter per
+    // landmark — the small-world readout off the same dispatched
+    // BFS as g_sssp/g_diameter; truncating e4 mean, ordered
+    // selection at rank ceil(0.9·n) (ties collapse to one VALUE).
+    "g_avg_path" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{expr => fexpr}
+      val sp = GraphOps.shortestPaths(s, GraphBuilder.supplierCoEdges(s, d))
+        .filter(col("hops") > 0)
+      val agg = sp.groupBy(col("landmark"))
+        .agg(count(lit(1)).as("n_reached"),
+          org.apache.spark.sql.functions.sum(col("hops")).as("hsum"))
+        .select(col("landmark"), col("n_reached"),
+          fexpr("(hsum * 10000) div n_reached").as("mean_hops_e4"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("landmark")).orderBy(col("hops"), col("vertex"))
+      val eff = sp
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+        .join(agg.select(col("landmark"), col("n_reached")), Seq("landmark"))
+        .filter(col("rk").cast("long") ===
+          org.apache.spark.sql.functions.ceil(lit(0.9) * col("n_reached")))
+        .groupBy(col("landmark"))
+        .agg(org.apache.spark.sql.functions.max(col("hops")).as("eff_diam"))
+      agg.join(eff, Seq("landmark")).orderBy(col("landmark"))
+    }),
     // HyperBall harmonic centrality: per-vertex Σ 1/d from ANF ball
     // increments (rows-only + BFS-exact planted spec).
     "g_harmonic" -> ((s, d) =>
@@ -412,6 +436,10 @@ object SparkEntry {
       GraphOps.assortativity(GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
     "g_adamic_adar" -> ((s, d) =>
       GraphOps.adamicAdar(GraphBuilder.supplierCoEdges(s, d))),
+    // Resource-allocation link prediction: 1/deg(w) per common
+    // neighbor — AA's hub-penalizing sibling, shared dispatch.
+    "g_resource_alloc" -> ((s, d) =>
+      GraphOps.resourceAllocation(GraphBuilder.supplierCoEdges(s, d))),
     "g_squares" -> ((s, d) =>
       GraphOps.squareCount(GraphOps.strongTies(GraphBuilder.supplierCoEdges(s, d)))),
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
@@ -2313,6 +2341,29 @@ object SparkEntry {
         |SELECT a, b, count(*) AS common, CAST(sum(term) AS BIGINT) AS aa_e4
         |FROM t GROUP BY a, b
         |ORDER BY aa_e4 DESC, a, b LIMIT 100""".stripMargin,
+    // Resource allocation: identical wedge/anti-join tree to
+    // g_adamic_adar with the 1/deg term (no ln).
+    "g_resource_alloc" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |    CAST(count(*) AS DOUBLE) AS weight
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |thr AS (SELECT quantile_cont(weight, 0.5) * 1.25 AS t FROM e),
+        |st AS MATERIALIZED (SELECT src, dst FROM e, thr WHERE weight >= t),
+        |sym AS MATERIALIZED (SELECT src, dst FROM st UNION ALL SELECT dst, src FROM st),
+        |deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM sym GROUP BY 1),
+        |cand AS (SELECT s1.src AS a, s2.dst AS b, s1.dst AS w
+        |  FROM sym s1 JOIN sym s2 ON s2.src = s1.dst AND s1.src < s2.dst),
+        |ne AS (SELECT c.a, c.b, c.w FROM cand c
+        |  LEFT JOIN st ON st.src = c.a AND st.dst = c.b
+        |  WHERE st.src IS NULL),
+        |t AS (SELECT a, b, CAST(round(10000.0 / d.deg) AS BIGINT) AS term
+        |  FROM ne JOIN deg d ON d.v = ne.w)
+        |SELECT a, b, count(*) AS common, CAST(sum(term) AS BIGINT) AS ra_e4
+        |FROM t GROUP BY a, b
+        |ORDER BY ra_e4 DESC, a, b LIMIT 100""".stripMargin,
     // 4-cycle census via the diagonal identity C4 = Σ c·(c−1)/4 over
     // pair codegrees on the strong-tie subgraph — exact integers end
     // to end, so the wedge-join oracle states the same scalar.
@@ -2679,6 +2730,39 @@ object SparkEntry {
         |dm AS (SELECT max(ecc) AS diam_lb FROM agg)
         |SELECT landmark, n_reached, ecc, diam_lb FROM agg, dm
         |ORDER BY landmark""".stripMargin,
+    // Same BFS CTE; truncating e4 mean over reached others, 90th-pct
+    // effective diameter by ordered selection (ties collapse to the
+    // same hop VALUE under any tie order).
+    "g_avg_path" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM sym),
+        |lms AS (SELECT v FROM verts ORDER BY v LIMIT 3),
+        |bfs(lm, v, d) AS (
+        |  SELECT v, v, 0 FROM lms
+        |  UNION
+        |  SELECT b.lm, s.dst, b.d + 1 FROM bfs b
+        |  JOIN sym s ON s.src = b.v WHERE b.d < 30),
+        |h AS (SELECT lm, v, min(d) AS hops FROM bfs GROUP BY 1, 2),
+        |nz AS (SELECT lm, v, hops FROM h WHERE hops > 0),
+        |agg AS (SELECT CAST(lm AS BIGINT) AS landmark,
+        |    CAST(count(*) AS BIGINT) AS n_reached,
+        |    CAST(sum(hops) * 10000 // count(*) AS BIGINT) AS mean_hops_e4
+        |  FROM nz GROUP BY 1),
+        |r AS (SELECT lm, hops,
+        |    row_number() OVER (PARTITION BY lm ORDER BY hops, v) AS rk
+        |  FROM nz),
+        |eff AS (SELECT CAST(r.lm AS BIGINT) AS landmark,
+        |    CAST(max(hops) AS BIGINT) AS eff_diam
+        |  FROM r JOIN agg ON CAST(r.lm AS BIGINT) = agg.landmark
+        |  WHERE rk = CAST(ceil(0.9 * n_reached) AS BIGINT) GROUP BY 1)
+        |SELECT agg.landmark, n_reached, mean_hops_e4, eff_diam
+        |FROM agg JOIN eff ON agg.landmark = eff.landmark
+        |ORDER BY agg.landmark""".stripMargin,
     // Landmark closeness: the g_sssp BFS CTE aggregated per vertex.
     // harmonic_e4 floors 1e4/hops PER TERM (DuckDB `//` = Spark
     // `div`) before summing — integers both sides, reduction-order

@@ -645,12 +645,34 @@ object GraphOps {
     * At 100 TB the dispatch picks the wedge path automatically: V
     * exceeds the dense cap, and V²/2 pair enumeration would dwarf
     * Σdeg² on any sparse graph. */
-  def adamicAdar(edges: DataFrame, topN: Int = 100): DataFrame = {
+  def adamicAdar(edges: DataFrame, topN: Int = 100): DataFrame =
+    commonNeighborScores(edges, topN,
+      c => round(lit(10000.0) / log(c)).cast("long"), "aa_e4")
+
+  /** Resource-allocation link prediction (round 16; Zhou, Lu &
+    * Zhang 2009) — Adamic-Adar's harder-decaying sibling: each
+    * common neighbor w contributes 1/deg(w) instead of 1/ln deg(w),
+    * which penalizes promiscuous hubs enough to win on dense
+    * co-occurrence graphs (the LP survey's consistent result). Same
+    * e4 per-term rounding, same dense/sparse dispatch, same
+    * anti-join against existing ties — one changed term expression
+    * on the shared [[commonNeighborScores]] machinery. */
+  def resourceAllocation(edges: DataFrame, topN: Int = 100): DataFrame =
+    commonNeighborScores(edges, topN,
+      c => round(lit(10000.0) / c).cast("long"), "ra_e4")
+
+  /** The shared common-neighbor scoring machinery behind
+    * [[adamicAdar]] and [[resourceAllocation]]: per-vertex e4 term
+    * from `termOf`(degree), dense pair-enumeration vs sparse
+    * AQE-pinned wedge dispatch (both documented above), anti-join,
+    * top-`topN` under the unique (score DESC, a, b) order. */
+  private def commonNeighborScores(edges: DataFrame, topN: Int,
+      termOf: Column => Column, scoreAs: String): DataFrame = {
     val spark = edges.sparkSession
     val st = strongTies(edges).select(col("src"), col("dst")).localCheckpoint(true)
     val sym = st.unionAll(st.select(col("dst").as("src"), col("src").as("dst")))
     val term = sym.groupBy(col("src").as("w"))
-      .agg(round(lit(10000.0) / log(count(lit(1)))).cast("long").as("term_e4"))
+      .agg(termOf(count(lit(1))).as("term_e4"))
       .localCheckpoint(true)
     val nV = term.count()
     val nE = st.count()
@@ -681,7 +703,7 @@ object GraphOps {
             col("ks"), col("vs"), col("kbs")).as("stats"))
         .select(col("a"), col("b"),
           col("stats").getField("common").as("common"),
-          col("stats").getField("vsum").as("aa_e4"))
+          col("stats").getField("vsum").as(scoreAs))
         .filter(col("common") >= 1L)
     } else {
       // Pin the wedge stage's parallelism: the join INPUTS are small
@@ -699,10 +721,10 @@ object GraphOps {
           Seq("w"))
         .filter(col("a") < col("b"))
         .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("common"), sum(col("term_e4")).as("aa_e4"))
+        .agg(count(lit(1)).as("common"), sum(col("term_e4")).as(scoreAs))
     }
     pairs.join(anti, Seq("a", "b"), "left_anti")
-      .orderBy(col("aa_e4").desc, col("a"), col("b"))
+      .orderBy(col(scoreAs).desc, col("a"), col("b"))
       .limit(topN)
   }
 
