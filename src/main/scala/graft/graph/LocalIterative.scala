@@ -396,6 +396,10 @@ object LocalIterative {
     * Spark's `div`, so the twin is bit-identical to the DataFrame
     * loop (IterativeDispatchSpec pins it). */
   def hits(rows: Array[(Long, Long)], iters: Int): Seq[(Long, String, Long)] = {
+    // Empty-graph guard (the eigenCentrality round-15 ADVICE class:
+    // .max on an empty half-round would throw where the distributed
+    // loop returns an empty frame).
+    if (rows.isEmpty) return Seq.empty
     val e = rows.distinct
     val srcs = e.map(_._1).distinct.sorted
     val hub = mutable.LongMap.empty[Long]

@@ -230,6 +230,14 @@ class IterativeDispatchSpec extends AnyFunSuite {
     assert(d.nonEmpty)
   }
 
+  test("hits: empty edge set returns empty on both paths") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "weight")
+    assert(GraphOps.hits(spark, e).collect().isEmpty)
+    assert(GraphOps.withForcedDistributed(
+      GraphOps.hits(spark, e).collect()).isEmpty)
+  }
+
   test("scc: driver Tarjan == distributed coloring on the chain graph") {
     // Canonical min-member labels make equality a theorem; this pins
     // it on the real supplier hand-off digraph (SccDfSpec pins the
