@@ -1065,6 +1065,19 @@ object SparkEntry {
     // Dirichlet query-likelihood retrieval: the LM scorer beside
     // BM25, inverted-index decomposed, e4 terms + exact fuse.
     "r_qlm" -> ((s, d) => graft.operators.Retrieval.qlmTopK(s, d)),
+    // Soft dedup by downweighting: every cluster member keeps weight
+    // 1/|cluster| (planted dups as in p_priority_dedup).
+    "p_dedup_weights" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{lit => flit, pmod => fpmod, when => fwhen}
+      Pipeline.dedupWeightsOf(Tables.documents(s, d)
+        .select(col("doc_id"),
+          fwhen(fpmod(col("doc_id"), flit(25L)) === 3, flit("PLANTED DUP ALPHA"))
+            .when(fpmod(col("doc_id"), flit(25L)) === 7, flit("PLANTED DUP BETA"))
+            .otherwise(col("text")).as("text")))
+    }),
+    // Inter-order gap profile per segment: exact lower-median +
+    // truncating e4 mean of per-customer repurchase gaps.
+    "q_order_gap" -> ((s, d) => Relational.qOrderGap(s, d)),
     // All-but-the-top whitening audit: mean + PC1 removed, isotropy
     // re-measured (rows-only: exact-Gram power iteration).
     "e_whiten" -> ((s, d) => Similarity.abttWhiten(s, d)),
@@ -5852,6 +5865,44 @@ object SparkEntry {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+    // Same planted-dup CASE as p_priority_dedup; one truncating div.
+    "p_dedup_weights" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 25 = 3 THEN 'PLANTED DUP ALPHA'
+        |      WHEN doc_id % 25 = 7 THEN 'PLANTED DUP BETA'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(text) AS h FROM d),
+        |c AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS cluster_id,
+        |    CAST(count(*) AS BIGINT) AS csize
+        |  FROM h GROUP BY h)
+        |SELECT doc_id, cluster_id, csize,
+        |  CAST(1000000 // csize AS BIGINT) AS weight_e6
+        |FROM h JOIN c USING (h) ORDER BY doc_id""".stripMargin,
+    // Lower median by ordered selection at rank (n+1)//2 (gap ties
+    // collapse to the same VALUE); truncating e4 mean.
+    "q_order_gap" ->
+      """WITH g AS (SELECT c_mktsegment, o_custkey, o_orderkey,
+        |    CAST(date_diff('day',
+        |      lag(CAST(o_orderdate AS DATE), 1) OVER
+        |        (PARTITION BY o_custkey
+        |         ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |nz AS (SELECT * FROM g WHERE gap IS NOT NULL),
+        |agg AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap) * 10000 // count(*) AS BIGINT) AS mean_gap_e4
+        |  FROM nz GROUP BY 1),
+        |r AS (SELECT c_mktsegment, gap, row_number() OVER
+        |    (PARTITION BY c_mktsegment
+        |     ORDER BY gap, o_custkey, o_orderkey) AS rk
+        |  FROM nz),
+        |med AS (SELECT r.c_mktsegment, CAST(max(gap) AS BIGINT) AS median_gap
+        |  FROM r JOIN agg ON r.c_mktsegment = agg.c_mktsegment
+        |  WHERE rk = (n_gaps + 1) // 2 GROUP BY 1)
+        |SELECT agg.c_mktsegment, n_gaps, mean_gap_e4, median_gap
+        |FROM agg JOIN med ON agg.c_mktsegment = med.c_mktsegment
+        |ORDER BY agg.c_mktsegment""".stripMargin,
     // Derivable conjuncts + residual disjunction, scalar money row.
     "q19_disc_revenue" ->
       """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2)

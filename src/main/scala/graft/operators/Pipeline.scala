@@ -802,4 +802,23 @@ object Pipeline {
         expr("n_shared * 10000 div least(n_a, n_b)").as("contain_e4"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** Soft dedup by downweighting (round 16) — the keep-everything
+    * alternative to survivor selection: instead of dropping
+    * duplicates, every member of an exact-content cluster gets
+    * sampling weight 1/|cluster| so the cluster contributes one
+    * document's worth of expected training mass (the repetition-
+    * aware reweighting practice; cf. the "repeat or reweight"
+    * dedup-ablation literature). One md5 collapse + one count join —
+    * the d_exact_dedup shuffle shape with a weight readout instead
+    * of a verdict; weight_e6 is one truncating div both sides. */
+  def dedupWeightsOf(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val c = h.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("csize"))
+    h.join(c, Seq("h"))
+      .select(col("doc_id"), col("cluster_id"), col("csize"),
+        expr("1000000 div csize").as("weight_e6"))
+      .orderBy(col("doc_id"))
+  }
 }

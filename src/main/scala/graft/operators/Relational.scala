@@ -3409,6 +3409,43 @@ object Relational {
       .limit(20)
   }
 
+  /** Inter-order gap profile per market segment (round 16) — the
+    * repurchase-cycle readout behind replenishment/churn models
+    * (q_survival measures time-to-churn; this measures the rhythm
+    * while alive): per customer, day gaps between consecutive orders
+    * under the unique (day, orderkey) lag order, then per segment
+    * the exact lower-median gap (ordered selection at rank
+    * ⌈n/2⌉ — gap ties collapse to the same VALUE under any tie
+    * order) and the truncating e4 mean. One lag window per customer
+    * (groups spread across the shuffle), one rank window per segment
+    * over the already-collapsed gap rows. */
+  def qOrderGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"))
+      .withColumn("gap",
+        datediff(col("day"), lag(col("day"), 1).over(w)).cast("long"))
+      .filter(col("gap").isNotNull)
+      .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_custkey"), col("o_orderkey"), col("gap"))
+      .localCheckpoint(true)
+    val agg = gaps.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("gsum"))
+      .select(col("c_mktsegment"), col("n_gaps"),
+        expr("(gsum * 10000) div n_gaps").as("mean_gap_e4"))
+    val rw = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("gap"), col("o_custkey"), col("o_orderkey"))
+    val med = gaps.withColumn("rk", row_number().over(rw))
+      .join(agg.select(col("c_mktsegment"), col("n_gaps")), Seq("c_mktsegment"))
+      .filter(col("rk").cast("long") === expr("(n_gaps + 1) div 2"))
+      .groupBy(col("c_mktsegment")).agg(max(col("gap")).as("median_gap"))
+    agg.join(med, Seq("c_mktsegment")).orderBy(col("c_mktsegment"))
+  }
+
   /** TPC-H Q13 shape (round 16) — customer order-count distribution
     * INCLUDING zero-order customers: the filter lives in the LEFT
     * join's ON clause (a WHERE would silently drop the zero-order
