@@ -1078,6 +1078,9 @@ object SparkEntry {
     // Inter-order gap profile per segment: exact lower-median +
     // truncating e4 mean of per-customer repurchase gaps.
     "q_order_gap" -> ((s, d) => Relational.qOrderGap(s, d)),
+    // XYZ demand-variability classes beside q_abc: float-free CV²
+    // by cross-multiplied integer comparisons over the month spine.
+    "q_xyz" -> ((s, d) => Relational.qXyz(s, d)),
     // All-but-the-top whitening audit: mean + PC1 removed, isotropy
     // re-measured (rows-only: exact-Gram power iteration).
     "e_whiten" -> ((s, d) => Similarity.abttWhiten(s, d)),
@@ -5879,6 +5882,22 @@ object SparkEntry {
         |SELECT doc_id, cluster_id, csize,
         |  CAST(1000000 // csize AS BIGINT) AS weight_e6
         |FROM h JOIN c USING (h) ORDER BY doc_id""".stripMargin,
+    // Global month spine (zero months count via the broadcast n);
+    // HUGEINT ledgers; classes by cross-multiplied comparisons.
+    "q_xyz" ->
+      """WITH pm AS (SELECT l_partkey, date_trunc('month', l_shipdate) AS mo,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS mq
+        |  FROM lineitem GROUP BY 1, 2),
+        |spine AS (SELECT CAST(count(DISTINCT mo) AS HUGEINT) AS n FROM pm),
+        |f AS (SELECT l_partkey, sum(mq) AS s, sum(mq * mq) AS s2
+        |  FROM pm GROUP BY 1)
+        |SELECT l_partkey, CAST(n AS BIGINT) AS n_months,
+        |  CAST(s AS BIGINT) AS total_qty,
+        |  CAST((1000000 * (n * s2 - s * s)) // (s * s) AS BIGINT) AS cv2_e6,
+        |  CASE WHEN 4 * (n * s2 - s * s) < s * s THEN 'X'
+        |    WHEN n * s2 - s * s < s * s THEN 'Y'
+        |    ELSE 'Z' END AS cls
+        |FROM f, spine ORDER BY l_partkey""".stripMargin,
     // Lower median by ordered selection at rank (n+1)//2 (gap ties
     // collapse to the same VALUE); truncating e4 mean.
     "q_order_gap" ->

@@ -3409,6 +3409,39 @@ object Relational {
       .limit(20)
   }
 
+  /** XYZ demand-variability classification (round 16) — [[qAbc]]'s
+    * textbook companion (ABC ranks by value, XYZ by forecastability;
+    * planners cross them): per part, the coefficient of variation of
+    * MONTHLY demand over the full month spine (zero months count —
+    * n is the GLOBAL spine size, attached as one broadcast scalar,
+    * so a part sold once isn't "perfectly stable"). Float-free
+    * classes by cross-multiplied integer comparisons on
+    * CV² = (n·Σq² − S²)/S²: X (CV < 0.5 ⇔ 4·(nΣq²−S²) < S²),
+    * Y (CV < 1), Z otherwise; ledgers ride DECIMAL(38,0) (n·Σq²
+    * passes BIGINT when per-part S nears 1e9 — the qGini rule) and
+    * the emitted cv2_e6 is one truncating div both sides. One
+    * map-side-combined (part, month) collapse, one per-part fold. */
+  def qXyz(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), date_trunc("month", col("l_shipdate")).as("mo"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .groupBy(col("l_partkey"), col("mo"))
+      .agg(sum(col("q")).cast("decimal(38,0)").as("mq"))
+    val spine = pm.agg(count_distinct(col("mo")).cast("decimal(38,0)").as("n"))
+    pm.groupBy(col("l_partkey"))
+      .agg(sum(col("mq")).as("s"), sum(col("mq") * col("mq")).as("s2"))
+      .crossJoin(broadcast(spine))
+      .select(col("l_partkey"),
+        expr("CAST(n AS BIGINT)").as("n_months"),
+        expr("CAST(s AS BIGINT)").as("total_qty"),
+        expr("CAST((1000000 * (n * s2 - s * s)) div (s * s) AS BIGINT)")
+          .as("cv2_e6"),
+        expr("""CASE WHEN 4 * (n * s2 - s * s) < s * s THEN 'X'
+          WHEN n * s2 - s * s < s * s THEN 'Y'
+          ELSE 'Z' END""").as("cls"))
+      .orderBy(col("l_partkey"))
+  }
+
   /** Inter-order gap profile per market segment (round 16) — the
     * repurchase-cycle readout behind replenishment/churn models
     * (q_survival measures time-to-churn; this measures the rhythm
