@@ -1062,6 +1062,21 @@ object SparkEntry {
     // TPC-H Q19: disjunctive brand x qty-band revenue with the
     // derivable conjuncts stated for scan pruning.
     "q19_disc_revenue" -> ((s, d) => Relational.q19DiscRevenue(s, d)),
+    // TPC-H Q17: scalar-subquery-per-group decorrelated into a
+    // per-part agg join; 0.2*avg as an exact integer cross-multiply.
+    "q17_small_qty" -> ((s, d) => Relational.q17SmallQty(s, d)),
+    // TPC-H Q21: EXISTS + NOT-EXISTS both decorrelated into ONE
+    // per-order (ns, rs) aggregate; top-25 under a unique order.
+    "q21_waiting" -> ((s, d) => Relational.q21Waiting(s, d)),
+    // TPC-H Q22: NOT EXISTS as a date-pruned left-anti join + the
+    // global scalar avg broadcast once.
+    "q22_idle_cust" -> ((s, d) => Relational.q22IdleCust(s, d)),
+    // TPC-H Q15: argmax-over-join — exact-integer revenue view, max
+    // broadcast, all maximal suppliers emitted (tie-safe).
+    "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    // TPC-H Q2: per-part min-cost supplier via the unique-ranked
+    // window over the key the cost agg already shuffled on.
+    "q2_min_cost" -> ((s, d) => Relational.q2MinCost(s, d)),
     // Dirichlet query-likelihood retrieval: the LM scorer beside
     // BM25, inverted-index decomposed, e4 terms + exact fuse.
     "r_qlm" -> ((s, d) => graft.operators.Retrieval.qlmTopK(s, d)),
@@ -5742,8 +5757,9 @@ object SparkEntry {
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN an ON c_nationkey = an.n_nationkey)
         |SELECT o_year,
-        |  CAST((1000000 * sum(CASE WHEN supp_nation = 'NATION_5'
-        |      THEN vol ELSE 0 END)) // sum(vol) AS BIGINT) AS mkt_share_e6
+        |  CAST(CASE WHEN sum(vol) = 0 THEN NULL
+        |    ELSE (1000000 * sum(CASE WHEN supp_nation = 'NATION_5'
+        |      THEN vol ELSE 0 END)) // sum(vol) END AS BIGINT) AS mkt_share_e6
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     // Unique (revenue DESC, c_custkey) top-20 on the rounded money.
     "q10_returns" ->
@@ -5830,8 +5846,9 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_tokens,
         |  CAST((1000000 * (sum(n * n) - sum(n)))
         |    // (sum(n) * sum(n)) AS BIGINT) AS yule_k_e2,
-        |  CAST((1000000000 * (sum(n * n) - sum(n)))
-        |    // (sum(n) * (sum(n) - 1)) AS BIGINT) AS simpson_e9
+        |  CAST(CASE WHEN sum(n) * (sum(n) - 1) = 0 THEN NULL
+        |    ELSE (1000000000 * (sum(n * n) - sum(n)))
+        |      // (sum(n) * (sum(n) - 1)) END AS BIGINT) AS simpson_e9
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // The join-condition (not WHERE) predicate keeps zero-order
     // customers; count(o_orderkey) skips the null-extended rows.
@@ -5855,8 +5872,9 @@ object SparkEntry {
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
         |SELECT l_month,
-        |  CAST((1000000 * sum(CASE WHEN is_promo THEN vol ELSE 0 END))
-        |    // sum(vol) AS BIGINT) AS promo_share_e6
+        |  CAST(CASE WHEN sum(vol) = 0 THEN NULL
+        |    ELSE (1000000 * sum(CASE WHEN is_promo THEN vol ELSE 0 END))
+        |      // sum(vol) END AS BIGINT) AS promo_share_e6
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     // Unique (sum_qty DESC, o_orderkey) order; integral quantities.
     "q18_big_orders" ->
@@ -5893,7 +5911,9 @@ object SparkEntry {
         |  FROM pm GROUP BY 1)
         |SELECT l_partkey, CAST(n AS BIGINT) AS n_months,
         |  CAST(s AS BIGINT) AS total_qty,
-        |  CAST((1000000 * (n * s2 - s * s)) // (s * s) AS BIGINT) AS cv2_e6,
+        |  CAST(CASE WHEN s = 0 THEN NULL
+        |    ELSE (1000000 * (n * s2 - s * s)) // (s * s) END
+        |    AS BIGINT) AS cv2_e6,
         |  CASE WHEN 4 * (n * s2 - s * s) < s * s THEN 'X'
         |    WHEN n * s2 - s * s < s * s THEN 'Y'
         |    ELSE 'Z' END AS cls
@@ -5932,6 +5952,83 @@ object SparkEntry {
         |  AND ((p_brand = 'Brand#1' AND l_quantity BETWEEN 1.0 AND 11.0)
         |    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10.0 AND 20.0)
         |    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20.0 AND 30.0))""".stripMargin,
+    // The correlated scalar avg stated AS a correlated subquery here
+    // (DuckDB decorrelates it itself); 0.2*avg cleared to the exact
+    // 5*qty*cnt < sum cross-multiply, matching the Spark tree.
+    "q17_small_qty" ->
+      """WITH pa AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+        |    CAST(count(*) AS BIGINT) AS cq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |  AND p_brand = 'Brand#3' AND p_size < 15
+        |JOIN pa ON pa.l_partkey = lineitem.l_partkey
+        |WHERE CAST(round(l_quantity) AS BIGINT) * 5 * cq < sq""".stripMargin,
+    // EXISTS/NOT-EXISTS stated literally (DuckDB plans the semi/anti
+    // joins); unique (numwait DESC, s_suppkey) top-25.
+    "q21_waiting" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey, l_returnflag
+        |  FROM lineitem)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM li l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM li l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM li l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey
+        |LIMIT 25""".stripMargin,
+    // NOT EXISTS over the date-bounded orders + the global scalar
+    // avg filter; grouped by segment (the corpus's country-code).
+    "q22_idle_cust" ->
+      """WITH avgbal AS (SELECT avg(c_acctbal) AS ab
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer, avgbal
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Argmax stated as `= (SELECT max(...))` over the exact-integer
+    // revenue view; ties all emitted, order-free.
+    "q15_top_supplier" ->
+      """WITH revenue AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |      AS BIGINT) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Unique-ranked window (avg_cost, suppkey) per part — the §6
+    // composite-argmax pattern; exact e6-scaled truncating avg.
+    "q2_min_cost" ->
+      """WITH cost AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS sc,
+        |    CAST(count(*) AS BIGINT) AS nc
+        |  FROM lineitem GROUP BY 1, 2),
+        |rk AS (SELECT l_partkey, l_suppkey,
+        |    sc * 1000000 // nc AS avg_cost_e8,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY sc * 1000000 // nc, l_suppkey) AS rn
+        |  FROM cost)
+        |SELECT p_partkey, p_brand, l_suppkey AS s_suppkey, avg_cost_e8
+        |FROM rk JOIN part ON p_partkey = l_partkey
+        |WHERE rn = 1 AND p_size > 45
+        |ORDER BY p_partkey""".stripMargin,
     // Per-brand log-log OLS over the bounded (brand, qty) grid —
     // the q_power_law tree, grouped; part joins before the collapse.
     "q_price_elasticity" ->

@@ -409,11 +409,22 @@ object LocalIterative {
       val araw = mutable.LongMap.empty[Long].withDefaultValue(0L)
       e.foreach { case (s, d) => araw(d) += hub(s) }
       val amax = araw.values.max
+      // raw·1e6 headroom ties to the dispatch bound: raw sums are
+      // ≤ |E|·1e6 ≤ CollectMax·1e6 ≈ 2.1e12 (CollectMax = 2^21), so
+      // ·1e6 peaks ~2.1e18 < Long.MaxValue 9.2e18 (~4.4× headroom).
+      // Raising CollectMax past ~2^23 would silently wrap HERE and
+      // in the Spark DF loop identically (twin equality would stay
+      // green on garbage) while the DuckDB oracle errors — assert
+      // the invariant rather than trust the constant (ADVICE r16).
+      assert(amax <= Long.MaxValue / 1000000L,
+        s"hits twin overflow: amax=$amax * 1e6 wraps; CollectMax too high")
       auth = mutable.LongMap.empty[Long]
       araw.foreach { case (d, a) => auth(d) = a * 1000000L / amax }
       val hraw = mutable.LongMap.empty[Long].withDefaultValue(0L)
       e.foreach { case (s, d) => hraw(s) += auth(d) }
       val hmax = hraw.values.max
+      assert(hmax <= Long.MaxValue / 1000000L,
+        s"hits twin overflow: hmax=$hmax * 1e6 wraps; CollectMax too high")
       hraw.foreach { case (s, h) => hub(s) = h * 1000000L / hmax }
     }
     srcs.map(s => (s, "hub", hub(s))).toSeq ++

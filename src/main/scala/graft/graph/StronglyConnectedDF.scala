@@ -49,13 +49,20 @@ object StronglyConnectedDF {
     * signatures, not arithmetic; the driver runs one iterative
     * Tarjan pass instead. The coloring loop is the unchanged 100 TB
     * path. Checkpoint the narrow projection ONCE before the gate
-    * count + collect (the ConnectedComponentsDF probe rule). */
+    * count + collect (the ConnectedComponentsDF probe rule) — but
+    * LAZILY: the gate count() is itself a full scan, so one job
+    * materializes and counts (the g_scc one-job rule, as hits does).
+    * An eager checkpoint here would materialize the whole edge set
+    * to executor-local storage even when the distributed branch is
+    * taken — at 100 TB that is a full extra write (round-16 ADVICE).
+    * When forceDistributed short-circuits the count, the first
+    * action inside runDistributed materializes it instead. */
   private def sccDispatch(spark: SparkSession, edges: DataFrame,
       maxOuter: Int, maxInner: Int): DataFrame = {
     val base = edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     if (!GraphOps.forceDistributed &&
         base.count() <= LocalLouvain.CollectMax) {
       val rows = base.collect().map(r => (r.getLong(0), r.getLong(1)))

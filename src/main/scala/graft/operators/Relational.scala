@@ -3377,7 +3377,11 @@ object Relational {
           .otherwise(lit(0L).cast("decimal(38,0)"))).as("nvol"),
         sum(col("vol")).as("tvol"))
       .select(col("o_year"),
-        expr("CAST((1000000 * nvol) div tvol AS BIGINT)").as("mkt_share_e6"))
+        // tvol = 0 cannot happen for an emitted group here (every
+        // group has ≥1 lineitem with price ≥ 1 cent) but the guard
+        // keeps engine parity on degenerate corpora (ADVICE r16).
+        expr("CAST(CASE WHEN tvol = 0 THEN NULL " +
+          "ELSE (1000000 * nvol) div tvol END AS BIGINT)").as("mkt_share_e6"))
       .orderBy(col("o_year"))
   }
 
@@ -3434,7 +3438,10 @@ object Relational {
       .select(col("l_partkey"),
         expr("CAST(n AS BIGINT)").as("n_months"),
         expr("CAST(s AS BIGINT)").as("total_qty"),
-        expr("CAST((1000000 * (n * s2 - s * s)) div (s * s) AS BIGINT)")
+        // s = 0 (a part whose rounded quantities all vanish) zeroes
+        // the s² denominator: NULL on both engine sides (ADVICE r16).
+        expr("""CAST(CASE WHEN s = 0 THEN NULL
+          ELSE (1000000 * (n * s2 - s * s)) div (s * s) END AS BIGINT)""")
           .as("cv2_e6"),
         expr("""CASE WHEN 4 * (n * s2 - s * s) < s * s THEN 'X'
           WHEN n * s2 - s * s < s * s THEN 'Y'
@@ -3522,7 +3529,8 @@ object Relational {
           .otherwise(lit(0L).cast("decimal(38,0)"))).as("pvol"),
         sum(col("vol")).as("tvol"))
       .select(col("l_month"),
-        expr("CAST((1000000 * pvol) div tvol AS BIGINT)").as("promo_share_e6"))
+        expr("CAST(CASE WHEN tvol = 0 THEN NULL " +
+          "ELSE (1000000 * pvol) div tvol END AS BIGINT)").as("promo_share_e6"))
       .orderBy(col("l_month"))
   }
 
@@ -3596,10 +3604,16 @@ object Relational {
       .join(spend, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_mktsegment"), col("bal_c"),
         coalesce(col("spend_c"), lit(0L)).as("spend_c"))
+    // min-rank as 1 + count of strictly-smaller values via a RANGE
+    // frame: count() is LongType, unlike rank() whose IntegerType
+    // silently wraps past ~2.1B rows per segment (round-16 ADVICE) —
+    // identical values and no per-segment row bound.
     def r2(v: String) = {
       val w = Window.partitionBy(col("c_mktsegment")).orderBy(col(v))
+        .rangeBetween(Window.unboundedPreceding, -1)
       val tw = Window.partitionBy(col("c_mktsegment"), col(v))
-      (lit(2L) * rank().over(w) + count(lit(1)).over(tw) - lit(1L))
+      (lit(2L) * (count(lit(1)).over(w) + lit(1L)) +
+        count(lit(1)).over(tw) - lit(1L))
     }
     base
       .withColumn("rx", r2("bal_c"))
@@ -3664,5 +3678,157 @@ object Relational {
             / sqrt(CAST((n_x * (n_x - 1) - t2_y) div 2 AS DOUBLE))
             * 1000000) AS BIGINT) END""").as("tau_e6"))
       .orderBy(col("event_type"))
+  }
+
+  /** TPC-H Q17 shape (round 17) — the scalar-subquery-per-group
+    * classic: revenue lost to small-quantity orders, where "small"
+    * means `l_quantity < 0.2 * avg(l_quantity) over the SAME part`.
+    * The correlation decorrelates into one per-part (Σqty, count)
+    * aggregate (map-side combined on the scan) joined back to
+    * lineitem on the key both sides already shuffle on; the 0.2·avg
+    * comparison clears denominators into the exact-integer
+    * cross-multiply `5·qty·cnt < Σqty` (quantities are integral in
+    * this corpus), so NO float avg is materialized — a per-row
+    * correlated subquery never executes. The brand/size filter
+    * prunes via the broadcast part dim; the readout is one scalar
+    * row under the §6 round(money, 2) rule. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("q"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cq"))
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_brand") === lit("Brand#3") && col("p_size") < 15)
+      .select(col("p_partkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("q"),
+        col("l_extendedprice"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(pa, Seq("l_partkey"))
+      .filter(col("q") * lit(5L) * col("cq") < col("sq"))
+      .agg(count(lit(1)).as("n_small"),
+        round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q21 shape (round 17) — the multi-EXISTS/NOT-EXISTS
+    * anti-join classic, restated over this corpus's columns:
+    * suppliers whose lineitem is the ONLY returned item in a
+    * multi-supplier order (EXISTS another supplier in the order;
+    * NOT EXISTS another supplier with a returned row). Both
+    * correlated quantifiers decorrelate into ONE per-order
+    * aggregate — ns = distinct suppliers, rs = distinct suppliers
+    * with flag 'R' — joined to the R rows on the orderkey they
+    * already shuffle on: EXISTS ⇔ ns ≥ 2, NOT-EXISTS ⇔ rs = 1
+    * (the row's own supplier accounts for the one). No per-row
+    * subquery, no second pass over lineitem per quantifier. Top-25
+    * rides the unique (numwait DESC, s_suppkey) order →
+    * TakeOrdered. */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val ord = li.groupBy(col("l_orderkey"))
+      .agg(count_distinct(col("l_suppkey")).as("ns"),
+        count_distinct(when(col("l_returnflag") === lit("R"),
+          col("l_suppkey"))).as("rs"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"))
+    li.filter(col("l_returnflag") === lit("R"))
+      .join(ord, Seq("l_orderkey"))
+      .filter(col("ns") >= 2L && col("rs") === 1L)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
+  /** TPC-H Q22 shape (round 17) — NOT EXISTS + global-scalar-filter:
+    * well-funded idle customers. "Idle" is time-windowed (no order
+    * since 1999 — in this corpus every customer has SOME order, so
+    * the textbook unconditional NOT EXISTS would be vacuously
+    * empty); the quantifier decorrelates into a left-anti join
+    * against the date-pruned orders scan (the filter pushes to the
+    * scan, so the anti side is a fraction of orders). The scalar
+    * subquery (global avg positive balance) is a one-row aggregate
+    * broadcast by the cross join — computed once, never per row.
+    * Grouped by market segment (this corpus's stand-in for Q22's
+    * phone country code); §6 rounded money. */
+  def q22IdleCust(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val avgbal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgbal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q15 shape (round 17) — argmax-over-join: the top
+    * supplier(s) by quarterly revenue. The revenue "view" is one
+    * map-side-combined aggregate over the date-pruned lineitem scan
+    * (exact integer cents×(100−disc%) ledgers — ties compare
+    * exactly, where a float revenue could split a true tie across
+    * engines); the correlated `= (SELECT max(...))` decorrelates
+    * into a one-row max broadcast by the cross join. Emits ALL
+    * maximal suppliers (Q15 semantics) — deterministic without a
+    * tie-break because equality against the max is order-free. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("v"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("v")).as("total_rev"))
+      .localCheckpoint(true) // scanned twice: max + filter
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q2 shape (round 17) — min-cost supplier per part (this
+    * corpus has no partsupp, so supply cost is the supplier's avg
+    * lineitem price for the part): the correlated
+    * `= (SELECT min(cost) ... WHERE same part)` classic,
+    * decorrelated into the §6 unique-ranked window — row_number over
+    * (avg cost, suppkey) per part picks ONE deterministic winner
+    * even on cost ties. The avg stays exact-integer at e6 scale
+    * (truncating div of the cents ledger), the size filter prunes
+    * via the broadcast part dim, and the window partitions by
+    * partkey — the same key the cost aggregate just shuffled on, so
+    * the window adds NO extra shuffle (one Exchange reused). */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val cost = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("cents")).as("sc"), count(lit(1)).as("nc"))
+      .withColumn("avg_cost_e8", expr("(sc * 1000000) div nc"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("avg_cost_e8"), col("l_suppkey"))
+    cost.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_size") > 45)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"),
+        col("l_suppkey").as("s_suppkey"), col("avg_cost_e8"))
+      .orderBy(col("p_partkey"))
   }
 }

@@ -1166,7 +1166,11 @@ object TextAnalysis {
     * counts as hapax — one extra Σm² ledger, no new shuffle shape.
     * Σm² and N² ride DECIMAL(38,0) (N² passes BIGINT near N≈3e9 —
     * the qGini promotion rule); both emitted ratios are bounded
-    * truncating divs stated identically in the oracle. */
+    * truncating divs stated identically in the oracle. A
+    * single-token source (N=1) zeroes Simpson's N(N−1) denominator:
+    * CASE-guarded to NULL on BOTH engine sides — Spark `div` yields
+    * NULL silently but DuckDB `//` hard-errors, crashing the verify
+    * run instead of mismatching (round-16 ADVICE). */
   def yuleK(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"),
@@ -1181,7 +1185,8 @@ object TextAnalysis {
         col("nt").cast("long").as("n_tokens"),
         expr("CAST((1000000 * (s2 - nt)) div (nt * nt) AS BIGINT)")
           .as("yule_k_e2"),
-        expr("CAST((1000000000 * (s2 - nt)) div (nt * (nt - 1)) AS BIGINT)")
+        expr("""CAST(CASE WHEN nt * (nt - 1) = 0 THEN NULL
+          ELSE (1000000000 * (s2 - nt)) div (nt * (nt - 1)) END AS BIGINT)""")
           .as("simpson_e9"))
       .orderBy(col("source"))
 }
