@@ -861,6 +861,10 @@ object SparkEntry {
     // Rows-only: the iterative beam has no SQL form; BeamSearchSpec
     // pins planted-geometry exactness and the recall floor vs IVF.
     "e_beam_search" -> ((s, d) => Similarity.beamSearchTopK(s, d)),
+    // HNSW-class layer stack (round 17): NN-descent-refined layer 0,
+    // geometric md5-bridge levels, per-layer greedy descent, layer-0
+    // beam search with exact rescoring. Rows-only + HnswSpec.
+    "e_hnsw" -> ((s, d) => Similarity.hnswTopK(s, d)),
     "t_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "t_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "t_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -5834,6 +5838,173 @@ object SparkEntry {
         |FROM p JOIN tx ON p.event_type = tx.event_type
         |JOIN ty ON p.event_type = ty.event_type
         |ORDER BY p.event_type""".stripMargin,
+    // Full replay of the deterministic Poisson bootstrap (round 17 —
+    // the md5 bridge replaced xxhash64, the one hash both engines
+    // state identically): identical fan-out, inverse-CDF weights,
+    // truncating replicate means, ordered CI picks at ranks 5/195.
+    "q_bootstrap_ci" ->
+      """WITH o AS MATERIALIZED (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents FROM o),
+        |e AS (SELECT o_orderkey, cents, unnest(range(0, 200)) AS rep FROM o),
+        |w AS (SELECT rep, cents,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |      WHEN u < 919698 THEN 2 WHEN u < 980885 THEN 3
+        |      WHEN u < 996340 THEN 4 ELSE 5 END AS wt
+        |  FROM (SELECT rep, cents,
+        |      CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':bs:'
+        |        || CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u
+        |    FROM e)),
+        |m AS MATERIALIZED (SELECT rep,
+        |    CAST(sum(wt * cents) // sum(wt) AS BIGINT) AS m
+        |  FROM w GROUP BY rep),
+        |r AS MATERIALIZED (SELECT m, row_number() OVER (ORDER BY m) AS rk
+        |  FROM m)
+        |SELECT n_orders, CAST(200 AS BIGINT) AS n_reps, mean_cents,
+        |  (SELECT m FROM r WHERE rk = 5) AS ci_lo_cents,
+        |  (SELECT m FROM r WHERE rk = 195) AS ci_hi_cents
+        |FROM pt""".stripMargin,
+    // The 10 greedy BPE merge rounds unrolled as materialized CTEs
+    // (round 17; MATERIALIZED is load-bearing — DuckDB inlines plain
+    // CTEs and the chain re-evaluates exponentially). State is the
+    // chr(1)-wrapped symbol string; replace() scans left-to-right
+    // non-overlapping, exactly the Spark side's greedy list fold, and
+    // the wrap encoding makes adjacent-pair matches unambiguous
+    // (chr(1) cannot appear in whitespace-split tokens of this corpus).
+    // Tie order (freq DESC, left, right) stated in each t_i.
+    "t_bpe_merges" ->
+      """WITH w AS MATERIALIZED (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w FROM documents),
+        |wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w WHERE length(w) > 0 GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT freq, chr(1) || array_to_string(list_append(string_split(w, ''), '</w>'), (chr(1)||chr(1))) || chr(1) AS s FROM wf),
+        |p1 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s0)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t1 AS MATERIALIZED (SELECT l, r, f FROM p1 ORDER BY f DESC, l, r LIMIT 1),
+        |s1 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s0, t1),
+        |p2 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s1)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t2 AS MATERIALIZED (SELECT l, r, f FROM p2 ORDER BY f DESC, l, r LIMIT 1),
+        |s2 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s1, t2),
+        |p3 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s2)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t3 AS MATERIALIZED (SELECT l, r, f FROM p3 ORDER BY f DESC, l, r LIMIT 1),
+        |s3 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s2, t3),
+        |p4 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s3)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t4 AS MATERIALIZED (SELECT l, r, f FROM p4 ORDER BY f DESC, l, r LIMIT 1),
+        |s4 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s3, t4),
+        |p5 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s4)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t5 AS MATERIALIZED (SELECT l, r, f FROM p5 ORDER BY f DESC, l, r LIMIT 1),
+        |s5 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s4, t5),
+        |p6 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s5)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t6 AS MATERIALIZED (SELECT l, r, f FROM p6 ORDER BY f DESC, l, r LIMIT 1),
+        |s6 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s5, t6),
+        |p7 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s6)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t7 AS MATERIALIZED (SELECT l, r, f FROM p7 ORDER BY f DESC, l, r LIMIT 1),
+        |s7 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s6, t7),
+        |p8 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s7)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t8 AS MATERIALIZED (SELECT l, r, f FROM p8 ORDER BY f DESC, l, r LIMIT 1),
+        |s8 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s7, t8),
+        |p9 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s8)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t9 AS MATERIALIZED (SELECT l, r, f FROM p9 ORDER BY f DESC, l, r LIMIT 1),
+        |s9 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s8, t9),
+        |p10 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s9)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t10 AS MATERIALIZED (SELECT l, r, f FROM p10 ORDER BY f DESC, l, r LIMIT 1),
+        |s10 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s9, t10)
+        |SELECT * FROM (SELECT CAST(1 AS BIGINT) AS rank, l AS lhs, r AS rhs, l || r AS merged, f AS pair_freq FROM t1
+        |UNION ALL SELECT CAST(2 AS BIGINT) AS rank, l AS lhs, r AS rhs, l || r AS merged, f AS pair_freq FROM t2
+        |UNION ALL SELECT CAST(3 AS BIGINT) AS rank, l AS lhs, r AS rhs, l || r AS merged, f AS pair_freq FROM t3
+        |UNION ALL SELECT CAST(4 AS BIGINT) AS rank, l AS lhs, r AS rhs, l || r AS merged, f AS pair_freq FROM t4
+        |UNION ALL SELECT CAST(5 AS BIGINT) AS rank, l AS lhs, r AS rhs, l || r AS merged, f AS pair_freq FROM t5
+        |UNION ALL SELECT CAST(6 AS BIGINT) AS rank, l AS lhs, r AS rhs, l || r AS merged, f AS pair_freq FROM t6
+        |UNION ALL SELECT CAST(7 AS BIGINT) AS rank, l AS lhs, r AS rhs, l || r AS merged, f AS pair_freq FROM t7
+        |UNION ALL SELECT CAST(8 AS BIGINT) AS rank, l AS lhs, r AS rhs, l || r AS merged, f AS pair_freq FROM t8
+        |UNION ALL SELECT CAST(9 AS BIGINT) AS rank, l AS lhs, r AS rhs, l || r AS merged, f AS pair_freq FROM t9
+        |UNION ALL SELECT CAST(10 AS BIGINT) AS rank, l AS lhs, r AS rhs, l || r AS merged, f AS pair_freq FROM t10)
+        |ORDER BY rank""".stripMargin,
+    // Same 10-round chain; the readout decodes the FINAL state s10 and
+    // aggregates symbol frequencies — top-30 under the unique
+    // (freq DESC, symbol) order.
+    "t_bpe_vocab" ->
+      """WITH w AS MATERIALIZED (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w FROM documents),
+        |wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w WHERE length(w) > 0 GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT freq, chr(1) || array_to_string(list_append(string_split(w, ''), '</w>'), (chr(1)||chr(1))) || chr(1) AS s FROM wf),
+        |p1 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s0)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t1 AS MATERIALIZED (SELECT l, r, f FROM p1 ORDER BY f DESC, l, r LIMIT 1),
+        |s1 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s0, t1),
+        |p2 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s1)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t2 AS MATERIALIZED (SELECT l, r, f FROM p2 ORDER BY f DESC, l, r LIMIT 1),
+        |s2 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s1, t2),
+        |p3 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s2)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t3 AS MATERIALIZED (SELECT l, r, f FROM p3 ORDER BY f DESC, l, r LIMIT 1),
+        |s3 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s2, t3),
+        |p4 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s3)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t4 AS MATERIALIZED (SELECT l, r, f FROM p4 ORDER BY f DESC, l, r LIMIT 1),
+        |s4 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s3, t4),
+        |p5 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s4)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t5 AS MATERIALIZED (SELECT l, r, f FROM p5 ORDER BY f DESC, l, r LIMIT 1),
+        |s5 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s4, t5),
+        |p6 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s5)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t6 AS MATERIALIZED (SELECT l, r, f FROM p6 ORDER BY f DESC, l, r LIMIT 1),
+        |s6 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s5, t6),
+        |p7 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s6)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t7 AS MATERIALIZED (SELECT l, r, f FROM p7 ORDER BY f DESC, l, r LIMIT 1),
+        |s7 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s6, t7),
+        |p8 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s7)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t8 AS MATERIALIZED (SELECT l, r, f FROM p8 ORDER BY f DESC, l, r LIMIT 1),
+        |s8 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s7, t8),
+        |p9 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s8)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t9 AS MATERIALIZED (SELECT l, r, f FROM p9 ORDER BY f DESC, l, r LIMIT 1),
+        |s9 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s8, t9),
+        |p10 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s9)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t10 AS MATERIALIZED (SELECT l, r, f FROM p10 ORDER BY f DESC, l, r LIMIT 1),
+        |s10 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s9, t10)
+        |SELECT symbol, CAST(sum(freq) AS BIGINT) AS freq FROM (SELECT freq, unnest(string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1)))) AS symbol FROM s10) GROUP BY 1 ORDER BY freq DESC, symbol LIMIT 30""".stripMargin,
+    // Same 10-round BPE chain; the final state s10 decodes to each
+    // word's symbol count, joined to per-source word counts — the
+    // trained-vs-char-baseline fertility readout, exact integer e4.
+    "p_fertility" ->
+      """WITH w AS MATERIALIZED (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w FROM documents),
+        |wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w WHERE length(w) > 0 GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT freq, chr(1) || array_to_string(list_append(string_split(w, ''), '</w>'), (chr(1)||chr(1))) || chr(1) AS s FROM wf),
+        |p1 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s0)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t1 AS MATERIALIZED (SELECT l, r, f FROM p1 ORDER BY f DESC, l, r LIMIT 1),
+        |s1 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s0, t1),
+        |p2 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s1)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t2 AS MATERIALIZED (SELECT l, r, f FROM p2 ORDER BY f DESC, l, r LIMIT 1),
+        |s2 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s1, t2),
+        |p3 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s2)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t3 AS MATERIALIZED (SELECT l, r, f FROM p3 ORDER BY f DESC, l, r LIMIT 1),
+        |s3 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s2, t3),
+        |p4 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s3)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t4 AS MATERIALIZED (SELECT l, r, f FROM p4 ORDER BY f DESC, l, r LIMIT 1),
+        |s4 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s3, t4),
+        |p5 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s4)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t5 AS MATERIALIZED (SELECT l, r, f FROM p5 ORDER BY f DESC, l, r LIMIT 1),
+        |s5 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s4, t5),
+        |p6 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s5)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t6 AS MATERIALIZED (SELECT l, r, f FROM p6 ORDER BY f DESC, l, r LIMIT 1),
+        |s6 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s5, t6),
+        |p7 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s6)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t7 AS MATERIALIZED (SELECT l, r, f FROM p7 ORDER BY f DESC, l, r LIMIT 1),
+        |s7 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s6, t7),
+        |p8 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s7)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t8 AS MATERIALIZED (SELECT l, r, f FROM p8 ORDER BY f DESC, l, r LIMIT 1),
+        |s8 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s7, t8),
+        |p9 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s8)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t9 AS MATERIALIZED (SELECT l, r, f FROM p9 ORDER BY f DESC, l, r LIMIT 1),
+        |s9 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s8, t9),
+        |p10 AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS f FROM (SELECT freq, unnest(list_zip(y, y[2:])) AS pr FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s9)) WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        |t10 AS MATERIALIZED (SELECT l, r, f FROM p10 ORDER BY f DESC, l, r LIMIT 1),
+        |s10 AS MATERIALIZED (SELECT freq, replace(s, chr(1) || l || (chr(1)||chr(1)) || r || chr(1), chr(1) || l || r || chr(1)) AS s FROM s9, t10),
+        |enc AS (SELECT regexp_replace(array_to_string(y, ''), '</w>$', '') AS w,
+        |    CAST(len(y) AS BIGINT) AS n_syms
+        |  FROM (SELECT string_split(substr(s, 2, length(s) - 2), (chr(1)||chr(1))) AS y FROM s10)),
+        |ws AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM
+        |  (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |   FROM documents) WHERE length(w) > 0 GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_words,
+        |  CAST(sum(n * n_syms) AS BIGINT) AS n_bpe_tokens,
+        |  CAST((sum(n * n_syms) * 10000) // sum(n) AS BIGINT) AS fertility_e4,
+        |  CAST((sum(n * (length(w) + 1)) * 10000) // sum(n) AS BIGINT)
+        |    AS char_baseline_e4
+        |FROM ws JOIN enc USING (w) GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same token split as t_hapax; HUGEINT spectrum sums mirror the
     // DECIMAL(38,0) ledger; both ratios are bounded truncating divs.
     "t_yule_k" ->

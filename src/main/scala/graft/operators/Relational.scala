@@ -1936,15 +1936,19 @@ object Relational {
     * the at-scale resampling shape (one pass, no per-replicate
     * shuffles of the data): every row fans out to `reps` narrow
     * (replicate, weight·cents) pairs with a DETERMINISTIC
-    * pseudo-Poisson(1) weight from `xxhash64(key, replicate)`
-    * (inverse-CDF thresholds on the hash's uniform — replayable,
-    * partitioning-independent, no RNG state), replicate means are
-    * exact integer cents, and the 2.5%/97.5% CI is an ordered pick
-    * from the `reps`-length sorted array (driver-bounded by
-    * construction). Exact integers end to end ⇒ the CI is
-    * bit-stable across any cluster layout. Rows-only + specs
-    * (coverage of the point estimate, constant-data degeneracy,
-    * partitioning invariance). */
+    * pseudo-Poisson(1) weight from the md5 bridge (first 15 hex
+    * chars of md5("key:bs:rep") as a long — the g_walks idiom, the
+    * one 64-bit hash Spark and DuckDB state identically; xxhash64
+    * was the round-16 form but has no DuckDB twin, which kept this
+    * query rows-only) — inverse-CDF thresholds on the hash's
+    * uniform: replayable, partitioning-independent, no RNG state.
+    * Replicate means are exact integer cents, and the 2.5%/97.5% CI
+    * is an ordered pick from the `reps`-length sorted array
+    * (driver-bounded by construction). Exact integers end to end ⇒
+    * the CI is bit-stable across any cluster layout — and since
+    * round 17, full-oracle: DuckDB replays the identical fan-out.
+    * Specs keep pinning coverage of the point estimate,
+    * constant-data degeneracy, partitioning invariance. */
   def qBootstrapCi(spark: SparkSession, dir: String, reps: Int = 200): DataFrame =
     bootstrapCiOf(Tables.orders(spark, dir)
       .select(col("o_orderkey"),
@@ -1954,7 +1958,9 @@ object Relational {
   def bootstrapCiOf(o: DataFrame, reps: Int): DataFrame = {
     val point = o.agg(count(lit(1)).as("n_orders"),
       expr("sum(cents) div count(1)").as("mean_cents"))
-    val u = pmod(xxhash64(col("o_orderkey"), col("rep")), lit(1000000L))
+    val u = pmod(conv(substring(md5(concat(col("o_orderkey").cast("string"),
+      lit(":bs:"), col("rep").cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
     val weight = when(u < 367879L, 0L).when(u < 735758L, 1L)
       .when(u < 919698L, 2L).when(u < 980885L, 3L)
       .when(u < 996340L, 4L).otherwise(5L)

@@ -758,6 +758,93 @@ object Similarity {
     withRecall(spark, dir, beamSearchFrom(emb, edges, queries, seeds, k))
   }
 
+  val HnswFanout = 8
+  val HnswDescentWidth = 4
+
+  /** HNSW-class ANN (round 17 — VERDICT r16 item 7): the navigable-
+    * small-world LAYER STACK composed from the parts the e_ family
+    * already proves out — layer 0 is the NN-descent-REFINED kNN
+    * graph (one [[nnDescentFrom]] round over the memoized
+    * [[knnGraph]] base, the e_nn_descent recall lift), upper layers
+    * are the standard HNSW subsampling view (a vertex's level is
+    * geometric with fanout 1/8, assigned DETERMINISTICALLY from the
+    * md5 bridge — no RNG state, same stack on every run and
+    * partitioning), and search descends the stack: enter at the
+    * (tiny) top layer, at each layer expand one neighbor hop
+    * restricted to that layer's vertices and keep the best
+    * [[HnswDescentWidth]] per query under EXACT rescoring, then run
+    * the layer-0 [[beamSearchFrom]] from those entry points — whose
+    * per-round exact rescoring against true embeddings IS the
+    * exact re-rank stage (the IVF-PQ composition rule: compressed/
+    * approximate navigation, exact scoring). Versus e_beam_search's
+    * IVF entry points, the stack replaces the quantizer with the
+    * graph's own hierarchy — one artifact, no centroid fit, and the
+    * descent touches O(fanout·width·levels) candidate IDs per query.
+    * At 100 TB every stage is id-narrow: levels are a projection of
+    * the corpus, layer edges a filter of the refined graph, and
+    * embeddings only meet the scorer through corpus equi-joins.
+    * Rows-only + spec (determinism, stack shape, recall vs exact). */
+  def hnswTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    // Full base (incl. sim_e4 — nnDescentFrom's reverse-degree cap
+    // ranks on it), projected to ids only AFTER the refinement.
+    val refined = nnDescentFrom(emb, knnGraph(spark, dir, k), k)
+      .select(col("vec_id"), col("neighbor_id")).localCheckpoint(true)
+    // Geometric level: P(level ≥ ℓ) = 8^{-ℓ}, from the one 64-bit
+    // hash Spark and DuckDB state identically (determinism is what
+    // makes the spec's run-to-run equality assertable).
+    val u = pmod(conv(substring(md5(concat(col("vec_id").cast("string"),
+      lit(":hnsw"))), 1, 15), 16, 10).cast("long"), lit(1000000L))
+    val nVecs = emb.count()
+    val maxLevel = math.max(1,
+      (math.log(nVecs.toDouble) / math.log(HnswFanout.toDouble)).floor.toInt - 1)
+    var lvlCol: Column = lit(0)
+    for (l <- 1 to maxLevel)
+      lvlCol = when(col("u") <
+        lit(math.max(1L, (1000000.0 / math.pow(HnswFanout.toDouble, l)).toLong)),
+        lit(l)).otherwise(lvlCol)
+    val levels = emb.select(col("vec_id"), u.as("u"))
+      .select(col("vec_id"), lvlCol.as("lvl"))
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < QueryLimit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // Entry set: every top-layer vertex serves every query (the top
+    // layer is n/8^maxLevel ≈ fanout-sized by construction).
+    val top = levels.filter(col("lvl") >= maxLevel).select(col("vec_id"))
+    var entry = queries.select(col("query_id")).crossJoin(broadcast(top))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    def keepBest(cand: DataFrame, width: Int): DataFrame = cand
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= width)
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true) // |Q|·width rows — bounds the per-layer plans
+    for (l <- maxLevel to 1 by -1) {
+      val layerEdges = refined
+        .join(levels.select(col("vec_id"), col("lvl")), Seq("vec_id"))
+        .filter(col("lvl") >= l).drop("lvl")
+        .join(levels.select(col("vec_id").as("neighbor_id"),
+          col("lvl").as("nlvl")), Seq("neighbor_id"))
+        .filter(col("nlvl") >= l)
+        .select(col("vec_id"), col("neighbor_id"))
+      val sym = layerEdges.unionAll(layerEdges
+        .select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")))
+      val expand = entry.join(sym, Seq("vec_id"))
+        .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      entry = keepBest(
+        entry.unionAll(expand).dropDuplicates("query_id", "vec_id"),
+        HnswDescentWidth)
+    }
+    withRecall(spark, dir,
+      beamSearchFrom(emb, refined, queries, entry, k))
+  }
+
   // ---- Product quantization (round 8) ----
   // The 100 TB memory-compression layout: a 64-d float embedding
   // (256 B) compresses to PqSubspaces codebook indices (8 B), and

@@ -660,7 +660,11 @@ object TextAnalysis {
   def bpeMergesOf(spark: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
     import spark.implicits._
     val (merges, _) = bpeCore(spark, docs, rounds)
-    merges.toDF("rank", "left", "right", "merged", "pair_freq")
+    // `lhs`/`rhs`, not left/right: the merge pair's natural names
+    // are SQL reserved words, and the oracle harness's wrapped
+    // column list (`SELECT lhs, rhs FROM (...)`) must stay
+    // quoting-free on both engines (round-17 conversion).
+    merges.toDF("rank", "lhs", "rhs", "merged", "pair_freq")
       .orderBy(col("rank"))
   }
 
