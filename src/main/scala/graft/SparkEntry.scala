@@ -1081,6 +1081,19 @@ object SparkEntry {
     // TPC-H Q2: per-part min-cost supplier via the unique-ranked
     // window over the key the cost agg already shuffled on.
     "q2_min_cost" -> ((s, d) => Relational.q2MinCost(s, d)),
+    // TPC-H Q4: EXISTS as a left-semi join on pushed-filter scans.
+    "q4_order_priority" -> ((s, d) => Relational.q4OrderPriority(s, d)),
+    // TPC-H Q6: all predicates pushed, 2-col projection, one scalar.
+    "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
+    // TPC-H Q9: mixed-sign profit by nation x year, dims broadcast.
+    "q9_profit" -> ((s, d) => Relational.q9Profit(s, d)),
+    // TPC-H Q11: group-vs-global scalar HAVING as an exact integer
+    // cross-multiply against the broadcast total.
+    "q11_important_stock" -> ((s, d) => Relational.q11ImportantStock(s, d)),
+    // TPC-H Q16: NOT IN as left-anti; distinct suppliers per cell.
+    "q16_parts_supp" -> ((s, d) => Relational.q16PartsSupp(s, d)),
+    // TPC-H Q20: nested IN + correlated avg, both decorrelated.
+    "q20_promo_suppliers" -> ((s, d) => Relational.q20PromoSuppliers(s, d)),
     // Dirichlet query-likelihood retrieval: the LM scorer beside
     // BM25, inverted-index decomposed, e4 terms + exact fuse.
     "r_qlm" -> ((s, d) => graft.operators.Retrieval.qlmTopK(s, d)),
@@ -6183,6 +6196,79 @@ object SparkEntry {
         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+    // EXISTS stated literally; quarter + flag filters pushed.
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Identical predicate set; §6 rounded scalar.
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+    // Identical join tree + mixed-sign money fold, §6 rounded.
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)
+        |    - p_retailprice * l_quantity), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    // Group-vs-global share as the exact val*1000 > total
+    // cross-multiply on HUGEINT ledgers; unique order.
+    "q11_important_stock" ->
+      """WITH v AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS HUGEINT) AS val
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_5' GROUP BY 1),
+        |tot AS (SELECT sum(val) AS tv FROM v)
+        |SELECT l_partkey, CAST(val AS BIGINT) AS value_cents
+        |FROM v, tot WHERE val * 1000 > tv
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+    // NOT IN stated literally (the subquery set is null-free by
+    // construction); distinct-count per bounded attribute cell.
+    "q16_parts_supp" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 9, 19, 29, 39, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Nested IN + per-part average, the comparison cleared to the
+    // exact sq*ns > tq cross-multiply; unique top-25.
+    "q20_promo_suppliers" ->
+      """WITH pq AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |      WHERE p_type = 'PROMO')
+        |  GROUP BY 1, 2),
+        |pa AS (SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq,
+        |    CAST(count(*) AS BIGINT) AS ns FROM pq GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_excess_parts
+        |FROM pq
+        |JOIN pa ON pa.l_partkey = pq.l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE sq * ns > tq
+        |GROUP BY 1, 2 ORDER BY n_excess_parts DESC, s_suppkey
+        |LIMIT 25""".stripMargin,
     // Unique-ranked window (avg_cost, suppkey) per part — the §6
     // composite-argmax pattern; exact e6-scaled truncating avg.
     "q2_min_cost" ->

@@ -3807,6 +3807,159 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** TPC-H Q4 shape (round 17) — order-priority distribution of
+    * orders with at least one returned lineitem (this corpus's
+    * stand-in for Q4's late-delivery EXISTS — no receipt/commit
+    * dates): the correlated EXISTS decorrelates into a LEFT-SEMI
+    * join against the flag-filtered lineitem scan (the filter
+    * pushes to parquet; the semi join carries bare orderkeys), the
+    * quarter filter pushes to the orders scan, and the readout is
+    * one bounded map-side-combined count per priority. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ret = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === lit("R"))
+      .select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q6 shape (round 17) — the forecasting-revenue-change
+    * scan: every predicate (ship year, discount band, quantity cap)
+    * reaches the parquet scan as PushedFilters, the projection
+    * prunes to 2 columns, and the single scalar aggregate combines
+    * map-side — the canonical "the scan does ALL the work" query,
+    * §6-rounded money. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  /** TPC-H Q9 shape (round 17) — product-line profit by supplier
+    * nation and order year (supply cost from p_retailprice — this
+    * corpus has no partsupp): part (type-filtered) and
+    * supplier⋈nation broadcast onto the lineitem scan, orders joins
+    * on the one big shuffle, and profit aggregates per bounded
+    * (nation, year) cell under the §6 round rule — Q9's classic
+    * mixed-sign money fold. */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_type") === lit("PROMO"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(round(sum(col("rev") - col("p_retailprice") * col("l_quantity")), 2)
+        .as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (round 17) — important stock: parts whose
+    * shipped value through NATION_5 suppliers exceeds 0.1% of that
+    * nation's total. The group-vs-GLOBAL-scalar HAVING decorrelates
+    * into a one-row total broadcast by the cross join, and the
+    * comparison clears the fraction into the exact integer
+    * cross-multiply val·1000 > total on the DECIMAL(38,0)/HUGEINT
+    * ledgers — no float share. Unique (value DESC, partkey) order. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === lit("NATION_5"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = Tables.lineitem(spark, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .cast("decimal(38,0)").as("val"))
+      .localCheckpoint(true) // scanned twice: total + filter
+    val tot = v.agg(sum(col("val")).as("tv"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("val") * 1000 > col("tv"))
+      .select(col("l_partkey"), col("val").cast("long").as("value_cents"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q16 shape (round 17) — supplier diversity per part
+    * attribute cell, excluding flagged suppliers: the NOT IN
+    * subquery decorrelates into a LEFT-ANTI join (negative-balance
+    * suppliers — the corpus's complaint stand-in), part's brand/size
+    * filters ride the broadcast dim, and count(DISTINCT suppkey)
+    * shuffles once on the bounded (brand, type, size) grid. Unique
+    * (cnt DESC, brand, type, size) order. */
+  def q16PartsSupp(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= lit("Brand#5") &&
+        col("p_size").isin(1, 9, 19, 29, 39, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val flagged = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 shape (round 17) — concentrating suppliers of promo
+    * parts: suppliers whose shipped quantity of a part exceeds the
+    * part's per-supplier AVERAGE over the year. Q20's nested-IN +
+    * correlated half-sum both decorrelate: the part filter into a
+    * broadcast semi-join, the per-part average into one aggregate
+    * of the (part, supplier) quantity table joined back on the key
+    * it already shuffled on, the comparison cleared to the exact
+    * cross-multiply sq·ns > tq. Top-25 under the unique
+    * (n_excess DESC, suppkey) order. */
+  def q20PromoSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val promo = Tables.part(spark, dir)
+      .filter(col("p_type") === lit("PROMO")).select(col("p_partkey"))
+    val pq = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("q")).as("sq"))
+    val pa = pq.groupBy(col("l_partkey"))
+      .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
+    pq.join(pa, Seq("l_partkey"))
+      .filter(col("sq") * col("ns") > col("tq"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_excess_parts"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_excess_parts"))
+      .orderBy(col("n_excess_parts").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
   /** TPC-H Q2 shape (round 17) — min-cost supplier per part (this
     * corpus has no partsupp, so supply cost is the supplier's avg
     * lineitem price for the part): the correlated
