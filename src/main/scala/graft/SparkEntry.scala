@@ -1094,6 +1094,8 @@ object SparkEntry {
     "q16_parts_supp" -> ((s, d) => Relational.q16PartsSupp(s, d)),
     // TPC-H Q20: nested IN + correlated avg, both decorrelated.
     "q20_promo_suppliers" -> ((s, d) => Relational.q20PromoSuppliers(s, d)),
+    // TPC-H Q12: CASE-count service audit of slow-shipped lines.
+    "q12_ship_audit" -> ((s, d) => Relational.q12ShipAudit(s, d)),
     // Dirichlet query-likelihood retrieval: the LM scorer beside
     // BM25, inverted-index decomposed, e4 terms + exact fuse.
     "r_qlm" -> ((s, d) => graft.operators.Retrieval.qlmTopK(s, d)),
@@ -6196,6 +6198,19 @@ object SparkEntry {
         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+    // Identical join + day-gap predicate + CASE counts.
+    "q12_ship_audit" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) > 90
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // EXISTS stated literally; quarter + flag filters pushed.
     "q4_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
@@ -6224,8 +6239,9 @@ object SparkEntry {
         |JOIN nation ON n_nationkey = s_nationkey
         |JOIN orders ON o_orderkey = l_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
-    // Group-vs-global share as the exact val*1000 > total
-    // cross-multiply on HUGEINT ledgers; unique order.
+    // Group-vs-global share as the exact val*n > 2*total
+    // cross-multiply on HUGEINT ledgers (scale-free x-average
+    // threshold); unique order.
     "q11_important_stock" ->
       """WITH v AS (SELECT l_partkey,
         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
@@ -6233,9 +6249,10 @@ object SparkEntry {
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  WHERE n_name = 'NATION_5' GROUP BY 1),
-        |tot AS (SELECT sum(val) AS tv FROM v)
+        |tot AS (SELECT sum(val) AS tv, CAST(count(*) AS HUGEINT) AS ns
+        |  FROM v)
         |SELECT l_partkey, CAST(val AS BIGINT) AS value_cents
-        |FROM v, tot WHERE val * 1000 > tv
+        |FROM v, tot WHERE val * ns > 2 * tv
         |ORDER BY value_cents DESC, l_partkey""".stripMargin,
     // NOT IN stated literally (the subquery set is null-free by
     // construction); distinct-count per bounded attribute cell.

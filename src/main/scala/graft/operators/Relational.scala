@@ -3875,12 +3875,17 @@ object Relational {
   }
 
   /** TPC-H Q11 shape (round 17) — important stock: parts whose
-    * shipped value through NATION_5 suppliers exceeds 0.1% of that
-    * nation's total. The group-vs-GLOBAL-scalar HAVING decorrelates
-    * into a one-row total broadcast by the cross join, and the
-    * comparison clears the fraction into the exact integer
-    * cross-multiply val·1000 > total on the DECIMAL(38,0)/HUGEINT
-    * ledgers — no float share. Unique (value DESC, partkey) order. */
+    * shipped value through NATION_5 suppliers exceeds TWICE the
+    * per-part average for that nation. Q11's textbook threshold is
+    * an absolute fraction of the total scaled by 1/SF precisely
+    * because a fixed fraction empties as parts multiply — the
+    * ×-average form is the scale-free restatement (sf0.01: 121
+    * rows, sf0.1: 1302, any SF: nonempty). The group-vs-GLOBAL
+    * scalar HAVING decorrelates into a one-row (total, count)
+    * broadcast by the cross join, and the comparison clears the
+    * fraction into the exact integer cross-multiply val·n > 2·total
+    * on the DECIMAL(38,0)/HUGEINT ledgers — no float share. Unique
+    * (value DESC, partkey) order. */
   def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
     val natSupp = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)
@@ -3893,9 +3898,10 @@ object Relational {
       .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
         .cast("decimal(38,0)").as("val"))
       .localCheckpoint(true) // scanned twice: total + filter
-    val tot = v.agg(sum(col("val")).as("tv"))
+    val tot = v.agg(sum(col("val")).as("tv"),
+      count(lit(1)).cast("decimal(38,0)").as("ns"))
     v.crossJoin(broadcast(tot))
-      .filter(col("val") * 1000 > col("tv"))
+      .filter(col("val") * col("ns") > col("tv") * 2)
       .select(col("l_partkey"), col("val").cast("long").as("value_cents"))
       .orderBy(col("value_cents").desc, col("l_partkey"))
   }
@@ -3958,6 +3964,32 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("n_excess_parts"))
       .orderBy(col("n_excess_parts").desc, col("s_suppkey"))
       .limit(25)
+  }
+
+  /** TPC-H Q12 shape (round 17) — slow-shipping service audit (no
+    * shipmode/receipt columns in this corpus, so the mode dimension
+    * is l_linestatus and "late" is shipped > 90 days after order):
+    * per status, CASE-counts of high- vs low-priority orders among
+    * late lines — Q12's exact conditional-aggregation join. The ship
+    * year pushes to the lineitem scan; the day-gap predicate needs
+    * both tables so it filters the joined stream; counts combine
+    * map-side on the 2-row group. */
+  def q12ShipAudit(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"),
+        to_date(col("l_shipdate")).as("ship_day"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("order_day")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("ship_day"), col("order_day")) > 90)
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
   }
 
   /** TPC-H Q2 shape (round 17) — min-cost supplier per part (this
