@@ -6228,11 +6228,17 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24.0""".stripMargin,
-    // Identical join tree + mixed-sign money fold, §6 rounded.
+    // Identical join tree; mixed-sign fold in EXACT integer cents
+    // (round(sum(double),2) flips cents under cancellation — the
+    // sf0.1 one-cent incident; per-row round(*100) is the identical
+    // tree both sides, the BIGINT sum order-free).
     "q9_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)
-        |    - p_retailprice * l_quantity), 2) AS profit
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)
+        |    - CAST(round(p_retailprice * 100) AS BIGINT)
+        |      * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |    AS profit_cents
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
         |JOIN supplier ON s_suppkey = l_suppkey

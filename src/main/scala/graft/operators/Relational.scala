@@ -3848,8 +3848,14 @@ object Relational {
     * corpus has no partsupp): part (type-filtered) and
     * supplier⋈nation broadcast onto the lineitem scan, orders joins
     * on the one big shuffle, and profit aggregates per bounded
-    * (nation, year) cell under the §6 round rule — Q9's classic
-    * mixed-sign money fold. */
+    * (nation, year) cell — Q9's classic mixed-sign money fold, and
+    * exactly the fold where round(sum(double), 2) is NOT safe:
+    * cancellation between the revenue and cost terms amplifies the
+    * double sum's reduction-order ulp into a flipped cent (sf0.1
+    * measured 2 of 175 cells off by 0.01 across engines). Emitted
+    * as exact integer cents instead: per-row round(·100) doubles
+    * are the identical expression tree both sides, and the BIGINT
+    * sum is order-free. */
   def q9Profit(spark: SparkSession, dir: String): DataFrame = {
     val pt = Tables.part(spark, dir)
       .filter(col("p_type") === lit("PROMO"))
@@ -3863,14 +3869,16 @@ object Relational {
       .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-        col("l_quantity"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("rev_cents"))
       .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("nation"), col("o_year"))
-      .agg(round(sum(col("rev") - col("p_retailprice") * col("l_quantity")), 2)
-        .as("profit"))
+      .agg(sum(col("rev_cents") -
+        round(col("p_retailprice") * 100).cast("long") * col("qty"))
+        .as("profit_cents"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 
