@@ -227,11 +227,17 @@ object Selection {
       .select(col(groupCol).cast("string").as("grp"),
         col(valueCol).cast("double").as("x"))
       .filter(col("grp").isNotNull && col("x").isNotNull)
-    // Bounded probe: only ever pulls maxBisect+1 keys to the driver.
-    val probe = base.select(col("grp")).distinct()
-      .limit(maxBisect + 1).collect().map(_.getString(0))
-    if (probe.length <= maxBisect) {
-      batchedGroupKth(base.localCheckpoint(true), pcts)
+    // Bounded probe — and the probe IS the stats pass (round 17):
+    // the per-group (n, lo, hi) aggregate the bisection needs anyway
+    // doubles as the group-count dispatch probe under a limit, so
+    // the few-groups branch starts with its stats in hand (one job
+    // instead of probe + stats; only ever maxBisect+1 rows collect).
+    val stats = base.groupBy(col("grp")).agg(
+        count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .limit(maxBisect + 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    if (stats.length <= maxBisect) {
+      batchedGroupKth(base.localCheckpoint(true), pcts, stats.sortBy(_._1))
     } else {
       import org.apache.spark.sql.expressions.Window
       val ranked = base
@@ -263,16 +269,12 @@ object Selection {
     * the caller's action, vs ~30 sequential micro-jobs before
     * (measured 3.86 s of scheduling at sf0.1). */
   private def batchedGroupKth(df: DataFrame, pcts: Seq[Int],
+      stats: Seq[(String, Long, Double, Double)],
       buckets: Int = 1024, exactBound: Long = 65536L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     case class Cell(id: Int, grp: String, pct: Int, kRem: Long, nRem: Long,
       lo: Double, hi: Double, cond: Column)
-    val stats = df.groupBy(col("grp")).agg(
-        count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
-      .sortBy(_._1)
     var wide = Seq.empty[Cell]
     var done = Seq.empty[Cell]
     for {
