@@ -4008,9 +4008,11 @@ object Relational {
     * (avg cost, suppkey) per part picks ONE deterministic winner
     * even on cost ties. The avg stays exact-integer at e6 scale
     * (truncating div of the cents ledger), the size filter prunes
-    * via the broadcast part dim, and the window partitions by
-    * partkey — the same key the cost aggregate just shuffled on, so
-    * the window adds NO extra shuffle (one Exchange reused). */
+    * via the broadcast part dim, and the window's partkey exchange
+    * moves only the MAP-SIDE-COMBINED (part, supplier) cost rows —
+    * already collapsed before any shuffle, so both exchanges are
+    * aggregate-sized, never fact-sized (plan re-audited round 17:
+    * Catalyst also plans WindowGroupLimit on both exchange sides). */
   def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
     val cost = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"),
