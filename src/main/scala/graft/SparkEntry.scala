@@ -192,7 +192,11 @@ object SparkEntry {
     // instead of billing sweep 1 for one-time writes.
     Seq("src_bucketed_merge", "src_minmax_skip", "src_zorder_skip",
       "q_incremental_mv", "s_stream_mv", "src_partition_evolution",
-      "src_compaction")
+      "src_compaction",
+      // e_ivf_persist's one-time index WRITE is fixture work (the
+      // operator's story is build-once/search-many); sweeps time the
+      // load + DPP-pruned search.
+      "e_ivf_persist")
       .foreach(q => queries(q)(s, d).limit(1).count(): Unit)
   }
 
@@ -856,6 +860,13 @@ object SparkEntry {
     "e_embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "e_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "e_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(s, d)),
+    // Build-once-search-from-disk (round 18): the IVF index persists
+    // as cell-PARTITIONED inverted lists + centroids + a freshness
+    // manifest; the search loads from parquet and the probe join
+    // dynamic-partition-prunes to probed cells. Rows-only + spec
+    // (bit-equality with e_ann_ivf, DPP plan, stale-manifest refusal).
+    "e_ivf_persist" -> ((s, d) =>
+      graft.sources.AnnIndexStore.annIvfTopKPersisted(s, d)),
     // Query-time beam search over the memoized kNN graph (HNSW-lite):
     // IVF-seeded entries, 3 greedy beam expansions, exact re-score.
     // Rows-only: the iterative beam has no SQL form; BeamSearchSpec
@@ -2269,10 +2280,102 @@ object SparkEntry {
          |FROM del0 WHERE v <> lm GROUP BY v ORDER BY vertex""".stripMargin
   }
 
+  /** Shared CTE prefix for the MinHash-family oracles (round 18 —
+    * the d_minhash_pairs determinization, VERDICT r17 item 3): word
+    * 3-gram shingles (the validated d_crossdoc_ngram tokenization
+    * bridge), 60-bit md5-prefix base per shingle, Carter-Wegman
+    * h_j(x) = (a_j·x + b_j) mod (2^61−1) permutations with
+    * md5-derived constants — exactly [[graft.functions.CatalystText]]
+    * `MinHashSig`'s arithmetic, stated in HUGEINT — then 16 bands of
+    * 4 as content-equality keys (Spark's xxhash64 band key collides
+    * only when band contents are equal, so equality-on-contents IS
+    * the same candidate set) and the e4 agreement estimate through
+    * the identical double tree (c/64·1e4, exact: /2^6 then ·10^4
+    * stays ≤ 17 mantissa bits). `sig`/`cand`/`est` are MATERIALIZED
+    * — the chain re-evaluates exponentially if DuckDB inlines it. */
+  private def minhashEstCtes: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |idx AS (SELECT doc_id, t,
+      |    unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
+      |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+      |    array_to_string(t[i + 1:least(i + 3, len(t))], ' ') AS ng
+      |  FROM idx),
+      |based AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(ng), 1, 15)) AS BIGINT) AS x FROM sh),
+      |seeds AS MATERIALIZED (SELECT j,
+      |    CAST(('0x' || substr(md5('mh:a:' || j), 1, 15)) AS BIGINT)
+      |      % 2305843009213693950 + 1 AS aj,
+      |    CAST(('0x' || substr(md5('mh:b:' || j), 1, 15)) AS BIGINT)
+      |      % 2305843009213693951 AS bj
+      |  FROM range(64) r(j)),
+      |sig AS MATERIALIZED (SELECT doc_id, j,
+      |    min(CAST((CAST(aj AS HUGEINT) * x + bj)
+      |      % 2305843009213693951 AS BIGINT)) AS s
+      |  FROM based CROSS JOIN seeds GROUP BY 1, 2),
+      |band AS (SELECT doc_id, j // 4 AS band,
+      |    string_agg(CAST(s AS VARCHAR), ':' ORDER BY j) AS bkey
+      |  FROM sig GROUP BY 1, 2),
+      |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a,
+      |    b.doc_id AS doc_b
+      |  FROM band a JOIN band b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |est AS MATERIALIZED (SELECT c.doc_a, c.doc_b,
+      |    CAST(round(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END)
+      |      / 64.0 * 10000) AS BIGINT) AS est_jaccard_e4
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB-runnable SQL oracle per query (same aliases, same
     * determinism rules — SURVEY §6). Omitted keys get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    // MinHash banded pairs, est ≥ 0.5 — full pipeline under the
+    // oracle since the round-18 md5/Carter-Wegman hash family.
+    "d_minhash_pairs" -> (minhashEstCtes +
+      """
+        |SELECT doc_a, doc_b, est_jaccard_e4 FROM est
+        |WHERE est_jaccard_e4 >= 5000
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // Exact shingle Jaccard over the SAME banded candidates —
+    // intersection via the shingle equi-join, union by
+    // inclusion-exclusion (sh is DISTINCT per doc), the e4 ratio
+    // through the identical (inter/union)·1e4 double tree.
+    "d_ngram_jaccard" -> (minhashEstCtes +
+      """,
+        |nsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.ng = a.ng
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT c.doc_a, c.doc_b,
+        |    CAST(round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+        |      / CAST(na.n + nb.n - coalesce(i.ni, 0) AS DOUBLE)
+        |      * 10000) AS BIGINT) AS jaccard_e4
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        |  JOIN nsz na ON na.doc_id = c.doc_a
+        |  JOIN nsz nb ON nb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, jaccard_e4 FROM jac
+        |WHERE jaccard_e4 >= 3000
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // Threshold operating curve over the UNFILTERED candidate
+    // estimates: n_pairs_ge(t) = candidates with est ≥ t on the
+    // fixed 21-point grid (Spark's bucketed `b·500 ≥ thr` condition
+    // ≡ est ≥ thr for thr multiples of 500 and truncating div).
+    "d_threshold_sweep" -> (minhashEstCtes +
+      """,
+        |grid AS (SELECT 500 * CAST(j AS BIGINT) AS thr_e4
+        |  FROM range(21) g(j))
+        |SELECT g.thr_e4,
+        |  CAST(count(CASE WHEN e.est_jaccard_e4 >= g.thr_e4 THEN 1 END)
+        |    AS BIGINT) AS n_pairs_ge
+        |FROM grid g LEFT JOIN est e ON true
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     "p_span_dedup" -> spanDedupOracleSql(),
     "g_hits" -> hitsOracleSql(),
     "g_betweenness" -> betweennessOracleSql(),
@@ -6171,14 +6274,18 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey
         |LIMIT 25""".stripMargin,
     // NOT EXISTS over the date-bounded orders + the global scalar
-    // avg filter; grouped by segment (the corpus's country-code).
+    // avg filter CLEARED to the exact integer cross-multiply
+    // bal_cents·n_pos > sum_pos_cents (BIGINT/HUGEINT — a float avg's
+    // reduction order could flip a within-ulp membership, ADVICE
+    // r17); grouped by segment (the corpus's country-code).
     "q22_idle_cust" ->
-      """WITH avgbal AS (SELECT avg(c_acctbal) AS ab
-        |  FROM customer WHERE c_acctbal > 0)
+      """WITH pos AS (SELECT count(*) AS n_pos,
+        |    sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_pos_cents
+        |  FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
         |  round(sum(c_acctbal), 2) AS totacctbal
-        |FROM customer, avgbal
-        |WHERE c_acctbal > ab
+        |FROM customer, pos
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos_cents
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')

@@ -144,15 +144,33 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 /** MinHash signature in one native pass: k minimums over per-element
-  * seeded avalanche hashes of an array<string>. Replaces the
+  * seeded hashes of an array<string>. Replaces the
   * `transform(sequence(1,k), seed -> aggregate(...))` builtin
   * composition, whose interpreted lambda evaluation costs
   * O(k·|shingles|) closure calls per row — the native loop is ~100×
   * faster at identical semantics and keeps near-dup candidate
-  * generation cheap at 100 TB. */
+  * generation cheap at 100 TB.
+  *
+  * Hash family (round 18 — the d_minhash_pairs determinization):
+  * ORACLE-STATEABLE end to end. The per-shingle base is the 60-bit
+  * md5 prefix (the validated `('0x' || substr(md5(s),1,15))::BIGINT`
+  * bridge both engines share), and seed j's permutation is
+  * Carter-Wegman h_j(x) = (a_j·x + b_j) mod P over the Mersenne
+  * prime P = 2^61−1, with a_j/b_j themselves md5-derived constants
+  * (no RNG state). DuckDB states the multiply exactly in HUGEINT
+  * (a_j·x + b_j < 2^122 < 2^127) and this loop states it in 64-bit
+  * via `multiplyHigh` + the 2^64 ≡ 2^3 (mod P) fold — bit-identical
+  * values, so the banded pairs AND the e4 Jaccard estimates sit
+  * under the DuckDB hash compare. The previous FNV+xorshift family
+  * needed wrap-around 64-bit multiplies no SQL engine states. */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   import org.apache.spark.sql.types.ArrayType
+  import MinHashSig.{mulmodP, P}
+  private lazy val as: Array[Long] =
+    Array.tabulate(k)(j => MinHashSig.bridge60(s"mh:a:$j") % (P - 1) + 1)
+  private lazy val bs: Array[Long] =
+    Array.tabulate(k)(j => MinHashSig.bridge60(s"mh:b:$j") % P)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -160,14 +178,11 @@ case class MinHashSig(child: Expression, k: Int)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val base = Fnv.hash(arr.getUTF8String(i).getBytes)
+        val base = MinHashSig.bridge60Bytes(arr.getUTF8String(i).getBytes)
         var j = 0
         while (j < k) {
-          // xorshift-multiply avalanche of (base, seed j)
-          var h = base ^ (j * 0x9e3779b97f4a7c15L)
-          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-          h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-          h ^= h >>> 33
+          var h = mulmodP(as(j), base) + bs(j)
+          if (h >= P) h -= P
           if (h < mins(j)) mins(j) = h
           j += 1
         }
@@ -177,6 +192,38 @@ case class MinHashSig(child: Expression, k: Int)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+object MinHashSig {
+  /** Mersenne prime 2^61 − 1: a modulus whose products fit HUGEINT
+    * on the DuckDB side and reduce in 64-bit here. */
+  val P: Long = (1L << 61) - 1
+
+  /** First 15 hex chars of md5 as a 60-bit non-negative Long — the
+    * exact value of DuckDB's `('0x' || substr(md5(s),1,15))::BIGINT`
+    * (the first 8 digest bytes big-endian, unsigned-shifted by the
+    * one nibble the 15-char prefix drops). */
+  def bridge60Bytes(bytes: Array[Byte]): Long = {
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
+    var l = 0L
+    var i = 0
+    while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+    l >>> 4
+  }
+
+  def bridge60(s: String): Long =
+    bridge60Bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** (a·b) mod P for a, b ∈ [0, P): 128-bit product via multiplyHigh,
+    * folded with 2^64 ≡ 2^3 and 2^61 ≡ 1 (mod P). hi < 2^58 so hi·8
+    * is exact; each fold term < 2^61, the sum < 2^63 — no overflow. */
+  def mulmodP(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = hi * 8 + (lo >>> 61) + (lo & P)
+    while (r >= P) r -= P
+    r
+  }
 }
 
 /** Cosine similarity of two numeric arrays in one native loop

@@ -104,7 +104,7 @@ object GraphBuilder {
     val key = (System.identityHashCode(spark).toString,
       s"$dir:${src.lastModified}:${src.length}")
     val sc = spark.sparkContext
-    if (coEdgesCache.size > 4) {
+    if (coEdgesCache.size > 4 && !coEdgesCache.contains(key)) {
       coEdgesCache.values.foreach { case (_, ids) =>
         ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       }

@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Joins
 
 /** Graph query operators (SURVEY §2 rows 1–8).
   *
@@ -249,18 +250,22 @@ object GraphOps {
     * iteration): per vertex, its degree, the max neighbor degree,
     * and how many neighbors out-rank it ("am I the local hub") — the
     * one-hop structural summary feeding hub/authority heuristics.
-    * Degree table joins the symmetric edge stream twice (broadcast —
-    * V rows); counts combine map-side. */
+    * Degree table joins the symmetric edge stream twice (size-guarded
+    * broadcast — V rows fits the budget on any dim-scale graph, and
+    * over budget the hint drops so the join shuffles on the vertex
+    * key instead of OOMing the executors); counts combine map-side.
+    * The count is a ~free action on the checkpointed degree table. */
   def neighborDegreeStats(edges: DataFrame): DataFrame = {
     val deg = degrees(edges).select(col("vertex"), col("degree"))
       .localCheckpoint(true)
+    val nV = deg.count()
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
     sym
-      .join(broadcast(deg.select(col("vertex").as("src"),
-        col("degree").as("odeg"))), Seq("src"))
-      .join(broadcast(deg.select(col("vertex").as("dst"),
-        col("degree").as("ndeg"))), Seq("dst"))
+      .join(Joins.maybeBroadcast(deg.select(col("vertex").as("src"),
+        col("degree").as("odeg")), nV, 64L), Seq("src"))
+      .join(Joins.maybeBroadcast(deg.select(col("vertex").as("dst"),
+        col("degree").as("ndeg")), nV, 64L), Seq("dst"))
       .groupBy(col("src").as("vertex"))
       .agg(max(col("odeg")).as("degree"),
         max(col("ndeg")).as("max_nbr_degree"),
@@ -374,15 +379,21 @@ object GraphOps {
     * (full-outer merge of the two histograms; min-endpoint degrees
     * are always realized vertex degrees but not vice versa).
     * φ(k) = 2·E_k·1e6 div (N_k·(N_k−1)) — exact integers end to
-    * end, null below 2 survivors. Two broadcast degree joins on the
-    * edge stream, two histogram aggs, windows over the spine only. */
+    * end, null below 2 survivors. Two size-guarded broadcast degree
+    * joins on the edge stream (V rows — over budget the hint drops
+    * and the join shuffles; the degree table is checkpointed because
+    * it feeds both join sides AND the vertex histogram, so the count
+    * is one cheap action), two histogram aggs, windows over the
+    * spine only. */
   def richClub(edges: DataFrame): DataFrame = {
     val deg = degrees(edges).select(col("vertex"), col("degree"))
+      .localCheckpoint(true)
+    val nV = deg.count()
     val eMin = edges.select(col("src"), col("dst"))
-      .join(broadcast(deg.select(col("vertex").as("src"),
-        col("degree").as("dsrc"))), Seq("src"))
-      .join(broadcast(deg.select(col("vertex").as("dst"),
-        col("degree").as("ddst"))), Seq("dst"))
+      .join(Joins.maybeBroadcast(deg.select(col("vertex").as("src"),
+        col("degree").as("dsrc")), nV, 64L), Seq("src"))
+      .join(Joins.maybeBroadcast(deg.select(col("vertex").as("dst"),
+        col("degree").as("ddst")), nV, 64L), Seq("dst"))
       .select(least(col("dsrc"), col("ddst")).as("degree"))
     val vh = deg.groupBy(col("degree")).agg(count(lit(1)).as("nv"))
     val eh = eMin.groupBy(col("degree")).agg(count(lit(1)).as("ne"))
@@ -826,17 +837,21 @@ object GraphOps {
     * throughout (rowsum² and m² on DECIMAL(38) — they square the
     * edge count), the ratio the one double tree e4-rounded, NULL
     * when one category holds every edge end (degenerate denominator).
-    * Shape: two broadcast label joins onto the edge stream, a
-    * |categories|²-bounded mixing aggregation, 1-row fold. */
+    * Shape: two size-guarded broadcast label joins onto the edge
+    * stream (the attr table is V rows — over budget the hints drop
+    * and the joins shuffle on the vertex key), a |categories|²-bounded
+    * mixing aggregation, 1-row fold. */
   def attrAssortativity(spark: SparkSession, edges: DataFrame,
       attrs: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
     val e = edges.select(col("src"), col("dst"))
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-    val a = attrs.toDF("src", "ca")
-    val b = attrs.toDF("dst", "cb")
-    val mix = sym.join(broadcast(a), Seq("src"))
-      .join(broadcast(b), Seq("dst"))
+    val attrsCk = attrs.localCheckpoint(true)
+    val nV = attrsCk.count()
+    val a = attrsCk.toDF("src", "ca")
+    val b = attrsCk.toDF("dst", "cb")
+    val mix = sym.join(Joins.maybeBroadcast(a, nV, 64L), Seq("src"))
+      .join(Joins.maybeBroadcast(b, nV, 64L), Seq("dst"))
       .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("mij"))
       .localCheckpoint(true)
     val rows = mix.groupBy(col("ca")).agg(sum(col("mij")).as("rs"))
@@ -881,8 +896,14 @@ object GraphOps {
         .toDF("vertex", "landmark", "hops")
     }
     import org.apache.spark.graphx.lib.ShortestPaths
+    // Project to the canonical 3 columns BEFORE the positional
+    // self-union: a caller frame carrying extra columns (BenchDist's
+    // 4-column (src, dst, weight, t) parquet) would otherwise
+    // misalign or fail the unionAll (VERDICT r17 item 4 — the
+    // workaround previously lived at the call site).
+    val e3 = edges.select(col("src"), col("dst"), col("weight"))
     val g = GraphBuilder.toGraphX(
-      edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight"))))
+      e3.unionAll(e3.select(col("dst").as("src"), col("src").as("dst"), col("weight"))))
     val marks =
       if (landmarks.nonEmpty) landmarks
       else g.vertices.keys.takeOrdered(3).toSeq
@@ -1452,7 +1473,7 @@ object GraphOps {
     val key = (System.identityHashCode(spark).toString,
       edges.queryExecution.analyzed.semanticHash(), dataKey(edges), steps)
     val sc = spark.sparkContext
-    if (walkCache.size > 4) clearWalkMemos(spark)
+    if (walkCache.size > 4 && !walkCache.contains(key)) clearWalkMemos(spark)
     walkCache.getOrElseUpdate(key, {
       val before = sc.getPersistentRDDs.keySet.toSet
       val built = randomWalksUncached(spark, edges, steps).localCheckpoint(true)
@@ -1530,7 +1551,7 @@ object GraphOps {
     val key = (System.identityHashCode(spark).toString,
       edges.queryExecution.analyzed.semanticHash(), dataKey(edges), maxRounds)
     val sc = spark.sparkContext
-    if (mstCache.size > 4) clearMstMemos(spark)
+    if (mstCache.size > 4 && !mstCache.contains(key)) clearMstMemos(spark)
     mstCache.getOrElseUpdate(key, {
       val before = sc.getPersistentRDDs.keySet.toSet
       val built = minimumSpanningForestUncached(spark, edges, maxRounds)
@@ -1718,7 +1739,10 @@ object GraphOps {
     * follows edge direction, so the canonical undirected edge list is
     * symmetrized first. */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 10): DataFrame = {
-    val sym = edges.unionAll(edges.select(
+    // Canonical 3-column projection before the positional self-union
+    // (the shortestPaths caller-arity lesson, VERDICT r17 item 4).
+    val e3 = edges.select(col("src"), col("dst"), col("weight"))
+    val sym = e3.unionAll(e3.select(
       col("dst").as("src"), col("src").as("dst"), col("weight")))
     val g = GraphBuilder.toGraphX(sym)
     val pr = g.staticPageRank(iters).vertices
@@ -2524,7 +2548,7 @@ object GraphOps {
     // Bounded: evict (and release) everything when the cache grows
     // past a handful of graphs — the memo exists so the assignment
     // and level-stats queries share one run, not as a general cache.
-    if (louvainCache.size > 4) {
+    if (louvainCache.size > 4 && !louvainCache.contains(key)) {
       louvainCache.values.foreach(_._1.unpersist(blocking = false))
       louvainCache.clear()
     }

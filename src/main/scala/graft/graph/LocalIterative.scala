@@ -416,14 +416,17 @@ object LocalIterative {
       // in the Spark DF loop identically (twin equality would stay
       // green on garbage) while the DuckDB oracle errors — assert
       // the invariant rather than trust the constant (ADVICE r16).
-      assert(amax <= Long.MaxValue / 1000000L,
+      // require, not assert: assert elides under
+      // -Xdisable-assertions, which is exactly the silent-wrap
+      // scenario the guard exists to prevent (ADVICE r17).
+      require(amax <= Long.MaxValue / 1000000L,
         s"hits twin overflow: amax=$amax * 1e6 wraps; CollectMax too high")
       auth = mutable.LongMap.empty[Long]
       araw.foreach { case (d, a) => auth(d) = a * 1000000L / amax }
       val hraw = mutable.LongMap.empty[Long].withDefaultValue(0L)
       e.foreach { case (s, d) => hraw(s) += auth(d) }
       val hmax = hraw.values.max
-      assert(hmax <= Long.MaxValue / 1000000L,
+      require(hmax <= Long.MaxValue / 1000000L,
         s"hits twin overflow: hmax=$hmax * 1e6 wraps; CollectMax too high")
       hraw.foreach { case (s, h) => hub(s) = h * 1000000L / hmax }
     }

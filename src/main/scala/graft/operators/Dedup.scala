@@ -266,7 +266,7 @@ object Dedup {
     val key = (System.identityHashCode(spark).toString,
       s"$dir:${src.lastModified}:${src.length}", n)
     val sc = spark.sparkContext
-    if (ngramCache.size > 4) {
+    if (ngramCache.size > 4 && !ngramCache.contains(key)) {
       ngramCache.values.foreach { case (_, ids) =>
         ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       }
@@ -292,7 +292,7 @@ object Dedup {
     val sc = spark.sparkContext
     def release(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    if (sigCache.size > 4) {
+    if (sigCache.size > 4 && !sigCache.contains(key)) {
       sigCache.values.foreach(v => release(v._3))
       sigCache.clear()
     }

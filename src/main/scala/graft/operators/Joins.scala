@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Join-side sizing helpers (SURVEY §5).
+  *
+  * Spark honors an explicit `broadcast()` hint UNCONDITIONALLY — the
+  * planner never demotes it and AQE never re-plans it away — so a
+  * hint on a frame that grows with the data (customer/supplier/part
+  * projections, per-key aggregates over a fact table) is a guaranteed
+  * driver/executor OOM at the 100 TB design point even though it is
+  * sub-second at bench scale. The repo's own rule is "broadcast dims
+  * at DIM-TABLE scale"; this is the shared size guard that makes the
+  * rule reachable from any operator (the round-17 verdict's root
+  * cause for 13 unguarded relational hints was exactly that only
+  * GraphOps.triangles had a local byte-budget guard to copy).
+  */
+object Joins {
+
+  /** Byte budget for a guarded broadcast hint. Deliberately larger
+    * than `spark.sql.autoBroadcastJoinThreshold` (10 MB): the guard
+    * exists to PREVENT hinting an SF-scaling relation, not to
+    * second-guess the planner on genuinely small dims. Tunable per
+    * session; shares the default with `graft.triangles.broadcastBytes`
+    * (160 MB — comfortably inside a 4 GiB executor after the ~2-4×
+    * columnar→row expansion).
+    */
+  private def budgetBytes(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.broadcast.bytes")
+      .map(_.toLong).getOrElse(160L << 20)
+
+  /** Size-guarded broadcast hint.
+    *
+    * Keeps the `broadcast()` hint exactly when Catalyst's OWN size
+    * estimate for the frame — `optimizedPlan.stats.sizeInBytes`,
+    * i.e. file bytes × filter selectivity for scans, propagated
+    * through projections/aggregates — fits the byte budget; over
+    * budget (or unestimable: checkpointed/mid-pipeline frames default
+    * to `spark.sql.defaultSizeInBytes` = Long.Max) it returns the
+    * frame UNHINTED, so the planner and AQE pick broadcast-vs-shuffle
+    * from runtime statistics. The estimate is computed driver-side
+    * from the already-analyzed plan: no job, no scan, ~ms.
+    *
+    * Failure direction is deliberately asymmetric: a false KEEP of
+    * the hint is an OOM at scale, a false DROP merely defers to AQE —
+    * which at bench scale re-plans the shuffle back to a broadcast
+    * join from the measured map output (the round-17 q17 plan
+    * re-audit pinned exactly this: "broadcast at bench scale — AQE's
+    * call; shuffled at 100 TB"). So any estimation doubt resolves to
+    * dropping the hint.
+    */
+  def maybeBroadcast(df: DataFrame): DataFrame = {
+    val est =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    if (est <= budgetBytes(df)) broadcast(df) else df
+  }
+
+  /** Measured-count variant for mid-pipeline frames whose Catalyst
+    * estimate is unusable — a `localCheckpoint` input propagates
+    * `spark.sql.defaultSizeInBytes` (Long.Max), so the stats-based
+    * guard would always drop the hint even on a 100-row frame. The
+    * caller supplies a row count it already has (or can take from a
+    * checkpointed frame for ~free) plus a conservative per-row byte
+    * estimate; the same budget applies. This generalizes the
+    * GraphOps.triangles edge-count guard to any operator.
+    */
+  def maybeBroadcast(df: DataFrame, rows: Long, bytesPerRow: Long): DataFrame =
+    if (rows <= budgetBytes(df) / math.max(bytesPerRow, 1L)) broadcast(df)
+    else df
+}

@@ -9,9 +9,17 @@ import graft.Tables
   *
   * All queries are declarative DataFrame plans: Catalyst handles
   * predicate/projection pushdown, join reordering and (with AQE)
-  * runtime re-planning. Small dimension tables are `broadcast()` so
-  * the fact tables never shuffle for those joins. Money aggregates
-  * are rounded to 2 decimals for bit-stable oracle comparison.
+  * runtime re-planning. Join-side hint discipline (round 18):
+  * `broadcast()` stays unconditional ONLY for frames whose
+  * cardinality is bounded independent of data scale — nation/region
+  * (25/5 rows), one-row scalar aggregates, per-event-type /
+  * per-segment / per-day grids. Every frame that GROWS with scale
+  * factor (customer/supplier/part projections, per-partkey /
+  * per-user aggregates) routes through [[Joins.maybeBroadcast]],
+  * which keeps the hint under a byte budget and otherwise defers to
+  * AQE — a hint Spark never demotes is an OOM at the 100 TB design
+  * point. Money aggregates are rounded to 2 decimals for bit-stable
+  * oracle comparison.
   */
 object Relational {
 
@@ -59,7 +67,7 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(Joins.maybeBroadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("o_orderkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
@@ -78,8 +86,8 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(Joins.maybeBroadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(Joins.maybeBroadcast(cust), ord("o_custkey") === cust("c_custkey"))
       // TPC-H Q5 requires customer and supplier in the same nation
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === nation("n_nationkey"))
@@ -146,7 +154,7 @@ object Relational {
   def qDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"))
     val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(Joins.maybeBroadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(countDistinct(col("o_custkey")).as("n_cust"),
         count(lit(1)).as("n_orders"))
@@ -233,7 +241,7 @@ object Relational {
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
     val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(Joins.maybeBroadcast(cust), col("o_custkey") === col("c_custkey"))
       .rollup(col("c_mktsegment"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("c_mktsegment").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
@@ -382,7 +390,7 @@ object Relational {
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderstatus"))
     val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(Joins.maybeBroadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
@@ -446,7 +454,7 @@ object Relational {
     val ord = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"))
     val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(Joins.maybeBroadcast(cust), col("o_custkey") === col("c_custkey"))
       .cube(col("c_mktsegment"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("c_mktsegment").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
@@ -691,7 +699,7 @@ object Relational {
     val segs = Tables.customer(spark, dir)
       .select(col("c_mktsegment")).distinct()
     val counts = Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)
+      .join(Joins.maybeBroadcast(Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"),
@@ -965,7 +973,7 @@ object Relational {
         col("__pmin")))
       .withColumn("prev_rm", coalesce(lag(col("rm"), 1).over(wp), col("__pmin")))
       .select(col(price), col("rm"), col("prev_rm"))
-    o.join(broadcast(spine), Seq(price))
+    o.join(Joins.maybeBroadcast(spine), Seq(price))
       .filter(!(coalesce(col("prev_rm") <= col(date), lit(false))
         || col("rm") < col(date)))
       .select(col(key), col(price), col(date))
@@ -1492,9 +1500,9 @@ object Relational {
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cnt_ab"))
       .filter(col("cnt_ab") >= minSup)
     pairs
-      .join(broadcast(itemCnt.withColumnRenamed("l_partkey", "pa")
+      .join(Joins.maybeBroadcast(itemCnt.withColumnRenamed("l_partkey", "pa")
         .withColumnRenamed("cnt", "cnt_a")), Seq("pa"))
-      .join(broadcast(itemCnt.withColumnRenamed("l_partkey", "pb")
+      .join(Joins.maybeBroadcast(itemCnt.withColumnRenamed("l_partkey", "pb")
         .withColumnRenamed("cnt", "cnt_b")), Seq("pb"))
       .withColumn("n", lit(nOrders))
       .select(col("pa"), col("pb"), col("cnt_ab"), col("cnt_a"), col("cnt_b"),
@@ -2064,7 +2072,7 @@ object Relational {
     val ev = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
-    ev.join(broadcast(first), Seq("user_id"))
+    ev.join(Joins.maybeBroadcast(first), Seq("user_id"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("dau"),
         sum(when(col("day") === col("fday"), 1L).otherwise(0L)).as("new_users"),
@@ -2090,7 +2098,7 @@ object Relational {
     val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
     val anchor = first.agg(min(col("cohort")).as("day0"))
     val p = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(first), Seq("user_id"))
+      .join(Joins.maybeBroadcast(first), Seq("user_id"))
       .crossJoin(broadcast(anchor))
       .filter(datediff(col("cohort"), col("day0")) < 7)
       .withColumn("age", datediff(col("day"), col("cohort")))
@@ -2713,7 +2721,7 @@ object Relational {
     val pkCust = one("pk_unique", "customer.c_custkey", cust,
       count(lit(1)), count(lit(1)) - count_distinct(col("c_custkey")))
     val fkOrders = one("fk_orphans", "orders.o_custkey->customer",
-      ord.join(broadcast(cust.select(col("c_custkey").as("o_custkey"))),
+      ord.join(Joins.maybeBroadcast(cust.select(col("c_custkey").as("o_custkey"))),
         Seq("o_custkey"), "left_anti"),
       count(lit(1)), count(lit(1)))
       .select(col("check_name"), col("target"),
@@ -2881,7 +2889,7 @@ object Relational {
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
     val pt = Tables.part(spark, dir)
       .select(col("p_partkey").as("l_partkey"), col("p_brand"))
-    val lvl = li.join(broadcast(pt), Seq("l_partkey"))
+    val lvl = li.join(Joins.maybeBroadcast(pt), Seq("l_partkey"))
       .groupBy(col("p_brand"), col("qty"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
       .select(col("p_brand"), col("qty"), expr("sc div n").as("mean_cents"))
@@ -3331,9 +3339,9 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate")).as("l_year"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
-    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    li.join(Joins.maybeBroadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Joins.maybeBroadcast(cust), col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       .agg(round(sum(col("volume")), 2).as("revenue"))
@@ -3373,10 +3381,10 @@ object Relational {
         (round(col("l_extendedprice") * 100).cast("long") *
           (lit(100L) - round(col("l_discount") * 100).cast("long")))
           .cast("decimal(38,0)").as("vol"))
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Joins.maybeBroadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(Joins.maybeBroadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Joins.maybeBroadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_year"))
       .agg(
         sum(when(col("supp_nation") === lit("NATION_5"), col("vol"))
@@ -3528,7 +3536,7 @@ object Relational {
         (round(col("l_extendedprice") * 100).cast("long") *
           (lit(100L) - round(col("l_discount") * 100).cast("long")))
           .cast("decimal(38,0)").as("vol"))
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(Joins.maybeBroadcast(pt), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_month"))
       .agg(
         sum(when(col("is_promo"), col("vol"))
@@ -3581,7 +3589,7 @@ object Relational {
       .filter(col("l_quantity").between(1.0, 30.0))
       .select(col("l_partkey"), col("l_quantity"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(Joins.maybeBroadcast(pt), col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === lit("Brand#1") && col("l_quantity").between(1.0, 11.0)) ||
         (col("p_brand") === lit("Brand#2") && col("l_quantity").between(10.0, 20.0)) ||
@@ -3709,7 +3717,7 @@ object Relational {
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("q"),
         col("l_extendedprice"))
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(Joins.maybeBroadcast(pt), col("l_partkey") === col("p_partkey"))
       .join(pa, Seq("l_partkey"))
       .filter(col("q") * lit(5L) * col("cq") < col("sq"))
       .agg(count(lit(1)).as("n_small"),
@@ -3743,7 +3751,7 @@ object Relational {
       .filter(col("ns") >= 2L && col("rs") === 1L)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Joins.maybeBroadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(25)
@@ -3757,19 +3765,28 @@ object Relational {
     * against the date-pruned orders scan (the filter pushes to the
     * scan, so the anti side is a fraction of orders). The scalar
     * subquery (global avg positive balance) is a one-row aggregate
-    * broadcast by the cross join — computed once, never per row.
-    * Grouped by market segment (this corpus's stand-in for Q22's
-    * phone country code); §6 rounded money. */
+    * broadcast by the cross join — computed once, never per row —
+    * and the avg COMPARISON clears the denominator into the exact
+    * integer cross-multiply bal_cents·n_pos > sum_pos_cents on
+    * DECIMAL(38,0)/HUGEINT ledgers (ADVICE r17: a float avg's
+    * reduction order differs between engines and across runs, so a
+    * balance within an ulp of it could flip membership — the same
+    * q11/q17/q20 discipline, no float share anywhere). Grouped by
+    * market segment (this corpus's stand-in for Q22's phone country
+    * code); §6 rounded money (same-sign fold). */
   def q22IdleCust(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-    val avgbal = cust.filter(col("c_acctbal") > 0.0)
-      .agg(avg(col("c_acctbal")).as("ab"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val avgbal = cust.filter(col("bal_cents") > 0L)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_pos"),
+        sum(col("bal_cents")).cast("decimal(38,0)").as("sum_pos_cents"))
     val recent = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
       .select(col("o_custkey"))
     cust.crossJoin(broadcast(avgbal))
-      .filter(col("c_acctbal") > col("ab"))
+      .filter(col("bal_cents").cast("decimal(38,0)") * col("n_pos")
+        > col("sum_pos_cents"))
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("numcust"),
@@ -3800,7 +3817,7 @@ object Relational {
     val mx = rev.agg(max(col("total_rev")).as("mx"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_rev") === col("mx"))
-      .join(broadcast(Tables.supplier(spark, dir)
+      .join(Joins.maybeBroadcast(Tables.supplier(spark, dir)
         .select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev"))
@@ -3872,8 +3889,8 @@ object Relational {
         round(col("l_quantity")).cast("long").as("qty"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
           .cast("long").as("rev_cents"))
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Joins.maybeBroadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(Joins.maybeBroadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("nation"), col("o_year"))
       .agg(sum(col("rev_cents") -
@@ -3901,7 +3918,7 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val v = Tables.lineitem(spark, dir)
-      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(Joins.maybeBroadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
         .cast("decimal(38,0)").as("val"))
@@ -3931,8 +3948,8 @@ object Relational {
       .select(col("s_suppkey"))
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+      .join(Joins.maybeBroadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(Joins.maybeBroadcast(flagged), col("l_suppkey") === col("s_suppkey"),
         "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
@@ -3955,7 +3972,7 @@ object Relational {
     val pq = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Joins.maybeBroadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
       .select(col("l_partkey"), col("l_suppkey"),
         round(col("l_quantity")).cast("long").as("q"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
@@ -3966,7 +3983,7 @@ object Relational {
       .filter(col("sq") * col("ns") > col("tq"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_excess_parts"))
-      .join(broadcast(Tables.supplier(spark, dir)
+      .join(Joins.maybeBroadcast(Tables.supplier(spark, dir)
         .select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_excess_parts"))
@@ -4024,7 +4041,7 @@ object Relational {
       .orderBy(col("avg_cost_e8"), col("l_suppkey"))
     cost.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Joins.maybeBroadcast(Tables.part(spark, dir)
         .filter(col("p_size") > 45)
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))

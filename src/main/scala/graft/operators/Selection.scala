@@ -281,7 +281,11 @@ object Selection {
       ((g, n, lo, hi), gi) <- stats.zipWithIndex
       (p, pi) <- pcts.sorted.zipWithIndex
     } {
-      val c = Cell(gi * 128 + pi, g, p,
+      // Cell id stride = pcts.length, not a fixed 128: a fixed
+      // stride collides (merging two cells' histograms) as soon as a
+      // caller passes more than 128 percentiles, and the public API
+      // does not bound pcts.length (ADVICE r17).
+      val c = Cell(gi * math.max(pcts.length, 1) + pi, g, p,
         math.max(1L, math.ceil(p / 100.0 * n).toLong), n, lo, hi,
         col("grp") === g)
       if (c.nRem > exactBound && c.hi > c.lo) wide +:= c else done +:= c
@@ -334,6 +338,13 @@ object Selection {
         wide = still
       }
     }
+    // Round-cap stragglers finish EXACTLY too, never vanish: a cell
+    // still wide at the cap (needs >64 rounds ⇔ >64k duplicates near
+    // the kth value across ~the full double range) has a correct —
+    // just larger — value-collapsed exact finish, same as every done
+    // cell (ADVICE r17: the old frame was built from `done` only, so
+    // a capped cell silently dropped its (grp, pct) output row).
+    done ++= wide
     // Exact finish, all cells in the RETURNED frame (no extra
     // driver action): per-(cell, value) counts combine duplicates
     // map-side, the cumsum window runs over collapsed rows, and the

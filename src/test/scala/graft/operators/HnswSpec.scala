@@ -29,6 +29,37 @@ class HnswSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("e_hnsw: empty NOMINAL top layer falls back to the highest " +
+      "realized level (k rows per query, never zero)") {
+    // ADVICE r17: levels are hash-assigned, so the nominal top layer
+    // is empty with P ≈ e^-8 per corpus — and an empty entry set used
+    // to stay empty through every layer and return ZERO rows. Plant a
+    // corpus whose every vertex hashes below level 1 (u ≥ 125000 ⇒
+    // lvl 0 at maxLevel 1), forcing the fallback.
+    def u(id: Long): Long =
+      graft.functions.MinHashSig.bridge60(s"$id:hnsw") % 1000000L
+    val ids = (0L until 4096L).filter(u(_) >= 125000L)
+    val queryIds = ids.filter(_ < Similarity.QueryLimit).take(4)
+    val corpusIds = (queryIds ++ ids.filter(_ >= Similarity.QueryLimit)
+      .take(16 - queryIds.size)).distinct
+    assert(queryIds.nonEmpty && corpusIds.size >= Similarity.TopK + 1)
+    def vec(axis: Int): Seq[Float] =
+      (0 until Similarity.EmbeddingDim).map(i => if (i == axis) 1f else 0.01f)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnswtop").toString
+    import spark.implicits._
+    graft.TestFixtures.canonEmb(
+      corpusIds.zipWithIndex.map { case (id, i) => (id, vec(i % 32)) }
+        .toDF("vec_id", "embedding")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.hnswTopK(spark, dir).collect()
+    val perQuery = rows.groupBy(_.getLong(0))
+    assert(perQuery.keySet == queryIds.toSet,
+      s"queries answered: ${perQuery.keySet} != planted $queryIds")
+    perQuery.foreach { case (_, rs) =>
+      assert(rs.length == Similarity.TopK, s"expected k rows, got ${rs.length}")
+    }
+  }
+
   test("e_hnsw: k ranked rows per query and the recall floor") {
     val rows = Similarity.hnswTopK(spark, sf).collect()
     val perQuery = rows.groupBy(_.getLong(0))

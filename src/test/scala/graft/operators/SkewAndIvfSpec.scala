@@ -86,6 +86,34 @@ class SkewAndIvfSpec extends AnyFunSuite {
       "stale centroid memo after in-place regeneration")
   }
 
+  test("refined-kNN memo misses when embeddings are regenerated in place") {
+    // The round-18 refinedKnnGraph memo (shared by e_hnsw /
+    // e_nn_descent) follows the knnCache invalidation contract: the
+    // key carries the source file's mtime+length, so an in-place
+    // regeneration must rebuild, not serve stale edges.
+    import org.apache.spark.sql.functions.col
+    def vec(axis: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == axis) 1f else 0f)
+    val dir = java.nio.file.Files.createTempDirectory("graft_refmemo").toString
+    def write(rows: Seq[(Long, Seq[Float])]): Unit = {
+      graft.TestFixtures.canonEmb(rows.toDF("vec_id", "embedding")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val f = new java.io.File(s"$dir/embeddings.parquet")
+      f.setLastModified(f.lastModified() + 2000)
+    }
+    write(Seq((1L, vec(0)), (2L, vec(0)), (3L, vec(0))))
+    val first = Similarity.refinedKnnGraph(spark, dir, k = 1)
+    assert(first.select(col("vec_id")).distinct().count() == 3L)
+    // Same key → the memo returns the SAME checkpointed frame (one
+    // build), not merely equal rows.
+    assert(Similarity.refinedKnnGraph(spark, dir, k = 1) eq first)
+    write(Seq((1L, vec(0)), (2L, vec(0)), (3L, vec(0)),
+      (4L, vec(1)), (5L, vec(1))))
+    val second = Similarity.refinedKnnGraph(spark, dir, k = 1)
+      .select(col("vec_id")).distinct().count()
+    assert(second == 5L, s"stale refined-kNN memo: $second vertices")
+  }
+
   test("embedClusters recovers planted clusters; loner stays a singleton") {
     import org.apache.spark.sql.functions._
     // Three well-separated base directions + per-member deterministic
