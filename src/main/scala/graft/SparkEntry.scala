@@ -196,7 +196,7 @@ object SparkEntry {
       // e_ivf_persist's one-time index WRITE is fixture work (the
       // operator's story is build-once/search-many); sweeps time the
       // load + DPP-pruned search.
-      "e_ivf_persist")
+      "e_ivf_persist", "e_pq_persist", "e_hnsw_persist", "d_sig_persist")
       .foreach(q => queries(q)(s, d).limit(1).count(): Unit)
   }
 
@@ -701,6 +701,11 @@ object SparkEntry {
     "d_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "d_bloom_dedup" -> ((s, d) => Dedup.bloomIncremental(s, d)),
     "d_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    // Banded pairs from the PERSISTED signature table — bit-equal to
+    // d_minhash_pairs (deterministic sigs, exact parquet round-trip),
+    // so it shares the full DuckDB oracle.
+    "d_sig_persist" -> ((s, d) =>
+      graft.sources.AnnIndexStore.minhashPairsPersisted(s, d)),
     "d_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "d_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -867,6 +872,16 @@ object SparkEntry {
     // (bit-equality with e_ann_ivf, DPP plan, stale-manifest refusal).
     "e_ivf_persist" -> ((s, d) =>
       graft.sources.AnnIndexStore.annIvfTopKPersisted(s, d)),
+    // PQ index persistence: codebooks + coarse quantizer + code table
+    // from parquet; ADC sweep + exact re-rank with zero in-query
+    // fitting/encoding. Rows-only + equality spec vs e_pq_adc.
+    "e_pq_persist" -> ((s, d) =>
+      graft.sources.AnnIndexStore.pqAdcTopKPersisted(s, d)),
+    // HNSW layer-graph persistence: refined layer-0 edges + the
+    // deterministic level stack reload from parquet into the same
+    // descent. Rows-only + equality spec vs e_hnsw.
+    "e_hnsw_persist" -> ((s, d) =>
+      graft.sources.AnnIndexStore.hnswTopKPersisted(s, d)),
     // Query-time beam search over the memoized kNN graph (HNSW-lite):
     // IVF-seeded entries, 3 greedy beam expansions, exact re-score.
     // Rows-only: the iterative beam has no SQL form; BeamSearchSpec
@@ -2336,6 +2351,13 @@ object SparkEntry {
     // MinHash banded pairs, est ≥ 0.5 — full pipeline under the
     // oracle since the round-18 md5/Carter-Wegman hash family.
     "d_minhash_pairs" -> (minhashEstCtes +
+      """
+        |SELECT doc_a, doc_b, est_jaccard_e4 FROM est
+        |WHERE est_jaccard_e4 >= 5000
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // The persisted-signature variant emits the same rows by
+    // construction — same oracle.
+    "d_sig_persist" -> (minhashEstCtes +
       """
         |SELECT doc_a, doc_b, est_jaccard_e4 FROM est
         |WHERE est_jaccard_e4 >= 5000

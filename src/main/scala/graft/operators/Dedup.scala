@@ -27,7 +27,7 @@ object Dedup {
   val MinhashBands = 16
 
   /** doc_id + minhash signature over distinct word 3-gram shingles. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def signatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         TF.minhashSignature(array_distinct(TF.wordShingles(col("text"), 3)), MinhashK)
@@ -79,7 +79,7 @@ object Dedup {
   /** MinHash banded pairs over a prepared (doc_id, sig) table —
     * [[scoredCandidatePairs]] under the production ≥0.5 estimate
     * filter. */
-  private def minhashPairsFrom(sigs: DataFrame): DataFrame =
+  private[graft] def minhashPairsFrom(sigs: DataFrame): DataFrame =
     scoredCandidatePairs(sigs).filter(col("est_jaccard_e4") >= 5000)
 
   /** MinHash near-dup pairs with estimated Jaccard (e4-scaled),

@@ -856,7 +856,6 @@ object Similarity {
     * embeddings only meet the scorer through corpus equi-joins.
     * Rows-only + spec (determinism, stack shape, recall vs exact). */
   def hnswTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     // Full base (incl. sim_e4 — nnDescentFrom's reverse-degree cap
@@ -866,22 +865,43 @@ object Similarity {
     // cheap view over its blocks, no second checkpoint needed.
     val refined = refinedKnnGraph(spark, dir, k)
       .select(col("vec_id"), col("neighbor_id"))
-    // Geometric level: P(level ≥ ℓ) = 8^{-ℓ}, from the one 64-bit
-    // hash Spark and DuckDB state identically (determinism is what
-    // makes the spec's run-to-run equality assertable).
+    val nVecs = emb.count()
+    val maxLevel = hnswMaxLevel(nVecs)
+    val levels = hnswLevels(emb, maxLevel).localCheckpoint(true)
+    hnswDescend(spark, dir, refined, levels, maxLevel, k)
+  }
+
+  /** Nominal stack height for an n-vector corpus. */
+  private[graft] def hnswMaxLevel(nVecs: Long): Int = math.max(1,
+    (math.log(nVecs.toDouble) / math.log(HnswFanout.toDouble)).floor.toInt - 1)
+
+  /** Deterministic geometric level per vertex:
+    * P(level ≥ ℓ) = 8^{-ℓ}, from the one 64-bit md5 hash Spark and
+    * DuckDB state identically (determinism is what makes the spec's
+    * run-to-run equality — and the persisted stack's bit-equality —
+    * assertable). */
+  private[graft] def hnswLevels(emb: DataFrame, maxLevel: Int): DataFrame = {
     val u = pmod(conv(substring(md5(concat(col("vec_id").cast("string"),
       lit(":hnsw"))), 1, 15), 16, 10).cast("long"), lit(1000000L))
-    val nVecs = emb.count()
-    val maxLevel = math.max(1,
-      (math.log(nVecs.toDouble) / math.log(HnswFanout.toDouble)).floor.toInt - 1)
     var lvlCol: Column = lit(0)
     for (l <- 1 to maxLevel)
       lvlCol = when(col("u") <
         lit(math.max(1L, (1000000.0 / math.pow(HnswFanout.toDouble, l)).toLong)),
         lit(l)).otherwise(lvlCol)
-    val levels = emb.select(col("vec_id"), u.as("u"))
+    emb.select(col("vec_id"), u.as("u"))
       .select(col("vec_id"), lvlCol.as("lvl"))
-      .localCheckpoint(true)
+  }
+
+  /** The layer descent over PREPARED parts — shared by the live path
+    * and the persisted layer-graph load
+    * ([[graft.sources.AnnIndexStore]]). `refined` carries bare
+    * (vec_id, neighbor_id) layer-0 edges; `levels` must be
+    * materialized (checkpointed or a parquet scan). */
+  private[graft] def hnswDescend(spark: SparkSession, dir: String,
+      refined: DataFrame, levels: DataFrame, maxLevel: Int,
+      k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
     val queries = emb.filter(col("vec_id") < QueryLimit)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // Entry set: every top-layer vertex serves every query (the top
@@ -1043,7 +1063,19 @@ object Similarity {
   def pqAdcTopK(spark: SparkSession, dir: String,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val codes = pqEncode(spark, dir, emb, codebooks)
+    pqAdcSearch(spark, dir, pqEncode(spark, dir, emb, codebooks),
+      codebooks, fitIvfCentroids(spark, dir))
+  }
+
+  /** ADC + exact re-rank over PRECOMPUTED parts — the persisted-index
+    * entry point ([[graft.sources.AnnIndexStore]]): codes arrive as a
+    * table (parquet round-trips the int codes exactly), codebooks and
+    * the coarse quantizer as arrays, so the search touches no fitting
+    * or encoding at all. */
+  private[graft] def pqAdcSearch(spark: SparkSession, dir: String,
+      codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+      coarse: Array[Array[Double]]): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val normArr = graft.functions.CatalystText.l2_normalize(col("embedding"))
     val qBase = emb.filter(col("vec_id") < QueryLimit)
       .select(col("vec_id").as("query_id"), normArr.as("qv"))
@@ -1054,7 +1086,7 @@ object Similarity {
     // residual decomposition: q·x̂ = q·c_home(x) + q·r_x, so each
     // query also precomputes its 16 coarse-centroid dot products —
     // one more per-query array literal riding the broadcast row.
-    val qcell = array(fitIvfCentroids(spark, dir).map(c =>
+    val qcell = array(coarse.map(c =>
       dot(col("qv"), array(c.toSeq.map(lit): _*))).toIndexedSeq: _*)
     val luts = qBase.select(col("query_id"), lut.as("lut"), qcell.as("qcell"))
     val adc = (0 until PqSubspaces).map { m =>

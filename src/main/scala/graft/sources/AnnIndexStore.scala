@@ -2,49 +2,95 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
-/** Parquet persistence for ANN index artifacts (round 18 — VERDICT
-  * r17 "What's missing" 3: every index query built its structure
-  * in-query, session-memoized at best; a real 100 TB user builds ONCE
-  * and queries many times across sessions).
+/** Parquet persistence for ANN / dedup index artifacts (round 18 —
+  * VERDICT r17 "What's missing" 3: every index query built its
+  * structure in-query, session-memoized at best; a real 100 TB user
+  * builds ONCE and queries many times across sessions). Four artifact
+  * kinds, one contract:
   *
-  * The IVF index persists as the classic inverted-file layout:
+  *   - IVF (`saveIvf`) — (cell, centroid) quantizer rows + the
+  *     classic inverted-file layout: (vec_id, embedding, cell)
+  *     PARTITIONED BY cell, so a probe that touches `IvfProbes`
+  *     cells reads exactly those partition directories. The probe
+  *     equi-join on the partition column gets DYNAMIC PARTITION
+  *     PRUNING from Spark's optimizer — at 100 TB the search scans
+  *     probed cells' files, never the corpus (spec-pinned on the
+  *     executed plan).
+  *   - PQ (`savePq`) — the (subspace, code, centroid) codebooks, the
+  *     coarse quantizer the residuals derive from, and the
+  *     (vec_id, cell, codes) code table: 16 small ints per vector,
+  *     the 16×-compressed representation the ADC sweep scans.
+  *   - MinHash signatures (`saveMinhashSigs`) — (doc_id, sig) rows;
+  *     banding, candidate generation and the e4 estimate all derive
+  *     from the signatures, so persisting them makes every dedup
+  *     query a signature-table scan instead of a corpus re-shingle.
+  *   - HNSW layer graph (`saveHnsw`) — the NN-descent-refined layer-0
+  *     edges + the deterministic (vec_id, lvl) stack + the nominal
+  *     max level; search reloads the stack and runs the same layer
+  *     descent.
   *
-  *   - `centroids/`   — (cell, centroid) rows, quantizer-sized (16);
-  *   - `inverted/`    — (vec_id, embedding, cell) PARTITIONED BY
-  *                      cell: each cell's vectors are a separate
-  *                      partition directory, so a probe that touches
-  *                      `IvfProbes` cells reads exactly those
-  *                      partitions. The probe equi-join on the
-  *                      partition column gets DYNAMIC PARTITION
-  *                      PRUNING from Spark's optimizer — at 100 TB
-  *                      the search scans probed cells' files, never
-  *                      the corpus (spec-pinned on the executed
-  *                      plan);
-  *   - `manifest/`    — one row: format version + the SOURCE
-  *                      table's (mtime, length) identity + shape
-  *                      scalars. Load REFUSES a manifest that does
-  *                      not match the current source file — the
-  *                      memoized-artifact invalidation contract
-  *                      (GraphBuilder), persisted: an in-place
-  *                      regeneration of embeddings.parquet makes
-  *                      every stale on-disk index loudly unusable
-  *                      instead of silently wrong.
-  *
-  * The assignment projection is shared with the live path
-  * ([[Similarity.ivfAssigned]]) and parquet round-trips
-  * long/float-array/int exactly, so a persisted search is
-  * BIT-IDENTICAL to the in-memory `annIvfTopK` (spec-pinned
-  * equality).
+  * Every kind writes a one-row `manifest/` carrying the format
+  * version and the SOURCE table's (mtime, length) identity, and every
+  * load path REFUSES a mismatch — the memoized-artifact invalidation
+  * contract (GraphBuilder), persisted: an in-place regeneration of
+  * the source makes every stale on-disk index loudly unusable instead
+  * of silently wrong. Builders are shared with the live paths
+  * ([[Similarity.ivfAssigned]], [[Similarity.hnswLevels]],
+  * [[Dedup.signatures]]...) and parquet round-trips
+  * long/int/double/float-array exactly, so each persisted search is
+  * BIT-IDENTICAL to its in-memory twin (spec-pinned equality; the
+  * signature pairs even share d_minhash_pairs' full DuckDB oracle).
   */
 object AnnIndexStore {
 
   val FormatVersion = 1L
 
-  private def srcFile(dir: String): java.io.File =
+  private def embSrc(dir: String): java.io.File =
     new java.io.File(s"$dir/embeddings.parquet")
+  private def docSrc(dir: String): java.io.File =
+    new java.io.File(s"$dir/documents.parquet")
+
+  private def writeManifest(spark: SparkSession, src: java.io.File,
+      path: String, extra: Long = 0L): Unit = {
+    import spark.implicits._
+    Seq((FormatVersion, src.lastModified, src.length, extra))
+      .toDF("version", "src_mtime", "src_length", "extra")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Manifest check: the persisted index must describe the CURRENT
+    * source table. Throws (never silently serves stale results) on a
+    * version or identity mismatch. Returns the kind-specific extra
+    * scalar (HNSW's nominal max level; 0 elsewhere). */
+  def requireFresh(spark: SparkSession, src: java.io.File,
+      path: String): Long = {
+    val m = spark.read.parquet(s"$path/manifest").collect()
+    require(m.length == 1, s"index manifest at $path is malformed")
+    val r = m.head
+    require(r.getAs[Long]("version") == FormatVersion,
+      s"index at $path has format ${r.getAs[Long]("version")}, " +
+        s"this build reads $FormatVersion")
+    require(r.getAs[Long]("src_mtime") == src.lastModified &&
+      r.getAs[Long]("src_length") == src.length,
+      s"index at $path is STALE: built from " +
+        s"(mtime=${r.getAs[Long]("src_mtime")}, len=${r.getAs[Long]("src_length")}), " +
+        s"source is now (mtime=${src.lastModified}, len=${src.length}) — rebuild")
+    r.getAs[Long]("extra")
+  }
+
+  /** Per-SF fixture path keyed by the source's (mtime ^ length) — the
+    * cachedSideOutput convention: a regenerated lake gets a NEW path,
+    * so an old index can never serve it; the manifest _SUCCESS
+    * sentinel marks a complete write (manifest writes LAST). */
+  private def fixturePath(src: java.io.File, dir: String,
+      kind: String): String = {
+    val key = java.lang.Long.toHexString(src.length ^ src.lastModified)
+    s"/tmp/graft_${kind}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$key"
+  }
+
+  // ---- IVF: centroids + cell-partitioned inverted lists ----
 
   /** Fit (or reuse the memoized) quantizer and write the full IVF
     * index at `path`. Overwrites any previous index there. */
@@ -57,30 +103,7 @@ object AnnIndexStore {
     Similarity.ivfAssigned(spark, dir, centroids)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/inverted")
-    val src = srcFile(dir)
-    val dim = centroids.headOption.map(_.length).getOrElse(0)
-    Seq((FormatVersion, src.lastModified, src.length,
-      centroids.length.toLong, dim.toLong))
-      .toDF("version", "src_mtime", "src_length", "n_cells", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
-  }
-
-  /** Manifest check: the persisted index must describe the CURRENT
-    * source table. Throws (never silently serves stale neighbors)
-    * on a version or identity mismatch. */
-  def requireFresh(spark: SparkSession, dir: String, path: String): Unit = {
-    val m = spark.read.parquet(s"$path/manifest").collect()
-    require(m.length == 1, s"ANN index manifest at $path is malformed")
-    val r = m.head
-    require(r.getAs[Long]("version") == FormatVersion,
-      s"ANN index at $path has format ${r.getAs[Long]("version")}, " +
-        s"this build reads $FormatVersion")
-    val src = srcFile(dir)
-    require(r.getAs[Long]("src_mtime") == src.lastModified &&
-      r.getAs[Long]("src_length") == src.length,
-      s"ANN index at $path is STALE: built from " +
-        s"(mtime=${r.getAs[Long]("src_mtime")}, len=${r.getAs[Long]("src_length")}), " +
-        s"source is now (mtime=${src.lastModified}, len=${src.length}) — rebuild")
+    writeManifest(spark, embSrc(dir), path)
   }
 
   /** Load the persisted quantizer, cell-ordered. */
@@ -99,23 +122,124 @@ object AnnIndexStore {
     * join runs against the partitioned scan (DPP prunes to probed
     * cells), and no fitting or assignment happens in-query. */
   def annIvfTopKFrom(spark: SparkSession, dir: String, path: String): DataFrame = {
-    requireFresh(spark, dir, path)
+    requireFresh(spark, embSrc(dir), path)
     Similarity.annIvfSearch(spark, dir,
       loadIvfInverted(spark, path), loadIvfCentroids(spark, path))
   }
 
-  /** Query entry: build-once-search-from-disk. The fixture path is
-    * keyed by the source's (mtime ^ length) — the cachedSideOutput
-    * convention — so a regenerated lake gets a NEW path and the old
-    * index can never serve it; the _SUCCESS sentinel marks a
-    * complete write. */
+  /** Query entry: build-once-search-from-disk. */
   def annIvfTopKPersisted(spark: SparkSession, dir: String): DataFrame = {
-    val src = srcFile(dir)
-    val key = java.lang.Long.toHexString(src.length ^ src.lastModified)
-    val path =
-      s"/tmp/graft_ivfidx_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$key"
+    val path = fixturePath(embSrc(dir), dir, "ivfidx")
     if (!new java.io.File(s"$path/manifest/_SUCCESS").exists())
       saveIvf(spark, dir, path)
     annIvfTopKFrom(spark, dir, path)
+  }
+
+  // ---- PQ: codebooks + coarse quantizer + code table ----
+
+  /** Write the PQ index: residual codebooks, the coarse quantizer
+    * they are relative to, and the encoded corpus. */
+  def savePq(spark: SparkSession, dir: String, path: String): Unit = {
+    import spark.implicits._
+    val codebooks = Similarity.fitPqCodebooks(spark, dir)
+    val coarse = Similarity.fitIvfCentroids(spark, dir)
+    codebooks.zipWithIndex.toSeq.flatMap { case (cb, m) =>
+      cb.zipWithIndex.toSeq.map { case (c, j) => (m, j, c.toSeq) }
+    }.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.pqEncode(spark, dir, emb, codebooks)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    writeManifest(spark, embSrc(dir), path)
+  }
+
+  def loadPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("subspace"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getAs[Seq[Double]]("centroid").toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2).toArray).toArray
+
+  /** PQ ADC + exact re-rank from the persisted parts only. */
+  def pqAdcTopKFrom(spark: SparkSession, dir: String, path: String): DataFrame = {
+    requireFresh(spark, embSrc(dir), path)
+    val coarse = spark.read.parquet(s"$path/coarse")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[Seq[Double]]("centroid").toArray)
+    Similarity.pqAdcSearch(spark, dir,
+      spark.read.parquet(s"$path/codes"),
+      loadPqCodebooks(spark, path), coarse)
+  }
+
+  def pqAdcTopKPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val path = fixturePath(embSrc(dir), dir, "pqidx")
+    if (!new java.io.File(s"$path/manifest/_SUCCESS").exists())
+      savePq(spark, dir, path)
+    pqAdcTopKFrom(spark, dir, path)
+  }
+
+  // ---- MinHash signatures (dedup) ----
+
+  /** Persist the (doc_id, sig) MinHash signature table — the one
+    * corpus scan + shingle + hash pass every banded dedup query
+    * derives from. */
+  def saveMinhashSigs(spark: SparkSession, dir: String, path: String): Unit = {
+    Dedup.signatures(spark, dir)
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    writeManifest(spark, docSrc(dir), path)
+  }
+
+  /** Banded near-dup pairs from the PERSISTED signatures — identical
+    * rows to d_minhash_pairs (the signature scheme is deterministic
+    * and longs round-trip parquet exactly), so this query shares its
+    * full DuckDB oracle. */
+  def minhashPairsFrom(spark: SparkSession, dir: String, path: String): DataFrame = {
+    requireFresh(spark, docSrc(dir), path)
+    Dedup.minhashPairsFrom(spark.read.parquet(s"$path/sigs"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def minhashPairsPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val path = fixturePath(docSrc(dir), dir, "sigidx")
+    if (!new java.io.File(s"$path/manifest/_SUCCESS").exists())
+      saveMinhashSigs(spark, dir, path)
+    minhashPairsFrom(spark, dir, path)
+  }
+
+  // ---- HNSW layer graph ----
+
+  /** Persist the navigable-small-world stack: the NN-descent-refined
+    * layer-0 edges and the deterministic level assignment; the
+    * nominal max level rides the manifest's extra slot. */
+  def saveHnsw(spark: SparkSession, dir: String, path: String): Unit = {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val maxLevel = Similarity.hnswMaxLevel(emb.count())
+    Similarity.refinedKnnGraph(spark, dir)
+      .select(col("vec_id"), col("neighbor_id"))
+      .write.mode("overwrite").parquet(s"$path/edges")
+    Similarity.hnswLevels(emb, maxLevel)
+      .write.mode("overwrite").parquet(s"$path/levels")
+    writeManifest(spark, embSrc(dir), path, extra = maxLevel.toLong)
+  }
+
+  /** HNSW top-k from the persisted stack: same layer descent, edges
+    * and levels from parquet, no refinement or hashing in-query. */
+  def hnswTopKFrom(spark: SparkSession, dir: String, path: String): DataFrame = {
+    val maxLevel = requireFresh(spark, embSrc(dir), path).toInt
+    Similarity.hnswDescend(spark, dir,
+      spark.read.parquet(s"$path/edges"),
+      spark.read.parquet(s"$path/levels"),
+      maxLevel, Similarity.TopK)
+  }
+
+  def hnswTopKPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val path = fixturePath(embSrc(dir), dir, "hnswidx")
+    if (!new java.io.File(s"$path/manifest/_SUCCESS").exists())
+      saveHnsw(spark, dir, path)
+    hnswTopKFrom(spark, dir, path)
   }
 }

@@ -24,6 +24,30 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(persisted.toSeq == live.toSeq && persisted.nonEmpty)
   }
 
+  test("persisted PQ search ≡ in-memory pqAdcTopK, bit for bit") {
+    val live = Similarity.pqAdcTopK(spark, sf)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
+    val persisted = AnnIndexStore.pqAdcTopKPersisted(spark, sf)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
+    assert(persisted.toSeq == live.toSeq && persisted.nonEmpty)
+  }
+
+  test("persisted HNSW search ≡ in-memory hnswTopK, bit for bit") {
+    val live = Similarity.hnswTopK(spark, sf)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
+    val persisted = AnnIndexStore.hnswTopKPersisted(spark, sf)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
+    assert(persisted.toSeq == live.toSeq && persisted.nonEmpty)
+  }
+
+  test("persisted-signature pairs ≡ d_minhash_pairs, bit for bit") {
+    val live = graft.operators.Dedup.minhashPairs(spark, sf)
+      .collect().map(_.toSeq)
+    val persisted = AnnIndexStore.minhashPairsPersisted(spark, sf)
+      .collect().map(_.toSeq)
+    assert(persisted.toSeq == live.toSeq)
+  }
+
   test("probe join dynamic-partition-prunes the inverted-list scan") {
     val plan = AnnIndexStore.annIvfTopKPersisted(spark, sf)
       .queryExecution.executedPlan.toString
@@ -46,7 +70,8 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     write(40)
     val idx = s"$dir/ivf_index"
     AnnIndexStore.saveIvf(spark, dir, idx)
-    AnnIndexStore.requireFresh(spark, dir, idx) // fresh: must not throw
+    AnnIndexStore.requireFresh(spark,
+      new java.io.File(s"$dir/embeddings.parquet"), idx) // fresh: no throw
     assert(AnnIndexStore.annIvfTopKFrom(spark, dir, idx).count() > 0)
     // regenerate the source IN PLACE: the old index must refuse
     graft.graph.GraphOps.clearAllMemos(spark)
@@ -74,12 +99,12 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     // rewrite the manifest with a bumped version, same identity
     val r = spark.read.parquet(s"$idx/manifest").collect().head
     Seq((AnnIndexStore.FormatVersion + 1, r.getAs[Long]("src_mtime"),
-      r.getAs[Long]("src_length"), r.getAs[Long]("n_cells"),
-      r.getAs[Long]("dim")))
-      .toDF("version", "src_mtime", "src_length", "n_cells", "dim")
+      r.getAs[Long]("src_length"), r.getAs[Long]("extra")))
+      .toDF("version", "src_mtime", "src_length", "extra")
       .coalesce(1).write.mode("overwrite").parquet(s"$idx/manifest")
     val e = intercept[IllegalArgumentException] {
-      AnnIndexStore.requireFresh(spark, dir, idx)
+      AnnIndexStore.requireFresh(spark,
+        new java.io.File(s"$dir/embeddings.parquet"), idx)
     }
     assert(e.getMessage.contains("format"), e.getMessage)
   }
