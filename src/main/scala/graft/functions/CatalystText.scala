@@ -199,12 +199,21 @@ object MinHashSig {
     * on the DuckDB side and reduce in 64-bit here. */
   val P: Long = (1L << 61) - 1
 
+  // One MessageDigest per thread: DigestUtils.md5 calls
+  // MessageDigest.getInstance per invocation (provider lookup +
+  // allocation), which at one md5 PER SHINGLE is a measurable slice
+  // of the corpus hash pass; digest() leaves the instance reset.
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 15 hex chars of md5 as a 60-bit non-negative Long — the
     * exact value of DuckDB's `('0x' || substr(md5(s),1,15))::BIGINT`
     * (the first 8 digest bytes big-endian, unsigned-shifted by the
     * one nibble the 15-char prefix drops). */
   def bridge60Bytes(bytes: Array[Byte]): Long = {
-    val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
+    val d = mdLocal.get().digest(bytes)
     var l = 0L
     var i = 0
     while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
