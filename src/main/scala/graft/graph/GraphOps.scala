@@ -1729,6 +1729,20 @@ object GraphOps {
 
   /** Connected components (GraphX fixpoint). */
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    // Measured driver dispatch (round 18 — the g_cc watch item):
+    // min-member CC labels are PATH-INDEPENDENT, so below the bound
+    // this GraphX entry rides ConnectedComponentsDF.run, whose own
+    // gate takes the min-root union-find — ONE driver twin shared by
+    // both CC surfaces, bit-identical by definition. A GraphX Pregel
+    // launch on a bounded graph is scheduling, not work: same code,
+    // same data measured 1.0 s across rounds 14-17 and 2.4-4.2 s
+    // under this session's host band, purely launch latency (the
+    // calib-spin blind spot — scheduling latency is invisible to a
+    // compute loop). The GraphX loop below stays the at-scale shape
+    // alongside cc_df's star contraction.
+    if (!forceDistributed && longKeyed(edges, "src", "dst") &&
+        edges.select(col("src"), col("dst")).count() <= LocalLouvain.CollectMax)
+      return ConnectedComponentsDF.run(spark, edges)
     val g = GraphBuilder.toGraphX(edges)
     val cc = g.connectedComponents().vertices
     spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })

@@ -51,6 +51,16 @@ class IterativeDispatchSpec extends AnyFunSuite {
     assert(d == x)
   }
 
+  test("connectedComponents (GraphX entry): driver union-find == Pregel CC") {
+    // Min-member labels are path-independent, so the two algorithms
+    // must emit the SAME rows — not just isomorphic labelings.
+    import org.apache.spark.sql.functions.col
+    def cc = GraphOps.connectedComponents(spark, edges).orderBy(col("vertex"))
+    val (d, x) = bothPaths(cc)
+    assert(d == x)
+    assert(d.nonEmpty)
+  }
+
   test("shortestPaths/pageRank: caller frames with EXTRA columns (4-col " +
       "arity) match the canonical 3-col result on both paths") {
     // VERDICT r17 item 4: the distributed branch's positional
@@ -200,6 +210,8 @@ class IterativeDispatchSpec extends AnyFunSuite {
       "refineCommunities" -> "LeidenSpec (refineDriver == refineDistributed)",
       "louvainOnSuper" -> "IncrementalLouvainSpec (driver vs GraphX partitions)",
       "run" -> "IterativeDispatchSpec (ConnectedComponentsDF union-find)",
+      "connectedComponents" ->
+        "IterativeDispatchSpec (GraphX entry: union-find == Pregel CC)",
       "hits" -> "IterativeDispatchSpec (driver hits == DataFrame loop)",
       "sccDispatch" ->
         "IterativeDispatchSpec + SccDfSpec (driver Tarjan == coloring)")
