@@ -129,6 +129,10 @@ object BenchDist {
     // path a user's query takes, just past the dispatch bound.
     val families: Seq[(String, () => DataFrame)] = Seq(
       "cc_df" -> (() => ConnectedComponentsDF.run(spark, e3)),
+      // Round 19 (VERDICT r18 task 7): the GraphX CC entry's
+      // above-bound path — the da65450 dispatch landed after the r17
+      // artifact, so its distributed branch appears here once.
+      "cc" -> (() => GraphOps.connectedComponents(spark, e3)),
       "scc" -> (() => StronglyConnectedDF.run(spark, e3)),
       "pagerank_int" -> (() => GraphOps.pageRankInteger(spark, e3)),
       "ppr" -> (() => GraphOps.personalizedPageRank(spark, e3)),

@@ -196,7 +196,8 @@ object SparkEntry {
       // e_ivf_persist's one-time index WRITE is fixture work (the
       // operator's story is build-once/search-many); sweeps time the
       // load + DPP-pruned search.
-      "e_ivf_persist", "e_pq_persist", "e_hnsw_persist", "d_sig_persist")
+      "e_ivf_persist", "e_pq_persist", "e_hnsw_persist", "d_sig_persist",
+      "e_lsh_persist")
       .foreach(q => queries(q)(s, d).limit(1).count(): Unit)
   }
 
@@ -554,8 +555,9 @@ object SparkEntry {
     // over it — no k-way join chains.
     "q_seq_match" -> ((s, d) => Relational.qSeqMatch(s, d)),
     // Winnowing (MOSS) fingerprint pairs: bounded-density sketch
-    // that can never miss a w+k-1-token match (rows-only; the
-    // guarantee/density/short-doc specs pin it).
+    // that can never miss a w+k-1-token match. Full DuckDB oracle
+    // since round 19 (bridged k-gram hashes + the identical rows
+    // window); the guarantee/density/short-doc specs stay.
     "d_winnow" -> ((s, d) => Dedup.winnowPairs(s, d)),
     // Planted near-dup families (two doc_id residue classes share a
     // 100-shingle base text, unique small tails): ground truth by
@@ -787,6 +789,9 @@ object SparkEntry {
             fconcatws(" ", ftrim(col("text")), flit(SpanB)))
           .otherwise(col("text")).as("text")))
     }),
+    // Full DuckDB oracle since round 19: md5-derived ±1 hyperplanes
+    // restate the band keys and the e4 cosine exactly (see
+    // embedDupOracleSql).
     "d_embed_dup" -> ((s, d) => Similarity.embedDup(s, d)),
     // SemDeDup verdict from mutual-kNN clusters (rides the kNN memo).
     // τ = 0.4 matches d_embed_dup: the synthetic corpus is near-random
@@ -882,6 +887,12 @@ object SparkEntry {
     // descent. Rows-only + equality spec vs e_hnsw.
     "e_hnsw_persist" -> ((s, d) =>
       graft.sources.AnnIndexStore.hnswTopKPersisted(s, d)),
+    // Sign-LSH band-table persistence (round 19 — the last live index
+    // family without a save/load path): narrow (vec_id, band, key)
+    // rows; search joins embeddings back by id. Rows-only + equality
+    // spec vs e_ann_lsh.
+    "e_lsh_persist" -> ((s, d) =>
+      graft.sources.AnnIndexStore.annLshTopKPersisted(s, d)),
     // Query-time beam search over the memoized kNN graph (HNSW-lite):
     // IVF-seeded entries, 3 greedy beam expansions, exact re-score.
     // Rows-only: the iterative beam has no SQL form; BeamSearchSpec
@@ -2344,10 +2355,162 @@ object SparkEntry {
       |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Shared CTE prefix for the SimHash-family oracles (round 19 —
+    * VERDICT r18 task 1, extending the md5-bridge family): the
+    * per-token 64-bit base is the first 16 hex chars of md5, stated
+    * as two 32-bit BIGINT halves (the full 16-char parse can overflow
+    * signed BIGINT); per-(doc, bit) ±1 vote sums mirror
+    * [[graft.functions.SimHash64]]'s loop exactly — bit b < 32 from
+    * the low half, b ≥ 32 from the high. Downstream both the signed
+    * fingerprint (Σ bit_b·2^b − bit_63·2^63, summed in HUGEINT) and
+    * the 8×8-bit band keys (per-band bit sums — band-key equality ⇔
+    * band CONTENT equality, the round-18 lesson) restate from the
+    * same vote table. */
+  private def simhashVoteCtes: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+      |h AS MATERIALIZED (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hi,
+      |    CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT) AS lo
+      |  FROM tok),
+      |bits AS (SELECT CAST(j AS BIGINT) AS b FROM range(64) r(j)),
+      |votes AS MATERIALIZED (SELECT doc_id, b,
+      |    sum(CASE WHEN ((CASE WHEN b < 32 THEN lo >> b
+      |                    ELSE hi >> (b - 32) END) & 1) = 1
+      |      THEN 1 ELSE -1 END) AS v
+      |  FROM h CROSS JOIN bits GROUP BY 1, 2)""".stripMargin
+
+  /** d_embed_dup oracle (round 19): the sign-LSH band keys restated
+    * with the SAME md5-derived ±1 hyperplanes
+    * ([[graft.functions.VectorFunctions.planeSigns]]), inlined as
+    * literal DOUBLE[]s — ±1·float32 terms are exact doubles and both
+    * engines sum them sequentially (Spark's aggregate fold ≡ DuckDB's
+    * list_dot_product), so every sign bit, band key, candidate pair
+    * and the e4 cosine (the CosineSim tree: dot/(√na·√nb)) agree
+    * bit-for-bit. One UNION ALL arm per band. */
+  private def embedDupOracleSql: String = {
+    def plit(b: Int, r: Int): String =
+      graft.functions.VectorFunctions.planeSigns(b, r, 64)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val arms = (0 until 8).map { b =>
+      s"""SELECT vec_id, v, $b AS band,
+         |  CAST(CASE WHEN list_dot_product(v, ${plit(b, 0)}) > 0
+         |      THEN 1 ELSE 0 END
+         |    + CASE WHEN list_dot_product(v, ${plit(b, 1)}) > 0
+         |      THEN 2 ELSE 0 END AS BIGINT) AS key FROM emb""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |banded AS MATERIALIZED ($arms),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS vec_a,
+       |    b.vec_id AS vec_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |scored AS (SELECT c.vec_a, c.vec_b,
+       |    CAST(round(list_dot_product(ea.v, eb.v)
+       |      / (sqrt(list_dot_product(ea.v, ea.v))
+       |        * sqrt(list_dot_product(eb.v, eb.v)))
+       |      * 10000) AS BIGINT) AS cos_e4
+       |  FROM cand c
+       |  JOIN emb ea ON ea.vec_id = c.vec_a
+       |  JOIN emb eb ON eb.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, cos_e4 FROM scored
+       |WHERE cos_e4 >= 4000 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** DuckDB-runnable SQL oracle per query (same aliases, same
     * determinism rules — SURVEY §6). Omitted keys get the driver's
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "d_embed_dup" -> embedDupOracleSql,
+    // SimHash fingerprints (round 19): vote signs reassembled into
+    // the signed 64-bit value; bit 63 contributes −2^63 in HUGEINT
+    // before the BIGINT cast.
+    "d_simhash" -> (simhashVoteCtes +
+      """
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 AND b < 63 THEN (CAST(1 AS BIGINT) << b)
+        |      WHEN v > 0 AND b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |      ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // Banded SimHash pairs: 8 bands of 8 bits as per-band bit sums
+    // (content equality), Hamming recomputed from vote signs — the
+    // pigeonhole candidate set and the ≤7 filter are both under the
+    // hash compare.
+    "d_simhash_pairs" -> (simhashVoteCtes +
+      """,
+        |bandk AS MATERIALIZED (SELECT doc_id, b // 8 AS band,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (b % 8))
+        |      ELSE 0 END) AS BIGINT) AS key
+        |  FROM votes GROUP BY 1, 2),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a,
+        |    b.doc_id AS doc_b
+        |  FROM bandk a JOIN bandk b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.doc_a, c.doc_b,
+        |    CAST(sum(CASE WHEN (va.v > 0) <> (vb.v > 0) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN votes va ON va.doc_id = c.doc_a
+        |  JOIN votes vb ON vb.doc_id = c.doc_b AND vb.b = va.b
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM ham
+        |WHERE hamming <= 7 ORDER BY doc_a, doc_b""".stripMargin),
+    // Rolling polynomial fingerprint (round 19): ascending powers
+    // make each position's term independent, so the fold restates as
+    // an order-free sum of exact residues — code points via
+    // unicode(), B^i mod P from a recursive doubling chain (UNION ALL
+    // with a true self-reference; the one legitimate WITH RECURSIVE
+    // in the oracle set).
+    "t_fingerprint" ->
+      """WITH RECURSIVE pows AS (
+        |  SELECT 0 AS i, CAST(1 AS HUGEINT) AS pw
+        |  UNION ALL
+        |  SELECT i + 1, (pw * 257) % 2305843009213693951 FROM pows
+        |  WHERE i < (SELECT max(length(text)) FROM documents)),
+        |cp AS MATERIALIZED (SELECT doc_id,
+        |    CAST(i AS BIGINT) - 1 AS pos,
+        |    unicode(substr(text, CAST(i AS INTEGER), 1)) AS c
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents)),
+        |fp AS (SELECT c.doc_id,
+        |    CAST(sum(CAST(c.c AS HUGEINT) * p.pw)
+        |      % 2305843009213693951 AS BIGINT) AS f
+        |  FROM cp c JOIN pows p ON p.i = c.pos GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(f.f, 0) AS BIGINT) AS fingerprint
+        |FROM documents d LEFT JOIN fp f ON f.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Winnowing pairs (round 19): bridged k-gram hashes, the w=4
+    // window minimum as the IDENTICAL rows-window (current..3
+    // following over pos — unique within doc, array index), full
+    // windows only, shared-print counts ≥ 8.
+    "d_winnow" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |    unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
+        |pos AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(('0x' || substr(md5(
+        |      array_to_string(t[i + 1:least(i + 3, len(t))], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM idx),
+        |win AS (SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS nh
+        |  FROM pos),
+        |prints AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, wmin AS print FROM win WHERE pos <= nh - 4),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS shared_prints
+        |  FROM prints a JOIN prints b
+        |    ON a.print = b.print AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared_prints FROM pairs
+        |WHERE shared_prints >= 8 ORDER BY doc_a, doc_b""".stripMargin,
     // MinHash banded pairs, est ≥ 0.5 — full pipeline under the
     // oracle since the round-18 md5/Carter-Wegman hash family.
     "d_minhash_pairs" -> (minhashEstCtes +

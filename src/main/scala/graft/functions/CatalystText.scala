@@ -37,10 +37,20 @@ object Fnv {
   }
 }
 
-/** 64-bit SimHash over an array<string> of tokens: each token's
-  * FNV-1a hash votes ±1 per bit; the sign of each bit-sum forms the
-  * fingerprint. Near-duplicate documents land within small Hamming
-  * distance. */
+/** 64-bit SimHash over an array<string> of tokens: each token's hash
+  * votes ±1 per bit; the sign of each bit-sum forms the fingerprint.
+  * Near-duplicate documents land within small Hamming distance.
+  *
+  * Hash family (round 19 — the d_simhash determinization, extending
+  * the round-18 md5-bridge family): the per-token 64-bit base is the
+  * first 16 hex chars of md5, which DuckDB states exactly as two
+  * 32-bit BIGINT halves (`('0x' || substr(md5(w), 1, 8))::BIGINT` and
+  * chars 9-16) — bit b < 32 reads from the low half, b ≥ 32 from the
+  * high, and the signed fingerprint reassembles as
+  * Σ_{b<63} bit_b·2^b − bit_63·2^63 in HUGEINT cast back to BIGINT.
+  * The previous FNV-1a base was not SQL-stateable (wrap-around 64-bit
+  * multiplies); this one puts d_simhash AND the banded
+  * d_simhash_pairs under the full DuckDB hash compare. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -50,7 +60,7 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = Fnv.hash(arr.getUTF8String(i).getBytes)
+        val h = MinHashSig.bridge64Bytes(arr.getUTF8String(i).getBytes)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -71,38 +81,55 @@ case class SimHash64(child: Expression)
 }
 
 /** Rabin–Karp rolling polynomial fingerprint of a string:
-  * h = Σ byte·B^i mod 2^61−1 — an order-sensitive 64-bit document
-  * fingerprint (unlike bag-of-words hashes). */
+  * h = Σ codepoint_i · B^i mod 2^61−1 — an order-sensitive 64-bit
+  * document fingerprint (unlike bag-of-words hashes).
+  *
+  * Round 19 (the t_fingerprint determinization): the polynomial runs
+  * over UNICODE CODE POINTS in ASCENDING power order. Code points are
+  * what both engines' character functions agree on (DuckDB
+  * `unicode(c)` ≡ this loop's decoded code point; raw UTF-8 bytes are
+  * not reachable from DuckDB SQL), and ascending powers make every
+  * position's term independent of the string length, so the DuckDB
+  * oracle states the SAME sum as Σ over an unnested character table
+  * joined to a recursive B^i-mod-P powers CTE — order-free addition
+  * of exact residues, no fold. Semantically unchanged as a
+  * fingerprint: position-weighted, order-sensitive, collision-bounded
+  * by the Mersenne prime. */
 case class RollingHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
   private final val Mod = (1L << 61) - 1
   private final val Base = 257L
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val s = input.asInstanceOf[UTF8String].toString
     var h = 0L
+    var pw = 1L
     var i = 0
-    while (i < bytes.length) {
-      // (h*Base + b) mod 2^61-1 without overflow: operands < 2^61,
-      // use Math.multiplyHigh-free split multiplication.
-      h = mulMod(h, Base)
-      h += (bytes(i) & 0xffL)
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      // term = cp · B^i mod P ; cp < 2^21 and pw < 2^61 → mulmodP.
+      h += MinHashSig.mulmodP(cp.toLong, pw)
       if (h >= Mod) h -= Mod
-      i += 1
+      pw = MinHashSig.mulmodP(pw, Base)
+      i += Character.charCount(cp)
     }
     java.lang.Long.valueOf(h)
   }
-  private def mulMod(a: Long, b: Long): Long = {
-    // a < 2^61, b small (257): a*b can overflow, split a into hi/lo.
-    val lo = a & 0xffffffffL
-    val hi = a >>> 32
-    // a*b = hi*b*2^32 + lo*b ; reduce 2^32 mod 2^61-1 stepwise
-    var r = ((hi * b) % Mod)
-    var s = 32
-    while (s > 0) { r = (r << 1) % Mod; s -= 1 }
-    (r + lo * b) % Mod
-  }
   override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(c)
+}
+
+/** The 60-bit md5-prefix bridge as a first-class scalar — the exact
+  * value of DuckDB's `('0x' || substr(md5(s), 1, 15))::BIGINT` (see
+  * [[MinHashSig.bridge60Bytes]]). Round 19: replaces xxhash64 as the
+  * winnowing k-gram hash so d_winnow's fingerprint selection is
+  * oracle-stateable. */
+case class Bridge60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      MinHashSig.bridge60Bytes(input.asInstanceOf[UTF8String].getBytes))
+  override protected def withNewChildInternal(c: Expression): Bridge60 = copy(c)
 }
 
 /** Word n-gram shingles in one native pass over the token array:
@@ -222,6 +249,20 @@ object MinHashSig {
 
   def bridge60(s: String): Long =
     bridge60Bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** First 16 hex chars of md5 as the raw signed 64-bit value (the
+    * first 8 digest bytes big-endian). DuckDB states it as two 32-bit
+    * halves — `('0x' || substr(md5(s), 1, 8))::BIGINT` (bits 63-32)
+    * and chars 9-16 (bits 31-0) — since the full 16-char parse can
+    * overflow a signed BIGINT. Bit b here ≡ bit b of hi·2^32 + lo
+    * there. */
+  def bridge64Bytes(bytes: Array[Byte]): Long = {
+    val d = mdLocal.get().digest(bytes)
+    var l = 0L
+    var i = 0
+    while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+    l
+  }
 
   /** (a·b) mod P for a, b ∈ [0, P): 128-bit product via multiplyHigh,
     * folded with 2^64 ≡ 2^3 and 2^61 ≡ 1 (mod P). hi < 2^58 so hi·8
@@ -973,6 +1014,7 @@ object CatalystText {
   def payload_simhash64(c: Column, n: Int = 8): Column =
     shim.column(PayloadSimHash64(shim.expression(c), n))
   def rolling_hash64(c: Column): Column = shim.column(RollingHash64(shim.expression(c)))
+  def bridge60(c: Column): Column = shim.column(Bridge60(shim.expression(c)))
   def minhash_sig(c: Column, k: Int): Column = shim.column(MinHashSig(shim.expression(c), k))
   def sig_agree_count(a: Column, b: Column): Column =
     shim.column(SigAgreeCount(shim.expression(a), shim.expression(b)))

@@ -39,23 +39,45 @@ object VectorFunctions {
     * each keyed by `rowsPerBand` random-hyperplane sign bits. Two
     * vectors are candidates when ANY band key matches — small bands
     * give high recall, multiple bands keep collisions (and so exact
-    * re-checks) bounded. Hyperplanes are seeded-deterministic,
-    * generated once on the driver and inlined as plan literals — no
-    * shuffle, no state; candidate generation becomes a band-key
-    * equi-join, the 100 TB path (SURVEY §5).
+    * re-checks) bounded. Hyperplanes are generated once on the driver
+    * and inlined as plan literals — no shuffle, no state; candidate
+    * generation becomes a band-key equi-join, the 100 TB path
+    * (SURVEY §5).
+    *
+    * Hyperplane family (round 19 — the d_embed_dup determinization):
+    * Rademacher (±1) components derived from the md5 bridge
+    * ([[planeSigns]]) instead of seeded Gaussians. Sign-LSH needs
+    * only a symmetric zero-mean projection (±1 entries are the
+    * standard SimHash-for-cosine construction; collision probability
+    * 1 − θ/π holds as for Gaussians), and ±1·float terms are EXACT
+    * doubles, so the fold here and DuckDB's sequential
+    * `list_dot_product` against the same literal plane produce
+    * bit-identical sums — the sign, and with it every band key, is
+    * oracle-stateable. scala.util.Random Gaussians exist in no SQL
+    * engine.
     *
     * Returns array<struct<band:int, key:bigint>> to explode.
     */
-  def signLshBands(v: Column, dim: Int, bands: Int, rowsPerBand: Int,
-      seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
+  def signLshBands(v: Column, dim: Int, bands: Int, rowsPerBand: Int): Column = {
     val bandCols = (0 until bands).map { b =>
       val bits = (0 until rowsPerBand).map { r =>
-        val plane = array(Seq.fill(dim)(rnd.nextGaussian()).map(lit): _*)
+        val plane = array(planeSigns(b, r, dim).map(lit): _*)
         when(dot(v, plane) > 0.0, lit(1L << r)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(b).as("band"), bits.as("key"))
     }
     array(bandCols: _*)
   }
+
+  /** Component d of sign-LSH hyperplane (band, row): +1.0 when bit 0
+    * of the 60-bit md5 bridge of "lsh:band:row:d" is set, else −1.0 —
+    * the same oracle-stateable derivation as the MinHash seeds
+    * (DuckDB: `('0x' || substr(md5('lsh:' || b || ':' || r || ':' ||
+    * d), 1, 15))::BIGINT & 1`). Shared by the plan literals above and
+    * the d_embed_dup oracle's inlined plane literals. */
+  def planeSigns(band: Int, row: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      if ((MinHashSig.bridge60(s"lsh:$band:$row:$d") & 1L) == 1L) 1.0
+      else -1.0
+    }
 }

@@ -435,10 +435,8 @@ object GraphOps {
     // adjacency broadcasts cost ~2 × 16 B/edge (8 B id + array/offset
     // overhead) of executor memory each. Budget defaults to 160 MB
     // (≈ the 5M-edge point measured fastest at sf0.1) and is tunable
-    // via graft.triangles.broadcastBytes.
-    val budget = edges.sparkSession.conf
-      .getOption("graft.triangles.broadcastBytes").map(_.toLong)
-      .getOrElse(160L << 20)
+    // via graft.broadcast.bytes (the one canonical knob — Joins).
+    val budget = graft.operators.Joins.budgetBytes(edges.sparkSession)
     if (2L * 16L * nEdges < budget) {
       // Adjacency-intersect: per edge (a,b), triangles through it =
       // |N⁺(a) ∩ N⁺(b)| over higher-neighbor lists. The broadcast
@@ -689,8 +687,7 @@ object GraphOps {
     val nE = st.count()
     val denseMaxV = spark.conf.getOption("graft.adamicadar.denseMaxVertices")
       .map(_.toLong).getOrElse(8192L)
-    val budget = spark.conf.getOption("graft.triangles.broadcastBytes")
-      .map(_.toLong).getOrElse(160L << 20)
+    val budget = graft.operators.Joins.budgetBytes(spark)
     val anti = st.select(col("src").as("a"), col("dst").as("b"))
 
     // 2 endpoints × (8 B id + 8 B term + array overhead) per edge.
@@ -761,8 +758,7 @@ object GraphOps {
     val nE = e.count()
     val denseMaxV = spark.conf.getOption("graft.squares.denseMaxVertices")
       .map(_.toLong).getOrElse(8192L)
-    val budget = spark.conf.getOption("graft.triangles.broadcastBytes")
-      .map(_.toLong).getOrElse(160L << 20)
+    val budget = graft.operators.Joins.budgetBytes(spark)
     val verts = sym.select(col("src").as("w")).distinct().localCheckpoint(true)
     val nV = verts.count()
     val counts = if (nV <= denseMaxV && 2L * 16L * nE < budget) {
@@ -938,8 +934,7 @@ object GraphOps {
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
     val nE = e.count()
-    val budget = spark.conf.getOption("graft.triangles.broadcastBytes")
-      .map(_.toLong).getOrElse(160L << 20)
+    val budget = graft.operators.Joins.budgetBytes(spark)
     if (2L * 16L * nE < budget) {
       // Dense/broadcastable path (the g_adamic_adar lesson: on a
       // dense small-V graph the Σ indeg·outdeg wedge stream is ~100M
@@ -1740,10 +1735,17 @@ object GraphOps {
     // calib-spin blind spot — scheduling latency is invisible to a
     // compute loop). The GraphX loop below stays the at-scale shape
     // alongside cc_df's star contraction.
-    if (!forceDistributed && longKeyed(edges, "src", "dst") &&
-        edges.select(col("src"), col("dst")).count() <= LocalLouvain.CollectMax)
-      return ConnectedComponentsDF.run(spark, edges)
-    val g = GraphBuilder.toGraphX(edges)
+    // Checkpoint the narrow projection ONCE before probing (round 19
+    // — ADVICE r18 item 2, the d_dup_clusters gate rule): the gate
+    // count, run()'s own re-count/collect and the GraphX fallback all
+    // read these blocks instead of re-running the caller's (possibly
+    // expensive, e.g. the MST per-round join) lineage per action.
+    val base = edges.select(col("src"), col("dst"), col("weight"))
+      .localCheckpoint(true)
+    if (!forceDistributed && longKeyed(base, "src", "dst") &&
+        base.count() <= LocalLouvain.CollectMax)
+      return ConnectedComponentsDF.run(spark, base)
+    val g = GraphBuilder.toGraphX(base)
     val cc = g.connectedComponents().vertices
     spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
       .toDF("vertex", "component")

@@ -101,8 +101,7 @@ object MotifFind {
     // the budget, the at-scale shape: shuffled equi-joins with
     // NUMBERED repartitions on the key (AQE-coalesce-exempt).
     val nE = e.count()
-    val budget = spark.conf.getOption("graft.triangles.broadcastBytes")
-      .map(_.toLong).getOrElse(160L << 20)
+    val budget = graft.operators.Joins.budgetBytes(spark)
     val bcast = 2L * 16L * nE < budget
     lazy val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

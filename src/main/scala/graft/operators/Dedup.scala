@@ -627,10 +627,14 @@ object Dedup {
   def winnowPrints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id"))
+    // k-gram hash = the 60-bit md5 bridge (round 19): the same
+    // oracle-stateable base as the MinHash family, so the window
+    // minima — and with them the whole fingerprint selection — sit
+    // under the DuckDB hash compare (xxhash64 was engine-only).
     val pos = docs
       .select(col("doc_id"),
         posexplode(TF.wordShingles(col("text"), k)).as(Seq("pos", "ng")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("ng")).as("h"))
+      .select(col("doc_id"), col("pos"), CatalystText.bridge60(col("ng")).as("h"))
     pos
       .withColumn("wmin",
         min(col("h")).over(byDoc.orderBy(col("pos")).rowsBetween(0, w - 1)))

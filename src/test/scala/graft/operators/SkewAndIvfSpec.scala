@@ -114,6 +114,58 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(second == 5L, s"stale refined-kNN memo: $second vertices")
   }
 
+  test("lshParamsFor: default banding below the exact bound, sized above") {
+    // Round 19 (found building the at-scale ANN artifact): 2-bit band
+    // keys have 4 buckets, so the at-scale candidate self-join was
+    // n²/4 per band. Above the bound, depth = ⌈log₂(n/32)⌉ keeps the
+    // expected bucket ≈ 32 (linear candidate volume); below it
+    // nothing changes, so every test-scale output stays byte-stable.
+    assert(Similarity.lshParamsFor(500L) ==
+      ((Similarity.LshBands, Similarity.LshRows)))
+    assert(Similarity.lshParamsFor(Similarity.ExactKnnMaxRows) ==
+      ((Similarity.LshBands, Similarity.LshRows)))
+    assert(Similarity.lshParamsFor(262144L) == ((16, 13)))
+    assert(Similarity.lshParamsFor(1L << 30)._2 == 24, "depth must clamp")
+    val depths = Seq(20000L, 50000L, 200000L, 1000000L, 1L << 40)
+      .map(n => Similarity.lshParamsFor(n)._2)
+    assert(depths == depths.sorted, s"depth not monotone: $depths")
+  }
+
+  test("refined eviction leaves the base memo collectable (cross-memo ownership)") {
+    // ADVICE r18 item 1: when refinedKnnGraph builds its base inside
+    // its own RDD-id snapshot window, the base's checkpoint ids land
+    // in the REFINED entry, and a refinedCache eviction then
+    // unpersists blocks knnCache still serves — an unpersisted
+    // localCheckpoint cannot be recomputed, so the next base hit dies
+    // with missing blocks. Repro needs the two caches DESYNCED (a
+    // standalone base build first), so knnCache evicts mid-fill and
+    // exactly one live base remains when the refined eviction fires.
+    import org.apache.spark.sql.functions.col
+    def vec(axis: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == axis) 1f else 0f)
+    def mkDir(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_xmemo").toString
+      graft.TestFixtures.canonEmb(
+        Seq((1L, vec(0)), (2L, vec(0)), (3L, vec(0))).toDF("vec_id", "embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    Similarity.clearMemos(spark)
+    val dirs = (0 to 6).map(_ => mkDir())
+    // Standalone base on dirs(0) puts knnCache one entry AHEAD of
+    // refinedCache; during refined(dirs(5))'s build the knnCache
+    // eviction fires, leaving ONLY dirs(5)'s base live.
+    Similarity.knnGraph(spark, dirs(0), k = 1)
+    (1 to 5).foreach(i => Similarity.refinedKnnGraph(spark, dirs(i), k = 1))
+    // The 6th refined miss evicts refinedCache — under the ownership
+    // bug this also unpersists dirs(5)'s BASE blocks.
+    Similarity.refinedKnnGraph(spark, dirs(6), k = 1)
+    val base = Similarity.knnGraph(spark, dirs(5), k = 1)
+    assert(base.count() == 3L,
+      "base kNN memo must stay collectable after a refined eviction")
+    Similarity.clearMemos(spark)
+  }
+
   test("embedClusters recovers planted clusters; loner stays a singleton") {
     import org.apache.spark.sql.functions._
     // Three well-separated base directions + per-member deterministic

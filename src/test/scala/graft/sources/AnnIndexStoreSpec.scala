@@ -40,6 +40,40 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(persisted.toSeq == live.toSeq && persisted.nonEmpty)
   }
 
+  test("persisted LSH search ≡ in-memory annLshTopK, bit for bit") {
+    val live = Similarity.annLshTopK(spark, sf)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
+    val persisted = AnnIndexStore.annLshTopKPersisted(spark, sf)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
+    assert(persisted.toSeq == live.toSeq && persisted.nonEmpty)
+  }
+
+  test("stale LSH manifest refuses after in-place source regeneration") {
+    import spark.implicits._
+    def vec(axis: Int): Seq[Float] =
+      (0 until Similarity.EmbeddingDim).map(i => if (i == axis) 1f else 0.02f)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    def write(n: Int): Unit = {
+      graft.TestFixtures.canonEmb((0 until n).map(i => (i.toLong, vec(i % 32)))
+        .toDF("vec_id", "embedding")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val f = new java.io.File(s"$dir/embeddings.parquet")
+      f.setLastModified(f.lastModified() + 2000)
+    }
+    write(40)
+    val idx = s"$dir/lsh_index"
+    AnnIndexStore.saveLshBands(spark, dir, idx)
+    assert(AnnIndexStore.annLshTopKFrom(spark, dir, idx).count() > 0)
+    write(60)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexStore.annLshTopKFrom(spark, dir, idx)
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    // a regenerated source means a NEW fixture path → rebuild, not refuse
+    assert(AnnIndexStore.annLshTopKPersisted(spark, dir)
+      .select(col("query_id")).distinct().count() > 0)
+  }
+
   test("persisted-signature pairs ≡ d_minhash_pairs, bit for bit") {
     val live = graft.operators.Dedup.minhashPairs(spark, sf)
       .collect().map(_.toSeq)
