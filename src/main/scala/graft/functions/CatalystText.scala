@@ -118,6 +118,64 @@ case class RollingHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(c)
 }
 
+/** All sign-LSH band keys of one embedding in a single native pass
+  * (round 19 — found by the at-scale ANN artifact: at the sized
+  * 16-band × 13-bit depth the `zip_with`+`aggregate` hyperplane dot
+  * composition pays 208 interpreted lambda folds of 64 elements PER
+  * VECTOR, and banding alone dominated the 262k-vector kNN build at
+  * 625 s). Planes are the md5-derived ±1 components of
+  * [[graft.functions.VectorFunctions.planeSigns]], derived here from
+  * the same bridge (no RNG, no constructor arrays — the expression
+  * stays a value class over (dim, bands, rows)); each term adds
+  * ±x_d in double exactly as the HOF fold did, so keys — and the
+  * d_embed_dup oracle riding them — are bit-identical.
+  * Returns array<struct<band:int, key:bigint>>. */
+case class SignLshKeys(child: Expression, dim: Int, bands: Int, rows: Int)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("band", IntegerType, nullable = false),
+      StructField("key", LongType, nullable = false))), containsNull = false)
+  // signs(b*rows + r)(d) — +1 ⇔ bit 0 of bridge60("lsh:b:r:d").
+  @transient private lazy val signs: Array[Array[Boolean]] =
+    Array.tabulate(bands * rows) { p =>
+      val b = p / rows; val r = p % rows
+      Array.tabulate(dim)(d =>
+        (MinHashSig.bridge60(s"lsh:$b:$r:$d") & 1L) == 1L)
+    }
+  @transient private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val out = new Array[AnyRef](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var r = 0
+      while (r < rows) {
+        val s = signs(b * rows + r)
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          val x = if (elemIsFloat) a.getFloat(d).toDouble else a.getDouble(d)
+          dot += (if (s(d)) x else -x)
+          d += 1
+        }
+        if (dot > 0.0) key |= (1L << r)
+        r += 1
+      }
+      out(b) = org.apache.spark.sql.catalyst.InternalRow(b, key)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SignLshKeys =
+    copy(child = c)
+}
+
 /** The 60-bit md5-prefix bridge as a first-class scalar — the exact
   * value of DuckDB's `('0x' || substr(md5(s), 1, 15))::BIGINT` (see
   * [[MinHashSig.bridge60Bytes]]). Round 19: replaces xxhash64 as the
@@ -263,6 +321,7 @@ object MinHashSig {
     while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
     l
   }
+
 
   /** (a·b) mod P for a, b ∈ [0, P): 128-bit product via multiplyHigh,
     * folded with 2^64 ≡ 2^3 and 2^61 ≡ 1 (mod P). hi < 2^58 so hi·8
@@ -608,6 +667,15 @@ case class PayloadSimHash64(child: Expression, n: Int = 8)
   override def nullSafeEval(input: Any): Any = {
     val payload = input.asInstanceOf[Array[Byte]]
     val votes = new Array[Int](64)
+    // Round-19 adjudication: this stays windowed FNV-1a, NOT the md5
+    // bridge. The conversion was attempted (hash the uppercase-hex of
+    // each window — DuckDB 1.0 has no md5(BLOB)/blob slicing, hex is
+    // the lossless detour) and the restated oracle is CORRECT but
+    // measured 443 s at sf0.1: one md5 per sliding byte window is
+    // ~1.5M md5 calls inside one DuckDB query, which would dominate
+    // the entire 382-query compare. Structurally rows-only, like
+    // g_modularity — the per-window hash VOLUME, not the hash family,
+    // is the blocker.
     def vote(h: Long): Unit = {
       var b = 0
       while (b < 64) {
@@ -1015,6 +1083,8 @@ object CatalystText {
     shim.column(PayloadSimHash64(shim.expression(c), n))
   def rolling_hash64(c: Column): Column = shim.column(RollingHash64(shim.expression(c)))
   def bridge60(c: Column): Column = shim.column(Bridge60(shim.expression(c)))
+  def sign_lsh_keys(c: Column, dim: Int, bands: Int, rows: Int): Column =
+    shim.column(SignLshKeys(shim.expression(c), dim, bands, rows))
   def minhash_sig(c: Column, k: Int): Column = shim.column(MinHashSig(shim.expression(c), k))
   def sig_agree_count(a: Column, b: Column): Column =
     shim.column(SigAgreeCount(shim.expression(a), shim.expression(b)))

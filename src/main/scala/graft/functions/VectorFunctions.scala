@@ -57,14 +57,28 @@ object VectorFunctions {
     * engine.
     *
     * Returns array<struct<band:int, key:bigint>> to explode.
-    */
-  def signLshBands(v: Column, dim: Int, bands: Int, rowsPerBand: Int): Column = {
+    *
+    * Native [[CatalystText.sign_lsh_keys]] single-pass expression
+    * since round 19: the `zip_with`+`aggregate` plane-dot composition
+    * pays bands·rows interpreted lambda folds per vector, which
+    * DOMINATED the at-scale kNN build once the sized banding reached
+    * 16×13 (625 s at 262k vectors, banding alone). Each native term
+    * adds ±x_d in the same order the fold did — keys bit-identical
+    * (spec-pinned vs [[signLshBandsHof]]). */
+  def signLshBands(v: Column, dim: Int, bands: Int, rowsPerBand: Int): Column =
+    CatalystText.sign_lsh_keys(v, dim, bands, rowsPerBand)
+
+  /** The interpreted HOF composition [[signLshBands]] replaced — kept
+    * as the parity reference for the equality spec (the
+    * wordShinglesHof convention). */
+  private[graft] def signLshBandsHof(v: Column, dim: Int, bands: Int,
+      rowsPerBand: Int): Column = {
     val bandCols = (0 until bands).map { b =>
       val bits = (0 until rowsPerBand).map { r =>
         val plane = array(planeSigns(b, r, dim).map(lit): _*)
         when(dot(v, plane) > 0.0, lit(1L << r)).otherwise(lit(0L))
       }.reduce(_ + _)
-      struct(lit(b).as("band"), bits.as("key"))
+      struct(lit(b).as("band"), bits.cast("long").as("key"))
     }
     array(bandCols: _*)
   }

@@ -114,6 +114,27 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(second == 5L, s"stale refined-kNN memo: $second vertices")
   }
 
+  test("sign_lsh_keys native expression equals the HOF fold it replaced") {
+    import graft.functions.VectorFunctions
+    // Mixed-sign, zero, and alternating embeddings; both the 8×2
+    // test-scale and 16×13 at-scale band shapes.
+    val df = Seq(
+      (1L, (0 until 64).map(i => ((i * 37 % 13) - 6) / 7.0f)),
+      (2L, Seq.fill(64)(0f)),
+      (3L, (0 until 64).map(i => if (i % 2 == 0) 1f else -1f)),
+      (4L, (0 until 64).map(i => (math.sin(i * 0.7) * 0.9).toFloat)))
+      .toDF("vec_id", "embedding")
+    for ((b, r) <- Seq((8, 2), (16, 13))) {
+      val native = df.orderBy($"vec_id")
+        .select(VectorFunctions.signLshBands($"embedding", 64, b, r))
+        .collect().map(_.toSeq)
+      val hof = df.orderBy($"vec_id")
+        .select(VectorFunctions.signLshBandsHof($"embedding", 64, b, r))
+        .collect().map(_.toSeq)
+      assert(native.toSeq == hof.toSeq, s"mismatch at bands=$b rows=$r")
+    }
+  }
+
   test("lshParamsFor: default banding below the exact bound, sized above") {
     // Round 19 (found building the at-scale ANN artifact): 2-bit band
     // keys have 4 buckets, so the at-scale candidate self-join was
