@@ -562,8 +562,9 @@ object SparkEntry {
     // Planted near-dup families (two doc_id residue classes share a
     // 100-shingle base text, unique small tails): ground truth by
     // construction, recall/precision of the banded MinHash pairs
-    // measured against it. Rows-only (MinHash = engine hashes) +
-    // recall-bound spec.
+    // measured against it. Full DuckDB oracle since round 19 (the
+    // md5/Carter-Wegman chain over the planted projection +
+    // exact-Jaccard verification); the recall-bound spec stays.
     "d_lsh_quality" -> ((s, d) => {
       import org.apache.spark.sql.functions.{concat => fconcat, lit => flit, pmod => fpmod, when => fwhen}
       // DISJOINT base vocabularies per family: cross-family pairs are
@@ -2319,10 +2320,16 @@ object SparkEntry {
     * the identical double tree (c/64·1e4, exact: /2^6 then ·10^4
     * stays ≤ 17 mantissa bits). `sig`/`cand`/`est` are MATERIALIZED
     * — the chain re-evaluates exponentially if DuckDB inlines it. */
-  private def minhashEstCtes: String =
-    """WITH toks AS MATERIALIZED (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      |  FROM documents),
+  private def minhashEstCtes: String = "WITH " + minhashCtesBody("documents")
+
+  /** The CTE chain without the WITH, parameterized on the source
+    * relation — round 19: d_lsh_quality runs the identical pipeline
+    * over a PLANTED-families projection of `documents`, stated as a
+    * leading `pdocs` CTE. */
+  private def minhashCtesBody(src: String): String =
+    s"""toks AS MATERIALIZED (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      |  FROM $src),
       |idx AS (SELECT doc_id, t,
       |    unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
       |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
@@ -2425,6 +2432,59 @@ object SparkEntry {
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "d_embed_dup" -> embedDupOracleSql,
+    // Blocking-scheme quality report (round 19): the planted-family
+    // corpus is a deterministic CASE projection, the candidate
+    // pipeline is the proven md5/Carter-Wegman chain over it
+    // (minhashCtesBody("pdocs")), truth is the residue-class pair
+    // closure, and verification is the exact set-Jaccard through the
+    // d_ngram_jaccard double tree. One-row counts + integral e4
+    // ratios (null on empty denominators, matching Spark's div).
+    "d_lsh_quality" -> {
+      val baseA = (1 to 100).map(i => s"alpha$i").mkString(" ")
+      val baseB = (1 to 100).map(i => s"beta$i").mkString(" ")
+      s"""WITH pdocs AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 40 = 11 THEN '$baseA' || ' u' || doc_id
+         |         WHEN doc_id % 40 = 17 THEN '$baseB' || ' u' || doc_id
+         |         ELSE text END AS text
+         |  FROM documents),
+         |${minhashCtesBody("pdocs")},
+         |fam AS (SELECT doc_id, doc_id % 40 AS fam FROM documents
+         |  WHERE doc_id % 40 IN (11, 17)),
+         |truth AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM fam a JOIN fam b ON a.fam = b.fam AND a.doc_id < b.doc_id),
+         |candf AS MATERIALIZED (SELECT doc_a, doc_b FROM est
+         |  WHERE est_jaccard_e4 >= 5000),
+         |nsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+         |  FROM candf c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.ng = a.ng
+         |  GROUP BY 1, 2),
+         |ver AS (SELECT c.doc_a, c.doc_b
+         |  FROM candf c
+         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN nsz na ON na.doc_id = c.doc_a
+         |  JOIN nsz nb ON nb.doc_id = c.doc_b
+         |  WHERE CAST(round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+         |    / CAST(na.n + nb.n - coalesce(i.ni, 0) AS DOUBLE)
+         |    * 10000) AS BIGINT) >= 5000),
+         |cnt AS (SELECT
+         |    (SELECT count(*) FROM truth) AS n_truth,
+         |    (SELECT count(*) FROM candf) AS n_candidates,
+         |    (SELECT count(*) FROM candf c JOIN truth t
+         |       ON t.src = c.doc_a AND t.dst = c.doc_b) AS n_hits,
+         |    (SELECT count(*) FROM ver) AS n_verified)
+         |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_verified AS BIGINT) AS n_verified,
+         |  CAST((10000 * n_hits) // nullif(n_truth, 0) AS BIGINT)
+         |    AS recall_e4,
+         |  CAST((10000 * n_verified) // nullif(n_candidates, 0) AS BIGINT)
+         |    AS precision_e4
+         |FROM cnt""".stripMargin
+    },
     // SimHash fingerprints (round 19): vote signs reassembled into
     // the signed 64-bit value; bit 63 contributes −2^63 in HUGEINT
     // before the BIGINT cast.
