@@ -175,23 +175,37 @@ object GraphOps {
     */
   def temporalReach(spark: SparkSession, tEdges: DataFrame,
       maxRounds: Int = 20): DataFrame = {
-    val sym = tEdges.select(col("src"), col("dst"), col("t"))
-      .unionByName(tEdges.select(col("dst").as("src"),
-        col("src").as("dst"), col("t")))
+    // Checkpoint the UNDIRECTED projection once (round 19): the old
+    // shape checkpointed the symmetric union, whose plan inlines the
+    // caller's lineage TWICE — g_temporal_reach's wedge-join contact
+    // build evaluated two times inside the one checkpoint job (the
+    // g_cc checkpoint-once gate rule, applied here).
+    val und = tEdges.select(col("src"), col("dst"), col("t"))
       .localCheckpoint(true)
     // Measured dispatch (round 14): earliest-arrival min-folds are
     // integer-exact, so the driver twin is bit-identical
     // (IterativeDispatchSpec); the DF loop stays for contact sets
-    // past the collect bound.
-    if (!forceDistributed && longKeyed(sym, "src", "dst") &&
-        sym.count() <= LocalLouvain.CollectMax) {
+    // past the collect bound. Round 19: the gate counts (and the twin
+    // collects) the UNDIRECTED rows and symmetrizes in the driver —
+    // same multiset the symmetric union produced, half the collect
+    // bytes, and CollectMax still bounds the rows COLLECTED (the
+    // in-driver mirror costs 2n tuples ≈ 160 MB worst-case at the
+    // bound, well inside the bench heap; the twin's adjacency state
+    // was already O(2n)).
+    if (!forceDistributed && longKeyed(und, "src", "dst") &&
+        und.count() <= LocalLouvain.CollectMax) {
       import spark.implicits._
-      val rows = sym.select(col("src"), col("dst"), col("t").cast("long"))
+      val one = und.select(col("src"), col("dst"), col("t").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val rows = one ++ one.map { case (s, d, tt) => (d, s, tt) }
       val source = rows.map(_._1).min
       return LocalIterative.temporalReach(rows, source, maxRounds)
         .toDF("vertex", "arr")
     }
+    // Distributed path: the symmetric union now scans the checkpoint
+    // twice per use instead of re-evaluating the caller's lineage.
+    val sym = und.unionByName(und.select(col("dst").as("src"),
+      col("src").as("dst"), col("t")))
     val verts = sym.select(col("src").as("vertex")).distinct()
       .localCheckpoint(true)
     val source = verts.agg(min(col("vertex"))).first().getLong(0)
@@ -1480,8 +1494,25 @@ object GraphOps {
   private def randomWalksUncached(spark: SparkSession, edges: DataFrame,
       steps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Checkpoint the symmetric pairs ONCE (round 19): the gate count,
+    // the twin's collect and the distributed window build all read
+    // these blocks (the checkpoint-once gate rule).
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    // Measured dispatch (round 19): the rank pick is integer-exact
+    // (60-bit md5 bridge mod degree), so the driver twin is
+    // bit-identical (IterativeDispatchSpec); what the DF loop pays at
+    // small V is `steps` exploding joins' plan analysis + shuffles,
+    // not arithmetic. The loop below stays the at-scale shape.
+    if (!forceDistributed && longKeyed(sym, "src", "dst") &&
+        sym.count() <= LocalLouvain.CollectMax) {
+      import spark.implicits._
+      val rows = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      return LocalIterative.randomWalks(rows, steps)
+        .toDF("walk_id", "step", "vertex")
+        .orderBy(col("walk_id"), col("step"))
+    }
     val adj = sym
       .withColumn("r",
         row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
@@ -1673,8 +1704,24 @@ object GraphOps {
   def node2vecWalks(spark: SparkSession, edges: DataFrame, steps: Int = 4,
       wReturn: Int = 1, wCommon: Int = 2, wOut: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Checkpoint-once + measured driver dispatch (round 19, the
+    // randomWalksUncached shape): the second-order biased pick is an
+    // integer cum/tot sample — bit-identical in the twin
+    // (IterativeDispatchSpec) — and the DF loop pays per step an
+    // exploding join, a membership left-join and two windows over the
+    // exploded stream, which at small V is plan/shuffle overhead.
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    if (!forceDistributed && longKeyed(sym, "src", "dst") &&
+        sym.count() <= LocalLouvain.CollectMax) {
+      import spark.implicits._
+      val rows = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      return LocalIterative.node2vecWalks(rows, steps,
+          wReturn.toLong, wCommon.toLong, wOut.toLong)
+        .toDF("walk_id", "step", "vertex")
+        .orderBy(col("walk_id"), col("step"))
+    }
     val adj = sym
       .withColumn("r",
         row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)

@@ -498,4 +498,119 @@ object LocalIterative {
     }
     verts.toSeq.sorted.map(v => (v, label(v)))
   }
+
+  /** 60-bit md5 bridge — bit-identical to the DataFrame walks'
+    * `conv(substring(md5(s), 1, 15), 16, 10) cast long` (lowercase
+    * hex, first 15 nibbles, unsigned 60-bit parse; the spectralCut
+    * start-vector hash, shared). */
+  private def md5Bridge60(md: java.security.MessageDigest,
+      s: String): Long = {
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Per-vertex neighbors of the SYMMETRIZED (src, dst) pairs in
+    * dst-ASC order — exactly the DataFrame walks' ranking
+    * (`row_number` over partition src, order by dst, minus 1): the
+    * rank-r pick is `sorted(v)(r)`. */
+  private def sortedAdjacency(rows: Array[(Long, Long)])
+      : mutable.LongMap[Array[Long]] = {
+    val acc = mutable.LongMap.empty[mutable.ArrayBuilder.ofLong]
+    rows.foreach { case (s, d) =>
+      acc.getOrElseUpdate(s, new mutable.ArrayBuilder.ofLong) += d
+    }
+    val out = mutable.LongMap.empty[Array[Long]]
+    acc.foreach { case (v, b) =>
+      val a = b.result(); java.util.Arrays.sort(a); out(v) = a
+    }
+    out
+  }
+
+  /** (walk_id, step, vertex) — mirrors GraphOps.randomWalksUncached:
+    * one walk per vertex; step t moves to the
+    * `pmod(md5("id:t"), deg)`-th dst-sorted neighbor. Integer rank
+    * picks ⇒ bit-identical to the DataFrame loop. A vertex with no
+    * adjacency row ends its walk (the loop's inner join drops it). */
+  def randomWalks(rows: Array[(Long, Long)], steps: Int)
+      : Seq[(Long, Int, Long)] = {
+    val adj = sortedAdjacency(rows)
+    val verts = adj.keys.toArray.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    verts.foreach { w =>
+      var v = w
+      out += ((w, 0, v))
+      var t = 1
+      var alive = true
+      while (t <= steps && alive) {
+        val ns = adj.getOrElse(v, Array.emptyLongArray)
+        if (ns.isEmpty) alive = false
+        else {
+          v = ns((md5Bridge60(md, s"$w:$t") % ns.length).toInt)
+          out += ((w, t, v))
+        }
+        t += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** (walk_id, step, vertex) — mirrors GraphOps.node2vecWalks: step 1
+    * is the first-order rank pick; steps ≥ 2 are the second-order
+    * biased pick (w = wReturn when the candidate IS prev, wCommon
+    * when prev→candidate is an edge — the triangle case — wOut
+    * otherwise), sampled by `pmod(md5("id:t"), Σw)` against the
+    * dst-ASC running weight sum — the DataFrame loop's cum/tot window
+    * pair folded into one local scan. Long weights and the 60-bit
+    * hash keep every pick integer-exact ⇒ bit-identical. */
+  def node2vecWalks(rows: Array[(Long, Long)], steps: Int,
+      wReturn: Long, wCommon: Long, wOut: Long): Seq[(Long, Int, Long)] = {
+    val adj = sortedAdjacency(rows)
+    val verts = adj.keys.toArray.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isEdge(a: Long, b: Long): Boolean = {
+      val ns = adj.getOrElse(a, Array.emptyLongArray)
+      java.util.Arrays.binarySearch(ns, b) >= 0
+    }
+    val out = mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    verts.foreach { w =>
+      out += ((w, 0, w))
+      var prev = w
+      var v = w
+      var alive = true
+      val ns1 = adj.getOrElse(v, Array.emptyLongArray)
+      if (ns1.isEmpty) alive = false
+      else {
+        v = ns1((md5Bridge60(md, s"$w:1") % ns1.length).toInt)
+        out += ((w, 1, v))
+      }
+      var t = 2
+      while (t <= steps && alive) {
+        val ns = adj.getOrElse(v, Array.emptyLongArray)
+        if (ns.isEmpty) alive = false
+        else {
+          var tot = 0L
+          val ws = new Array[Long](ns.length)
+          var i = 0
+          while (i < ns.length) {
+            val d = ns(i)
+            ws(i) = if (d == prev) wReturn
+              else if (isEdge(prev, d)) wCommon
+              else wOut
+            tot += ws(i); i += 1
+          }
+          if (tot == 0L) alive = false // the loop's filter(tot > 0)
+          else {
+            val pick = md5Bridge60(md, s"$w:$t") % tot
+            var cum = 0L; i = 0
+            while (pick >= cum + ws(i)) { cum += ws(i); i += 1 }
+            prev = v; v = ns(i)
+            out += ((w, t, v))
+          }
+        }
+        t += 1
+      }
+    }
+    out.toSeq
+  }
 }

@@ -114,6 +114,29 @@ class IterativeDispatchSpec extends AnyFunSuite {
     assert(drv.nonEmpty)
   }
 
+  test("randomWalks: driver twin == DataFrame loop") {
+    // The walk memo would hand the second path the first path's build
+    // (same session/plan/file key) — clear it around both paths so
+    // each actually runs (the minimumSpanningForest test's pattern).
+    val o = org.apache.spark.sql.functions.col _
+    def w = GraphOps.randomWalks(spark, edges)
+      .orderBy(o("walk_id"), o("step"))
+    val drv = rowsOf(w)
+    GraphOps.clearWalkMemos(spark)
+    val dist = GraphOps.withForcedDistributed(rowsOf(w))
+    GraphOps.clearWalkMemos(spark)
+    assert(drv == dist)
+    assert(drv.nonEmpty)
+  }
+
+  test("node2vecWalks: driver twin == DataFrame loop") {
+    val o = org.apache.spark.sql.functions.col _
+    val (d, x) = bothPaths(GraphOps.node2vecWalks(spark, edges)
+      .orderBy(o("walk_id"), o("step")))
+    assert(d == x)
+    assert(d.nonEmpty)
+  }
+
   test("coreness: driver twin == DataFrame loop") {
     val (d, x) = bothPaths(GraphOps.coreness(spark, edges))
     assert(d == x)
@@ -213,6 +236,10 @@ class IterativeDispatchSpec extends AnyFunSuite {
       "connectedComponents" ->
         "IterativeDispatchSpec (GraphX entry: union-find == Pregel CC)",
       "hits" -> "IterativeDispatchSpec (driver hits == DataFrame loop)",
+      "randomWalksUncached" ->
+        "IterativeDispatchSpec (driver walks == DataFrame loop)",
+      "node2vecWalks" ->
+        "IterativeDispatchSpec (driver biased walks == DataFrame loop)",
       "sccDispatch" ->
         "IterativeDispatchSpec + SccDfSpec (driver Tarjan == coloring)")
     val missing = sites.filterNot(covered.contains)
