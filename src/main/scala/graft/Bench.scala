@@ -99,6 +99,10 @@ object Bench {
         .map { case ((name, fn), qi) =>
           if (qi > 0 && qi % 50 == 0) series += calibSec()
           val t0 = System.nanoTime()
+          // Guide-style job labels: the UI's SQL/Jobs tabs attribute
+          // stages to the query being timed (thread-local, reset by
+          // the next iteration's set).
+          spark.sparkContext.setJobDescription(s"bench: $name")
           try fn(spark, sfDir).count()
           catch { case e: Throwable => failures += ((name, String.valueOf(e))) }
           val dt = (System.nanoTime() - t0) / 1e9
@@ -173,6 +177,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
+      spark.sparkContext.setJobDescription(s"retime: $n")
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] retime $n: $e") }
       n -> (System.nanoTime() - t0) / 1e9
