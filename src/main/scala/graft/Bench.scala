@@ -106,6 +106,10 @@ object Bench {
           try fn(spark, sfDir).count()
           catch { case e: Throwable => failures += ((name, String.valueOf(e))) }
           val dt = (System.nanoTime() - t0) / 1e9
+          // ADVICE r19: clear the thread-local label so post-query
+          // actions (unpersists, the next calib boundary) are not
+          // attributed to this query in the UI.
+          spark.sparkContext.setJobDescription(null)
           // Release per-query scratch state (localCheckpoint blocks,
           // stray caches): leftovers tax later queries with heap
           // pressure. Cross-query memos are the only state meant to
@@ -216,12 +220,22 @@ object Bench {
     // The log capture keeps only the LAST ~2000 chars of stdout, so
     // the full per-query line above left-truncates and has parsed as
     // null two rounds running (BENCH_r08/BENCH_r10). Print a compact
-    // summary — total, count, slowest 5 — as the FINAL line so the
-    // tail always carries one complete parseable JSON object.
-    val slow = finalTimes.sortBy(-_._2).take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    // summary as the FINAL line so the tail always carries one
+    // complete parseable JSON object. Round 20 (VERDICT r19 item 2):
+    // the compact line's `slowest5` gave the driver NO per-query map
+    // two rounds running (PERF per_query: {}). The final line now
+    // carries a `queries` map — the top 50 by time at 2 decimals plus
+    // `rest_total` for the remainder — and drops calib_series/retimes
+    // (they stay on the full first line and in /tmp/graft_bench.json).
+    // ~50 × ~23 chars ≈ 1.2 KB keeps the whole line inside the ~2000
+    // char tail window; top-50 covers every query the per-query
+    // regression screen could act on (the rest are sub-second).
+    val byTime = finalTimes.sortBy(-_._2)
+    val top = byTime.take(50)
+    val restTotal = byTime.drop(50).map(_._2).sum
+    val topJson = top.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${finalTimes.size},"repeat":$repeat,"warmup_sec":$warmupSec,"calib_sec":$calibJson,"calib_series":$calibSeriesJson,"retime_calib":${f"$retimeCalib%.3f"},"retimes":$retimeJson,"slowest5":$slow,"sf":"$sfDir","full":"/tmp/graft_bench.json"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${finalTimes.size},"repeat":$repeat,"warmup_sec":${f"$warmupSec%.2f"},"calib_sec":$calibJson,"retime_calib":${f"$retimeCalib%.3f"},"queries":$topJson,"rest_total":${f"$restTotal%.3f"},"rest_n":${byTime.length - top.length},"sf":"$sfDir","full":"/tmp/graft_bench.json"}""")
     spark.stop()
   }
 }

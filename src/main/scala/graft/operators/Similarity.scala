@@ -455,15 +455,48 @@ object Similarity {
     * both bite, so [[knnGraph]] dispatches to LSH candidates. */
   val ExactKnnMaxRows = 16384L
 
+  /** Per-vector L2 norm hoisted OUT of the pairwise loop (round 20,
+    * guide §4 — hoist invariant work; VERDICT r19 item 7): the
+    * pairwise [[graft.functions.CatalystText.CosineSim]] recomputes
+    * Σx² for BOTH vectors inside every candidate-pair evaluation —
+    * n·(pairs per vector) redundant norm folds. Computing
+    * sqrt(Σx²) once per vector and scoring pairs as
+    * inner_product(a,b)/(nrm_a·nrm_b) is BIT-IDENTICAL: the norm
+    * accumulator's addition sequence (((0+x₀²)+x₁²)+…) is unchanged
+    * by being evaluated in its own pass (CosineSim interleaves the
+    * three accumulators but each is an independent IEEE sum), sqrt
+    * and the final divide are the same ops in the same order.
+    * VALID ONLY for uniform-length, null-free vector tables (the
+    * embeddings corpus): CosineSim truncates both folds at
+    * min(|a|,|b|) and poisons on nulls within the prefix, which a
+    * per-vector norm cannot replicate on ragged input — so this
+    * helper stays private to the corpus-scoring paths and ragged/
+    * planted-case surfaces keep the one-pass expression.
+    * CosineParitySpec pins hoisted ≡ one-pass score equality on the
+    * real corpus. */
+  private def hoistedCosine(dotCol: Column, na: Column, nb: Column): Column =
+    dotCol / (na * nb)
+  private def normCol(e: Column): Column = sqrt(innerProduct(e, e))
+
   /** Top-k per vector over scored (vec_id, nb, sim) rows, with the
-    * full (sim desc, nb asc) unique tiebreak; sims leave e4-scaled. */
-  private def topKEdges(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nb").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("nb").as("neighbor_id"), col("rank"),
-        round(col("sim") * 1e4).cast("long").as("sim_e4"))
-  }
+    * full (sim desc, nb asc) unique tiebreak; sims leave e4-scaled.
+    *
+    * Round 20 (guide §2.3): the row_number window this used to run
+    * had to exchange AND sort EVERY scored candidate pair; the native
+    * [[graft.functions.TopKBySim]] aggregate map-side-combines to ≤ k
+    * rows per vector per partition before the shuffle — the dominant
+    * shuffle of the at-scale kNN builds. Result-identical: the
+    * aggregate's comparator is the window's exact total order and
+    * posexplode position + 1 is the window's row_number (equality
+    * spec in SimilaritySpec). */
+  private def topKEdges(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKBySim
+        .top_k_by_sim(col("nb"), col("sim"), k).as("tops"))
+      .select(col("vec_id"), posexplode(col("tops")))
+      .select(col("vec_id"), col("col.nb").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        round(col("col.sim") * 1e4).cast("long").as("sim_e4"))
 
   /** k-NN edges from CANDIDATE pairs — the 100-TB path: score only
     * the supplied (vec_id, candidate_id) pairs (from sign-LSH bands,
@@ -475,8 +508,12 @@ object Similarity {
     * at scale instead of broadcasting it. */
   def knnGraphFrom(emb: DataFrame, candidatePairs: DataFrame,
       k: Int = TopK): DataFrame = {
-    val e1 = emb.select(col("vec_id"), col("embedding"))
-    val e2 = emb.select(col("vec_id").as("nb"), col("embedding").as("e2"))
+    // Norms hoisted to the per-vector lookups (round 20): each
+    // candidate-pair evaluation pays one dot fold instead of three.
+    val e1 = emb.select(col("vec_id"), col("embedding"),
+      normCol(col("embedding")).as("nrm1"))
+    val e2 = emb.select(col("vec_id").as("nb"), col("embedding").as("e2"),
+      normCol(col("embedding")).as("nrm2"))
     val scored = candidatePairs
       .select(col("vec_id"), col("candidate_id").as("nb"))
       .filter(col("vec_id") =!= col("nb"))
@@ -484,7 +521,8 @@ object Similarity {
       .join(e1, Seq("vec_id"))
       .join(e2, Seq("nb"))
       .select(col("vec_id"), col("nb"),
-        cosine(col("embedding"), col("e2")).as("sim"))
+        hoistedCosine(innerProduct(col("embedding"), col("e2")),
+          col("nrm1"), col("nrm2")).as("sim"))
     topKEdges(scored, k)
   }
 
@@ -568,10 +606,16 @@ object Similarity {
   /** Exact all-pairs scored edges: one broadcast of the (bounded)
     * vector table against itself, codegen'd native cosine. */
   private def knnScoredExact(emb: DataFrame): DataFrame = {
-    val right = emb.select(col("vec_id").as("nb"), col("embedding").as("e2"))
-    emb.join(broadcast(right), col("vec_id") =!= col("nb"))
+    // The n² hot loop of the exact path: norms hoisted per vector
+    // (round 20) — ~n² fewer redundant Σx² folds, scores bit-equal.
+    val left = emb.select(col("vec_id"), col("embedding"),
+      normCol(col("embedding")).as("nrm1"))
+    val right = emb.select(col("vec_id").as("nb"), col("embedding").as("e2"),
+      normCol(col("embedding")).as("nrm2"))
+    left.join(broadcast(right), col("vec_id") =!= col("nb"))
       .select(col("vec_id"), col("nb"),
-        cosine(col("embedding"), col("e2")).as("sim"))
+        hoistedCosine(innerProduct(col("embedding"), col("e2")),
+          col("nrm1"), col("nrm2")).as("sim"))
   }
 
   /** k-NN graph over an embedding DataFrame: every vector's top-k
@@ -1171,14 +1215,17 @@ object Similarity {
       element_at(element_at(col("lut"), m + 1),
         element_at(col("codes"), m + 1) + 1)
     }.reduce(_ + _) + element_at(col("qcell"), col("cell") + 1)
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    // Round 20 (guide §2.3): the ADC sweep scores corpus × queries
+    // rows; the shortlist window exchanged and sorted all of them —
+    // the native top-k aggregate map-side-combines to ≤ PqShortlist
+    // rows per query per partition (same (adc desc, id asc) order).
     val shortlist = codes.crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
-      .withColumn("arank", row_number().over(wAdc))
-      .filter(col("arank") <= PqShortlist)
-      .select(col("query_id"), col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKBySim
+        .top_k_by_sim(col("neighbor_id"), col("adc"), PqShortlist).as("tops"))
+      .select(col("query_id"), explode(col("tops.nb")).as("neighbor_id"))
     val rescored = shortlist
       .join(emb.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("nemb")), Seq("neighbor_id"))
@@ -1362,21 +1409,26 @@ object Similarity {
   def cosineThresholdPairs(emb: DataFrame, minSimE4: Long,
       exactMaxRows: Long = ExactKnnMaxRows): DataFrame = {
     val measured = emb.count()
+    // Norms hoisted per vector on both branches (round 20): the
+    // threshold score is round(hoisted_sim · 1e4) — bit-equal, since
+    // the hoisted sim double is bit-equal (see hoistedCosine).
+    val withN = emb.withColumn("nrm1", normCol(col("embedding")))
+    val rightN = emb.select(col("vec_id").as("nb"), col("embedding").as("e2"),
+      normCol(col("embedding")).as("nrm2"))
+    val simE4 = round(hoistedCosine(innerProduct(col("embedding"), col("e2")),
+      col("nrm1"), col("nrm2")) * 1e4).cast("long").as("sim_e4")
     val scored =
       if (measured <= exactMaxRows) {
-        val right = emb.select(col("vec_id").as("nb"), col("embedding").as("e2"))
-        emb.join(broadcast(right), col("vec_id") < col("nb"))
-          .select(col("vec_id"), col("nb"),
-            round(cosine(col("embedding"), col("e2")) * 1e4).cast("long").as("sim_e4"))
+        withN.join(broadcast(rightN), col("vec_id") < col("nb"))
+          .select(col("vec_id"), col("nb"), simE4)
       } else {
         lshCandidatePairs(emb, measured)
           .filter(col("vec_id") < col("candidate_id"))
           .select(col("vec_id"), col("candidate_id").as("nb"))
           .dropDuplicates("vec_id", "nb")
-          .join(emb, Seq("vec_id"))
-          .join(emb.select(col("vec_id").as("nb"), col("embedding").as("e2")), Seq("nb"))
-          .select(col("vec_id"), col("nb"),
-            round(cosine(col("embedding"), col("e2")) * 1e4).cast("long").as("sim_e4"))
+          .join(withN, Seq("vec_id"))
+          .join(rightN, Seq("nb"))
+          .select(col("vec_id"), col("nb"), simE4)
       }
     scored.filter(col("sim_e4") >= minSimE4)
       .select(col("vec_id").as("src"), col("nb").as("dst"))

@@ -1032,10 +1032,153 @@ object StreamingOps {
     * full-refresh cadence, and [[streamLouvainIncremental]] applies
     * the same replace-v<id>-wholesale drop-in at its end-of-stream
     * self-audit. */
+  /** Driver carry for the streaming Louvain fold: sink → (last folded
+    * batch id, vertex→community labels, (a,b)→w super edges). Purely
+    * an intra-stream shortcut: every fold still WRITES v<id> to
+    * parquet (that write IS the restart contract and stays), and any
+    * id discontinuity — replay, recovery, an audit refresh or a
+    * distributed fold owning the state — falls back to the parquet
+    * state, so the carry can never change what a fold computes (it
+    * only skips re-reading state this same stream just wrote).
+    * Bounded with miss-only eviction (the round-18 memo-boundary
+    * lesson). */
+  private val louvainFoldCarry = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, scala.collection.mutable.LongMap[Long],
+      scala.collection.mutable.HashMap[(Long, Long), Double])]
+
+  /** The driver twin of [[mergeLouvain]]'s per-batch fold (round 20 —
+    * VERDICT r19 item 1; the round-14 measured-dispatch family).
+    * Measured at sf0.1: each distributed fold pays ~8 jobs of plan
+    * analysis + tiny shuffles (state read-back, two contraction
+    * joins, the louvainOnSuper count+collect, two relabel joins) for
+    * arithmetic the driver does in milliseconds — the
+    * plan-compile-bound family. Within the gate the fold is
+    * BIT-IDENTICAL to the distributed path: contraction and
+    * super-edge sums are exact double adds of integral weights
+    * (order-free), and [[graft.graph.LocalLouvain.cluster]] — the
+    * same engine louvainOnSuper dispatches to under exactly these
+    * bounds — is row-order-insensitive (ascending sweeps, min-id tie
+    * breaks). Gate: Long keys, non-null integral weights, and batch +
+    * prior state within the collect bound (past it louvainOnSuper
+    * would run GraphX, whose labels may legitimately differ — so the
+    * twin declines). Returns true when it ran and wrote v<id>;
+    * IncrementalLouvainSpec pins fold-state equality both paths. */
+  /** Test hook: drop a sink's carry (simulates a restart). */
+  private[graft] def dropLouvainCarry(sink: String): Unit =
+    louvainFoldCarry.remove(sink): Unit
+
+  /** Test-only hatch forcing the OUTER fold distributed while the
+    * inner louvainOnSuper keeps its own measured dispatch — the
+    * surface the driver twin actually replaces (bit-identical labels).
+    * GraphOps.forceDistributed forces BOTH layers — the fully
+    * distributed at-scale chain, whose GraphX labels are path-specific
+    * and pinned at partition level by the existing spec. */
+  @volatile private[graft] var foldDistributedOnly = false
+  private[graft] def withFoldDistributed[T](f: => T): T = {
+    foldDistributedOnly = true
+    try f finally foldDistributedOnly = false
+  }
+
+  private[graft] def mergeLouvainDispatch(sink: String, batch: DataFrame,
+      id: Long): Boolean = {
+    import graft.graph.{GraphOps, LocalLouvain}
+    val lt = org.apache.spark.sql.types.LongType
+    val dispatchable = !GraphOps.forceDistributed && !foldDistributedOnly &&
+      batch.schema("src").dataType == lt &&
+      batch.schema("dst").dataType == lt
+    if (!dispatchable) return false
+    val st = batch.agg(count(lit(1)).as("n"),
+      max(abs(col("weight") - round(col("weight")))).as("frac"),
+      count(col("weight")).as("nw")).collect().head
+    val n = st.getLong(0)
+    if (n > LocalLouvain.CollectMax || st.getLong(2) != n ||
+        (!st.isNullAt(1) && st.getDouble(1) != 0.0)) return false
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val prevDir = new java.io.File(s"$sink/v${id - 1}")
+    // State source: the carry when it is exactly the previous batch's
+    // fold, else the parquet state (counted before collecting — past
+    // the bound the distributed fold owns it).
+    val state = louvainFoldCarry.get(sink) match {
+      case Some((last, lab, sup)) if last == id - 1 =>
+        // Clone before mutating: a fold that dies midway must not
+        // leave a half-contracted map behind a still-valid carry id.
+        Some((lab.clone(), sup.clone()))
+      case _ if !prevDir.exists() =>
+        Some((scala.collection.mutable.LongMap.empty[Long],
+          scala.collection.mutable.HashMap.empty[(Long, Long), Double]))
+      case _ =>
+        val labDf = spark.read.parquet(s"${prevDir.getPath}/labels")
+        val supDf = spark.read.parquet(s"${prevDir.getPath}/super")
+        if (labDf.count() > LocalLouvain.CollectMax ||
+            supDf.count() > LocalLouvain.CollectMax) None
+        else {
+          val lab = scala.collection.mutable.LongMap.empty[Long]
+          labDf.select(col("vertex"), col("community")).collect()
+            .foreach(r => lab(r.getLong(0)) = r.getLong(1))
+          val sup = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+          supDf.select(col("a"), col("b"), col("w")).collect()
+            .foreach(r => sup((r.getLong(0), r.getLong(1))) = r.getDouble(2))
+          Some((lab, sup))
+        }
+    }
+    state match {
+      case None => false
+      case Some((lab, sup)) =>
+        // The merged super graph must stay inside the bound that
+        // makes louvainOnSuper's driver dispatch (and so this twin)
+        // the path the distributed fold would take.
+        if (sup.size + n > LocalLouvain.CollectMax) return false
+        val rows = batch.select(col("src"), col("dst"), col("weight"))
+          .collect()
+        // Contract batch edges through the current labels; unlabeled
+        // (new) vertices stay themselves — same coalesce as the fold.
+        rows.foreach { r =>
+          val a0 = lab.getOrElse(r.getLong(0), r.getLong(0))
+          val b0 = lab.getOrElse(r.getLong(1), r.getLong(1))
+          val k = if (a0 <= b0) (a0, b0) else (b0, a0)
+          sup(k) = sup.getOrElse(k, 0.0) + r.getDouble(2)
+        }
+        val assign = LocalLouvain.cluster(
+          sup.iterator.map { case ((a, b), w) => (a, b, math.round(w)) }.toSeq)
+        val prevComms = lab.values.toSet
+        val newLab = scala.collection.mutable.LongMap.empty[Long]
+        lab.foreach { case (v, c) =>
+          assign.get(c).foreach(c2 => newLab(v) = c2)
+        }
+        assign.foreach { case (sv, c) => if (!prevComms(sv)) newLab(sv) = c }
+        val sup2 = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+        sup.foreach { case ((a, b), w) =>
+          val ca = assign(a); val cb = assign(b)
+          val k = if (ca <= cb) (ca, cb) else (cb, ca)
+          sup2(k) = sup2.getOrElse(k, 0.0) + w
+        }
+        newLab.toSeq.toDF("vertex", "community").coalesce(1)
+          .write.mode("overwrite").parquet(s"$sink/v$id/labels")
+        sup2.toSeq.map { case ((a, b), w) => (a, b, w) }
+          .toDF("a", "b", "w").coalesce(1)
+          .write.mode("overwrite").parquet(s"$sink/v$id/super")
+        if (louvainFoldCarry.size > 8 && !louvainFoldCarry.contains(sink))
+          louvainFoldCarry.clear()
+        louvainFoldCarry.update(sink, (id, newLab, sup2))
+        true
+    }
+  }
+
   private[graft] def mergeLouvain(sink: String)(df: DataFrame, id: Long): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val batch = df.select(col("src"), col("dst"), col("weight").cast("double"))
+    // Measured driver dispatch (round 20 — VERDICT r19 item 1, the
+    // round-14 twin family): within the collect bound the whole
+    // per-batch fold runs in the driver, carrying (labels, super)
+    // across micro-batches so batches 1+ skip the parquet read-back
+    // entirely. The distributed fold below stays verbatim as the
+    // at-scale shape.
+    if (mergeLouvainDispatch(sink, batch, id)) return
+    // The distributed fold owns the state now — a driver carry from
+    // an earlier batch would go stale the moment this fold writes.
+    louvainFoldCarry.remove(sink): Unit
     val prev = new java.io.File(s"$sink/v${id - 1}")
     val (lab, supPrev) =
       if (!prev.exists())
@@ -1076,6 +1219,12 @@ object StreamingOps {
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
     newLabels.write.mode("overwrite").parquet(s"$sink/v$id/labels")
     sup2.write.mode("overwrite").parquet(s"$sink/v$id/super")
+    // Scratch release (round 20, the item-9 sweep): both writes have
+    // run; the per-batch checkpoints would otherwise accumulate one
+    // block set per micro-batch for the stream's lifetime.
+    lab.unpersist(false)
+    sup1.unpersist(false)
+    superAssign.unpersist(false): Unit
   }
 
   /** Counts every full batch-Louvain reference the audits PAY —
@@ -1349,6 +1498,10 @@ object StreamingOps {
         val supFresh = contractThrough(accum, fresh).localCheckpoint(true)
         fresh.write.mode("overwrite").parquet(s"$sink/v$id/labels")
         supFresh.write.mode("overwrite").parquet(s"$sink/v$id/super")
+        // The refresh replaced v<id> wholesale — the driver carry for
+        // this sink now describes the pre-refresh state; drop it so
+        // the next fold re-reads the refreshed parquet.
+        louvainFoldCarry.remove(sink): Unit
       }
     }
   }
@@ -1415,6 +1568,7 @@ object StreamingOps {
           .localCheckpoint(true)
         batchLab.write.mode("overwrite").parquet(s"$sink/v$last/labels")
         supFresh.write.mode("overwrite").parquet(s"$sink/v$last/super")
+        louvainFoldCarry.remove(sink): Unit
         superIdentityQ(spark, supFresh)
       }
     import spark.implicits._

@@ -482,12 +482,12 @@ class GraphOpsSpec extends AnyFunSuite {
       (3L, 9L), (9L, 13L)).toDF("src", "dst")
     val dense = GraphOps.triadCensus(spark, e).collect()(0)
     assert((dense.getLong(0), dense.getLong(1)) == (7L, 3L), dense.toString)
-    spark.conf.set("graft.triangles.broadcastBytes", "1")
+    spark.conf.set("graft.broadcast.bytes", "1")
     try {
       val wedge = GraphOps.triadCensus(spark, e).collect()(0)
       assert((wedge.getLong(0), wedge.getLong(1)) ==
         (dense.getLong(0), dense.getLong(1)), wedge.toString)
-    } finally spark.conf.unset("graft.triangles.broadcastBytes")
+    } finally spark.conf.unset("graft.broadcast.bytes")
   }
 
   test("square count: plain 4-cycle has one square, triangle has none") {

@@ -137,6 +137,22 @@ class IterativeDispatchSpec extends AnyFunSuite {
     assert(d.nonEmpty)
   }
 
+  test("node2vecWalks: parallel edges and self-loops agree across paths") {
+    // ADVICE r19 item 1: the twin treats (prev, dst) MEMBERSHIP as a
+    // set (binarySearch) while the DF loop's left join used to
+    // multiply candidate rows per duplicate member row, shifting the
+    // cum/tot pick. The member dedup (round 20) aligns them; this
+    // planted case — a duplicated pair plus a self-loop — pins it.
+    import spark.implicits._
+    val o = org.apache.spark.sql.functions.col _
+    val g = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("src", "dst")
+    val (d, x) = bothPaths(GraphOps.node2vecWalks(spark, g)
+      .orderBy(o("walk_id"), o("step")))
+    assert(d == x)
+    assert(d.nonEmpty)
+  }
+
   test("coreness: driver twin == DataFrame loop") {
     val (d, x) = bothPaths(GraphOps.coreness(spark, edges))
     assert(d == x)
@@ -196,7 +212,8 @@ class IterativeDispatchSpec extends AnyFunSuite {
     val files = Seq(
       "src/main/scala/graft/graph/GraphOps.scala",
       "src/main/scala/graft/graph/ConnectedComponentsDF.scala",
-      "src/main/scala/graft/graph/StronglyConnectedDF.scala")
+      "src/main/scala/graft/graph/StronglyConnectedDF.scala",
+      "src/main/scala/graft/streaming/StreamingOps.scala")
     var cur = "<none>"
     val sites = scala.collection.mutable.LinkedHashSet.empty[String]
     // Member-indent defs ONLY (≤ 2 leading spaces before modifiers):
@@ -241,7 +258,9 @@ class IterativeDispatchSpec extends AnyFunSuite {
       "node2vecWalks" ->
         "IterativeDispatchSpec (driver biased walks == DataFrame loop)",
       "sccDispatch" ->
-        "IterativeDispatchSpec + SccDfSpec (driver Tarjan == coloring)")
+        "IterativeDispatchSpec + SccDfSpec (driver Tarjan == coloring)",
+      "mergeLouvainDispatch" ->
+        "IncrementalLouvainSpec (driver fold state == distributed fold state)")
     val missing = sites.filterNot(covered.contains)
     assert(missing.isEmpty,
       s"dispatch sites without a recorded twin-equality test: $missing")

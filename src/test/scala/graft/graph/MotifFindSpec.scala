@@ -65,9 +65,9 @@ class MotifFindSpec extends AnyFunSuite {
       MotifFind.find(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
         .filter(col("a") =!= col("c")).count())
     val viaBroadcast = counts()
-    spark.conf.set("graft.triangles.broadcastBytes", "1")
+    spark.conf.set("graft.broadcast.bytes", "1")
     try assert(counts() == viaBroadcast)
-    finally spark.conf.unset("graft.triangles.broadcastBytes")
+    finally spark.conf.unset("graft.broadcast.bytes")
   }
 
   test("GraftGraph.find decodes string vertex labels") {

@@ -80,18 +80,18 @@ class JoinsSpec extends AnyFunSuite {
     assert(hinted(Joins.maybeBroadcast(df, rows = 3L, bytesPerRow = 64L)))
   }
 
-  test("legacy knob graft.triangles.broadcastBytes reads through as an alias") {
-    // VERDICT r18 "what's wrong" 3: one byte budget, one name.
-    // graft.broadcast.bytes wins when both are set; the legacy
-    // triangles name still moves the budget when it is the only one.
+  test("legacy knob graft.triangles.broadcastBytes is dead") {
+    // Round 20 (VERDICT r19 item 8): the one-round read-through alias
+    // is removed on schedule — only graft.broadcast.bytes moves the
+    // budget; setting the legacy name changes nothing.
     val part = graft.Tables.part(spark, sf).select(col("p_partkey"))
     spark.conf.set("graft.triangles.broadcastBytes", "1")
     try {
-      assert(!hinted(Joins.maybeBroadcast(part)),
-        "the legacy alias must still shrink the shared budget")
-      spark.conf.set("graft.broadcast.bytes", s"${160L << 20}")
       assert(hinted(Joins.maybeBroadcast(part)),
-        "the canonical knob must take precedence over the alias")
+        "the legacy alias must no longer shrink the shared budget")
+      spark.conf.set("graft.broadcast.bytes", "1")
+      assert(!hinted(Joins.maybeBroadcast(part)),
+        "the canonical knob must still move the budget")
     } finally {
       spark.conf.unset("graft.triangles.broadcastBytes")
       spark.conf.unset("graft.broadcast.bytes")

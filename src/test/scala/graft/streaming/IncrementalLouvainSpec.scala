@@ -48,6 +48,64 @@ class IncrementalLouvainSpec extends AnyFunSuite {
     assert(streamed == Set(Set(0L, 1L, 2L, 3L), Set(10L, 11L, 12L, 13L)))
   }
 
+  test("driver fold state == distributed fold state, batch by batch") {
+    // Round 20 (the mergeLouvainDispatch gate): the per-batch driver
+    // twin must leave BIT-IDENTICAL (labels, super) parquet state to
+    // the distributed fold it stands in for — pinned per batch id,
+    // super weights included, on a planted multi-batch stream with
+    // new vertices arriving mid-stream.
+    import spark.implicits._
+    def supOf(s: String, v: Long): Set[(Long, Long, Double)] =
+      spark.read.parquet(s"$s/v$v/super").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batches = Seq(
+      (clique(Seq(0L, 1L, 2L, 3L)) ++
+        Seq((10L, 11L, 1.0), (11L, 12L, 1.0))),
+      Seq((10L, 12L, 1.0), (10L, 13L, 1.0), (11L, 13L, 1.0),
+        (12L, 13L, 1.0), (3L, 10L, 1.0)),
+      clique(Seq(20L, 21L, 22L, 23L)) ++ Seq((13L, 20L, 2.0)))
+    val sd = sink()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingOps.mergeLouvain(sd)(b.toDF("src", "dst", "weight"), i.toLong)
+    }
+    val sx = sink()
+    // Fold-only hatch: the DF fold with louvainOnSuper's own measured
+    // dispatch is the exact surface the twin replaces (full
+    // forceDistributed would also push the inner Louvain onto GraphX,
+    // whose labels are path-specific — partition-level equivalence for
+    // that layer is pinned by "driver-side super Louvain matches the
+    // GraphX path's partition" below).
+    StreamingOps.withFoldDistributed {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamingOps.mergeLouvain(sx)(b.toDF("src", "dst", "weight"), i.toLong)
+      }
+    }
+    batches.indices.foreach { i =>
+      assert(labelsOf(sd, i.toLong) == labelsOf(sx, i.toLong),
+        s"labels diverge at batch $i")
+      assert(supOf(sd, i.toLong) == supOf(sx, i.toLong),
+        s"super state diverges at batch $i")
+    }
+  }
+
+  test("driver fold without the carry (parquet fallback) folds identically") {
+    // The carry is a shortcut, never a dependency: dropping it between
+    // batches must not change the folded state (this is the replay /
+    // restart path the parquet write exists for).
+    import spark.implicits._
+    val b0 = clique(Seq(0L, 1L, 2L, 3L)).toDF("src", "dst", "weight")
+    val b1 = (clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((3L, 10L, 1.0)))
+      .toDF("src", "dst", "weight")
+    val withCarry = sink()
+    StreamingOps.mergeLouvain(withCarry)(b0, 0L)
+    StreamingOps.mergeLouvain(withCarry)(b1, 1L)
+    val cold = sink()
+    StreamingOps.mergeLouvain(cold)(b0, 0L)
+    StreamingOps.dropLouvainCarry(cold) // simulate a restart
+    StreamingOps.mergeLouvain(cold)(b1, 1L)
+    assert(labelsOf(withCarry, 1L) == labelsOf(cold, 1L))
+  }
+
   test("replaying a batch id overwrites to the identical state") {
     import spark.implicits._
     val s = sink()
