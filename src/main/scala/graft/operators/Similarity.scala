@@ -508,6 +508,32 @@ object Similarity {
     * at scale instead of broadcasting it. */
   def knnGraphFrom(emb: DataFrame, candidatePairs: DataFrame,
       k: Int = TopK): DataFrame = {
+    import graft.graph.GraphOps
+    // Measured driver dispatch (round 20, the exactKnnEdges family):
+    // when the corpus is within the exact bound AND the candidate
+    // pairs fit the collect cap, score + top-k in the driver — the
+    // capped limit+collect materializes the candidate plan ONCE (a
+    // too-big pair set declines and only then does the DataFrame path
+    // re-evaluate it). At scale the emb count gate declines before
+    // the candidate plan is touched. Serves the IVF candidate path
+    // and the PQ-SDC re-rank; LocalSimSpec pins both-path equality.
+    if (!GraphOps.forceDistributed && LocalSim.twinnable(emb) &&
+        emb.count() <= ExactKnnMaxRows &&
+        candidatePairs.schema("vec_id").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        candidatePairs.schema("candidate_id").dataType ==
+          org.apache.spark.sql.types.LongType) {
+      val cap = graft.graph.LocalLouvain.CollectMax
+      val rows = candidatePairs.select(col("vec_id"), col("candidate_id"))
+        .limit((cap + 1).toInt).collect()
+      if (rows.length <= cap) {
+        val spark = emb.sparkSession
+        return spark.createDataFrame(
+            LocalSim.pairsTopK(LocalSim.corpusOf(emb),
+              rows.map(r => (r.getLong(0), r.getLong(1))), k))
+          .toDF("vec_id", "neighbor_id", "rank", "sim_e4")
+      }
+    }
     // Norms hoisted to the per-vector lookups (round 20): each
     // candidate-pair evaluation pays one dot fold instead of three.
     val e1 = emb.select(col("vec_id"), col("embedding"),
@@ -637,10 +663,56 @@ object Similarity {
   private[graft] def knnGraphOf(emb: DataFrame, k: Int,
       exactMaxRows: Long): DataFrame = {
     val n = emb.count()
-    if (n <= exactMaxRows) topKEdges(knnScoredExact(emb), k)
+    if (n <= exactMaxRows) exactKnnEdges(emb, n, k)
     // The measured count sizes the banding (lshParamsFor): the fixed
     // 8×2 test-scale banding is n²/4-per-band above the bound.
-    else knnGraphFrom(emb, lshCandidatePairs(emb, n), k)
+    else {
+      val (bands, rows) = lshParamsFor(n)
+      lshKnnEdges(emb, n, bands, rows, k)
+    }
+  }
+
+  /** Exact-branch kNN edges with a measured driver dispatch (round
+    * 20, the round-14 twin family): the all-pairs scoring spends its
+    * time in BroadcastNestedLoopJoin row machinery (piece-profiled
+    * 2.7 s at n = 2000 for ~0.26 GFLOP of dots) — within the exact
+    * bound the twin computes the identical scores and the identical
+    * (sim desc, nb asc) top-k in the driver (LocalSim doc for the
+    * bit-identity argument; LocalSimSpec pins both-path equality).
+    * The DataFrame path stays verbatim — it IS the shape the at-scale
+    * branches reuse. */
+  private def exactKnnEdges(emb: DataFrame, n: Long, k: Int): DataFrame = {
+    import graft.graph.GraphOps
+    if (!GraphOps.forceDistributed && LocalSim.twinnable(emb) &&
+        n > 0 && n <= ExactKnnMaxRows) {
+      val spark = emb.sparkSession
+      return spark.createDataFrame(
+          LocalSim.exactTopK(LocalSim.corpusOf(emb), k))
+        .toDF("vec_id", "neighbor_id", "rank", "sim_e4")
+    }
+    topKEdges(knnScoredExact(emb), k)
+  }
+
+  /** LSH-candidate kNN edges with the same measured driver dispatch:
+    * at test scale the fixed 8×2 banding has 4 buckets, so the band
+    * self-join + dedup + lookup joins cost ~8 s for n = 2000 (more
+    * candidate rows than the exact path's n²!); the twin derives the
+    * band keys from the SAME md5-bridge fold loop as the SignLshKeys
+    * expression and scores the identical deduped candidate set. Past
+    * [[ExactKnnMaxRows]] the DataFrame path below is the 100 TB
+    * shape, unchanged. */
+  private def lshKnnEdges(emb: DataFrame, n: Long, bands: Int, rows: Int,
+      k: Int): DataFrame = {
+    import graft.graph.GraphOps
+    if (!GraphOps.forceDistributed && LocalSim.twinnable(emb) &&
+        n > 0 && n <= ExactKnnMaxRows) {
+      val spark = emb.sparkSession
+      return spark.createDataFrame(
+          LocalSim.lshTopK(LocalSim.corpusOf(emb), EmbeddingDim, bands,
+            rows, k))
+        .toDF("vec_id", "neighbor_id", "rank", "sim_e4")
+    }
+    knnGraphFrom(emb, lshCandidatePairsBanded(emb, bands, rows), k)
   }
 
   // One kNN edge table per (session, embeddings identity, k), built
@@ -782,9 +854,12 @@ object Similarity {
   def knnLshWithRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     // Measured count sizes the banding above ExactKnnMaxRows
-    // (lshParamsFor); test-scale corpora keep the 8×2 default.
-    withSampledRecall(emb,
-      knnGraphFrom(emb, lshCandidatePairs(emb, emb.count()), k), k)
+    // (lshParamsFor); test-scale corpora keep the 8×2 default. The
+    // build routes through lshKnnEdges — the round-20 twin under the
+    // bound, the same knnGraphFrom shape past it.
+    val n = emb.count()
+    val (bands, rows) = lshParamsFor(n)
+    withSampledRecall(emb, lshKnnEdges(emb, n, bands, rows, k), k)
   }
 
   /** The IVF-candidate kNN graph as a first-class query — the second
@@ -814,6 +889,25 @@ object Similarity {
     * shuffles. The standard way to push a cheap blocking-scheme graph
     * (LSH/IVF) toward exact-graph recall at linear-ish cost. */
   def nnDescentFrom(emb: DataFrame, base: DataFrame, k: Int = TopK): DataFrame = {
+    // Measured driver dispatch (round 20): the pivot expansion is
+    // ≤ n·(2k)² bare id pairs — the DataFrame loop below pays two
+    // windows, a self-join and the knnGraphFrom dedup/joins for
+    // arithmetic the driver does in milliseconds under the bound.
+    // Base rows collect once (the loop reads base twice). LocalSimSpec
+    // pins both-path equality; the loop stays the at-scale shape.
+    {
+      import graft.graph.GraphOps
+      if (!GraphOps.forceDistributed && LocalSim.twinnable(emb) &&
+          emb.count() <= ExactKnnMaxRows) {
+        val spark = emb.sparkSession
+        val baseRows = base.select(col("vec_id"), col("neighbor_id"),
+            col("sim_e4")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        return spark.createDataFrame(
+            LocalSim.descentTopK(LocalSim.corpusOf(emb), baseRows, k))
+          .toDF("vec_id", "neighbor_id", "rank", "sim_e4")
+      }
+    }
     val fwd = base.select(col("vec_id"), col("neighbor_id"))
     val revRanked = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("sim_e4").desc, col("vec_id").asc)
@@ -841,9 +935,13 @@ object Similarity {
     * base still builds inline (bounded corpus, cheap). */
   def knnDescentWithRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = emb.count()
     val refined =
-      if (emb.count() > ExactKnnMaxRows) refinedKnnGraph(spark, dir, k)
-      else nnDescentFrom(emb, knnGraphFrom(emb, lshCandidatePairs(emb), k), k)
+      if (n > ExactKnnMaxRows) refinedKnnGraph(spark, dir, k)
+      // The inline LSH base keeps the fixed 8×2 test-scale banding
+      // (d_embed_dup's oracle inlines those planes); it now routes
+      // through lshKnnEdges so the round-20 twin serves it too.
+      else nnDescentFrom(emb, lshKnnEdges(emb, n, LshBands, LshRows, k), k)
     withSampledRecall(emb, refined, k)
   }
 
@@ -1301,11 +1399,13 @@ object Similarity {
           + pq_cell_sim(col("cb_cell"), col("ca"), cr)
           + pq_sdc_sim(col("ca"), col("cb"), rr))
           .as("sdc"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sdc").desc, col("candidate_id").asc)
-    val shortlist = scored.withColumn("r", row_number().over(w))
-      .filter(col("r") <= 20 * k)
-      .select(col("vec_id"), col("candidate_id"))
+    // Round 20 (guide §2.3): shortlist via the native top-k aggregate
+    // instead of exchanging + sorting every SDC-scored candidate row.
+    val shortlist = scored
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKBySim
+        .top_k_by_sim(col("candidate_id"), col("sdc"), 20 * k).as("tops"))
+      .select(col("vec_id"), explode(col("tops.nb")).as("candidate_id"))
     withSampledRecall(emb, knnGraphFrom(emb, shortlist, k), k)
   }
 
@@ -1408,7 +1508,25 @@ object Similarity {
     * wide ever shuffles. */
   def cosineThresholdPairs(emb: DataFrame, minSimE4: Long,
       exactMaxRows: Long = ExactKnnMaxRows): DataFrame = {
+    import graft.graph.GraphOps
     val measured = emb.count()
+    // Measured driver dispatch (round 20): same twin family as
+    // exactKnnEdges/lshKnnEdges — identical scores, identical pair
+    // sets, both branches (LocalSimSpec pins both-path equality); the
+    // DataFrame branches below stay the at-scale shapes.
+    if (!GraphOps.forceDistributed && LocalSim.twinnable(emb) &&
+        measured > 0 && measured <= ExactKnnMaxRows) {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val c = LocalSim.corpusOf(emb)
+      val pairs =
+        if (measured <= exactMaxRows) LocalSim.thresholdPairs(c, minSimE4)
+        else {
+          val (bands, rows) = lshParamsFor(measured)
+          LocalSim.lshThresholdPairs(c, EmbeddingDim, bands, rows, minSimE4)
+        }
+      return pairs.toDF("src", "dst")
+    }
     // Norms hoisted per vector on both branches (round 20): the
     // threshold score is round(hoisted_sim · 1e4) — bit-equal, since
     // the hoisted sim double is bit-equal (see hoistedCosine).
@@ -1542,6 +1660,25 @@ object Similarity {
     * exact cosine re-check, threshold 0.4. Band-key self-join —
     * near-linear at scale. */
   def embedDup(spark: SparkSession, dir: String): DataFrame = {
+    // Measured driver dispatch (round 20, the lshKnnEdges twin
+    // family): the band join + distinct is all scheduling at test
+    // scale; the twin derives the same 8×2 band keys, scores the same
+    // collision pairs, and emits the same thresholded distinct rows
+    // (full oracle hash pins it; LocalSimSpec pins both paths).
+    {
+      import graft.graph.GraphOps
+      val emb0 = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val n = emb0.count()
+      if (!GraphOps.forceDistributed && LocalSim.twinnable(emb0) &&
+          n > 0 && n <= ExactKnnMaxRows) {
+        import spark.implicits._
+        return LocalSim.embedDupPairs(LocalSim.corpusOf(emb0),
+            EmbeddingDim, LshBands, LshRows, 4000L)
+          .toDF("vec_a", "vec_b", "cos_e4")
+          .orderBy(col("vec_a"), col("vec_b"))
+      }
+    }
     val e = banded(spark, dir)
     val a = e.select(col("band"), col("key"),
       col("vec_id").as("vec_a"), col("embedding").as("emb_a"))

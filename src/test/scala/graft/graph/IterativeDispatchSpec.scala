@@ -213,7 +213,8 @@ class IterativeDispatchSpec extends AnyFunSuite {
       "src/main/scala/graft/graph/GraphOps.scala",
       "src/main/scala/graft/graph/ConnectedComponentsDF.scala",
       "src/main/scala/graft/graph/StronglyConnectedDF.scala",
-      "src/main/scala/graft/streaming/StreamingOps.scala")
+      "src/main/scala/graft/streaming/StreamingOps.scala",
+      "src/main/scala/graft/operators/Similarity.scala")
     var cur = "<none>"
     val sites = scala.collection.mutable.LinkedHashSet.empty[String]
     // Member-indent defs ONLY (≤ 2 leading spaces before modifiers):
@@ -260,7 +261,19 @@ class IterativeDispatchSpec extends AnyFunSuite {
       "sccDispatch" ->
         "IterativeDispatchSpec + SccDfSpec (driver Tarjan == coloring)",
       "mergeLouvainDispatch" ->
-        "IncrementalLouvainSpec (driver fold state == distributed fold state)")
+        "IncrementalLouvainSpec (driver fold state == distributed fold state)",
+      "exactKnnEdges" ->
+        "LocalSimSpec (driver exact top-k == BNLJ + window path)",
+      "lshKnnEdges" ->
+        "LocalSimSpec (driver banded top-k == band-join path)",
+      "cosineThresholdPairs" ->
+        "LocalSimSpec (driver threshold pairs == both DF branches)",
+      "embedDup" ->
+        "LocalSimSpec (driver band dup pairs == band-join path)",
+      "nnDescentFrom" ->
+        "LocalSimSpec (driver descent round == DF expansion path)",
+      "knnGraphFrom" ->
+        "LocalSimSpec (driver capped-pairs top-k == dedup/join/window path)")
     val missing = sites.filterNot(covered.contains)
     assert(missing.isEmpty,
       s"dispatch sites without a recorded twin-equality test: $missing")
