@@ -348,6 +348,145 @@ private[operators] object LocalSim {
     out.result()
   }
 
+  /** Mirror of beamSearchFrom over collected parts: seeds dedupe,
+    * `rounds` expansions through the symmetrized edge list with
+    * re-scored survivors, top-`beamWidth` per round by
+    * (sim DESC, id ASC), final top-k with rank + e4 score. Queries
+    * carry their own (widened) vectors; candidate ids missing from
+    * the corpus drop (the scorer's inner join), self-pairs drop. */
+  def beamTopK(c: Corpus, edges: Array[(Long, Long)],
+      queries: Array[(Long, Array[Double])], seeds: Array[(Long, Long)],
+      k: Int, beamWidth: Int, rounds: Int): Seq[(Long, Long, Int, Long)] = {
+    // symmetric adjacency over corpus indices (edges referencing ids
+    // outside the corpus cannot score anyway — the expand join only
+    // needs members that exist)
+    val adj = mutable.LongMap.empty[mutable.ArrayBuilder.ofLong]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, new mutable.ArrayBuilder.ofLong) += b
+      adj.getOrElseUpdate(b, new mutable.ArrayBuilder.ofLong) += a
+    }
+    val adjA = adj.map { case (v, bld) => v -> bld.result() }
+    val qnorm = queries.map { case (_, qv) =>
+      var s = 0.0; var i = 0
+      while (i < qv.length) { s += qv(i) * qv(i); i += 1 }
+      math.sqrt(s)
+    }
+    def qsim(qi: Int, j: Int): Double = {
+      val qv = queries(qi)._2; val vb = c.vecs(j)
+      val n = math.min(qv.length, vb.length)
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += qv(i) * vb(i); i += 1 }
+      dot / (qnorm(qi) * c.norms(j))
+    }
+    val out = new Array[Seq[(Long, Long, Int, Long)]](queries.length)
+    parForeach(queries.length) { qi =>
+      val qid = queries(qi)._1
+      var beamIds: Set[Long] =
+        seeds.iterator.filter(_._1 == qid).map(_._2).toSet
+      var beam: TopK = null
+      def rescore(cand: Set[Long]): TopK = {
+        val t = new TopK(beamWidth)
+        cand.foreach { id =>
+          if (id != qid)
+            c.idx.get(id).foreach(j => t.offer(qsim(qi, j), id))
+        }
+        t
+      }
+      beam = rescore(beamIds)
+      for (_ <- 1 to rounds) {
+        beamIds = (0 until beam.size).map(beam.idA).toSet
+        val cand = beamIds ++ beamIds.iterator.flatMap(id =>
+          adjA.getOrElse(id, Array.emptyLongArray))
+        beam = rescore(cand)
+      }
+      val rows = Seq.newBuilder[(Long, Long, Int, Long)]
+      var r = 0
+      while (r < math.min(beam.size, k)) {
+        rows += ((qid, beam.idA(r), r + 1, roundE4(beam.simA(r))))
+        r += 1
+      }
+      out(qi) = rows.result()
+    }
+    out.toSeq.flatten
+  }
+
+  /** Mirror of hnswDescend's layer loop: per level, the entry beam
+    * expands through edges whose BOTH endpoints sit at lvl ≥ l and
+    * keeps the best `descentWidth` per query; the final entry set
+    * seeds [[beamTopK]] over the layer-0 edges. */
+  def hnswDescendTopK(c: Corpus, refined: Array[(Long, Long)],
+      levels: Array[(Long, Int)], maxLevel: Int,
+      queries: Array[(Long, Array[Double])], k: Int, descentWidth: Int,
+      beamWidth: Int, beamRounds: Int): Seq[(Long, Long, Int, Long)] = {
+    val lvl = mutable.LongMap.empty[Int]
+    levels.foreach { case (v, l) => lvl(v) = l }
+    val topLvl = if (levels.isEmpty) 0 else levels.iterator.map(_._2).max
+    val top = levels.iterator.filter(_._2 >= topLvl).map(_._1).toArray
+    val qnorm = queries.map { case (_, qv) =>
+      var s = 0.0; var i = 0
+      while (i < qv.length) { s += qv(i) * qv(i); i += 1 }
+      math.sqrt(s)
+    }
+    def qsim(qi: Int, j: Int): Double = {
+      val qv = queries(qi)._2; val vb = c.vecs(j)
+      val n = math.min(qv.length, vb.length)
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += qv(i) * vb(i); i += 1 }
+      dot / (qnorm(qi) * c.norms(j))
+    }
+    // per-level symmetric adjacency (both endpoints at lvl ≥ l)
+    def layerAdj(l: Int): mutable.LongMap[Array[Long]] = {
+      val adj = mutable.LongMap.empty[mutable.ArrayBuilder.ofLong]
+      refined.foreach { case (a, b) =>
+        if (lvl.getOrElse(a, Int.MinValue) >= l &&
+            lvl.getOrElse(b, Int.MinValue) >= l) {
+          adj.getOrElseUpdate(a, new mutable.ArrayBuilder.ofLong) += b
+          adj.getOrElseUpdate(b, new mutable.ArrayBuilder.ofLong) += a
+        }
+      }
+      adj.map { case (v, bld) => v -> bld.result() }
+    }
+    val adjByLevel = (1 to maxLevel).map(l => l -> layerAdj(l)).toMap
+    val entrySeeds = new Array[Array[Long]](queries.length)
+    parForeach(queries.length) { qi =>
+      val qid = queries(qi)._1
+      var entry: Set[Long] = top.toSet
+      for (l <- maxLevel to 1 by -1) {
+        val adj = adjByLevel(l)
+        val cand = entry ++ entry.iterator.flatMap(id =>
+          adj.getOrElse(id, Array.emptyLongArray))
+        val t = new TopK(descentWidth)
+        cand.foreach { id =>
+          if (id != qid)
+            c.idx.get(id).foreach(j => t.offer(qsim(qi, j), id))
+        }
+        entry = (0 until t.size).map(t.idA).toSet
+      }
+      entrySeeds(qi) = entry.toArray
+    }
+    val seeds = queries.indices.iterator.flatMap(qi =>
+      entrySeeds(qi).iterator.map(v => (queries(qi)._1, v))).toArray
+    beamTopK(c, refined, queries, seeds, k, beamWidth, beamRounds)
+  }
+
+  /** Collect a (query_id, q_emb) frame with the expression-identical
+    * float→double widening. Caller gates the size. */
+  def queriesOf(q: DataFrame): Array[(Long, Array[Double])] = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val isFloat = q.schema("q_emb").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    q.select(col("query_id"), col("q_emb")).collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val v =
+          if (isFloat) r.getSeq[Float](1).iterator.map(_.toDouble).toArray
+          else r.getSeq[Double](1).toArray
+        (r.getLong(0), v)
+      }
+  }
+
   /** Mirror of nnDescentFrom over a collected base edge table: the
     * pivot expansion (forward ∪ k-capped reverse), then per-vector
     * top-k over base ∪ shared-pivot candidates. `base` rows are

@@ -965,6 +965,31 @@ object Similarity {
   private[operators] def beamSearchFrom(emb: DataFrame, edges: DataFrame,
       queries: DataFrame, seeds: DataFrame, k: Int = TopK,
       beamWidth: Int = BeamWidth, rounds: Int = BeamRounds): DataFrame = {
+    import graft.graph.GraphOps
+    // Measured driver dispatch (round 20, the LocalSim family): each
+    // beam round is joins + a window + a checkpoint over |Q|·width
+    // rows — plan-compile-bound micro-rounds. The twin replays the
+    // identical expand/re-score/keep-best loop over collected parts;
+    // LocalSimSpec pins both-path equality. The loop below stays the
+    // at-scale shape.
+    if (!GraphOps.forceDistributed && LocalSim.twinnable(emb) &&
+        emb.count() <= ExactKnnMaxRows &&
+        queries.count() <= 4096) {
+      val cap = graft.graph.LocalLouvain.CollectMax
+      val edgeRows = edges.select(col("vec_id"), col("neighbor_id"))
+        .limit((cap + 1).toInt).collect()
+      if (edgeRows.length <= cap) {
+        val spark = emb.sparkSession
+        return spark.createDataFrame(LocalSim.beamTopK(
+            LocalSim.corpusOf(emb),
+            edgeRows.map(r => (r.getLong(0), r.getLong(1))),
+            LocalSim.queriesOf(queries),
+            seeds.select(col("query_id"), col("vec_id")).collect()
+              .map(r => (r.getLong(0), r.getLong(1))),
+            k, beamWidth, rounds))
+          .toDF("query_id", "neighbor_id", "rank", "sim_e4")
+      }
+    }
     val q = broadcast(queries)
     val sym = edges.select(col("vec_id"), col("neighbor_id"))
       .unionAll(edges.select(col("neighbor_id").as("vec_id"),
@@ -1120,10 +1145,37 @@ object Similarity {
   private[graft] def hnswDescend(spark: SparkSession, dir: String,
       refined: DataFrame, levels: DataFrame, maxLevel: Int,
       k: Int): DataFrame = {
+    import graft.graph.GraphOps
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val queries = emb.filter(col("vec_id") < QueryLimit)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // Measured driver dispatch (round 20): the layer loop is
+    // maxLevel × (two level joins + a window + a checkpoint) over
+    // |Q|·width rows, then the beam rounds — plan-compile-bound end
+    // to end. The twin replays the identical per-level
+    // expand/keep-best and the final beam over collected parts
+    // (levels COLLECTED, not recomputed — the persisted stack load
+    // must see the same values it wrote); the recall audit stays on
+    // the result either way. LocalSimSpec pins both-path equality;
+    // the loop below is the at-scale shape.
+    if (!GraphOps.forceDistributed && LocalSim.twinnable(emb) &&
+        emb.count() <= ExactKnnMaxRows) {
+      val cap = graft.graph.LocalLouvain.CollectMax
+      val refinedRows = refined.select(col("vec_id"), col("neighbor_id"))
+        .limit((cap + 1).toInt).collect()
+      if (refinedRows.length <= cap) {
+        val lvlRows = levels.select(col("vec_id"), col("lvl")).collect()
+          .map(r => (r.getLong(0), r.getInt(1)))
+        return withRecall(spark, dir,
+          spark.createDataFrame(LocalSim.hnswDescendTopK(
+              LocalSim.corpusOf(emb),
+              refinedRows.map(r => (r.getLong(0), r.getLong(1))),
+              lvlRows, maxLevel, LocalSim.queriesOf(queries), k,
+              HnswDescentWidth, BeamWidth, BeamRounds))
+            .toDF("query_id", "neighbor_id", "rank", "sim_e4"))
+      }
+    }
     // Entry set: every top-layer vertex serves every query (the top
     // layer is n/8^maxLevel ≈ fanout-sized by construction). Enter
     // at the highest REALIZED level, not the nominal maxLevel:

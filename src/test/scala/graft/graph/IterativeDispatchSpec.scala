@@ -273,7 +273,11 @@ class IterativeDispatchSpec extends AnyFunSuite {
       "nnDescentFrom" ->
         "LocalSimSpec (driver descent round == DF expansion path)",
       "knnGraphFrom" ->
-        "LocalSimSpec (driver capped-pairs top-k == dedup/join/window path)")
+        "LocalSimSpec (driver capped-pairs top-k == dedup/join/window path)",
+      "beamSearchFrom" ->
+        "LocalSimSpec (driver beam rounds == DF expand/rescore loop)",
+      "hnswDescend" ->
+        "LocalSimSpec (driver layer descent == DF level loop + beam)")
     val missing = sites.filterNot(covered.contains)
     assert(missing.isEmpty,
       s"dispatch sites without a recorded twin-equality test: $missing")

@@ -95,4 +95,19 @@ class LocalSimSpec extends AnyFunSuite {
     assert(drvD == distD)
     assert(drvL.nonEmpty && drvD.nonEmpty)
   }
+
+  test("hnsw layer descent + beam search twins == DF loops") {
+    // Both query surfaces: the live hnsw stack (descend gate) and the
+    // IVF-seeded beam (beamSearchFrom gate). The refined-graph memo
+    // serves both paths identically, so the comparison isolates the
+    // descent/beam loops themselves.
+    for (d <- Seq(sf001, sf01)) {
+      val (drvH, distH) = bothPaths(Similarity.hnswTopK(spark, d))
+      assert(drvH == distH, s"hnsw diverged at $d")
+      assert(drvH.nonEmpty)
+    }
+    val (drvB, distB) = bothPaths(Similarity.beamSearchTopK(spark, sf001))
+    assert(drvB == distB)
+    assert(drvB.nonEmpty)
+  }
 }
