@@ -26,11 +26,19 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
+    // SPARK_GRAFT_EXPLAIN_DISTRIBUTED=1 forces the driver-twin
+    // dispatches onto their distributed branches, so the at-scale
+    // plan shape is dumpable at test SFs (otherwise every gated query
+    // explains as its twin's LocalTableScan readout).
+    val forced = sys.env.get("SPARK_GRAFT_EXPLAIN_DISTRIBUTED").contains("1")
+    def dump(n: String): Unit =
       try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      if (forced) graft.graph.GraphOps.withForcedDistributed(dump(n))
+      else dump(n)
     }
     spark.stop()
   }

@@ -48,6 +48,32 @@ object ProfileR20 {
         t("s_stream_louvain again")(
           graft.streaming.StreamingOps.streamLouvainIncremental(spark, dir)
             .count())
+      case "scc" =>
+        t("warm coEdges")(
+          graft.graph.GraphBuilder.supplierCoEdges(spark, dir).count())
+        t("s_stream_cc full")(
+          graft.streaming.StreamingOps.streamCcIncremental(spark, dir).count())
+        t("s_stream_cc again")(
+          graft.streaming.StreamingOps.streamCcIncremental(spark, dir).count())
+        t("s_stream_cc fold-distributed")(
+          graft.streaming.StreamingOps.withFoldDistributed {
+            graft.streaming.StreamingOps.streamCcIncremental(spark, dir).count()
+          })
+        t("s_stream_cc twin again")(
+          graft.streaming.StreamingOps.streamCcIncremental(spark, dir).count())
+      case "ivfpq" =>
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        import graft.operators.Similarity
+        val cents = t("fitIvfCentroids")(Similarity.fitIvfCentroids(spark, dir))
+        val cb = t("fitPqCodebooks")(Similarity.fitPqCodebooks(spark, dir))
+        t("pqEncode count")(Similarity.pqEncode(spark, dir, emb, cb).count())
+        t("ivfCandidatePairs count")(
+          Similarity.ivfCandidatePairs(spark, emb, cents).count())
+        t("e_knn_ivfpq full")(
+          Similarity.knnIvfPqWithRecall(spark, dir).count())
+        t("e_knn_ivfpq again")(
+          Similarity.knnIvfPqWithRecall(spark, dir).count())
       case "nnd" =>
         val emb = Tables.embeddings(spark, dir)
           .select(col("vec_id"), col("embedding"))

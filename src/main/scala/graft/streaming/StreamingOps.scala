@@ -917,9 +917,125 @@ object StreamingOps {
     * properties that make graph maintenance on an unbounded edge
     * stream possible at all; versioned v<id> output makes batch
     * replay idempotent, the [[landBatch]] contract. */
+  /** Driver carry for the streaming CC fold: sink → (last folded
+    * batch id, vertex→component labels). Same contract as
+    * [[louvainFoldCarry]]: an intra-stream shortcut only — every fold
+    * still writes v<id> parquet (the restart contract), and any id
+    * discontinuity falls back to the parquet state, so the carry can
+    * never change what a fold computes. Bounded, miss-only eviction
+    * (the round-18 memo-boundary lesson). */
+  private val ccFoldCarry = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, scala.collection.mutable.LongMap[Long])]
+
+  /** Test hook: drop a sink's carry (simulates a restart). */
+  private[graft] def dropCcCarry(sink: String): Unit =
+    ccFoldCarry.remove(sink): Unit
+
+  /** The driver twin of [[mergeCc]]'s per-batch fold (round 20 — the
+    * same plan-compile-bound shape [[mergeLouvainDispatch]] replaced:
+    * state parquet read-back + two contraction joins + the inner CC's
+    * own checkpoint/count/collect + two recompose joins + the write,
+    * ~8 plan compiles per micro-batch for arithmetic the driver does
+    * in microseconds). Bit-identical by construction: min-member CC
+    * labels are PATH-INDEPENDENT, and the twin composes them through
+    * the carried labels with exactly the fold's coalesce/anti-join
+    * semantics — the union-find below IS the engine
+    * [[graft.graph.ConnectedComponentsDF.run]] dispatches to under
+    * these bounds. Gate: Long keys, batch and prior state within the
+    * collect bound; past either the distributed fold below is
+    * untouched (the 100 TB shape). IncrementalCcSpec pins per-batch
+    * state equality and the carry-free fallback. */
+  private[graft] def mergeCcDispatch(sink: String, batch: DataFrame,
+      id: Long): Boolean = {
+    import graft.graph.{GraphOps, LocalLouvain}
+    val lt = org.apache.spark.sql.types.LongType
+    val dispatchable = !GraphOps.forceDistributed && !foldDistributedOnly &&
+      batch.schema("src").dataType == lt &&
+      batch.schema("dst").dataType == lt
+    if (!dispatchable) return false
+    val n = batch.agg(count(lit(1))).collect().head.getLong(0)
+    if (n > LocalLouvain.CollectMax) return false
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val prevDir = new java.io.File(s"$sink/v${id - 1}")
+    // State source: the carry when it is exactly the previous batch's
+    // fold, else the parquet state (counted before collecting — past
+    // the bound the distributed fold owns it).
+    val state = ccFoldCarry.get(sink) match {
+      case Some((last, lab)) if last == id - 1 => Some(lab)
+      case _ if !prevDir.exists() =>
+        Some(scala.collection.mutable.LongMap.empty[Long])
+      case _ =>
+        val labDf = spark.read.parquet(prevDir.getPath)
+        if (labDf.count() > LocalLouvain.CollectMax) None
+        else {
+          val lab = scala.collection.mutable.LongMap.empty[Long]
+          labDf.select(col("vertex"), col("component")).collect()
+            .foreach(r => lab(r.getLong(0)) = r.getLong(1))
+          Some(lab)
+        }
+    }
+    state match {
+      case None => false
+      case Some(lab) =>
+        val rows = batch.select(col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        // Contract batch edges through the current labels (new
+        // vertices stay themselves — same coalesce as the fold), then
+        // min-root union-find over the contracted pairs: exactly what
+        // the fold's inner ConnectedComponentsDF.run dispatches to.
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nx = parent(c); parent(c) = r; c = nx
+          }
+          r
+        }
+        val contracted = rows.map { case (s, d) =>
+          (lab.getOrElse(s, s), lab.getOrElse(d, d))
+        }
+        contracted.foreach { case (u, v) =>
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) {
+            if (ru < rv) parent(rv) = ru else parent(ru) = rv
+          }
+        }
+        // cc2 labels representatives and genuinely new vertices; the
+        // recomposition mirrors the fold's left-join coalesce (labeled
+        // vertices re-map through their representative's new label)
+        // plus its anti-join (cc2 vertices not yet labeled arrive).
+        val cc2 = scala.collection.mutable.LongMap.empty[Long]
+        contracted.foreach { case (u, v) =>
+          if (!cc2.contains(u)) cc2(u) = find(u)
+          if (!cc2.contains(v)) cc2(v) = find(v)
+        }
+        val newLab = scala.collection.mutable.LongMap.empty[Long]
+        lab.foreach { case (v, c) => newLab(v) = cc2.getOrElse(c, c) }
+        cc2.foreach { case (x, cx) => if (!lab.contains(x)) newLab(x) = cx }
+        newLab.toSeq.toDF("vertex", "component").coalesce(1)
+          .write.mode("overwrite").parquet(s"$sink/v$id")
+        if (ccFoldCarry.size > 8 && !ccFoldCarry.contains(sink))
+          ccFoldCarry.clear()
+        ccFoldCarry.update(sink, (id, newLab))
+        true
+    }
+  }
+
   private[graft] def mergeCc(sink: String)(df: DataFrame, id: Long): Unit = {
     val spark = df.sparkSession
     val batch = df.select(col("src"), col("dst"))
+    // Measured driver dispatch (round 20, the round-14 twin family):
+    // within the collect bound the whole per-batch fold runs in the
+    // driver, carrying the labels across micro-batches so batches 1+
+    // skip the parquet read-back entirely. The distributed fold below
+    // stays verbatim as the at-scale shape.
+    if (mergeCcDispatch(sink, batch, id)) return
+    // The distributed fold owns the state now — a driver carry from
+    // an earlier batch would go stale the moment this fold writes.
+    ccFoldCarry.remove(sink): Unit
     val prev = new java.io.File(s"$sink/v${id - 1}")
     val state =
       if (!prev.exists()) graft.graph.ConnectedComponentsDF.run(spark, batch)

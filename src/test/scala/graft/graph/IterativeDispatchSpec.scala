@@ -262,6 +262,8 @@ class IterativeDispatchSpec extends AnyFunSuite {
         "IterativeDispatchSpec + SccDfSpec (driver Tarjan == coloring)",
       "mergeLouvainDispatch" ->
         "IncrementalLouvainSpec (driver fold state == distributed fold state)",
+      "mergeCcDispatch" ->
+        "IncrementalCcSpec (driver CC fold state == distributed fold state)",
       "exactKnnEdges" ->
         "LocalSimSpec (driver exact top-k == BNLJ + window path)",
       "lshKnnEdges" ->
