@@ -30,14 +30,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // Round 20: TypedImperativeAggregate top-k shortlists
-      // (TopKBySim) group by VECTOR id — Spark's 128-key default
-      // falls every such task back to sort-based aggregation, paying
-      // a map-side sort of the whole candidate stream. ~2M in-memory
-      // groups ≈ 60 MB/task of k-entry buffers, well inside the
-      // bench heap; scale deployments size it to corpus/partitions.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "2097152")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -48,6 +48,28 @@ class TopKBySimSpec extends AnyFunSuite {
     assert(rowsOf(aggTopK(df, 4)).nonEmpty)
   }
 
+  test("aggregate == window past the sort-based fallback boundary") {
+    import spark.implicits._
+    // > spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    // (default 128) DISTINCT groups per task: the partial aggregation
+    // switches to the sort-based path mid-stream (hash the first 128
+    // groups, sorter for the rest), exercising serialize/deserialize
+    // + merge for buffers created on BOTH sides of the switch. This
+    // is the path every at-scale shortlist takes (262k vector-id
+    // groups at the ANN artifact scale) — the round-20 resumed
+    // session found the 2M-threshold "optimization" OOMing that
+    // artifact (boxed k-entry buffers for every group of every map
+    // task resident at once) and removed it in favor of this default
+    // hybrid, so the fallback path must be pinned, not assumed.
+    val df = spark.range(60000)
+      .select((col("id") % 3000).as("g"), col("id"),
+        ((xxhash64(col("id"), lit(7)) % 1000L).cast("double") / 100.0).as("sim"))
+      .repartition(4)
+      .localCheckpoint(true)
+    assert(rowsOf(aggTopK(df, 5)) == rowsOf(windowTopK(df, 5)))
+    assert(rowsOf(aggTopK(df, 5)).size == 3000 * 5)
+  }
+
   test("aggregate == window on a cross-partition pseudo-random frame") {
     import spark.implicits._
     // 40k rows over 64 groups, xxhash-derived sims with planted
